@@ -1,0 +1,120 @@
+package graft.geo
+
+/** Geohash encode/decode and bounding-box cover.
+  *
+  * The reference delegates these to the public davidmoten `geo` library
+  * (explora-kafka pom.xml:193-197; calls at ingestion/IngestStream.java:313
+  * and querying/QueryingController.java:240,270). Re-implemented here from
+  * the public geohash spec (base-32, lon-first bit interleave) so the
+  * engine has zero external deps. Pure functions, no Spark dependency.
+  */
+object GeoHash {
+
+  private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+  private val Base32Inv: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    Base32.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  /** lat/lon (degrees) → geohash string of `precision` base-32 chars. */
+  def encode(lat: Double, lon: Double, precision: Int): String = {
+    require(precision > 0 && precision <= 22, s"precision $precision out of range")
+    val sb = new java.lang.StringBuilder(precision)
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    var isLon = true
+    var bit = 0
+    var ch = 0
+    while (sb.length < precision) {
+      if (isLon) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      isLon = !isLon
+      bit += 1
+      if (bit == 5) { sb.append(Base32.charAt(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  /** Bounding box of a geohash cell: (latLo, latHi, lonLo, lonHi). */
+  def decodeBox(gh: String): (Double, Double, Double, Double) = {
+    var latLo = -90.0; var latHi = 90.0
+    var lonLo = -180.0; var lonHi = 180.0
+    var isLon = true
+    var i = 0
+    while (i < gh.length) {
+      val c = gh.charAt(i).toLower
+      val v = if (c < 128) Base32Inv(c.toInt) else -1
+      require(v >= 0, s"bad geohash char '$c' in $gh")
+      var b = 4
+      while (b >= 0) {
+        val bit = (v >> b) & 1
+        if (isLon) {
+          val mid = (lonLo + lonHi) / 2
+          if (bit == 1) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (bit == 1) latLo = mid else latHi = mid
+        }
+        isLon = !isLon
+        b -= 1
+      }
+      i += 1
+    }
+    (latLo, latHi, lonLo, lonHi)
+  }
+
+  /** Geohash → cell-center (lat, lon) — same convention as the reference's
+    * `GeoHash.decodeHash` (cell midpoint), used to re-index a geohash into
+    * a quadtile (ingestion/IngestStream.java:313).
+    */
+  def decode(gh: String): (Double, Double) = {
+    val (latLo, latHi, lonLo, lonHi) = decodeBox(gh)
+    ((latLo + latHi) / 2, (lonLo + lonHi) / 2)
+  }
+
+  /** Width/height in degrees of a geohash cell at `precision`. */
+  def cellSize(precision: Int): (Double, Double) = {
+    val bits = 5 * precision
+    val lonBits = (bits + 1) / 2 // lon gets the extra bit (lon-first)
+    val latBits = bits / 2
+    (180.0 / (1L << latBits).toDouble, 360.0 / (1L << lonBits).toDouble)
+  }
+
+  /** All geohashes at `precision` whose cells intersect the bbox, sorted.
+    * Matches the behavior of the davidmoten `GeoHash.coverBoundingBox`
+    * call at querying/QueryingController.java:240: enumerate the grid of
+    * cells touched by the box.
+    */
+  def coverBoundingBox(
+      topLeftLat: Double,
+      topLeftLon: Double,
+      bottomRightLat: Double,
+      bottomRightLon: Double,
+      precision: Int): Seq[String] = {
+    val (latStep, lonStep) = cellSize(precision)
+    val latMin = math.min(topLeftLat, bottomRightLat)
+    val latMax = math.max(topLeftLat, bottomRightLat)
+    val lonMin = math.min(topLeftLon, bottomRightLon)
+    val lonMax = math.max(topLeftLon, bottomRightLon)
+    val hashes = scala.collection.mutable.SortedSet.empty[String]
+    // walk cell centers snapped to the grid so each touched cell is hit once
+    var lat = math.floor((latMin + 90.0) / latStep) * latStep - 90.0 + latStep / 2
+    while (lat - latStep / 2 <= latMax && lat <= 90.0) {
+      var lon = math.floor((lonMin + 180.0) / lonStep) * lonStep - 180.0 + lonStep / 2
+      while (lon - lonStep / 2 <= lonMax && lon <= 180.0) {
+        hashes += encode(lat, lon, precision)
+        lon += lonStep
+      }
+      lat += latStep
+    }
+    hashes.toSeq
+  }
+}
