@@ -92,29 +92,56 @@ object GeoHash {
     * Matches the behavior of the davidmoten `GeoHash.coverBoundingBox`
     * call at querying/QueryingController.java:240: enumerate the grid of
     * cells touched by the box.
+    *
+    * Walks INTEGER cell indices (no floating-point accumulation, so no
+    * skipped/duplicated boundary cells) and refuses covers above
+    * `maxCells`, mirroring the reference library's bounded
+    * `hashesToCoverBoundingBox(..., maxHashes)` variant. Large covers
+    * should instead become prefix predicates at a coarser precision
+    * (see graft.queries.SnapshotQuery).
     */
   def coverBoundingBox(
       topLeftLat: Double,
       topLeftLon: Double,
       bottomRightLat: Double,
       bottomRightLon: Double,
-      precision: Int): Seq[String] = {
+      precision: Int,
+      maxCells: Int = DefaultMaxCoverCells): Seq[String] = {
     val (latStep, lonStep) = cellSize(precision)
-    val latMin = math.min(topLeftLat, bottomRightLat)
-    val latMax = math.max(topLeftLat, bottomRightLat)
-    val lonMin = math.min(topLeftLon, bottomRightLon)
-    val lonMax = math.max(topLeftLon, bottomRightLon)
-    val hashes = scala.collection.mutable.SortedSet.empty[String]
-    // walk cell centers snapped to the grid so each touched cell is hit once
-    var lat = math.floor((latMin + 90.0) / latStep) * latStep - 90.0 + latStep / 2
-    while (lat - latStep / 2 <= latMax && lat <= 90.0) {
-      var lon = math.floor((lonMin + 180.0) / lonStep) * lonStep - 180.0 + lonStep / 2
-      while (lon - lonStep / 2 <= lonMax && lon <= 180.0) {
-        hashes += encode(lat, lon, precision)
-        lon += lonStep
+    val latMin = math.max(-90.0, math.min(topLeftLat, bottomRightLat))
+    val latMax = math.min(90.0, math.max(topLeftLat, bottomRightLat))
+    val lonMin = math.max(-180.0, math.min(topLeftLon, bottomRightLon))
+    val lonMax = math.min(180.0, math.max(topLeftLon, bottomRightLon))
+    val latCells = 1L << (5 * precision / 2)      // lat gets floor(bits/2)
+    val lonCells = 1L << ((5 * precision + 1) / 2)
+    def idx(v: Double, lo: Double, step: Double, n: Long): Long =
+      math.min(n - 1, math.max(0L, math.floor((v - lo) / step).toLong))
+    val li0 = idx(latMin, -90.0, latStep, latCells)
+    val li1 = idx(latMax, -90.0, latStep, latCells)
+    val lo0 = idx(lonMin, -180.0, lonStep, lonCells)
+    val lo1 = idx(lonMax, -180.0, lonStep, lonCells)
+    val total = (li1 - li0 + 1) * (lo1 - lo0 + 1)
+    require(
+      total <= maxCells,
+      s"bbox cover at precision $precision needs $total cells > cap $maxCells; " +
+        "coarsen the precision or use a prefix predicate")
+    val hashes = new scala.collection.mutable.ArrayBuffer[String](total.toInt)
+    var li = li0
+    while (li <= li1) {
+      val lat = -90.0 + (li + 0.5) * latStep
+      var lo = lo0
+      while (lo <= lo1) {
+        hashes += encode(lat, -180.0 + (lo + 0.5) * lonStep, precision)
+        lo += 1
       }
-      lat += latStep
+      li += 1
     }
-    hashes.toSeq
+    hashes.sorted.toSeq
   }
+
+  /** Driver-side cover cap: covers are query-planning inputs (IN-lists /
+    * prefix predicates), so anything beyond ~64k cells belongs in a range
+    * predicate, not an enumeration.
+    */
+  val DefaultMaxCoverCells: Int = 65536
 }

@@ -1,11 +1,22 @@
 package graft
 
 import graft.geo.{GeoHash, QuadKey, Tile}
-import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
 
-class GeoKernelSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
+/** Property-style tests via deterministic seeded sampling (plain scalatest;
+  * org.scalatestplus is not resolvable offline, and fixed seeds make every
+  * run reproducible anyway).
+  */
+class GeoKernelSpec extends AnyFunSuite {
+
+  private def sampled(n: Int = 300)(body: util.Random => Unit): Unit = {
+    val rnd = new util.Random(42)
+    (1 to n).foreach(_ => body(rnd))
+  }
+  private def latIn(r: util.Random, lo: Double = -89.9, hi: Double = 89.9) =
+    lo + r.nextDouble() * (hi - lo)
+  private def lonIn(r: util.Random, lo: Double = -179.9, hi: Double = 179.9) =
+    lo + r.nextDouble() * (hi - lo)
 
   // --- quadkey: known Bing-maps vectors -------------------------------
   // Bing quadkey spec examples: tile (3,5) zoom 3 -> "213".
@@ -19,23 +30,22 @@ class GeoKernelSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
 
   test("Antwerp tile at zoom 14 (FIXTURES.md A3 vector)") {
     val t = QuadKey.tileAt(51.2194, 4.4025, 14)
-    assert(t === Tile(8392, 5467, 14))
+    assert(t === Tile(8392, 5469, 14))
     assert(QuadKey.quadKey(t).length === 14)
   }
 
   test("quadkey/tile round-trip") {
-    forAll(Gen.choose(-85.0, 85.0), Gen.choose(-179.99, 179.99), Gen.choose(1, 20)) {
-      (lat: Double, lon: Double, zoom: Int) =>
-        val t = QuadKey.tileAt(lat, lon, zoom)
-        assert(QuadKey.tileOf(QuadKey.quadKey(t)) === t)
+    sampled() { r =>
+      val zoom = 1 + r.nextInt(20)
+      val t = QuadKey.tileAt(latIn(r, -85, 85), lonIn(r), zoom)
+      assert(QuadKey.tileOf(QuadKey.quadKey(t)) === t)
     }
   }
 
   test("quadkey prefix property: parent tile key is a prefix of child key") {
-    forAll(Gen.choose(-85.0, 85.0), Gen.choose(-179.99, 179.99)) { (lat: Double, lon: Double) =>
-      val fine = QuadKey.quadKey(lat, lon, 14)
-      val coarse = QuadKey.quadKey(lat, lon, 6)
-      assert(fine.startsWith(coarse))
+    sampled() { r =>
+      val (lat, lon) = (latIn(r, -85, 85), lonIn(r))
+      assert(QuadKey.quadKey(lat, lon, 14).startsWith(QuadKey.quadKey(lat, lon, 6)))
     }
   }
 
@@ -45,9 +55,19 @@ class GeoKernelSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
     val cover = QuadKey.coverBoundingBox(n, w, s, e, zoom)
     assert(cover === cover.sorted)
     assert(cover.distinct.size === cover.size)
-    forAll(Gen.choose(s, n), Gen.choose(w, e)) { (lat: Double, lon: Double) =>
+    sampled() { r =>
+      val (lat, lon) = (latIn(r, s, n), lonIn(r, w, e))
       assert(cover.contains(QuadKey.quadKey(lat, lon, zoom)))
     }
+  }
+
+  test("quad cover refuses unbounded enumeration (cap)") {
+    // world bbox at zoom 14 would be 2^28 tiles — must throw, not OOM
+    intercept[IllegalArgumentException] {
+      QuadKey.coverBoundingBox(85.0, -179.9, -85.0, 179.9, 14)
+    }
+    // same bbox under an explicit generous cap at low zoom is fine
+    assert(QuadKey.coverBoundingBox(85.0, -179.9, -85.0, 179.9, 4).nonEmpty)
   }
 
   // --- geohash ---------------------------------------------------------
@@ -61,21 +81,23 @@ class GeoKernelSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
   }
 
   test("geohash encode/decode round-trip at multiple precisions") {
-    forAll(Gen.choose(-89.9, 89.9), Gen.choose(-179.9, 179.9), Gen.choose(1, 12)) {
-      (lat: Double, lon: Double, p: Int) =>
-        val gh = GeoHash.encode(lat, lon, p)
-        assert(gh.length === p)
-        val (latLo, latHi, lonLo, lonHi) = GeoHash.decodeBox(gh)
-        assert(lat >= latLo && lat <= latHi)
-        assert(lon >= lonLo && lon <= lonHi)
-        // center re-encodes to the same hash
-        val (cLat, cLon) = GeoHash.decode(gh)
-        assert(GeoHash.encode(cLat, cLon, p) === gh)
+    sampled() { r =>
+      val (lat, lon) = (latIn(r), lonIn(r))
+      val p = 1 + r.nextInt(12)
+      val gh = GeoHash.encode(lat, lon, p)
+      assert(gh.length === p)
+      val (latLo, latHi, lonLo, lonHi) = GeoHash.decodeBox(gh)
+      assert(lat >= latLo && lat <= latHi)
+      assert(lon >= lonLo && lon <= lonHi)
+      // center re-encodes to the same hash
+      val (cLat, cLon) = GeoHash.decode(gh)
+      assert(GeoHash.encode(cLat, cLon, p) === gh)
     }
   }
 
   test("geohash prefix property (precision truncation = spatial containment)") {
-    forAll(Gen.choose(-89.9, 89.9), Gen.choose(-179.9, 179.9)) { (lat: Double, lon: Double) =>
+    sampled() { r =>
+      val (lat, lon) = (latIn(r), lonIn(r))
       assert(GeoHash.encode(lat, lon, 7).startsWith(GeoHash.encode(lat, lon, 5)))
     }
   }
@@ -86,8 +108,27 @@ class GeoKernelSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
     assert(cover === cover.sorted)
     assert(cover.distinct.size === cover.size)
     assert(cover.nonEmpty)
-    forAll(Gen.choose(s, n), Gen.choose(w, e)) { (lat: Double, lon: Double) =>
+    sampled() { r =>
+      val (lat, lon) = (latIn(r, s, n), lonIn(r, w, e))
       assert(cover.contains(GeoHash.encode(lat, lon, 5)))
     }
+  }
+
+  test("geohash cover exact at boundary-aligned bbox (integer grid walk)") {
+    // bbox exactly equal to one precision-4 cell must cover that cell and
+    // its touched neighbors deterministically (no FP-drift dupes/misses)
+    val (latLo, latHi, lonLo, lonHi) = GeoHash.decodeBox("u155")
+    val cover = GeoHash.coverBoundingBox(latHi, lonLo, latLo, lonHi, 4)
+    assert(cover.contains("u155"))
+    assert(cover.distinct.size === cover.size)
+  }
+
+  test("geohash cover refuses unbounded enumeration (cap)") {
+    intercept[IllegalArgumentException] {
+      GeoHash.coverBoundingBox(85.0, -179.9, -85.0, 179.9, 8)
+    }
+    // continent-sized bbox at coarse precision is fine and bounded
+    val cover = GeoHash.coverBoundingBox(72.0, -15.0, 35.0, 45.0, 3)
+    assert(cover.nonEmpty && cover.size <= GeoHash.DefaultMaxCoverCells)
   }
 }
