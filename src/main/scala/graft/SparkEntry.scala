@@ -1,13 +1,280 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.Instant
+
+import graft.functions.GeoFunctions
+import graft.geo.{GeoHash, QuadKey}
+import graft.operators.{ExploraQueries, ViewBuilder}
+import graft.sources.{SensorGrid, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions shared by every query and its DuckDB oracle (the driver
+  * hash-compares column-sorted values, so names and value
+  * representations must agree exactly):
+  *   - timestamps are presented as `ts_s` BIGINT epoch seconds
+  *     (Spark `cast(ts as long)` == DuckDB `epoch_ns(ts) // 1e9`, both
+  *     floor; raw parquet nanos never surface),
+  *   - doubles are `round(x, 6)`,
+  *   - every query ends in a deterministic ORDER BY over its key columns.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- shared constants (used by BOTH the Spark plans and the
+  //      generated oracle SQL, so the two sides cannot drift) ----------
+
+  private val GhViewPrecision = 6 // dev default precision (util/AppConfig.java:13)
+
+  /** Three geohash-6 cells queried by the history family. */
+  private[graft] val HistoryGeos: Seq[String] =
+    SensorGrid.cellGeo.map(_._2.substring(0, GhViewPrecision)).distinct.sorted.take(3)
+
+  /** Antwerp probe bbox from the reference's load script
+    * (sim_api_load.sh: N 51.31, W 4.31, S 51.17, E 4.50).
+    */
+  private val Bbox = (51.31, 4.31, 51.17, 4.50)
+
+  /** Snapshot cover lists: exact zoom-14 quadkeys, and coarse
+    * geohash-4 prefixes (the pushdown-friendly geohashing mode).
+    */
+  private[graft] val QuadCover: Seq[String] =
+    QuadKey.coverBoundingBox(Bbox._1, Bbox._2, Bbox._3, Bbox._4, SensorGrid.QuadZoom)
+  private[graft] val GhPrefixCover: Seq[String] =
+    GeoHash.coverBoundingBox(Bbox._1, Bbox._2, Bbox._3, Bbox._4, 4)
+
+  private val HistFrom = Instant.parse("2024-01-10T00:00:00Z")
+  private val HistTo = Instant.parse("2024-01-12T00:00:00Z")
+  private val MonthFrom = Instant.parse("2024-01-01T00:00:00Z")
+  private val MonthTo = Instant.parse("2024-02-01T00:00:00Z")
+  private val IntervalTo = Instant.parse("2024-01-20T12:34:56Z")
+  private val SnapQuadTs = Instant.parse("2024-01-15T07:23:41Z") // day res → 2024-01-15
+  private val SnapGhTs = Instant.parse("2024-01-15T13:47:09Z") // hour res → 13:00
+
+  // ---- Spark-side building blocks ------------------------------------
+
+  private def ghView(s: SparkSession, dir: String, res: String): DataFrame =
+    ViewBuilder.build(
+      SensorGrid.readings(s, dir),
+      substring(col("gh12"), 1, GhViewPrecision),
+      res)
+
+  private def quadView(s: SparkSession, dir: String, res: String): DataFrame =
+    ViewBuilder.build(SensorGrid.readings(s, dir), col("qk14"), res)
+
+  /** View presentation row (FIXTURES.md §A2) with the shared conventions. */
+  private def presentView(v: DataFrame): DataFrame =
+    v.select(
+      col("metric"),
+      col("geo"),
+      col("ts").cast("long").as("ts_s"),
+      col("cnt"),
+      round(col("sum_val"), 6).as("sum_val"),
+      round(col("avg_val"), 6).as("avg_val"))
+      .orderBy(col("metric"), col("geo"), col("ts_s"))
+
+  private def historyQ(res: String, metric: String, agg: String, from: Instant, to: Instant)(
+      s: SparkSession,
+      dir: String): DataFrame =
+    ExploraQueries.history(
+      ghView(s, dir, res),
+      metric,
+      ExploraQueries.cellsPredicate(HistoryGeos),
+      from,
+      to,
+      agg)
+
+  private def intervalQ(interval: String)(s: SparkSession, dir: String): DataFrame = {
+    val res = ExploraQueries.IntervalResolution(interval)
+    historyQ(res, "purchase", "avg", ExploraQueries.fromInstant(IntervalTo, interval), IntervalTo)(
+      s,
+      dir)
+  }
+
+  // ---- oracle-side building blocks (DuckDB SQL, same constants) ------
+
+  private val Cte = SensorGrid.oracleReadingsCte
+
+  private def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
+
+  private def epochS(c: String) = s"epoch_ns($c) // 1000000000"
+
+  /** Truncated-ts epoch seconds for a resolution, oracle side. */
+  private def truncS(res: String) =
+    s"epoch_ns(date_trunc('${ViewBuilder.Resolutions(res)}', ts)) // 1000000000"
+
+  private def viewSql(geoExpr: String, res: String): String =
+    s"""$Cte SELECT metric, $geoExpr AS geo, ${truncS(res)} AS ts_s,
+       | count(*) AS cnt, round(sum(value), 6) AS sum_val,
+       | round(sum(value) / count(*), 6) AS avg_val
+       |FROM readings GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  private val Gh6Expr = s"substr(gh12, 1, $GhViewPrecision)"
+
+  private def aggSql(agg: String): String = agg match {
+    case "avg"   => "round(sum(value) / count(*), 6) AS avg_val"
+    case "sum"   => "round(sum(value), 6) AS sum_val"
+    case "count" => "count(*) AS cnt"
+  }
+
+  private def historySql(
+      res: String,
+      metric: String,
+      agg: String,
+      from: Instant,
+      to: Instant): String =
+    s"""$Cte, v AS (
+       |  SELECT ${truncS(res)} AS ts_s, value FROM readings
+       |  WHERE metric = '$metric' AND $Gh6Expr IN (${sqlList(HistoryGeos)}))
+       |SELECT ts_s, ${aggSql(agg)}
+       |FROM v WHERE ts_s >= ${from.getEpochSecond} AND ts_s < ${to.getEpochSecond}
+       |GROUP BY ts_s ORDER BY ts_s""".stripMargin
+
+  private def intervalSql(interval: String): String = {
+    val res = ExploraQueries.IntervalResolution(interval)
+    historySql(res, "purchase", "avg", ExploraQueries.fromInstant(IntervalTo, interval), IntervalTo)
+  }
+
+  // ---- flagship ------------------------------------------------------
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0: the full EXPLORA path — readings → minute view → history
+    * rollup over the whole data month with a coarse geohash prefix
+    * (SURVEY §7.3).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    GeoFunctions.register(spark)
+    ExploraQueries.history(
+      ghView(spark, "/root/testdata/sf0.001", "min"),
+      "click",
+      ExploraQueries.prefixPredicate(Seq("u1")),
+      MonthFrom,
+      MonthTo,
+      "avg")
+  }
+
+  // ---- driver contract ----------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXPLORA materialized views (A1-A3): geohash-6 × 4 resolutions + quad-14
+    "view_min" -> ((s, d) => presentView(ghView(s, d, "min"))),
+    "view_hour" -> ((s, d) => presentView(ghView(s, d, "hour"))),
+    "view_day" -> ((s, d) => presentView(ghView(s, d, "day"))),
+    "view_month" -> ((s, d) => presentView(ghView(s, d, "month"))),
+    "view_quad_day" -> ((s, d) => presentView(quadView(s, d, "day"))),
+    // history (A5, §3.2) per aggregate
+    "history_avg" -> ((s, d) => historyQ("min", "click", "avg", HistFrom, HistTo)(s, d)),
+    "history_sum" -> ((s, d) => historyQ("hour", "view", "sum", HistFrom, HistTo)(s, d)),
+    "history_count" -> ((s, d) => historyQ("day", "error", "count", MonthFrom, MonthTo)(s, d)),
+    // history via interval table (F5)
+    "interval_5min" -> ((s, d) => intervalQ("5min")(s, d)),
+    "interval_1hour" -> ((s, d) => intervalQ("1hour")(s, d)),
+    "interval_1day" -> ((s, d) => intervalQ("1day")(s, d)),
+    "interval_1week" -> ((s, d) => intervalQ("1week")(s, d)),
+    "interval_1month" -> ((s, d) => intervalQ("1month")(s, d)),
+    "interval_all" -> ((s, d) => intervalQ("all")(s, d)),
+    // snapshot (A6, §3.3): quadtiling exact cover + geohashing prefix cover
+    "snapshot_quad_avg" -> ((s, d) =>
+      ExploraQueries.snapshot(
+        quadView(s, d, "day"),
+        "signup",
+        ExploraQueries.cellsPredicate(QuadCover),
+        SnapQuadTs,
+        "day",
+        "avg")),
+    "snapshot_gh_sum" -> ((s, d) =>
+      ExploraQueries.snapshot(
+        ghView(s, d, "hour"),
+        "click",
+        ExploraQueries.prefixPredicate(GhPrefixCover),
+        SnapGhTs,
+        "hour",
+        "sum")),
+    // src=raw path (§3.3 dead-in-reference, real here)
+    "raw_readings" -> ((s, d) =>
+      SensorGrid.readings(s, d)
+        .filter(
+          col("metric") === "error" &&
+            col("ts") >= timestamp_seconds(lit(Instant.parse("2024-01-03T00:00:00Z").getEpochSecond)) &&
+            col("ts") < timestamp_seconds(lit(Instant.parse("2024-01-05T00:00:00Z").getEpochSecond)))
+        .select(col("ts").cast("long").as("ts_s"), col("gh12"), col("value"))
+        .orderBy(col("ts_s"), col("gh12"), col("value"))),
+    // JSON scalar path (S2): extract props.k and aggregate per key
+    "json_props" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("k"))),
+    // general breadth: TPC-H-ish aggregation and join
+    "q1_agg" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q3_top10" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      Tables.load(s, d, "lineitem")
+        .join(Tables.load(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "view_min" -> viewSql(Gh6Expr, "min"),
+    "view_hour" -> viewSql(Gh6Expr, "hour"),
+    "view_day" -> viewSql(Gh6Expr, "day"),
+    "view_month" -> viewSql(Gh6Expr, "month"),
+    "view_quad_day" -> viewSql("qk14", "day"),
+    "history_avg" -> historySql("min", "click", "avg", HistFrom, HistTo),
+    "history_sum" -> historySql("hour", "view", "sum", HistFrom, HistTo),
+    "history_count" -> historySql("day", "error", "count", MonthFrom, MonthTo),
+    "interval_5min" -> intervalSql("5min"),
+    "interval_1hour" -> intervalSql("1hour"),
+    "interval_1day" -> intervalSql("1day"),
+    "interval_1week" -> intervalSql("1week"),
+    "interval_1month" -> intervalSql("1month"),
+    "interval_all" -> intervalSql("all"),
+    "snapshot_quad_avg" ->
+      s"""$Cte SELECT qk14 AS geo, round(sum(value) / count(*), 6) AS avg_val
+         |FROM readings
+         |WHERE metric = 'signup' AND qk14 IN (${sqlList(QuadCover)})
+         |  AND ${truncS("day")} = ${ExploraQueries.truncateTs(SnapQuadTs, "day").getEpochSecond}
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "snapshot_gh_sum" ->
+      s"""$Cte SELECT $Gh6Expr AS geo, round(sum(value), 6) AS sum_val
+         |FROM readings
+         |WHERE metric = 'click' AND substr(gh12, 1, 4) IN (${sqlList(GhPrefixCover)})
+         |  AND ${truncS("hour")} = ${ExploraQueries.truncateTs(SnapGhTs, "hour").getEpochSecond}
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "raw_readings" ->
+      s"""$Cte SELECT ${epochS("ts")} AS ts_s, gh12, value FROM readings
+         |WHERE metric = 'error'
+         |  AND ${epochS("ts")} >= ${Instant.parse("2024-01-03T00:00:00Z").getEpochSecond}
+         |  AND ${epochS("ts")} < ${Instant.parse("2024-01-05T00:00:00Z").getEpochSecond}
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        | count(*) AS cnt, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty,
+        | round(sum(l_extendedprice), 6) AS sum_base_price,
+        | round(avg(l_discount), 6) AS avg_disc, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_top10" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
 }

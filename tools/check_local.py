@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local pre-validation mimicking the driver's correctness gate:
+run graft.Verify at a given SF, run each oracle_sql.json entry in DuckDB
+over the same parquet tables, and compare (columns sorted by name,
+rows sorted, exact value compare + float max-diff report).
+
+Usage: python3 tools/check_local.py [sfDir] [outDir] [--skip-verify]
+"""
+import json, sys, glob, os, subprocess
+
+import duckdb
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True)
+    sys.stdout.write("\n".join(l for l in r.stdout.splitlines() if "[verify]" in l or "error" in l.lower()) + "\n")
+    if r.returncode != 0:
+        print("VERIFY RUN FAILED"); print(r.stdout[-3000:]); print(r.stderr[-2000:]); sys.exit(1)
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+ok = fail = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    res_dir = f"{OUT}/{name}"
+    files = glob.glob(f"{res_dir}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark result written"); fail += 1; continue
+    try:
+        mine = pd.read_parquet(res_dir)
+        want = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}"); fail += 1; continue
+    mine = mine[sorted(mine.columns)]
+    want = want[sorted(want.columns)]
+    if list(mine.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(mine.columns)} != {list(want.columns)}"); fail += 1; continue
+    if len(mine) != len(want):
+        print(f"FAIL {name}: rows {len(mine)} != {len(want)}"); fail += 1; continue
+    mine = mine.sort_values(by=list(mine.columns)).reset_index(drop=True)
+    want = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+    mismatch = []
+    for c in mine.columns:
+        a, b = mine[c], want[c]
+        try:
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                diff = (a.astype(float) - b.astype(float)).abs().max()
+                if not (diff == 0 or diff != diff and len(a) == 0):
+                    if diff > 0:
+                        mismatch.append(f"{c}: max float diff {diff}")
+            else:
+                if not a.astype(str).equals(b.astype(str)):
+                    n = (a.astype(str) != b.astype(str)).sum()
+                    mismatch.append(f"{c}: {n} differing values e.g. {a[a.astype(str)!=b.astype(str)].head(2).tolist()} vs {b[a.astype(str)!=b.astype(str)].head(2).tolist()}")
+        except Exception as e:
+            mismatch.append(f"{c}: compare error {e}")
+    if mismatch:
+        print(f"FAIL {name}: " + "; ".join(mismatch[:4])); fail += 1
+    else:
+        print(f"OK   {name}: {len(mine)} rows x {len(mine.columns)} cols"); ok += 1
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)
