@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{ExploraQueries, ViewBuilder}
+import graft.operators.{Dedup, ExploraQueries, Multimodal, Similarity, TextAnalysis, ViewBuilder}
 import graft.sources.{SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -226,6 +226,38 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
+    }),
+    // ---- text analysis over documents ----
+    "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.load(s, d, "documents"))),
+    "lang_profile" -> ((s, d) => TextAnalysis.langProfile(Tables.load(s, d, "documents"))),
+    "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.load(s, d, "documents"))),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.load(s, d, "documents"))),
+    "token_top20" -> ((s, d) => TextAnalysis.tokenTopK(Tables.load(s, d, "documents"), 20)),
+    // ---- deduplication over documents ----
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.load(s, d, "documents"))),
+    "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignature(Tables.load(s, d, "documents"), 3, 8)),
+    "dedup_simhash16" -> ((s, d) => Dedup.simhash16(Tables.load(s, d, "documents"))),
+    "dedup_ngram_pairs" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), 3, 0.8)),
+    // production MinHash-LSH path (xxhash64; no SQL-expressible oracle →
+    // driver records rows-only; equivalence tested in DedupSpec)
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.load(s, d, "documents"), 3, 16, 4, 0.5)),
+    // ---- similarity search over embeddings ----
+    "similarity_topk" -> ((s, d) => Similarity.topK(Tables.load(s, d, "embeddings"), 10)),
+    "ann_buckets" -> ((s, d) => Similarity.ivfBuckets(Tables.load(s, d, "embeddings"))),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"), 5)),
+    "embedding_neardup_lsh" -> ((s, d) =>
+      Similarity.lshNearDupPairs(Tables.load(s, d, "embeddings"), 0.4)),
+    // ---- multimodal plumbing (decode step stubbed; see Multimodal) ----
+    "multimodal_meta" -> ((s, d) => {
+      val m = Multimodal.decodeMeta(Multimodal.assets(Tables.load(s, d, "documents")))
+      m.select(
+        col("id"),
+        col("meta.n_bytes").as("n_bytes"),
+        substring(col("digest"), 1, 8).as("digest8"),
+        ascii(substring(col("payload").cast("string"), 1, 1)).as("head"))
+        .orderBy(col("id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -276,5 +308,23 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "text_stats" -> TextAnalysis.StatsSql,
+    "lang_profile" -> TextAnalysis.LangProfileSql,
+    "quality_score" -> TextAnalysis.QualityScoreSql,
+    "doc_fingerprint" -> TextAnalysis.FingerprintSql,
+    "token_top20" -> TextAnalysis.tokenTopKSql(20),
+    "dedup_exact" -> Dedup.ExactSql,
+    "dedup_minhash_sig" -> Dedup.minhashSignatureSql(3, 8),
+    "dedup_simhash16" -> Dedup.simhash16Sql,
+    "dedup_ngram_pairs" -> Dedup.ngramJaccardSql(3, 0.8),
+    "similarity_topk" -> Similarity.topKSql(10),
+    "ann_buckets" -> Similarity.ivfBucketsSql,
+    "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
+    "embedding_neardup_lsh" -> Similarity.lshNearDupSql(0.4),
+    "multimodal_meta" ->
+      """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+        | substr(sha256(text), 1, 8) AS digest8,
+        | ascii(substr(text, 1, 1)) AS head
+        |FROM documents ORDER BY id""".stripMargin)
 }

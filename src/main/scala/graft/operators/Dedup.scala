@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (content hash), MinHash+LSH (banded signatures, bucketed join),
+  * SimHash, and n-gram Jaccard via a shingle equi-join.
+  *
+  * Scale rules baked in (the VERDICT's non-negotiables):
+  *   - candidate pairs ONLY from equi-joins on shingles/bands/buckets —
+  *     no crossJoin anywhere;
+  *   - signatures are fixed-width per doc (shuffle carries O(docs),
+  *     not O(docs²));
+  *   - the exact-verify step touches candidates only.
+  *
+  * Hash choice: the oracle-checked variants use md5 (available and
+  * bit-identical in both Spark and DuckDB); the production path uses
+  * xxhash64 (codegen'd, ~10× cheaper) — same pipeline, different hash,
+  * equivalence of the pipeline itself is what CORRECTNESS proves.
+  */
+object Dedup {
+
+  /** Whitespace tokens, empties dropped (dialect-shared definition:
+    * DuckDB `list_filter(string_split_regex(text,'\s+'), x -> x <> '')`).
+    */
+  val TokensExpr = "filter(split(text, '\\\\s+'), x -> x != '')"
+
+  def withTokens(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(TokensExpr))
+
+  /** Word n-gram shingles (distinct), docs shorter than n dropped. */
+  def withShingles(docs: DataFrame, n: Int): DataFrame =
+    withTokens(docs)
+      .filter(size(col("toks")) >= n)
+      .withColumn(
+        "shingles",
+        expr(
+          s"array_distinct(transform(sequence(0, size(toks) - $n), i -> " +
+            s"array_join(slice(toks, i + 1, $n), ' ')))"))
+
+  // ---- exact dedup ---------------------------------------------------
+
+  /** Exact dedup: keep the smallest doc_id per content hash. One
+    * groupBy on the hash — at 100 TB the shuffle carries (hash, id)
+    * pairs only, never the text.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  val ExactSql: String =
+    "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY 1"
+
+  // ---- MinHash (md5 variant, oracle-checkable) -----------------------
+
+  /** k-permutation MinHash signature as k columns: sig_i = min over
+    * shingles of md5(i || '|' || shingle). Lexicographic min of the hex
+    * string == min of the 128-bit hash, so DuckDB replays it exactly.
+    */
+  def minhashSignature(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val exploded = withShingles(docs, n).select(col("doc_id"), explode(col("shingles")).as("s"))
+    val aggs = (0 until k).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"s$i"))
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).orderBy(col("doc_id"))
+  }
+
+  def minhashSignatureSql(n: Int, k: Int): String = {
+    val mins = (0 until k).map(i => s"min(md5('$i|' || s)) AS s$i").mkString(", ")
+    val grams = (1 to n).map(j => s"t[i+$j]").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, len(t) - ${n - 1}),
+       |    i -> concat_ws(' ', $grams))) AS shingles
+       |  FROM toks WHERE len(t) >= $n),
+       |u AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+       |SELECT doc_id, $mins FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- MinHash + LSH (xxhash64 production path) ----------------------
+
+  /** Near-duplicate pairs: k xxhash64 min-hashes per doc, banded into
+    * `bands` buckets; candidates = pairs sharing ≥1 band bucket
+    * (equi-join on (band, bucket-hash)); verified with exact shingle
+    * Jaccard ≥ `threshold`.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      n: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    val exploded = withShingles(docs, n).select(col("doc_id"), explode(col("shingles")).as("s"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    val sig = exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val banded = (0 until bands).foldLeft(sig) { (df, b) =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      df.withColumn(s"band$b", xxhash64(lit(b) +: cols: _*))
+    }
+    val cands = (0 until bands)
+      .map { b =>
+        val a = banded.select(col("doc_id").as("a_id"), col(s"band$b").as("bk"))
+        val bb = banded.select(col("doc_id").as("b_id"), col(s"band$b").as("bk"))
+        a.join(bb, Seq("bk")).filter(col("a_id") < col("b_id")).select(col("a_id"), col("b_id"))
+      }
+      .reduce(_ unionAll _)
+      .distinct()
+    verifyJaccard(docs, cands, n, threshold)
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs only. */
+  private def verifyJaccard(
+      docs: DataFrame,
+      cands: DataFrame,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val sh = withShingles(docs, n).select(col("doc_id"), col("shingles"))
+    val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
+    val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+    cands
+      .join(a, "a_id")
+      .join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn(
+        "jac",
+        col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---- n-gram Jaccard via shingle equi-join (oracle-checkable) -------
+
+  /** All pairs with shingle Jaccard ≥ threshold, found by joining on
+    * shared shingles (a pair with J ≥ t > 0 shares ≥1 shingle, so this
+    * is EXACT, not approximate — and still never all-pairs; the join
+    * fan-out is bounded by shingle document-frequency. At 100 TB add a
+    * prefix filter / stop-shingle cap on hot shingles).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = withShingles(docs, n)
+    val u = sh.select(col("doc_id"), size(col("shingles")).as("nsh"), explode(col("shingles")).as("s"))
+    val a = u.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("s"))
+    val b = u.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("s"))
+    a.join(b, Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac", col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def ngramJaccardSql(n: Int, threshold: Double): String = {
+    val grams = (1 to n).map(j => s"t[i+$j]").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, len(t) - ${n - 1}),
+       |    i -> concat_ws(' ', $grams))) AS shingles
+       |  FROM toks WHERE len(t) >= $n),
+       |u AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh),
+       |j AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS na, b.nsh AS nb,
+       |         count(*) AS common
+       |  FROM u a JOIN u b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT a_id, b_id, round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jac
+       |FROM j WHERE CAST(common AS DOUBLE) / (na + nb - common) >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ---- SimHash (16-bit, md5-based, oracle-checkable) -----------------
+
+  /** Hex digits of a given nibble whose bit `bitInNibble` (3 = MSB) is
+    * set — membership test replaces bit arithmetic so the expression is
+    * dialect-shared.
+    */
+  private def hexWithBit(bitInNibble: Int): Seq[String] =
+    (0 until 16).filter(v => ((v >> bitInNibble) & 1) == 1).map("0123456789abcdef".charAt(_).toString)
+
+  /** Per-token contribution of simhash bit b over md5(token): +1/−1. */
+  private def bitContrib(b: Int): String = {
+    val nibble = b / 4
+    val bit = 3 - (b % 4)
+    val set = hexWithBit(bit).map(c => s"'$c'").mkString(", ")
+    s"(CASE WHEN substring(h, ${nibble + 1}, 1) IN ($set) THEN 1 ELSE -1 END)"
+  }
+
+  /** SimHash over the doc's DISTINCT tokens: bit b = sign of the summed
+    * per-token contributions; 16 bits packed MSB-first.
+    */
+  def simhash16(docs: DataFrame): DataFrame = {
+    val tok = withTokens(docs)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tk"))
+      .withColumn("h", md5(col("tk")))
+    val sums = (0 until 16).map(b => sum(expr(bitContrib(b))).as(s"c$b"))
+    val packed = (0 until 16)
+      .map(b => s"(CASE WHEN c$b > 0 THEN ${1 << (15 - b)} ELSE 0 END)")
+      .mkString(" + ")
+    tok
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("simhash", expr(packed))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def simhash16Sql: String = {
+    val sums = (0 until 16).map(b => s"sum(${bitContrib(b)}) AS c$b").mkString(", ")
+    val packed = (0 until 16)
+      .map(b => s"(CASE WHEN c$b > 0 THEN ${1 << (15 - b)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS tk
+       |  FROM documents),
+       |hashed AS (SELECT doc_id, md5(tk) AS h FROM tok),
+       |s AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, $packed AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`, 64-d).
+  *
+  * Scale design (100 TB): brute-force top-k against ONE query vector is a
+  * single scan + TakeOrdered (no shuffle of vectors); the pairwise
+  * near-duplicate problem is never all-pairs — candidates come from
+  * sign-LSH band buckets (equi-join on band value), then only candidates
+  * get the exact cosine check. Bucket assignment (IVF) routes a query to
+  * one centroid's partition so search touches 1/C of the data.
+  *
+  * Determinism/oracle design: every float expression is generated ONCE as
+  * a plain arithmetic string in two dialects (element accessor differs)
+  * with identical association order, so Spark and DuckDB produce
+  * bit-identical doubles — no `list_cosine_similarity` (unknown
+  * summation order), no UDFs (boxing, no codegen). All constants
+  * (query vector, centroids, hyperplanes) are deterministic literals.
+  */
+object Similarity {
+
+  val Dim = 64
+
+  /** Expression dialect: how to access element i (1-based) of an
+    * embedding column as a double.
+    */
+  final case class Dialect(elem: (String, Int) => String)
+  val SparkDialect: Dialect = Dialect((c, i) => s"CAST(element_at($c, $i) AS DOUBLE)")
+  val DuckDialect: Dialect = Dialect((c, i) => s"CAST($c[$i] AS DOUBLE)")
+
+  // ---- deterministic constants --------------------------------------
+
+  /** Synthetic query vector: v[i] = ((i*37) mod 97)/97 − 0.5. */
+  val QueryVec: Array[Double] =
+    Array.tabulate(Dim)(i => ((i * 37) % 97) / 97.0 - 0.5)
+
+  /** 8 IVF centroids, L2-normalized (so argmax dot == argmax cosine). */
+  val Centroids: Array[Array[Double]] = Array.tabulate(8) { j =>
+    val raw = Array.tabulate(Dim)(i => ((i * 31 + j * 17 + 13) % 101) / 101.0 - 0.5)
+    val n = math.sqrt(raw.foldLeft(0.0)((a, x) => a + x * x))
+    raw.map(_ / n)
+  }
+
+  /** 16 random-sign hyperplanes (seeded) for sign-LSH: 4 bands × 4 bits. */
+  val Planes: Array[Array[Int]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(16)(Array.fill(Dim)(rnd.nextInt(2) * 2 - 1))
+  }
+  val LshBands = 4
+  val LshRowsPerBand = 4
+
+  /** ||QueryVec|| with the same fold order as the generated sums. */
+  val QueryNorm: Double =
+    math.sqrt(QueryVec.foldLeft(0.0)((a, x) => a + x * x))
+
+  // ---- expression generators (shared association order) -------------
+
+  /** Σ col[i]·v[i], left-to-right. */
+  def dotConst(d: Dialect, col: String, v: Array[Double]): String =
+    v.indices.map(i => s"${d.elem(col, i + 1)}*(${v(i)})").mkString(" + ")
+
+  /** Σ col[i]², left-to-right. */
+  def dotSelf(d: Dialect, col: String): String =
+    (0 until Dim).map(i => s"${d.elem(col, i + 1)}*${d.elem(col, i + 1)}").mkString(" + ")
+
+  /** Σ a[i]·b[i], left-to-right. */
+  def dotPair(d: Dialect, a: String, b: String): String =
+    (0 until Dim).map(i => s"${d.elem(a, i + 1)}*${d.elem(b, i + 1)}").mkString(" + ")
+
+  /** cosine(col, QueryVec). */
+  def cosineToQuery(d: Dialect, col: String): String =
+    s"((${dotConst(d, col, QueryVec)}) / (sqrt(${dotSelf(d, col)}) * $QueryNorm))"
+
+  /** cosine(a, b). */
+  def cosinePair(d: Dialect, a: String, b: String): String =
+    s"((${dotPair(d, a, b)}) / (sqrt(${dotSelf(d, a)}) * sqrt(${dotSelf(d, b)})))"
+
+  /** Sign bit of plane p: 0 + (±col[1]) + (±col[2]) … > 0. */
+  def signBit(d: Dialect, col: String, p: Array[Int]): String = {
+    val s = p.indices
+      .map(i => s"${if (p(i) > 0) "+" else "-"} ${d.elem(col, i + 1)}")
+      .mkString("0 ", " ", "")
+    s"(CASE WHEN ($s) > 0 THEN 1 ELSE 0 END)"
+  }
+
+  /** Band value from 4 sign bits (b = band index). */
+  def bandExpr(d: Dialect, col: String, band: Int): String = {
+    val bits =
+      (0 until LshRowsPerBand).map(r => signBit(d, col, Planes(band * LshRowsPerBand + r)))
+    bits.zipWithIndex
+      .map { case (b, i) => s"$b*${1 << (LshRowsPerBand - 1 - i)}" }
+      .mkString(" + ")
+  }
+
+  /** Argmax-centroid CASE over named columns s0..s7 (first max wins —
+    * deterministic ties, same order both dialects).
+    */
+  def bucketCase(nCentroids: Int): String = {
+    val all = (0 until nCentroids).map(j => s"s$j").mkString(", ")
+    (0 until nCentroids)
+      .map(j => s"WHEN s$j >= greatest($all) THEN $j")
+      .mkString("CASE ", " ", " END")
+  }
+
+  /** The query vector's IVF bucket, computed driver-side with the same
+    * fold order as the generated SQL (so routing agrees bit-for-bit).
+    */
+  val QueryBucket: Int = {
+    val sims = Centroids.map { c =>
+      QueryVec.indices.foldLeft(0.0)((a, i) => a + QueryVec(i) * c(i))
+    }
+    sims.indexWhere(s => s >= sims.max)
+  }
+
+  // ---- Spark-side operators -----------------------------------------
+
+  /** Brute-force top-k cosine against the query vector: one scan +
+    * TakeOrdered, the exact baseline every ANN variant is judged
+    * against.
+    */
+  def topK(embeddings: DataFrame, k: Int): DataFrame =
+    embeddings
+      .withColumn("sim", expr(cosineToQuery(SparkDialect, "embedding")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+
+  /** IVF bucket assignment: vec_id → nearest (by cosine) of the 8
+    * normalized centroids. At scale this is the partitioning key that
+    * routes vectors to executors (write `partitionBy("bucket")`).
+    */
+  def ivfBuckets(embeddings: DataFrame): DataFrame = {
+    val withSims = Centroids.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
+      df.withColumn(s"s$j", expr(dotConst(SparkDialect, "embedding", c)))
+    }
+    withSims
+      .withColumn("bucket", expr(bucketCase(Centroids.length)))
+      .select(col("vec_id"), col("bucket"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** IVF search: probe ONLY the query's bucket, exact cosine inside it.
+    * ~1/C of the data touched; recall is bounded by the coarse
+    * quantizer (this is the standard IVF trade-off).
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val withSims = Centroids.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
+      df.withColumn(s"s$j", expr(dotConst(SparkDialect, "embedding", c)))
+    }
+    withSims
+      .withColumn("bucket", expr(bucketCase(Centroids.length)))
+      .filter(col("bucket") === QueryBucket)
+      .withColumn("sim", expr(cosineToQuery(SparkDialect, "embedding")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Near-duplicate pairs via sign-LSH: candidates = pairs agreeing on
+    * ≥1 of 4 bands (equi-join per band, NEVER all-pairs), verified with
+    * exact cosine ≥ `threshold`. Candidate generation is deterministic,
+    * so the DuckDB oracle replays it exactly (recall of the LSH stage
+    * is measured separately in SimilaritySpec).
+    */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val sig = (0 until LshBands)
+      .foldLeft(embeddings) { (df, b) =>
+        df.withColumn(s"band$b", expr(bandExpr(SparkDialect, "embedding", b)))
+      }
+      .select(col("vec_id") +: col("embedding") +: (0 until LshBands).map(b => col(s"band$b")): _*)
+    val cands = (0 until LshBands)
+      .map { b =>
+        val a = sig.select(col("vec_id").as("a_id"), col(s"band$b").as("bk"))
+        val bb = sig.select(col("vec_id").as("b_id"), col(s"band$b").as("bk"))
+        a.join(bb, Seq("bk")).filter(col("a_id") < col("b_id")).select(col("a_id"), col("b_id"))
+      }
+      .reduce(_ unionAll _)
+      .distinct()
+    val ea = embeddings.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val eb = embeddings.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    cands
+      .join(ea, "a_id")
+      .join(eb, "b_id")
+      .withColumn("sim", expr(cosinePair(SparkDialect, "ea", "eb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---- DuckDB oracle SQL --------------------------------------------
+
+  def topKSql(k: Int): String =
+    s"""SELECT vec_id, round(sim, 6) AS sim FROM (
+       |  SELECT vec_id, ${cosineToQuery(DuckDialect, "embedding")} AS sim FROM embeddings)
+       |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+
+  def ivfBucketsSql: String = {
+    val sims = Centroids.zipWithIndex
+      .map { case (c, j) => s"${dotConst(DuckDialect, "embedding", c)} AS s$j" }
+      .mkString(",\n  ")
+    s"""WITH s AS (SELECT vec_id,\n  $sims\nFROM embeddings)
+       |SELECT vec_id, ${bucketCase(Centroids.length)} AS bucket FROM s ORDER BY vec_id""".stripMargin
+  }
+
+  def ivfTopKSql(k: Int): String = {
+    val sims = Centroids.zipWithIndex
+      .map { case (c, j) => s"${dotConst(DuckDialect, "embedding", c)} AS s$j" }
+      .mkString(",\n  ")
+    s"""WITH s AS (SELECT vec_id, embedding,\n  $sims\nFROM embeddings),
+       |b AS (SELECT vec_id, embedding, ${bucketCase(Centroids.length)} AS bucket FROM s)
+       |SELECT vec_id, round(sim, 6) AS sim FROM (
+       |  SELECT vec_id, ${cosineToQuery(DuckDialect, "embedding")} AS sim
+       |  FROM b WHERE bucket = $QueryBucket)
+       |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  def lshNearDupSql(threshold: Double): String = {
+    val bands = (0 until LshBands)
+      .map(b => s"${bandExpr(DuckDialect, "embedding", b)} AS band$b")
+      .mkString(",\n  ")
+    val cands = (0 until LshBands)
+      .map(b =>
+        s"SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM sig a JOIN sig b ON a.band$b = b.band$b AND a.vec_id < b.vec_id")
+      .mkString("\n  UNION\n  ")
+    s"""WITH sig AS (SELECT vec_id,\n  $bands\nFROM embeddings),
+       |cand AS (\n  $cands\n),
+       |v AS (
+       |  SELECT c.a_id, c.b_id, ${cosinePair(DuckDialect, "ea.embedding", "eb.embedding")} AS sim
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a_id
+       |  JOIN embeddings eb ON eb.vec_id = c.b_id)
+       |SELECT a_id, b_id, round(sim, 6) AS sim FROM v
+       |WHERE sim >= $threshold ORDER BY a_id, b_id""".stripMargin
+  }
+}

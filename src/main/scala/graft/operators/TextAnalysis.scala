@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines over the `documents` table:
+  * token counting, per-language profiling, quality scoring, document
+  * fingerprinting, corpus token frequencies.
+  *
+  * Everything is built from codegen'd builtins (split/filter/aggregate/
+  * regexp_count/window) — no UDFs, so the whole path stays inside
+  * whole-stage codegen and scales linearly with one shuffle per groupBy.
+  */
+object TextAnalysis {
+
+  /** Stop-set for quality scoring (vocabulary-appropriate for the
+    * synthetic corpus; swap for a real list in production).
+    */
+  val StopWords: Seq[String] = Seq("the", "a", "and", "row", "value", "table", "data")
+
+  private val toks = Dedup.TokensExpr
+
+  /** Per-document stats: tokens, chars, punctuation, mean token length. */
+  def stats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(toks))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        expr("regexp_count(text, '[.,!?;:]')").as("n_punct"),
+        // nullif: empty docs yield NULL, not DIVIDE_BY_ZERO (ANSI mode)
+        round(
+          expr("aggregate(toks, 0, (a, x) -> a + length(x))").cast("double") /
+            expr("nullif(size(toks), 0)"),
+          6).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  val StatsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+      |         len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+      |  FROM documents)
+      |SELECT doc_id, n_chars, len(toks) AS n_tokens, n_punct,
+      |       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |             / nullif(len(toks), 0), 6) AS avg_tok_len
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Corpus profile per language: doc count, mean chars, mean tokens. */
+  def langProfile(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("nt", size(expr(toks)))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        round(avg(col("nt")), 6).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  val LangProfileSql: String =
+    """WITH t AS (
+      |  SELECT lang, n_chars,
+      |         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+      |       round(avg(nt), 6) AS avg_tokens
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Quality score: coverage-scaled non-stopword ratio in [0,1].
+    * score = min(n_tokens, 100)/100 · (1 − stopword_ratio).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stopArr = StopWords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    docs
+      .withColumn("toks", expr(toks))
+      .withColumn("nt", size(col("toks")))
+      .withColumn("nstop", size(expr(s"filter(toks, x -> array_contains($stopArr, x))")))
+      // nullif: empty docs yield NULL ratios, not DIVIDE_BY_ZERO (ANSI mode)
+      .withColumn("ntd", expr("nullif(nt, 0)").cast("double"))
+      .withColumn("stop_ratio", round(col("nstop").cast("double") / col("ntd"), 6))
+      .withColumn(
+        "quality",
+        round(
+          least(col("nt"), lit(100)).cast("double") / 100.0 *
+            (lit(1.0) - col("nstop").cast("double") / col("ntd")),
+          6))
+      .select(col("doc_id"), col("nt").as("n_tokens"), col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val QualityScoreSql: String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, len(toks) AS nt,
+       |         len(list_filter(toks, x -> list_contains($stopList, x))) AS nstop
+       |  FROM t)
+       |SELECT doc_id, nt AS n_tokens,
+       |       round(CAST(nstop AS DOUBLE) / nullif(nt, 0), 6) AS stop_ratio,
+       |       round(CAST(least(nt, 100) AS DOUBLE) / 100.0 *
+       |             (1.0 - CAST(nstop AS DOUBLE) / nullif(nt, 0)), 6) AS quality
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprint: min-md5 over tokens (1-permutation MinHash —
+    * a compact content signature; grouping by it clusters heavily
+    * overlapping docs).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(toks))
+      .select(col("doc_id"), expr("array_min(transform(toks, x -> md5(x)))").as("fp"))
+      .orderBy(col("doc_id"))
+
+  val FingerprintSql: String =
+    """SELECT doc_id,
+      |       list_aggregate(list_transform(
+      |         list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+      |         x -> md5(x)), 'min') AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Top-k corpus tokens with deterministic rank (count desc, token asc). */
+  def tokenTopK(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(expr(toks)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("token"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+
+  def tokenTopKSql(k: Int): String =
+    s"""WITH u AS (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
+       |  FROM documents),
+       |c AS (SELECT token, count(*) AS cnt FROM u GROUP BY 1),
+       |r AS (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c)
+       |SELECT rank, token, cnt FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+}
