@@ -249,6 +249,10 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"), 5)),
     "embedding_neardup_lsh" -> ((s, d) =>
       Similarity.lshNearDupPairs(Tables.load(s, d, "embeddings"), 0.4)),
+    // ---- streaming: one-shot AvailableNow run of the view builder;
+    //      same oracle as the batch view_min (stream==batch parity) ----
+    "streaming_view_min" -> ((s, d) =>
+      presentView(graft.streaming.StreamingViews.runAvailableNow(s, d, "min", GhViewPrecision))),
     // ---- multimodal plumbing (decode step stubbed; see Multimodal) ----
     "multimodal_meta" -> ((s, d) => {
       val m = Multimodal.decodeMeta(Multimodal.assets(Tables.load(s, d, "documents")))
@@ -266,6 +270,7 @@ object SparkEntry {
     "view_day" -> viewSql(Gh6Expr, "day"),
     "view_month" -> viewSql(Gh6Expr, "month"),
     "view_quad_day" -> viewSql("qk14", "day"),
+    "streaming_view_min" -> viewSql(Gh6Expr, "min"),
     "history_avg" -> historySql("min", "click", "avg", HistFrom, HistTo),
     "history_sum" -> historySql("hour", "view", "sum", HistFrom, HistTo),
     "history_count" -> historySql("day", "error", "count", MonthFrom, MonthTo),

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.functions.GeoFunctions
+import graft.operators.ViewBuilder
+import graft.sources.SensorGrid
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming ingestion: the continuously-maintained EXPLORA
+  * views (SURVEY §2.9).
+  *
+  * Reference semantics reproduced (ingestion/IngestStream.java:236-237,
+  * 372-394): event time from the payload, tumbling windows encoded as
+  * `date_trunc` grouping keys (calendar months included — `window()`
+  * durations can't express those), NO watermark (late data always merges
+  * into its (geo, window) cell; state is unbounded exactly like the
+  * reference's KTable), update-style emission. A production deployment
+  * would add `withWatermark` to bound state — divergence documented, and
+  * `viewStream` takes an optional watermark for exactly that.
+  *
+  * In production the source is Kafka
+  * (`readStream.format("kafka") → from_json`); tests and the driver
+  * harness use the file source over the same parquet, which exercises
+  * identical plan shapes (source → broadcast-join dim → stateful agg).
+  */
+object StreamingViews {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Streaming readings from a parquet events path (file source).
+    * `maxFilesPerTrigger` is a SOURCE rate limit (respected by
+    * Trigger.AvailableNow, which splits the backlog into micro-batches).
+    */
+  def readingsStream(
+      spark: SparkSession,
+      sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // brace-glob: the file source requires a directory basePath, and the
+    // events table may be a single parquet file; {name} globs keep the
+    // basePath at sfDir while matching exactly that file (or dir).
+    val reader = spark.readStream.schema(schema)
+    val raw = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$sfDir/{events.parquet}")
+    raw
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("cell", (col("user_id") % SensorGrid.NumCells).cast("int"))
+      .join(broadcast(SensorGrid.sensorTable(spark)), "cell")
+      .select(
+        col("event_type").as("metric"),
+        col("ts"),
+        col("value"),
+        GeoFunctions.geohash_encode(col("lat"), col("lon"), SensorGrid.GhPrecision).as("gh12"))
+  }
+
+  /** Streaming view: same groupBy as the batch ViewBuilder; optional
+    * watermark (None = reference parity, unbounded state).
+    */
+  def viewStream(
+      spark: SparkSession,
+      sfDir: String,
+      resolution: String,
+      geoPrefixLen: Int,
+      watermark: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r0 = readingsStream(spark, sfDir, maxFilesPerTrigger)
+    val r = watermark.fold(r0)(w => r0.withWatermark("ts", w))
+    ViewBuilder.build(r, substring(col("gh12"), 1, geoPrefixLen), resolution)
+  }
+
+  /** One-shot streaming run (Trigger.AvailableNow → complete mode →
+    * memory sink): processes everything currently in the source and
+    * returns the final view table. This is the stream==batch parity
+    * surface the driver checks against the batch oracle.
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      resolution: String,
+      geoPrefixLen: Int): DataFrame = {
+    val name = s"stream_view_${resolution}_${sinkId.incrementAndGet()}"
+    val q = viewStream(spark, sfDir, resolution, geoPrefixLen).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Production-shaped sink (S5): aggregation flushed per micro-batch
+    * into a partitioned parquet view table. With a lakehouse table
+    * format the `foreachBatch` body is an update-mode MERGE on
+    * (metric, geo, ts); plain parquet has no upsert, so this emits the
+    * complete view state and overwrites — idempotent under replay,
+    * which is what gives effective exactly-once on top of checkpointing
+    * (S6/S7: trigger cadence + earliest offsets are source options).
+    */
+  def materializeViews(
+      spark: SparkSession,
+      sfDir: String,
+      outPath: String,
+      resolution: String,
+      geoPrefixLen: Int,
+      checkpoint: String): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val q = viewStream(spark, sfDir, resolution, geoPrefixLen).writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write
+          .mode("overwrite")
+          .partitionBy("metric")
+          .parquet(outPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}
