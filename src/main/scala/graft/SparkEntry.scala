@@ -54,14 +54,34 @@ object SparkEntry {
 
   // ---- Spark-side building blocks ------------------------------------
 
+  /** Materialized-view cache: EXPLORA answers queries from summaries,
+    * never from raw readings (SURVEY §4) — so each (session, sf, geo
+    * index, resolution) view is built ONCE and persisted; every
+    * history/interval/snapshot query reads the summary. This is the
+    * in-process analogue of the reference's RocksDB stores (and of a
+    * `saveAsTable` view in a real deployment).
+    */
+  private val viewCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String, String), DataFrame]
+
+  private def cachedView(s: SparkSession, dir: String, kind: String, res: String)(
+      build: => DataFrame): DataFrame =
+    viewCache.getOrElseUpdate(
+      (System.identityHashCode(s), dir, kind, res),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def ghView(s: SparkSession, dir: String, res: String): DataFrame =
-    ViewBuilder.build(
-      SensorGrid.readings(s, dir),
-      substring(col("gh12"), 1, GhViewPrecision),
-      res)
+    cachedView(s, dir, "gh", res) {
+      ViewBuilder.build(
+        SensorGrid.readings(s, dir),
+        substring(col("gh12"), 1, GhViewPrecision),
+        res)
+    }
 
   private def quadView(s: SparkSession, dir: String, res: String): DataFrame =
-    ViewBuilder.build(SensorGrid.readings(s, dir), col("qk14"), res)
+    cachedView(s, dir, "quad", res) {
+      ViewBuilder.build(SensorGrid.readings(s, dir), col("qk14"), res)
+    }
 
   /** View presentation row (FIXTURES.md §A2) with the shared conventions. */
   private def presentView(v: DataFrame): DataFrame =

@@ -23,12 +23,43 @@ object Similarity {
 
   val Dim = 64
 
-  /** Expression dialect: how to access element i (1-based) of an
-    * embedding column as a double.
+  /** Expression dialect. Both emit a strict LEFT fold seeded with 0.0
+    * over the same term order, so the doubles agree bit-for-bit:
+    * Spark uses higher-order functions (`aggregate`/`zip_with` — small
+    * expression trees; the 64-term explicit sums made Catalyst/janino
+    * compile multi-MB codegen units), DuckDB uses the explicit
+    * `0 + t1 + t2 + …` chain (its list_sum order is unspecified).
     */
-  final case class Dialect(elem: (String, Int) => String)
-  val SparkDialect: Dialect = Dialect((c, i) => s"CAST(element_at($c, $i) AS DOUBLE)")
-  val DuckDialect: Dialect = Dialect((c, i) => s"CAST($c[$i] AS DOUBLE)")
+  sealed trait Dialect {
+    def dotConst(col: String, v: Array[Double]): String
+    def dotSelf(col: String): String
+    def dotPair(a: String, b: String): String
+    def signSum(col: String, plane: Array[Int]): String
+  }
+
+  object SparkDialect extends Dialect {
+    private def litArr(v: Array[Double]) = v.map(x => s"${x}D").mkString("array(", ", ", ")")
+    def dotConst(col: String, v: Array[Double]): String =
+      s"aggregate(zip_with($col, ${litArr(v)}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (a, x) -> a + x)"
+    def dotSelf(col: String): String =
+      s"aggregate($col, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    def dotPair(a: String, b: String): String =
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)"
+    def signSum(col: String, plane: Array[Int]): String =
+      dotConst(col, plane.map(_.toDouble))
+  }
+
+  object DuckDialect extends Dialect {
+    private def elem(c: String, i: Int) = s"CAST($c[$i] AS DOUBLE)"
+    def dotConst(col: String, v: Array[Double]): String =
+      v.indices.map(i => s"${elem(col, i + 1)}*(${v(i)})").mkString("0 + ", " + ", "")
+    def dotSelf(col: String): String =
+      (0 until Dim).map(i => s"${elem(col, i + 1)}*${elem(col, i + 1)}").mkString("0 + ", " + ", "")
+    def dotPair(a: String, b: String): String =
+      (0 until Dim).map(i => s"${elem(a, i + 1)}*${elem(b, i + 1)}").mkString("0 + ", " + ", "")
+    def signSum(col: String, plane: Array[Int]): String =
+      plane.indices.map(i => s"${if (plane(i) > 0) "+" else "-"} ${elem(col, i + 1)}").mkString("0 ", " ", "")
+  }
 
   // ---- deterministic constants --------------------------------------
 
@@ -57,33 +88,17 @@ object Similarity {
 
   // ---- expression generators (shared association order) -------------
 
-  /** Σ col[i]·v[i], left-to-right. */
-  def dotConst(d: Dialect, col: String, v: Array[Double]): String =
-    v.indices.map(i => s"${d.elem(col, i + 1)}*(${v(i)})").mkString(" + ")
-
-  /** Σ col[i]², left-to-right. */
-  def dotSelf(d: Dialect, col: String): String =
-    (0 until Dim).map(i => s"${d.elem(col, i + 1)}*${d.elem(col, i + 1)}").mkString(" + ")
-
-  /** Σ a[i]·b[i], left-to-right. */
-  def dotPair(d: Dialect, a: String, b: String): String =
-    (0 until Dim).map(i => s"${d.elem(a, i + 1)}*${d.elem(b, i + 1)}").mkString(" + ")
-
   /** cosine(col, QueryVec). */
   def cosineToQuery(d: Dialect, col: String): String =
-    s"((${dotConst(d, col, QueryVec)}) / (sqrt(${dotSelf(d, col)}) * $QueryNorm))"
+    s"((${d.dotConst(col, QueryVec)}) / (sqrt(${d.dotSelf(col)}) * $QueryNorm))"
 
   /** cosine(a, b). */
   def cosinePair(d: Dialect, a: String, b: String): String =
-    s"((${dotPair(d, a, b)}) / (sqrt(${dotSelf(d, a)}) * sqrt(${dotSelf(d, b)})))"
+    s"((${d.dotPair(a, b)}) / (sqrt(${d.dotSelf(a)}) * sqrt(${d.dotSelf(b)})))"
 
-  /** Sign bit of plane p: 0 + (±col[1]) + (±col[2]) … > 0. */
-  def signBit(d: Dialect, col: String, p: Array[Int]): String = {
-    val s = p.indices
-      .map(i => s"${if (p(i) > 0) "+" else "-"} ${d.elem(col, i + 1)}")
-      .mkString("0 ", " ", "")
-    s"(CASE WHEN ($s) > 0 THEN 1 ELSE 0 END)"
-  }
+  /** Sign bit of plane p: fold(±col[i]) > 0. */
+  def signBit(d: Dialect, col: String, p: Array[Int]): String =
+    s"(CASE WHEN (${d.signSum(col, p)}) > 0 THEN 1 ELSE 0 END)"
 
   /** Band value from 4 sign bits (b = band index). */
   def bandExpr(d: Dialect, col: String, band: Int): String = {
@@ -133,7 +148,7 @@ object Similarity {
     */
   def ivfBuckets(embeddings: DataFrame): DataFrame = {
     val withSims = Centroids.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
-      df.withColumn(s"s$j", expr(dotConst(SparkDialect, "embedding", c)))
+      df.withColumn(s"s$j", expr(SparkDialect.dotConst("embedding", c)))
     }
     withSims
       .withColumn("bucket", expr(bucketCase(Centroids.length)))
@@ -147,7 +162,7 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, k: Int): DataFrame = {
     val withSims = Centroids.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
-      df.withColumn(s"s$j", expr(dotConst(SparkDialect, "embedding", c)))
+      df.withColumn(s"s$j", expr(SparkDialect.dotConst("embedding", c)))
     }
     withSims
       .withColumn("bucket", expr(bucketCase(Centroids.length)))
@@ -198,7 +213,7 @@ object Similarity {
 
   def ivfBucketsSql: String = {
     val sims = Centroids.zipWithIndex
-      .map { case (c, j) => s"${dotConst(DuckDialect, "embedding", c)} AS s$j" }
+      .map { case (c, j) => s"${DuckDialect.dotConst("embedding", c)} AS s$j" }
       .mkString(",\n  ")
     s"""WITH s AS (SELECT vec_id,\n  $sims\nFROM embeddings)
        |SELECT vec_id, ${bucketCase(Centroids.length)} AS bucket FROM s ORDER BY vec_id""".stripMargin
@@ -206,7 +221,7 @@ object Similarity {
 
   def ivfTopKSql(k: Int): String = {
     val sims = Centroids.zipWithIndex
-      .map { case (c, j) => s"${dotConst(DuckDialect, "embedding", c)} AS s$j" }
+      .map { case (c, j) => s"${DuckDialect.dotConst("embedding", c)} AS s$j" }
       .mkString(",\n  ")
     s"""WITH s AS (SELECT vec_id, embedding,\n  $sims\nFROM embeddings),
        |b AS (SELECT vec_id, embedding, ${bucketCase(Centroids.length)} AS bucket FROM s)
