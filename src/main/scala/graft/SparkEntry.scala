@@ -4,8 +4,8 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Dedup, ExploraQueries, Multimodal, Similarity, TextAnalysis, ViewBuilder}
-import graft.sources.{SensorGrid, Tables}
+import graft.operators.{Dedup, ExploraQueries, LanguageId, Multimodal, Sessionize, Similarity, TextAnalysis, ViewBuilder}
+import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -273,6 +273,41 @@ object SparkEntry {
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
       presentView(graft.streaming.StreamingViews.runAvailableNow(s, d, "min", GhViewPrecision))),
+    // ---- sessionization (gap rule; window lag + running sum) ----
+    "user_sessions" -> ((s, d) =>
+      Sessionize.userStats(Tables.load(s, d, "events"), gapSeconds = 1800)),
+    // ---- language-ID (char n-gram profiles; narrow map, no shuffle) ----
+    "lang_id" -> ((s, d) => LanguageId.predict(Tables.load(s, d, "documents"))),
+    // ---- BPE-ish token counting (regex word/number/punct pieces) ----
+    "token_count_bpe" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))").as("n_bpe"),
+          size(expr(Dedup.TokensExpr)).as("n_ws"))
+        .orderBy(col("doc_id"))),
+    // ---- JSON reading serde + TSExtractor (S2/S4): wire-format JSON
+    //      built from events, parsed through the reading schema
+    //      (extra "junk" field proves ignore-unknown), aggregated ----
+    "json_reading_parse" -> ((s, d) => {
+      val payload = concat(
+        lit("{\"metricId\":\""), col("event_type"),
+        lit("\",\"timestamp\":"), (col("ts").cast("long") * 1000).cast("string"),
+        lit(",\"sourceId\":\"s"), col("user_id").cast("string"),
+        lit("\",\"value\":"), floor(col("value") * 100).cast("long").cast("string"),
+        lit(",\"junk\":1}"))
+      val parsed = ReadingJson.parse(
+        Tables.load(s, d, "events").select(payload.as("json")),
+        col("json"),
+        lit(0L))
+      parsed
+        .groupBy(col("metric"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value")).as("sum_cents"),
+          min(col("ts").cast("long")).as("min_ts_s"))
+        .orderBy(col("metric"))
+    }),
     // ---- multimodal plumbing (decode step stubbed; see Multimodal) ----
     "multimodal_meta" -> ((s, d) => {
       val m = Multimodal.decodeMeta(Multimodal.assets(Tables.load(s, d, "documents")))
@@ -347,6 +382,18 @@ object SparkEntry {
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "embedding_neardup_lsh" -> Similarity.lshNearDupSql(0.4),
+    "user_sessions" -> Sessionize.userStatsSql(1800),
+    "lang_id" -> LanguageId.predictSql,
+    "token_count_bpe" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+        | len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "json_reading_parse" ->
+      """SELECT event_type AS metric, count(*) AS cnt,
+        | sum(floor(value * 100)) AS sum_cents,
+        | min(epoch_ns(ts) // 1000000000) AS min_ts_s
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
         | substr(sha256(text), 1, 8) AS digest8,

@@ -38,23 +38,30 @@ object GeoFunctions {
 
   def geohash_to_quadkey(gh: Column, zoom: Int): Column = geohash_to_quadkey(gh, lit(zoom))
 
-  /** Register all geo functions for SQL (`SELECT quadkey(lat, lon, 14)`). */
-  def register(spark: SparkSession): Unit = {
+  /** SQL function builders, shared by session-level registration and
+    * `SparkSessionExtensions` injection.
+    */
+  val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
     import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
     def cd(e: Expression) = Cast(e, DoubleType)
     def ci(e: Expression) = Cast(e, IntegerType)
     def cs(e: Expression) = Cast(e, StringType)
-    Shim.registerFunction(spark, "quadkey", es => QuadKeyExpr(cd(es(0)), cd(es(1)), ci(es(2))))
-    Shim.registerFunction(
-      spark,
-      "geohash_encode",
-      es => GeohashEncodeExpr(cd(es(0)), cd(es(1)), ci(es(2))))
-    Shim.registerFunction(spark, "geohash_lat", es => GeohashLatExpr(cs(es.head)))
-    Shim.registerFunction(spark, "geohash_lon", es => GeohashLonExpr(cs(es.head)))
-    Shim.registerFunction(
-      spark,
-      "geohash_to_quadkey",
-      es => GeohashToQuadKeyExpr(cs(es(0)), ci(es(1))))
+    Seq(
+      "quadkey" -> ((es: Seq[Expression]) => QuadKeyExpr(cd(es(0)), cd(es(1)), ci(es(2)))),
+      "geohash_encode" -> ((es: Seq[Expression]) =>
+        GeohashEncodeExpr(cd(es(0)), cd(es(1)), ci(es(2)))),
+      "geohash_lat" -> ((es: Seq[Expression]) => GeohashLatExpr(cs(es.head))),
+      "geohash_lon" -> ((es: Seq[Expression]) => GeohashLonExpr(cs(es.head))),
+      "geohash_to_quadkey" -> ((es: Seq[Expression]) =>
+        GeohashToQuadKeyExpr(cs(es(0)), ci(es(1)))))
   }
+
+  /** Register all geo functions for SQL (`SELECT quadkey(lat, lon, 14)`). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) => Shim.registerFunction(spark, name, b) }
+
+  /** Inject into `SparkSessionExtensions` (see [[graft.GraftExtensions]]). */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) => ext.injectFunction(Shim.functionDescription(name, b)) }
 }

@@ -30,4 +30,14 @@ object Shim {
       new ExpressionInfo("graft", name),
       builder)
   }
+
+  /** The (identifier, info, builder) triple `SparkSessionExtensions
+    * .injectFunction` expects — lets graft ship as a standard
+    * `spark.sql.extensions` entry.
+    */
+  def functionDescription(
+      name: String,
+      builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
 }

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{QueryValidation, Sessionize}
+import graft.sources.ReadingJson
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class SerdeAndValidationSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  // ---- ReadingJson (S2/S3/S4) ----------------------------------------
+
+  test("from_json parses the reading schema and ignores unknown fields") {
+    import spark.implicits._
+    val rows = Seq(
+      ("""{"metricId":"no2","timestamp":1704067200000,"sourceId":"a","geohash":"u155kp","value":21.5,"junk":{"x":1}}""", 99L))
+      .toDF("json", "transport")
+    val out = ReadingJson.parse(rows, col("json"), col("transport")).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("metric") === "no2")
+    assert(out.head.getAs[Double]("value") === 21.5)
+    assert(out.head.getAs[java.sql.Timestamp]("ts").getTime === 1704067200000L)
+  }
+
+  test("TSExtractor semantics: null timestamp falls back to transport time; negative dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      ("""{"metricId":"a","value":1.0}""", 5000L), // no timestamp → transport
+      ("""{"metricId":"b","timestamp":-42,"value":1.0}""", 5000L), // negative → drop
+      ("""{"metricId":"c","timestamp":7000,"value":1.0}""", 5000L))
+      .toDF("json", "transport")
+    val out = ReadingJson.parse(rows, col("json"), col("transport"))
+      .select("metric", "ts").collect().map(r => r.getString(0) -> r.getTimestamp(1).getTime).toMap
+    assert(out === Map("a" -> 5000L, "c" -> 7000L))
+  }
+
+  test("serialize → parse round-trips the reading") {
+    import spark.implicits._
+    val src = Seq(("no2", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704067200L)), 21.5, "u155kp", "s1"))
+      .toDF("metric", "ts", "value", "geohash", "sourceId")
+    val json = ReadingJson.serialize(src)
+    val back = ReadingJson.parse(json, col("json"), lit(0L)).collect().head
+    assert(back.getAs[String]("metric") === "no2")
+    assert(back.getAs[Double]("value") === 21.5)
+    assert(back.getAs[String]("geohash") === "u155kp")
+    assert(back.getAs[java.sql.Timestamp]("ts").getTime === 1704067200000L)
+  }
+
+  // ---- QueryValidation (P12) -----------------------------------------
+
+  test("history validation mirrors QueryingService checks") {
+    val ok = () => QueryValidation.validateHistory(
+      Seq("u155kp"), 6, "avg", Some("min"), None, 0L, 100L, 1000L)
+    ok()
+    def bad(f: => Unit): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(bad(QueryValidation.validateHistory(Nil, 6, "avg", Some("min"), None, 0, 1, 2))
+      .contains("at least one geohash"))
+    assert(bad(QueryValidation.validateHistory(Seq("u155"), 6, "avg", Some("min"), None, 0, 1, 2))
+      .contains("length 6"))
+    assert(bad(QueryValidation.validateHistory(Seq("u155kp"), 6, "median", Some("min"), None, 0, 1, 2))
+      .contains("median"))
+    assert(bad(QueryValidation.validateHistory(Seq("u155kp"), 6, "avg", Some("min"), Some("1day"), 0, 1, 2))
+      .contains("exactly one"))
+    assert(bad(QueryValidation.validateHistory(Seq("u155kp"), 6, "avg", Some("min"), None, 5, 5, 9))
+      .contains("before"))
+    assert(bad(QueryValidation.validateHistory(Seq("u155kp"), 6, "avg", None, Some("2weeks"), 0, 1, 2))
+      .contains("2weeks"))
+  }
+
+  test("snapshot validation mirrors QueryingService checks") {
+    QueryValidation.validateSnapshot(1000L, 51.31, 4.31, 51.17, 4.50, 6, "avg", "min")
+    def bad(f: => Unit): String = intercept[IllegalArgumentException](f).getMessage
+    assert(bad(QueryValidation.validateSnapshot(1000L, 51.17, 4.31, 51.31, 4.50, 6, "avg", "min"))
+      .contains("north"))
+    assert(bad(QueryValidation.validateSnapshot(1000L, 51.31, 4.50, 51.17, 4.31, 6, "avg", "min"))
+      .contains("east"))
+    assert(bad(QueryValidation.validateSnapshot(1000L, 51.31, 4.31, 51.17, 4.50, 3, "avg", "min"))
+      .contains("precision 3"))
+    assert(bad(QueryValidation.validateSnapshot(-5L, 51.31, 4.31, 51.17, 4.50, 6, "avg", "min"))
+      .contains("non-negative"))
+  }
+
+  // ---- streaming sessionization (custom state) -----------------------
+
+  test("flatMapGroupsWithState session counts == batch window sessionization") {
+    val events = graft.sources.Tables.load(spark, Sf0001, "events")
+    val batch = Sessionize.userStats(events, 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$Sf0001/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$Sf0001/{events.parquet}")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Sessionize.streamingUserStats(stream, 1800).writeStream
+      .format("memory").queryName("stream_sessions").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("stream_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.sameElements(batch))
+  }
+}
