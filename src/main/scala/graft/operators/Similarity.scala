@@ -204,6 +204,46 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Persist the IVF index: embeddings written `partitionBy("bucket")`,
+    * so a probe query's `filter(bucket === …)` becomes PARTITION PRUNING
+    * at the file level — the at-scale layout where each executor reads
+    * only its probed centroid partitions (1/C of the data for nprobe=1).
+    */
+  def writeIvfIndex(embeddings: DataFrame, path: String): Unit = {
+    val withSims = Centroids.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
+      df.withColumn(s"s$j", expr(SparkDialect.dotConst("embedding", c)))
+    }
+    withSims
+      .withColumn("bucket", expr(bucketCase(Centroids.length)))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(path)
+  }
+
+  /** Top-k probe against the persisted index: reads ONLY the query
+    * bucket's partition (plus `nprobe−1` next-best buckets), exact
+    * cosine inside.
+    */
+  def searchIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val sims = Centroids.map { c =>
+      QueryVec.indices.foldLeft(0.0)((a, i) => a + QueryVec(i) * c(i))
+    }
+    val probed = sims.zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2)
+    spark.read
+      .parquet(path)
+      .filter(col("bucket").isin(probed: _*))
+      .withColumn("sim", expr(cosineToQuery(SparkDialect, "embedding")))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+  }
+
   // ---- DuckDB oracle SQL --------------------------------------------
 
   def topKSql(k: Int): String =

@@ -50,4 +50,44 @@ object ViewBuilder {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"))
       .withColumn("avg_val", col("sum_val") / col("cnt"))
   }
+
+  /** The reference's full view fan-out (A3): metric × precision ×
+    * resolution, as a map of DataFrames. One `groupBy` per (precision,
+    * resolution) pair — metric is a grouping column, so the number of
+    * shuffles is |precisions|×|resolutions|, independent of metric
+    * count (the reference pays one repartition topic per metric ×
+    * precision × resolution branch).
+    */
+  def buildAll(
+      readings: DataFrame,
+      geoCol: String,
+      precisions: Seq[Int],
+      resolutions: Seq[String]): Map[(Int, String), DataFrame] =
+    (for {
+      p <- precisions
+      r <- resolutions
+    } yield (p, r) -> build(readings, substring(col(geoCol), 1, p), r)).toMap
+
+  /** Roll a finer view up to a coarser spatial precision WITHOUT
+    * touching raw readings: Σcount/Σsum re-derive avg (the mergeable
+    * summary algebra, util/Aggregator.java:18-32). At 100 TB this is
+    * how the gh4 view is built from the gh6 view — aggregating ~10⁴×
+    * fewer rows than a raw re-scan.
+    */
+  def rollupSpatial(view: DataFrame, prefixLen: Int): DataFrame =
+    view
+      .groupBy(col("metric"), substring(col("geo"), 1, prefixLen).as("geo"), col("ts"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_val")).as("sum_val"))
+      .withColumn("avg_val", col("sum_val") / col("cnt"))
+
+  /** Roll a finer view up to a coarser time resolution (hour→day,
+    * day→month, …) — same algebra along the time axis.
+    */
+  def rollupTemporal(view: DataFrame, resolution: String): DataFrame = {
+    val unit = Resolutions.getOrElse(resolution, resolution)
+    view
+      .groupBy(col("metric"), col("geo"), date_trunc(unit, col("ts")).as("ts"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_val")).as("sum_val"))
+      .withColumn("avg_val", col("sum_val") / col("cnt"))
+  }
 }

@@ -58,8 +58,24 @@ object StreamingViews {
         GeoFunctions.geohash_encode(col("lat"), col("lon"), SensorGrid.GhPrecision).as("gh12"))
   }
 
-  /** Streaming view: same groupBy as the batch ViewBuilder; optional
-    * watermark (None = reference parity, unbounded state).
+  /** Fixed-duration equivalents of the sub-month resolutions; windows
+    * align to epoch boundaries, so `window(ts, d).start ==
+    * date_trunc(res, ts)` for these.
+    */
+  private val FixedDurations =
+    Map("min" -> "1 minute", "hour" -> "1 hour", "day" -> "1 day")
+
+  /** Streaming view: same grouping as the batch ViewBuilder.
+    *
+    * watermark = None → reference parity: `date_trunc` keys, unbounded
+    * state, arbitrarily late data merges (the KTable semantics).
+    *
+    * watermark = Some(d) → production mode: the grouping uses
+    * `window(ts, …)` because Spark only propagates watermark metadata
+    * through `window()`/`session_window()` — a `date_trunc` key would
+    * silently KEEP accepting late data and never evict state. Calendar
+    * `month` has no fixed duration, so it is parity-mode only
+    * (documented divergence).
     */
   def viewStream(
       spark: SparkSession,
@@ -69,8 +85,24 @@ object StreamingViews {
       watermark: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val r0 = readingsStream(spark, sfDir, maxFilesPerTrigger)
-    val r = watermark.fold(r0)(w => r0.withWatermark("ts", w))
-    ViewBuilder.build(r, substring(col("gh12"), 1, geoPrefixLen), resolution)
+    watermark match {
+      case Some(w) if FixedDurations.contains(resolution) =>
+        r0.withWatermark("ts", w)
+          .groupBy(
+            col("metric"),
+            substring(col("gh12"), 1, geoPrefixLen).as("geo"),
+            window(col("ts"), FixedDurations(resolution)))
+          .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"))
+          .withColumn("avg_val", col("sum_val") / col("cnt"))
+          .withColumn("ts", col("window.start"))
+          .drop("window")
+      case Some(_) =>
+        throw new IllegalArgumentException(
+          s"watermarked streaming supports ${FixedDurations.keys.mkString("/")} " +
+            s"(calendar '$resolution' needs unbounded state; use parity mode)")
+      case None =>
+        ViewBuilder.build(r0, substring(col("gh12"), 1, geoPrefixLen), resolution)
+    }
   }
 
   /** One-shot streaming run (Trigger.AvailableNow → complete mode →

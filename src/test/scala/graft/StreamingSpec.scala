@@ -66,6 +66,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(normalize(spark.table(name)).sameElements(normalize(batch)))
   }
 
+  test("watermark opt-in (production divergence): too-late data is dropped, not merged") {
+    val tmp = Files.createTempDirectory("graft-wm").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$Sf0001/events.parquet")
+    val median = raw.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    val evDir = s"$tmp/events.parquet"
+    val recent = raw.filter(col("ts") >= median)
+    // three files with distinct mtimes → three micro-batches (oldest-mtime
+    // first). The late-event filter runs with the PREVIOUS batch's
+    // watermark (Spark lags it one batch by design), so the watermark
+    // advanced by batch 0 only starts dropping in batch 2.
+    recent.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(evDir)
+    Thread.sleep(1500)
+    recent.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(evDir)
+    Thread.sleep(1500)
+    raw.filter(col("ts") < median).coalesce(1).write.mode("append").parquet(evDir) // days late
+
+    val q = StreamingViews
+      .viewStream(spark, tmp, "hour", 6, watermark = Some("1 minute"), maxFilesPerTrigger = Some(1))
+      .writeStream
+      .format("memory")
+      .queryName("stream_wm_view")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3)
+    // every emitted window is from the recent half: the late file's
+    // windows (weeks behind the watermark) never surface
+    val minEmitted = spark.table("stream_wm_view")
+      .agg(min(col("ts").cast("long"))).head.getLong(0)
+    val medianSec = median / 1000000000L
+    assert(minEmitted >= medianSec - 3600,
+      s"late windows leaked through the watermark: $minEmitted < ~$medianSec")
+  }
+
   test("materializeViews writes a partitioned, re-readable view table") {
     val tmp = Files.createTempDirectory("graft-mat").toFile.getAbsolutePath
     StreamingViews.materializeViews(spark, Sf0001, s"$tmp/out", "day", 6, s"$tmp/ckpt")
