@@ -273,6 +273,52 @@ object SparkEntry {
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
       presentView(graft.streaming.StreamingViews.runAvailableNow(s, d, "min", GhViewPrecision))),
+    // ---- analytics breadth: distinct, percentiles, pivot, rollup,
+    //      ranked windows, set ops ----
+    "daily_active_users" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("long").as("day_s"))
+        .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n_events"))
+        .orderBy(col("day_s"))),
+    "value_percentiles" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy(col("event_type"))),
+    "events_pivot" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("long").as("day_s"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day_s"))),
+    "metric_rollup" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 6).as("sum_val"))
+        .orderBy(col("event_type").asc_nulls_first)),
+    "user_top3_events" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      Tables.load(s, d, "events")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("user_id"), col("rk"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("rk"))
+    }),
+    "power_users_intersect" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      def topBy(metric: String) = ev
+        .filter(col("event_type") === metric)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 10)
+        .select(col("user_id"))
+      topBy("click").intersect(topBy("view")).orderBy(col("user_id"))
+    }),
     // ---- sessionization (gap rule; window lag + running sum) ----
     "user_sessions" -> ((s, d) =>
       Sessionize.userStats(Tables.load(s, d, "events"), gapSeconds = 1800)),
@@ -382,6 +428,40 @@ object SparkEntry {
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "embedding_neardup_lsh" -> Similarity.lshNearDupSql(0.4),
+    "daily_active_users" ->
+      """SELECT epoch_ns(date_trunc('day', ts)) // 1000000000 AS day_s,
+        | count(DISTINCT user_id) AS dau, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "value_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_pivot" ->
+      """SELECT epoch_ns(date_trunc('day', ts)) // 1000000000 AS day_s,
+        | sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        | sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        | sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        | sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "metric_rollup" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 6) AS sum_val
+        |FROM events GROUP BY ROLLUP(event_type) ORDER BY 1 NULLS FIRST""".stripMargin,
+    "user_top3_events" ->
+      """SELECT user_id, rk, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    "power_users_intersect" ->
+      """SELECT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  GROUP BY 1 HAVING count(*) >= 10
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  GROUP BY 1 HAVING count(*) >= 10)
+        |ORDER BY user_id""".stripMargin,
     "user_sessions" -> Sessionize.userStatsSql(1800),
     "lang_id" -> LanguageId.predictSql,
     "token_count_bpe" ->
