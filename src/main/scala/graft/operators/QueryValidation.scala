@@ -9,7 +9,12 @@ package graft.operators
 object QueryValidation {
 
   val SupportedResolutions: Seq[String] = Seq("min", "hour", "day", "month")
-  val SupportedPrecisions: Seq[Int] = Seq(4, 5, 6, 7, 14)
+
+  /** The reference's precision list is env-configurable
+    * (util/AppConfig.java:13, dev default 6,7 / k8s 14); the library
+    * accepts the full useful geohash/quadkey range.
+    */
+  val SupportedPrecisions: Seq[Int] = 4 to 16
 
   private def req(cond: Boolean, msg: => String): Unit =
     if (!cond) throw new IllegalArgumentException(msg)

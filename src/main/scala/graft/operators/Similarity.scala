@@ -88,13 +88,18 @@ object Similarity {
 
   // ---- expression generators (shared association order) -------------
 
-  /** cosine(col, QueryVec). */
+  /** cosine(col, QueryVec). `nullif` keeps a zero-norm vector from
+    * raising DIVIDE_BY_ZERO under ANSI mode (Spark 4 default — the
+    * error aborts the whole query, a post-hoc NaN filter never runs);
+    * zero vectors yield NULL and are filtered by callers. Identical
+    * semantics in DuckDB.
+    */
   def cosineToQuery(d: Dialect, col: String): String =
-    s"((${d.dotConst(col, QueryVec)}) / (sqrt(${d.dotSelf(col)}) * $QueryNorm))"
+    s"((${d.dotConst(col, QueryVec)}) / nullif(sqrt(${d.dotSelf(col)}) * $QueryNorm, 0))"
 
-  /** cosine(a, b). */
+  /** cosine(a, b) — same zero-norm protection. */
   def cosinePair(d: Dialect, a: String, b: String): String =
-    s"((${d.dotPair(a, b)}) / (sqrt(${d.dotSelf(a)}) * sqrt(${d.dotSelf(b)})))"
+    s"((${d.dotPair(a, b)}) / nullif(sqrt(${d.dotSelf(a)}) * sqrt(${d.dotSelf(b)}), 0))"
 
   /** Sign bit of plane p: fold(±col[i]) > 0. */
   def signBit(d: Dialect, col: String, p: Array[Int]): String =
@@ -138,6 +143,9 @@ object Similarity {
   def topK(embeddings: DataFrame, k: Int): DataFrame =
     embeddings
       .withColumn("sim", expr(cosineToQuery(SparkDialect, "embedding")))
+      // zero-norm embeddings cosine to NULL (see cosineToQuery) and must
+      // never appear in a ranking
+      .filter(col("sim").isNotNull)
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))
@@ -168,6 +176,7 @@ object Similarity {
       .withColumn("bucket", expr(bucketCase(Centroids.length)))
       .filter(col("bucket") === QueryBucket)
       .withColumn("sim", expr(cosineToQuery(SparkDialect, "embedding")))
+      .filter(col("sim").isNotNull) // zero-norm guard (see cosineToQuery)
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))
@@ -199,7 +208,7 @@ object Similarity {
       .join(ea, "a_id")
       .join(eb, "b_id")
       .withColumn("sim", expr(cosinePair(SparkDialect, "ea", "eb")))
-      .filter(col("sim") >= threshold)
+      .filter(col("sim").isNotNull && col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -239,6 +248,7 @@ object Similarity {
       .parquet(path)
       .filter(col("bucket").isin(probed: _*))
       .withColumn("sim", expr(cosineToQuery(SparkDialect, "embedding")))
+      .filter(col("sim").isNotNull) // zero-norm guard (see cosineToQuery)
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))

@@ -1,0 +1,76 @@
+package graft
+
+import graft.api.{ExploraService, HistoryParams, SnapshotParams}
+import graft.sources.SensorGrid
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The service facade: same routing as the reference's REST endpoints. */
+class ExploraServiceSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private lazy val svc = new ExploraService(SensorGrid.readings(spark, Sf0001).cache())
+
+  private val gh6 = SensorGrid.cellGeo.map(_._2.substring(0, 6)).distinct.sorted
+  private val from = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+  private val to = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+
+  test("history with explicit resolution returns an ordered time series") {
+    val df = svc.history(HistoryParams(
+      "click", "avg", gh6, 6, resolution = Some("day"), fromMs = Some(from), toMs = to))
+    val ts = df.collect().map(_.getLong(0))
+    assert(ts.nonEmpty && ts.sameElements(ts.sorted))
+  }
+
+  test("history with interval derives window + resolution from the table") {
+    val df = svc.history(HistoryParams(
+      "click", "count", gh6, 6, interval = Some("1month"), toMs = to))
+    assert(df.columns.toSeq === Seq("ts_s", "cnt"))
+    assert(df.count() > 0) // 1month → day resolution over January
+  }
+
+  test("src=raw equals the view path (same algebra, no materialization)") {
+    val p = HistoryParams(
+      "error", "sum", gh6, 6, resolution = Some("hour"), fromMs = Some(from), toMs = to)
+    val viaView = svc.history(p).collect().map(_.toSeq).sortBy(_.mkString)
+    val viaRaw = svc.history(p.copy(src = "raw")).collect().map(_.toSeq).sortBy(_.mkString)
+    assert(viaRaw.sameElements(viaView))
+  }
+
+  test("snapshot routes quadtiling (exact cover) and geohashing (prefix cover) consistently") {
+    val ts = java.time.Instant.parse("2024-01-15T07:00:00Z").toEpochMilli
+    val quad = svc.snapshot(SnapshotParams(
+      "signup", "avg", ts, 51.31, 4.31, 51.17, 4.50, 14, "day", geoIndex = "quadtiling"))
+    val gh = svc.snapshot(SnapshotParams(
+      "signup", "avg", ts, 51.31, 4.31, 51.17, 4.50, 6, "day", geoIndex = "geohashing"))
+    // different cell systems, same underlying mass: Σcnt must agree
+    import org.apache.spark.sql.functions.sum
+    val quadRows = svc.snapshot(SnapshotParams(
+      "signup", "count", ts, 51.31, 4.31, 51.17, 4.50, 14, "day", geoIndex = "quadtiling"))
+    val ghRows = svc.snapshot(SnapshotParams(
+      "signup", "count", ts, 51.31, 4.31, 51.17, 4.50, 6, "day", geoIndex = "geohashing"))
+    val quadTotal = quadRows.agg(sum("cnt")).head.get(0)
+    val ghTotal = ghRows.agg(sum("cnt")).head.get(0)
+    assert(quadTotal === ghTotal, s"quad=$quadTotal gh=$ghTotal")
+    assert(quad.columns.toSeq === Seq("geo", "avg_val") && gh.columns.toSeq === Seq("geo", "avg_val"))
+  }
+
+  test("coarser quad precision via key prefix (zoom 10 view from zoom 14 keys)") {
+    val ts = java.time.Instant.parse("2024-01-15T07:00:00Z").toEpochMilli
+    val z10 = svc.snapshot(SnapshotParams(
+      "signup", "count", ts, 51.31, 4.31, 51.17, 4.50, 10, "day", geoIndex = "quadtiling"))
+    val rows = z10.collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(0).length == 10))
+  }
+
+  test("invalid parameters are rejected before any Spark work") {
+    intercept[IllegalArgumentException] {
+      svc.history(HistoryParams("click", "median", gh6, 6, Some("day"), None, Some(from), to))
+    }
+    intercept[IllegalArgumentException] {
+      svc.history(HistoryParams("click", "avg", gh6, 6, None, None, Some(from), to))
+    }
+    intercept[IllegalArgumentException] {
+      svc.snapshot(SnapshotParams("x", "avg", 0, 51.17, 4.31, 51.31, 4.50, 6, "day"))
+    }
+  }
+}
