@@ -48,7 +48,11 @@ object SparkEntry {
   private val HistTo = Instant.parse("2024-01-12T00:00:00Z")
   private val MonthFrom = Instant.parse("2024-01-01T00:00:00Z")
   private val MonthTo = Instant.parse("2024-02-01T00:00:00Z")
-  private val IntervalTo = Instant.parse("2024-01-20T12:34:56Z")
+  /** Anchored just after a purchase event inside the HistoryGeos cells
+    * (sf0.01), so even the 5-minute interval window is non-empty at the
+    * correctness scale.
+    */
+  private val IntervalTo = Instant.ofEpochSecond(1704900714L) // 2024-01-10T15:31:54Z
   private val SnapQuadTs = Instant.parse("2024-01-15T07:23:41Z") // day res → 2024-01-15
   private val SnapGhTs = Instant.parse("2024-01-15T13:47:09Z") // hour res → 13:00
 
@@ -258,7 +262,9 @@ object SparkEntry {
     "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignature(Tables.load(s, d, "documents"), 3, 8)),
     "dedup_simhash16" -> ((s, d) => Dedup.simhash16(Tables.load(s, d, "documents"))),
     "dedup_ngram_pairs" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), 3, 0.8)),
+      // prefix-filtered variant: identical results (PipelineOpsSpec),
+      // bounded hot-shingle fan-out at scale
+      Dedup.ngramJaccardPairsPrefix(Tables.load(s, d, "documents"), 3, 0.8)),
     // production MinHash-LSH path (xxhash64; no SQL-expressible oracle →
     // driver records rows-only; equivalence tested in DedupSpec)
     "dedup_minhash_lsh" -> ((s, d) =>

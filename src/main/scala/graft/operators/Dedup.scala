@@ -160,6 +160,44 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Exact Jaccard pairs with PPJoin-style PREFIX FILTERING: shingles
+    * are globally ordered by document frequency (rarest first) and each
+    * doc joins only on its first `|s| − ⌈t·|s|⌉ + 1` shingles — any pair
+    * with J ≥ t provably shares a prefix shingle, so the result equals
+    * [[ngramJaccardPairs]] while the join fan-out on hot shingles
+    * (stop-words of the shingle world) drops by orders of magnitude.
+    * This is the 100 TB shape; costs one extra doc-frequency pass.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = withShingles(docs, n).select(col("doc_id"), col("shingles"))
+    val u = sh.select(col("doc_id"), size(col("shingles")).as("nsh"), explode(col("shingles")).as("s"))
+    val docFreq = u.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = u
+      .join(docFreq, "s")
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
+      .select(col("doc_id"), col("s"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+    cands
+      .join(sa, "a_id")
+      .join(sb, "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn(
+        "jac",
+        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   def ngramJaccardSql(n: Int, threshold: Double): String = {
     val grams = (1 to n).map(j => s"t[i+$j]").mkString(", ")
     s"""WITH toks AS (

@@ -29,6 +29,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered Jaccard pairs == unfiltered (PPJoin filter is exact)") {
+    val basic = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val prefixed = Dedup.ngramJaccardPairsPrefix(docs, 3, 0.8)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(prefixed.sameElements(basic))
+    // and at a looser threshold, where prefixes are longer
+    val b2 = Dedup.ngramJaccardPairs(docs, 3, 0.3).count()
+    val p2 = Dedup.ngramJaccardPairsPrefix(docs, 3, 0.3).count()
+    assert(b2 === p2)
+  }
+
   test("exact dedup is idempotent and keeps minimal ids") {
     val d1 = Dedup.exact(docs)
     assert(d1.count() === docs.select(md5(col("text"))).distinct().count())
