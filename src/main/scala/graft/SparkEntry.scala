@@ -265,6 +265,10 @@ object SparkEntry {
       // prefix-filtered variant: identical results (PipelineOpsSpec),
       // bounded hot-shingle fan-out at scale
       Dedup.ngramJaccardPairsPrefix(Tables.load(s, d, "documents"), 3, 0.8)),
+    // duplicate clusters: connected components over the near-dup pairs,
+    // each doc mapped to its canonical (minimal) id
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(Dedup.ngramJaccardPairsPrefix(Tables.load(s, d, "documents"), 3, 0.8))),
     // production MinHash-LSH path (xxhash64; no SQL-expressible oracle →
     // driver records rows-only; equivalence tested in DedupSpec)
     "dedup_minhash_lsh" -> ((s, d) =>
@@ -430,6 +434,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> Dedup.minhashSignatureSql(3, 8),
     "dedup_simhash16" -> Dedup.simhash16Sql,
     "dedup_ngram_pairs" -> Dedup.ngramJaccardSql(3, 0.8),
+    "dedup_clusters" -> Dedup.clustersSql(Dedup.ngramJaccardSql(3, 0.8)),
     "similarity_topk" -> Similarity.topKSql(10),
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),

@@ -218,6 +218,61 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---- duplicate clustering (connected components) -------------------
+
+  /** Collapse near-duplicate PAIRS into clusters: every document in a
+    * connected component maps to the component's minimal doc_id (the
+    * canonical survivor). Iterative min-label propagation over the edge
+    * list — each round is two joins + a groupBy (all distributed; no
+    * driver-side graph), converging in O(component diameter) rounds,
+    * which for dedup graphs (small, dense clusters) is 2-3.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edges + self-loops keep singletons and let labels flow
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("lbl", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "nlbl"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlbl")).as("minNeighbor"))
+      val updated = labels
+        .join(viaNeighbors, Seq("id"), "left")
+        .withColumn("newLbl", least(col("lbl"), coalesce(col("minNeighbor"), col("lbl"))))
+        .select(col("id"), col("newLbl").as("lbl"), (col("newLbl") =!= col("lbl")).as("ch"))
+        .cache()
+      changed = updated.filter(col("ch")).count()
+      labels = updated.select(col("id"), col("lbl"))
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: min reachable id per node via a recursive CTE over the
+    * same pair set (closure is tiny — only docs that appear in pairs).
+    */
+  def clustersSql(pairsSubquery: String): String =
+    s"""WITH RECURSIVE pairs AS ($pairsSubquery),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node)
+       |SELECT node AS doc_id, min(r) AS canonical_id
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- SimHash (16-bit, md5-based, oracle-checkable) -----------------
 
   /** Hex digits of a given nibble whose bit `bitInNibble` (3 = MSB) is

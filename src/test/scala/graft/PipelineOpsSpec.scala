@@ -41,6 +41,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(b2 === p2)
   }
 
+  test("duplicate clustering: transitive chains collapse to the minimal id") {
+    import spark.implicits._
+    // chain 5-3, 3-9 and isolated pair 20-30: {3,5,9}→3, {20,30}→20
+    val pairs = Seq((5L, 3L), (3L, 9L), (30L, 20L)).toDF("a_id", "b_id")
+    val got = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 30L -> 20L))
+  }
+
   test("exact dedup is idempotent and keeps minimal ids") {
     val d1 = Dedup.exact(docs)
     assert(d1.count() === docs.select(md5(col("text"))).distinct().count())
