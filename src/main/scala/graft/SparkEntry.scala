@@ -265,6 +265,21 @@ object SparkEntry {
       // prefix-filtered variant: identical results (PipelineOpsSpec),
       // bounded hot-shingle fan-out at scale
       Dedup.ngramJaccardPairsPrefix(Tables.load(s, d, "documents"), 3, 0.8)),
+    // composed curation pipeline: quality gate -> exact dedup survivors
+    // -> per-language profile (operators compose as plain DataFrames)
+    "corpus_curation" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val good = TextAnalysis.qualityScore(docs)
+        .filter(col("quality") >= 0.7)
+        .select(col("doc_id"))
+      val survivors = Dedup.exact(docs)
+      docs
+        .join(good, "doc_id")
+        .join(survivors, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
     // duplicate clusters: connected components over the near-dup pairs,
     // each doc mapped to its canonical (minimal) id
     "dedup_clusters" -> ((s, d) =>
@@ -435,6 +450,12 @@ object SparkEntry {
     "dedup_simhash16" -> Dedup.simhash16Sql,
     "dedup_ngram_pairs" -> Dedup.ngramJaccardSql(3, 0.8),
     "dedup_clusters" -> Dedup.clustersSql(Dedup.ngramJaccardSql(3, 0.8)),
+    "corpus_curation" ->
+      s"""WITH q AS (SELECT doc_id FROM (${TextAnalysis.QualityScoreSql}) WHERE quality >= 0.7),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+         |FROM documents JOIN q USING (doc_id) JOIN k USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "similarity_topk" -> Similarity.topKSql(10),
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),

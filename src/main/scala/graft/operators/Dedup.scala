@@ -240,6 +240,7 @@ object Dedup {
       .withColumn("lbl", col("id"))
     var changed = 1L
     var iter = 0
+    var prevCache: Option[DataFrame] = None
     while (changed > 0 && iter < maxIter) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "nlbl"), "dst")
@@ -251,11 +252,15 @@ object Dedup {
         .select(col("id"), col("newLbl").as("lbl"), (col("newLbl") =!= col("lbl")).as("ch"))
         .cache()
       changed = updated.filter(col("ch")).count()
+      prevCache.foreach(_.unpersist()) // superseded iteration's cache
+      prevCache = Some(updated)
       labels = updated.select(col("id"), col("lbl"))
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
+    val out = labels.select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
       .orderBy(col("doc_id"))
+    edges.unpersist()
+    out
   }
 
   /** Oracle: min reachable id per node via a recursive CTE over the
