@@ -87,29 +87,22 @@ class ExploraService(readings: DataFrame) {
     QueryValidation.validateSnapshot(
       p.tsMs, p.north, p.west, p.south, p.east, p.precision, p.aggregate, p.resolution)
     val ts = Instant.ofEpochMilli(p.tsMs)
-    p.geoIndex match {
+    // bounded prefix covers work for ANY bbox size: full-length prefixes
+    // are exact cell matches, auto-coarsened prefixes are the pushable
+    // superset predicate (replaces the reference's 32^k enumeration)
+    val prefixes = p.geoIndex match {
       case "quadtiling" =>
-        val cover = QuadKey.coverBoundingBox(p.north, p.west, p.south, p.east, p.precision)
-        ExploraQueries.snapshot(
-          view("quadtiling", p.precision, p.resolution),
-          p.metricId,
-          ExploraQueries.cellsPredicate(cover),
-          ts,
-          p.resolution,
-          p.aggregate)
+        QuadKey.coverPrefixes(p.north, p.west, p.south, p.east, p.precision)
       case _ =>
-        // coarse prefixes → pushable prefix predicate (replaces the
-        // reference's 32^k extension enumeration)
-        val coverPrec = math.min(p.precision, 4)
-        val prefixes = GeoHash.coverBoundingBox(p.north, p.west, p.south, p.east, coverPrec)
-        ExploraQueries.snapshot(
-          view("geohashing", p.precision, p.resolution),
-          p.metricId,
-          ExploraQueries.prefixPredicate(prefixes),
-          ts,
-          p.resolution,
-          p.aggregate)
+        GeoHash.coverPrefixes(p.north, p.west, p.south, p.east, p.precision)
     }
+    ExploraQueries.snapshot(
+      view(p.geoIndex, p.precision, p.resolution),
+      p.metricId,
+      ExploraQueries.prefixPredicate(prefixes),
+      ts,
+      p.resolution,
+      p.aggregate)
   }
 
   /** `src=raw`: aggregate straight from unaggregated readings at query

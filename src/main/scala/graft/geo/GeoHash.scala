@@ -144,4 +144,33 @@ object GeoHash {
     * predicate, not an enumeration.
     */
   val DefaultMaxCoverCells: Int = 65536
+
+  /** Bounded cover for ARBITRARILY large bboxes: geohash prefixes at the
+    * coarsest precision whose cover fits `maxPrefixes` (prefix ==
+    * containment, so `geo LIKE prefix%` selects a superset of the exact
+    * cover with a bounded predicate count — see QuadKey.coverPrefixes).
+    */
+  def coverPrefixes(
+      topLeftLat: Double,
+      topLeftLon: Double,
+      bottomRightLat: Double,
+      bottomRightLon: Double,
+      precision: Int,
+      maxPrefixes: Int = 256): Seq[String] = {
+    require(maxPrefixes >= 1, s"maxPrefixes must be positive (got $maxPrefixes)")
+    var p = precision
+    while (p > 0) {
+      val (latStep, lonStep) = cellSize(p)
+      val latCells =
+        (math.floor((math.max(topLeftLat, bottomRightLat) + 90) / latStep) -
+          math.floor((math.min(topLeftLat, bottomRightLat) + 90) / latStep) + 1).toLong
+      val lonCells =
+        (math.floor((math.max(topLeftLon, bottomRightLon) + 180) / lonStep) -
+          math.floor((math.min(topLeftLon, bottomRightLon) + 180) / lonStep) + 1).toLong
+      if (latCells * lonCells <= maxPrefixes)
+        return coverBoundingBox(topLeftLat, topLeftLon, bottomRightLat, bottomRightLon, p, maxPrefixes)
+      p -= 1
+    }
+    Seq("")
+  }
 }

@@ -107,4 +107,33 @@ object QuadKey {
     } yield quadKey(Tile(x, y, zoom))
     keys.sorted
   }
+
+  /** Bounded cover for ARBITRARILY large bboxes: quadkey prefixes at the
+    * finest zoom whose cover stays within `maxPrefixes`. Every zoom-z
+    * tile inside the bbox has one of these prefixes (quadkey prefix ==
+    * spatial containment), so `geo LIKE prefix%` predicates select a
+    * superset of the exact cover — the same over-selection the
+    * reference's geohash mode accepts (QueryingController.java:240) —
+    * and the predicate count is bounded no matter the bbox, where an
+    * exact fine-zoom cover would blow past any cap.
+    */
+  def coverPrefixes(
+      topLeftLat: Double,
+      topLeftLon: Double,
+      bottomRightLat: Double,
+      bottomRightLon: Double,
+      zoom: Int,
+      maxPrefixes: Int = 256): Seq[String] = {
+    require(maxPrefixes >= 1, s"maxPrefixes must be positive (got $maxPrefixes)")
+    var z = zoom
+    while (z > 0) {
+      val minTile = tileAt(bottomRightLat, topLeftLon, z)
+      val maxTile = tileAt(topLeftLat, bottomRightLon, z)
+      val total = (maxTile.x - minTile.x + 1).toLong * (minTile.y - maxTile.y + 1).toLong
+      if (total <= maxPrefixes)
+        return coverBoundingBox(topLeftLat, topLeftLon, bottomRightLat, bottomRightLon, z, maxPrefixes)
+      z -= 1
+    }
+    Seq("") // zoom 0: the whole world, one empty prefix
+  }
 }

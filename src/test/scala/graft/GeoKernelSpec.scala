@@ -123,6 +123,23 @@ class GeoKernelSpec extends AnyFunSuite {
     assert(cover.distinct.size === cover.size)
   }
 
+  test("coverPrefixes: bounded for any bbox, every interior point's key has a prefix") {
+    // world bbox at zoom 14 would be 2^28 tiles; prefixes stay bounded
+    val qp = QuadKey.coverPrefixes(85.0, -179.9, -85.0, 179.9, 14, maxPrefixes = 64)
+    assert(qp.size <= 64)
+    val gp = GeoHash.coverPrefixes(85.0, -179.9, -85.0, 179.9, 8, maxPrefixes = 64)
+    assert(gp.size <= 64)
+    sampled(100) { r =>
+      val (lat, lon) = (latIn(r, -84.9, 84.9), lonIn(r))
+      assert(qp.exists(QuadKey.quadKey(lat, lon, 14).startsWith(_)))
+      assert(gp.exists(GeoHash.encode(lat, lon, 8).startsWith(_)))
+    }
+    // small bbox: prefixes == exact cover at the requested precision
+    val exact = QuadKey.coverBoundingBox(51.31, 4.31, 51.17, 4.50, 14)
+    val pref = QuadKey.coverPrefixes(51.31, 4.31, 51.17, 4.50, 14, maxPrefixes = 200)
+    assert(pref === exact)
+  }
+
   test("geohash cover refuses unbounded enumeration (cap)") {
     intercept[IllegalArgumentException] {
       GeoHash.coverBoundingBox(85.0, -179.9, -85.0, 179.9, 8)
