@@ -284,8 +284,12 @@ object SparkEntry {
     // each doc mapped to its canonical (minimal) id
     "dedup_clusters" -> ((s, d) =>
       Dedup.clusters(Dedup.ngramJaccardPairsPrefix(Tables.load(s, d, "documents"), 3, 0.8))),
-    // production MinHash-LSH path (xxhash64; no SQL-expressible oracle →
-    // driver records rows-only; equivalence tested in DedupSpec)
+    // full MinHash-LSH pipeline, md5 family → the ENTIRE pipeline
+    // (signatures, bands, candidate join, exact verify) is oracle-checked
+    "dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashLshPairsMd5(Tables.load(s, d, "documents"), 3, 16, 4, 0.5)),
+    // production twin (xxhash64; hash not SQL-expressible → driver
+    // records rows-only; equivalence tested in PipelineOpsSpec)
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.load(s, d, "documents"), 3, 16, 4, 0.5)),
     // ---- similarity search over embeddings ----
@@ -447,6 +451,7 @@ object SparkEntry {
     "token_top20" -> TextAnalysis.tokenTopKSql(20),
     "dedup_exact" -> Dedup.ExactSql,
     "dedup_minhash_sig" -> Dedup.minhashSignatureSql(3, 8),
+    "dedup_minhash_pairs" -> Dedup.minhashLshPairsMd5Sql(3, 16, 4, 0.5),
     "dedup_simhash16" -> Dedup.simhash16Sql,
     "dedup_ngram_pairs" -> Dedup.ngramJaccardSql(3, 0.8),
     "dedup_clusters" -> Dedup.clustersSql(Dedup.ngramJaccardSql(3, 0.8)),

@@ -82,6 +82,74 @@ object Dedup {
        |SELECT doc_id, $mins FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** MinHash-LSH near-dup pairs with the md5 hash family — functionally
+    * the same pipeline as [[minhashLshPairs]] but every step is
+    * DuckDB-replayable, so the WHOLE LSH pipeline (signatures → band
+    * buckets → candidate join → exact verify) is oracle-checked, not
+    * just property-tested. Production uses the xxhash64 twin.
+    */
+  def minhashLshPairsMd5(
+      docs: DataFrame,
+      n: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    val exploded = withShingles(docs, n).select(col("doc_id"), explode(col("shingles")).as("s"))
+    val aggs = (0 until k).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"s$i"))
+    val sig = exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val banded = (0 until bands).foldLeft(sig) { (df, b) =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"s$i"))
+      df.withColumn(s"band$b", md5(concat_ws("|", cols: _*)))
+    }
+    val cands = (0 until bands)
+      .map { b =>
+        val a = banded.select(col("doc_id").as("a_id"), col(s"band$b").as("bk"))
+        val bb = banded.select(col("doc_id").as("b_id"), col(s"band$b").as("bk"))
+        a.join(bb, Seq("bk")).filter(col("a_id") < col("b_id")).select(col("a_id"), col("b_id"))
+      }
+      .reduce(_ unionAll _)
+      .distinct()
+    verifyJaccard(docs, cands, n, threshold)
+  }
+
+  def minhashLshPairsMd5Sql(n: Int, k: Int, bands: Int, threshold: Double): String = {
+    val rows = k / bands
+    val mins = (0 until k).map(i => s"min(md5('$i|' || s)) AS s$i").mkString(", ")
+    val bandCols = (0 until bands)
+      .map { b =>
+        val parts = (b * rows until (b + 1) * rows).map(i => s"s$i").mkString(" || '|' || ")
+        s"md5($parts) AS band$b"
+      }
+      .mkString(", ")
+    val candUnion = (0 until bands)
+      .map(b =>
+        s"SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM banded a JOIN banded b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
+      .mkString("\n  UNION\n  ")
+    val grams = (1 to n).map(j => s"t[i+$j]").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, len(t) - ${n - 1}),
+       |    i -> concat_ws(' ', $grams))) AS shingles
+       |  FROM toks WHERE len(t) >= $n),
+       |u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM u GROUP BY doc_id),
+       |banded AS (SELECT doc_id, $bandCols FROM sig),
+       |cand AS (\n  $candUnion\n),
+       |v AS (
+       |  SELECT c.a_id, c.b_id,
+       |         len(list_intersect(a.shingles, b.shingles)) AS inter,
+       |         len(a.shingles) AS na, len(b.shingles) AS nb
+       |  FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id)
+       |SELECT a_id, b_id,
+       |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jac
+       |FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---- MinHash + LSH (xxhash64 production path) ----------------------
 
   /** Near-duplicate pairs: k xxhash64 min-hashes per doc, banded into
