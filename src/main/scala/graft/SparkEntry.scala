@@ -302,6 +302,15 @@ object SparkEntry {
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
       presentView(graft.streaming.StreamingViews.runAvailableNow(s, d, "min", GhViewPrecision))),
+    // ---- geo re-indexing (P6/F7/F10): the reference's per-record hot
+    //      path geohash → cell-center decode → zoom-14 quadkey, run as
+    //      the fused codegen expression over the distinct cells ----
+    "geo_reindex" -> ((s, d) =>
+      SensorGrid.readings(s, d)
+        .select(col("gh12"))
+        .distinct()
+        .withColumn("qk", GeoFunctions.geohash_to_quadkey(col("gh12"), SensorGrid.QuadZoom))
+        .orderBy(col("gh12"))),
     // ---- analytics breadth: distinct, percentiles, pivot, rollup,
     //      ranked windows, set ops ----
     "daily_active_users" -> ((s, d) =>
@@ -465,6 +474,13 @@ object SparkEntry {
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "embedding_neardup_lsh" -> Similarity.lshNearDupSql(0.4),
+    "geo_reindex" -> {
+      val rows = SensorGrid.cellReindexed
+        .map { case (gh, qk) => s"('$gh', '$qk')" }
+        .mkString(", ")
+      s"""WITH expected(gh12, qk) AS (SELECT * FROM (VALUES $rows))
+         |SELECT gh12, qk FROM expected ORDER BY gh12""".stripMargin
+    },
     "daily_active_users" ->
       """SELECT epoch_ns(date_trunc('day', ts)) // 1000000000 AS day_s,
         | count(DISTINCT user_id) AS dau, count(*) AS n_events

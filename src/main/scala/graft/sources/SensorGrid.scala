@@ -42,6 +42,17 @@ object SensorGrid {
     (s.cell, GeoHash.encode(s.lat, s.lon, GhPrecision), QuadKey.quadKey(s.lat, s.lon, QuadZoom))
   }
 
+  /** Expected result of re-indexing each cell's geohash into a quadkey
+    * via the CELL-CENTER decode (the reference's per-record hot path,
+    * ingestion/IngestStream.java:313-316: decodeHash → tile → quadkey)
+    * — the oracle literals for the fused `geohash_to_quadkey`
+    * expression.
+    */
+  val cellReindexed: Seq[(String, String)] = cellGeo.map { case (_, gh, _) =>
+    val (lat, lon) = GeoHash.decode(gh)
+    (gh, QuadKey.quadKey(lat, lon, QuadZoom))
+  }.distinct
+
   def sensorTable(spark: SparkSession): DataFrame = {
     import spark.implicits._
     sensors.toDF()
