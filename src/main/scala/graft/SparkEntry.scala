@@ -87,6 +87,14 @@ object SparkEntry {
       ViewBuilder.build(SensorGrid.readings(s, dir), col("qk14"), res)
     }
 
+  /** Near-dup pairs are an intermediate shared by dedup_ngram_pairs and
+    * dedup_clusters — materialize once per (session, sf), like the views.
+    */
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "ngram_pairs", "0.8") {
+      Dedup.ngramJaccardPairsPrefix(Tables.load(s, dir, "documents"), 3, 0.8)
+    }
+
   /** View presentation row (FIXTURES.md §A2) with the shared conventions. */
   private def presentView(v: DataFrame): DataFrame =
     v.select(
@@ -263,8 +271,9 @@ object SparkEntry {
     "dedup_simhash16" -> ((s, d) => Dedup.simhash16(Tables.load(s, d, "documents"))),
     "dedup_ngram_pairs" -> ((s, d) =>
       // prefix-filtered variant: identical results (PipelineOpsSpec),
-      // bounded hot-shingle fan-out at scale
-      Dedup.ngramJaccardPairsPrefix(Tables.load(s, d, "documents"), 3, 0.8)),
+      // bounded hot-shingle fan-out at scale; cached for reuse by
+      // dedup_clusters
+      ngramPairs(s, d)),
     // composed curation pipeline: quality gate -> exact dedup survivors
     // -> per-language profile (operators compose as plain DataFrames)
     "corpus_curation" -> ((s, d) => {
@@ -282,8 +291,7 @@ object SparkEntry {
     }),
     // duplicate clusters: connected components over the near-dup pairs,
     // each doc mapped to its canonical (minimal) id
-    "dedup_clusters" -> ((s, d) =>
-      Dedup.clusters(Dedup.ngramJaccardPairsPrefix(Tables.load(s, d, "documents"), 3, 0.8))),
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(ngramPairs(s, d))),
     // full MinHash-LSH pipeline, md5 family → the ENTIRE pipeline
     // (signatures, bands, candidate join, exact verify) is oracle-checked
     "dedup_minhash_pairs" -> ((s, d) =>
