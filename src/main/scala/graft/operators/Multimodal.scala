@@ -71,4 +71,18 @@ object Multimodal {
       expr(
         s"transform(slice(sequence(1, greatest(int(length(payload)), 1), $stride), 1, $maxFrames), " +
           s"i -> ascii(substring(string(payload), i, 1)))"))
+
+  /** STUB resize: byte-subsample the payload by `factor` (a real
+    * implementation rescales decoded pixels). Output is again a binary
+    * payload with the same schema, so resize composes with decode/
+    * frame-sample — the operator CHAIN is what the plumbing proves.
+    */
+  def resize(assets: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1 (got $factor)")
+    assets.withColumn(
+      "payload",
+      expr(
+        s"encode(array_join(transform(sequence(1, greatest(int(length(payload)), 1), $factor), " +
+          s"i -> substring(string(payload), i, 1)), ''), 'UTF-8')"))
+  }
 }

@@ -104,5 +104,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     val f = Multimodal.frameSample(a, stride = 16, maxFrames = 8)
     val sizes = f.select(size(col("frames"))).collect().map(_.getInt(0))
     assert(sizes.forall(s => s >= 1 && s <= 8))
+    // resize composes: payload stays binary, shrinks by ~factor, decode still works
+    val resized = Multimodal.decodeMeta(Multimodal.resize(a, 4))
+    val pair = resized.select(col("meta.n_bytes")).collect().map(_.getLong(0))
+      .zip(m.select(col("meta.n_bytes")).collect().map(_.getLong(0)))
+    assert(pair.forall { case (r, o) => r <= o / 4 + 1 && r >= 1 })
   }
 }
