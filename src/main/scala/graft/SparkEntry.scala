@@ -310,6 +310,27 @@ object SparkEntry {
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
       presentView(graft.streaming.StreamingViews.runAvailableNow(s, d, "min", GhViewPrecision))),
+    // ---- join breadth: semi and anti joins (distinct physical
+    //      operators from the inner/broadcast joins in q3) ----
+    "q4_semi" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .join(
+          Tables.load(s, d, "lineitem").select(col("l_orderkey")).distinct(),
+          col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))),
+    "cust_no_urgent_anti" -> ((s, d) =>
+      Tables.load(s, d, "customer")
+        .join(
+          Tables.load(s, d, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
     // ---- geo re-indexing (P6/F7/F10): the reference's per-record hot
     //      path geohash → cell-center decode → zoom-14 quadkey, run as
     //      the fused codegen expression over the distinct cells ----
@@ -482,6 +503,16 @@ object SparkEntry {
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "embedding_neardup_lsh" -> Similarity.lshNearDupSql(0.4),
+    "q4_semi" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cust_no_urgent_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "geo_reindex" -> {
       val rows = SensorGrid.cellReindexed
         .map { case (gh, qk) => s"('$gh', '$qk')" }
