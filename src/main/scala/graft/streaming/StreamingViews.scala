@@ -140,8 +140,16 @@ object StreamingViews {
       outPath: String,
       resolution: String,
       geoPrefixLen: Int,
-      checkpoint: String): Unit = {
+      checkpoint: String,
+      rocksDbState: Boolean = true): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // the reference keeps its views in RocksDB (IngestStream.java:375-393);
+    // Spark's RocksDB state store provider is the same trade — state off
+    // the JVM heap, bounded memory for unbounded-state parity mode
+    if (rocksDbState)
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q = viewStream(spark, sfDir, resolution, geoPrefixLen).writeStream
       .outputMode("complete")
       .option("checkpointLocation", checkpoint)
