@@ -20,6 +20,7 @@ object QuadKey {
     * Mirrors util/QuadHash.java:8-13.
     */
   def tileAt(lat: Double, lon: Double, zoom: Int): Tile = {
+    require(zoom >= 1 && zoom <= 30, s"zoom $zoom out of range 1..30") // 1<<31 overflows Int
     val n = 1 << zoom
     val x = math.floor((lon + 180.0) / 360.0 * n).toInt
     val latRad = math.toRadians(lat)

@@ -61,6 +61,12 @@ class GeoKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("tileAt rejects zooms that would overflow Int (1 << 31)") {
+    intercept[IllegalArgumentException] { QuadKey.tileAt(51.0, 4.0, 31) }
+    intercept[IllegalArgumentException] { QuadKey.tileAt(51.0, 4.0, 0) }
+    assert(QuadKey.tileAt(51.0, 4.0, 30).zoom === 30)
+  }
+
   test("quad cover refuses unbounded enumeration (cap)") {
     // world bbox at zoom 14 would be 2^28 tiles — must throw, not OOM
     intercept[IllegalArgumentException] {
