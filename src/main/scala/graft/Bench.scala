@@ -37,7 +37,10 @@ object Bench {
       }
 
     // untimed warmup: session/codegen/scan setup should not be charged
-    // to whichever query happens to sort first
+    // to whichever query happens to sort first. nanosAsLong must be set
+    // FIRST: the test parquet carries nanos timestamps, and without it
+    // this read throws PARQUET_TYPE_ILLEGAL and the warmup is a no-op.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try spark.read.parquet(s"$sfDir/events.parquet").write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 

@@ -65,13 +65,26 @@ object SparkEntry {
     * in-process analogue of the reference's RocksDB stores (and of a
     * `saveAsTable` view in a real deployment).
     */
-  private val viewCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String, String), DataFrame]
+  private val viewCaches =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]]()
+
+  /** Per-session cache map. Weak keys: when a session is GC'd its entry
+    * (and the DataFrames bound to it) drop out — no identityHashCode
+    * collisions with a later session, no unbounded growth.
+    */
+  private def cacheFor(s: SparkSession) = viewCaches.synchronized {
+    var m = viewCaches.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+      viewCaches.put(s, m)
+    }
+    m
+  }
 
   private def cachedView(s: SparkSession, dir: String, kind: String, res: String)(
       build: => DataFrame): DataFrame =
-    viewCache.getOrElseUpdate(
-      (System.identityHashCode(s), dir, kind, res),
+    cacheFor(s).getOrElseUpdate(
+      (dir, kind, res),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def ghView(s: SparkSession, dir: String, res: String): DataFrame =
@@ -87,12 +100,31 @@ object SparkEntry {
       ViewBuilder.build(SensorGrid.readings(s, dir), col("qk14"), res)
     }
 
+  /** `(doc_id, shingles)` — the shared input of the ENTIRE dedup family
+    * (minhash sig/pairs/lsh + ngram pairs + clusters). Tokenizing and
+    * shingling the corpus text is the dominant narrow cost; build once
+    * per (session, sf), persist, share (round-2 bench spent ~95 s
+    * re-deriving it three times).
+    */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "shingles", "3") {
+      Dedup.shingleSets(Tables.load(s, dir, "documents"), 3)
+    }
+
+  /** 16-permutation md5 MinHash signature, shared by dedup_minhash_sig
+    * (first 8 columns) and dedup_minhash_pairs (all 16, banded).
+    */
+  private def mdSig16(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "md5sig", "16") {
+      Dedup.md5Signature(docShingles(s, dir), 16)
+    }
+
   /** Near-dup pairs are an intermediate shared by dedup_ngram_pairs and
     * dedup_clusters — materialize once per (session, sf), like the views.
     */
   private def ngramPairs(s: SparkSession, dir: String): DataFrame =
     cachedView(s, dir, "ngram_pairs", "0.8") {
-      Dedup.ngramJaccardPairsPrefix(Tables.load(s, dir, "documents"), 3, 0.8)
+      Dedup.ngramJaccardPairsPrefixFrom(docShingles(s, dir), 0.8)
     }
 
   /** View presentation row (FIXTURES.md §A2) with the shared conventions. */
@@ -267,7 +299,11 @@ object SparkEntry {
     "token_top20" -> ((s, d) => TextAnalysis.tokenTopK(Tables.load(s, d, "documents"), 20)),
     // ---- deduplication over documents ----
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.load(s, d, "documents"))),
-    "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignature(Tables.load(s, d, "documents"), 3, 8)),
+    "dedup_minhash_sig" -> ((s, d) =>
+      // first 8 of the shared 16-permutation signature (same min-aggs)
+      mdSig16(s, d)
+        .select(col("doc_id") +: (0 until 8).map(i => col(s"s$i")): _*)
+        .orderBy(col("doc_id"))),
     "dedup_simhash16" -> ((s, d) => Dedup.simhash16(Tables.load(s, d, "documents"))),
     "dedup_ngram_pairs" -> ((s, d) =>
       // prefix-filtered variant: identical results (PipelineOpsSpec),
@@ -295,11 +331,15 @@ object SparkEntry {
     // full MinHash-LSH pipeline, md5 family → the ENTIRE pipeline
     // (signatures, bands, candidate join, exact verify) is oracle-checked
     "dedup_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashLshPairsMd5(Tables.load(s, d, "documents"), 3, 16, 4, 0.5)),
-    // production twin (xxhash64; hash not SQL-expressible → driver
-    // records rows-only; equivalence tested in PipelineOpsSpec)
+      Dedup.minhashLshPairsMd5From(mdSig16(s, d), docShingles(s, d), 16, 4, 0.5)),
+    // production twin (xxhash64). Oracle: Verify precomputes the expected
+    // pairs with the independent pure-Scala XxHash64Ref pipeline and
+    // emits VALUES literals (oracleSqlFor) — the geo_reindex technique.
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLshPairs(Tables.load(s, d, "documents"), 3, 16, 4, 0.5)),
+      Dedup.minhashLshPairsFrom(
+        Dedup.xxSignature(docShingles(s, d), 16),
+        docShingles(s, d),
+        16, 4, 0.5)),
     // ---- similarity search over embeddings ----
     "similarity_topk" -> ((s, d) => Similarity.topK(Tables.load(s, d, "embeddings"), 10)),
     "ann_buckets" -> ((s, d) => Similarity.ivfBuckets(Tables.load(s, d, "embeddings"))),
@@ -529,13 +569,16 @@ object SparkEntry {
         | round(quantile_cont(value, 0.9), 6) AS p90,
         | round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // count(*) FILTER, not sum(CASE): DuckDB sum(<int>) widens to HUGEINT
+    // and the driver's typed hash then differs from Spark's BIGINT even
+    // when every value matches (round-2 hash-fail)
     "events_pivot" ->
       """SELECT epoch_ns(date_trunc('day', ts)) // 1000000000 AS day_s,
-        | sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        | sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        | sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        | sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "metric_rollup" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 6) AS sum_val
@@ -571,4 +614,37 @@ object SparkEntry {
         | substr(sha256(text), 1, 8) AS digest8,
         | ascii(substr(text, 1, 1)) AS head
         |FROM documents ORDER BY id""".stripMargin)
+
+  /** The full oracle map, including DATA-DEPENDENT entries whose expected
+    * output is computed driver-side from an independent scalar kernel and
+    * emitted as VALUES literals (the geo_reindex technique). Verify dumps
+    * THIS — the static [[oracleSql]] stays the contract surface for
+    * everything DuckDB can express directly.
+    *
+    * dedup_minhash_lsh: DuckDB has no Spark-compatible xxhash64, so the
+    * expected pairs come from [[graft.operators.MinHashRef]] (pure-Scala
+    * XXH64 written from the public spec — no Spark code in the oracle
+    * path). Collecting the corpus is oracle generation at correctness
+    * scale (500 docs at sf0.01), not a query plan.
+    */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
+    val pairs = graft.operators.MinHashRef.lshPairs(docs, 3, 16, 4, 0.5)
+    val lshSql =
+      if (pairs.isEmpty)
+        """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,
+          | CAST(NULL AS DOUBLE) AS jac WHERE false""".stripMargin
+      else {
+        val rows = pairs.map { case (a, b, j) => s"($a, $b, $j)" }.mkString(", ")
+        s"""WITH expected(a, b, j) AS (SELECT * FROM (VALUES $rows))
+           |SELECT CAST(a AS BIGINT) AS a_id, CAST(b AS BIGINT) AS b_id,
+           |       CAST(j AS DOUBLE) AS jac
+           |FROM expected ORDER BY a_id, b_id""".stripMargin
+      }
+    oracleSql + ("dedup_minhash_lsh" -> lshSql)
+  }
 }

@@ -34,7 +34,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // oracleSqlFor = static SQL oracles + data-dependent VALUES oracles
+    // (dedup_minhash_lsh pairs precomputed via the pure-Scala XXH64 ref)
+    val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -39,6 +39,19 @@ object Dedup {
           s"array_distinct(transform(sequence(0, size(toks) - $n), i -> " +
             s"array_join(slice(toks, i + 1, $n), ' ')))"))
 
+  /** `(doc_id, shingles)` — the shared input of the whole minhash/Jaccard
+    * family. Tokenizing + shingling the corpus is the dominant narrow
+    * cost; SparkEntry builds this ONCE per (session, sf) and persists it,
+    * so sig/pairs/lsh/ngram entries all read the cache instead of
+    * re-scanning the text (round-2 bench spent ~⅔ of the dedup family on
+    * exactly this recompute).
+    */
+  def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    withShingles(docs, n).select(col("doc_id"), col("shingles"))
+
+  private def explodeShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+
   // ---- exact dedup ---------------------------------------------------
 
   /** Exact dedup: keep the smallest doc_id per content hash. One
@@ -58,15 +71,18 @@ object Dedup {
 
   // ---- MinHash (md5 variant, oracle-checkable) -----------------------
 
-  /** k-permutation MinHash signature as k columns: sig_i = min over
-    * shingles of md5(i || '|' || shingle). Lexicographic min of the hex
-    * string == min of the 128-bit hash, so DuckDB replays it exactly.
+  /** k-permutation MinHash signature columns s0..s{k-1} from a
+    * `(doc_id, shingles)` frame: sig_i = min over shingles of
+    * md5(i || '|' || shingle). Lexicographic min of the hex string ==
+    * min of the 128-bit hash, so DuckDB replays it exactly.
     */
-  def minhashSignature(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val exploded = withShingles(docs, n).select(col("doc_id"), explode(col("shingles")).as("s"))
+  def md5Signature(sh: DataFrame, k: Int): DataFrame = {
     val aggs = (0 until k).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"s$i"))
-    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).orderBy(col("doc_id"))
+    explodeShingles(sh).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  def minhashSignature(docs: DataFrame, n: Int, k: Int): DataFrame =
+    md5Signature(shingleSets(docs, n), k).orderBy(col("doc_id"))
 
   def minhashSignatureSql(n: Int, k: Int): String = {
     val mins = (0 until k).map(i => s"min(md5('$i|' || s)) AS s$i").mkString(", ")
@@ -94,11 +110,21 @@ object Dedup {
       k: Int,
       bands: Int,
       threshold: Double): DataFrame = {
+    val sh = shingleSets(docs, n)
+    minhashLshPairsMd5From(md5Signature(sh, k), sh, k, bands, threshold)
+  }
+
+  /** [[minhashLshPairsMd5]] over a precomputed (cached) signature and
+    * shingle frame — bands → bucket equi-join → exact verify only.
+    */
+  def minhashLshPairsMd5From(
+      sig: DataFrame,
+      sh: DataFrame,
+      k: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val rows = k / bands
-    val exploded = withShingles(docs, n).select(col("doc_id"), explode(col("shingles")).as("s"))
-    val aggs = (0 until k).map(i => min(md5(concat(lit(s"$i|"), col("s")))).as(s"s$i"))
-    val sig = exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val banded = (0 until bands).foldLeft(sig) { (df, b) =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"s$i"))
       df.withColumn(s"band$b", md5(concat_ws("|", cols: _*)))
@@ -111,7 +137,7 @@ object Dedup {
       }
       .reduce(_ unionAll _)
       .distinct()
-    verifyJaccard(docs, cands, n, threshold)
+    verifyJaccard(sh, cands, threshold)
   }
 
   def minhashLshPairsMd5Sql(n: Int, k: Int, bands: Int, threshold: Double): String = {
@@ -163,11 +189,29 @@ object Dedup {
       k: Int,
       bands: Int,
       threshold: Double): DataFrame = {
+    val sh = shingleSets(docs, n)
+    minhashLshPairsFrom(xxSignature(sh, k), sh, k, bands, threshold)
+  }
+
+  /** xxhash64 MinHash signature columns m0..m{k-1} (codegen'd; the
+    * production hash family — ~10× cheaper than md5).
+    */
+  def xxSignature(sh: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    explodeShingles(sh).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[minhashLshPairs]] over a precomputed (cached) signature and
+    * shingle frame.
+    */
+  def minhashLshPairsFrom(
+      sig: DataFrame,
+      sh: DataFrame,
+      k: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val rows = k / bands
-    val exploded = withShingles(docs, n).select(col("doc_id"), explode(col("shingles")).as("s"))
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
-    val sig = exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val banded = (0 until bands).foldLeft(sig) { (df, b) =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
       df.withColumn(s"band$b", xxhash64(lit(b) +: cols: _*))
@@ -180,16 +224,16 @@ object Dedup {
       }
       .reduce(_ unionAll _)
       .distinct()
-    verifyJaccard(docs, cands, n, threshold)
+    verifyJaccard(sh, cands, threshold)
   }
 
-  /** Exact shingle-set Jaccard for candidate pairs only. */
+  /** Exact shingle-set Jaccard for candidate pairs only, over a
+    * precomputed `(doc_id, shingles)` frame.
+    */
   private def verifyJaccard(
-      docs: DataFrame,
+      sh: DataFrame,
       cands: DataFrame,
-      n: Int,
       threshold: Double): DataFrame = {
-    val sh = withShingles(docs, n).select(col("doc_id"), col("shingles"))
     val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
     val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
     cands
@@ -236,9 +280,14 @@ object Dedup {
     * (stop-words of the shingle world) drops by orders of magnitude.
     * This is the 100 TB shape; costs one extra doc-frequency pass.
     */
-  def ngramJaccardPairsPrefix(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+  def ngramJaccardPairsPrefix(docs: DataFrame, n: Int, threshold: Double): DataFrame =
+    ngramJaccardPairsPrefixFrom(shingleSets(docs, n), threshold)
+
+  /** [[ngramJaccardPairsPrefix]] over a precomputed `(doc_id, shingles)`
+    * frame (shared with the minhash family via SparkEntry's cache).
+    */
+  def ngramJaccardPairsPrefixFrom(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = withShingles(docs, n).select(col("doc_id"), col("shingles"))
     val u = sh.select(col("doc_id"), size(col("shingles")).as("nsh"), explode(col("shingles")).as("s"))
     val docFreq = u.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefix = u
@@ -295,7 +344,7 @@ object Dedup {
     * driver-side graph), converging in O(component diameter) rounds,
     * which for dedup graphs (small, dense clusters) is 2-3.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // undirected edges + self-loops keep singletons and let labels flow
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -325,6 +374,15 @@ object Dedup {
       labels = updated.select(col("id"), col("lbl"))
       iter += 1
     }
+    // fail LOUDLY on non-convergence: a component with diameter > maxIter
+    // (a long near-dup chain) would otherwise silently emit non-canonical
+    // cluster ids. Dedup graphs converge in 2-3 rounds; hitting this means
+    // the graph shape is unexpected — raise maxIter deliberately, don't
+    // ship wrong clusters.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"clusters() did not converge after $maxIter rounds ($changed labels still changing); " +
+          "a connected component has diameter > maxIter — raise maxIter")
     val out = labels.select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
       .orderBy(col("doc_id"))
     edges.unpersist()

@@ -51,7 +51,7 @@ object Sessionize {
        |         CASE WHEN lag(ts_s) OVER w IS NULL
        |                OR ts_s - lag(ts_s) OVER w > $gapSeconds THEN 1 ELSE 0 END AS ns
        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id))
-       |SELECT user_id, sum(ns) AS n_sessions, count(*) AS n_events
+       |SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions, count(*) AS n_events
        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- streaming (custom state) --------------------------------------

@@ -122,21 +122,28 @@ object TextAnalysis {
       |         x -> md5(x)), 'min') AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Top-k corpus tokens with deterministic rank (count desc, token asc). */
-  def tokenTopK(docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = docs
+  /** Top-k corpus tokens with deterministic rank (count desc, token asc).
+    *
+    * The k-selection is `orderBy(...).limit(k)` — physically
+    * TakeOrderedAndProject: each partition keeps its local top k and the
+    * driver merges k·numPartitions rows. A global `row_number()` window
+    * here would pull the ENTIRE vocabulary (billions of distinct tokens
+    * at 100 TB) into one partition. Rank over the k survivors is then a
+    * single-row aggregate: sort_array over struct(-cnt, token) gives the
+    * (cnt desc, token asc) order and posexplode numbers it — no window
+    * at all, so no single-partition WindowExec even degenerately.
+    */
+  def tokenTopK(docs: DataFrame, k: Int): DataFrame =
+    docs
       .select(explode(expr(toks)).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
-    counts
-      .withColumn(
-        "rank",
-        row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
-      .filter(col("rank") <= k)
-      .select(col("rank"), col("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+      .agg(sort_array(collect_list(struct((-col("cnt")).as("neg"), col("token"), col("cnt")))).as("t"))
+      .select(posexplode(col("t")).as(Seq("pos", "r")))
+      .select((col("pos") + 1).as("rank"), col("r.token").as("token"), col("r.cnt").as("cnt"))
       .orderBy(col("rank"))
-  }
 
   def tokenTopKSql(k: Int): String =
     s"""WITH u AS (

@@ -54,11 +54,27 @@ for name in sorted(oracle):
     for c in mine.columns:
         a, b = mine[c], want[c]
         try:
-            if a.dtype.kind == "f" or b.dtype.kind == "f":
+            ka, kb = a.dtype.kind, b.dtype.kind
+            # dtype drift: the driver hashes TYPED values, so an integer
+            # column on one side and a float/decimal on the other (e.g.
+            # DuckDB sum(<int>) -> HUGEINT, rendered float64 by fetchdf)
+            # is a driver hash-fail even when values match. Round 2's two
+            # hash-fails slipped through exactly here.
+            if ka in "iu" and kb == "f" or ka == "f" and kb in "iu":
+                mismatch.append(f"{c}: dtype drift {a.dtype} vs {b.dtype} (driver hashes typed values)")
+                continue
+            # null masks first: NaN diffs are skipped by .max(skipna),
+            # so a NULL-vs-value row would otherwise pass silently
+            na, nb = a.isna(), b.isna()
+            if not na.equals(nb):
+                n = int((na != nb).sum())
+                mismatch.append(f"{c}: {n} rows differ in nullness")
+                continue
+            a, b = a[~na], b[~na]
+            if ka == "f" or kb == "f":
                 diff = (a.astype(float) - b.astype(float)).abs().max()
-                if not (diff == 0 or diff != diff and len(a) == 0):
-                    if diff > 0:
-                        mismatch.append(f"{c}: max float diff {diff}")
+                if len(a) > 0 and diff > 0:
+                    mismatch.append(f"{c}: max float diff {diff}")
             else:
                 if not a.astype(str).equals(b.astype(str)):
                     n = (a.astype(str) != b.astype(str)).sum()
