@@ -127,6 +127,23 @@ object SparkEntry {
       Dedup.ngramJaccardPairsPrefixFrom(docShingles(s, dir), 0.8)
     }
 
+  /** Sign-LSH signature frame (16 interpreted sign-sums per vector) —
+    * cached so the candidate self-join in embedding_neardup_lsh reads it
+    * twice instead of re-deriving the sums 8×.
+    */
+  private def lshSig(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "lsh_sig", "4x4") {
+      Similarity.lshBanded(Tables.load(s, dir, "embeddings"))
+    }
+
+  /** IVF coarse-quantizer assignments (8 centroid dots per vector) —
+    * shared by ann_buckets and ann_ivf_topk.
+    */
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "ivf", "8") {
+      Similarity.ivfAssignments(Tables.load(s, dir, "embeddings"))
+    }
+
   /** View presentation row (FIXTURES.md §A2) with the shared conventions. */
   private def presentView(v: DataFrame): DataFrame =
     v.select(
@@ -342,10 +359,10 @@ object SparkEntry {
         16, 4, 0.5)),
     // ---- similarity search over embeddings ----
     "similarity_topk" -> ((s, d) => Similarity.topK(Tables.load(s, d, "embeddings"), 10)),
-    "ann_buckets" -> ((s, d) => Similarity.ivfBuckets(Tables.load(s, d, "embeddings"))),
-    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.load(s, d, "embeddings"), 5)),
+    "ann_buckets" -> ((s, d) => Similarity.ivfBucketsFrom(ivfAssigned(s, d))),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopKFrom(ivfAssigned(s, d), 5)),
     "embedding_neardup_lsh" -> ((s, d) =>
-      Similarity.lshNearDupPairs(Tables.load(s, d, "embeddings"), 0.4)),
+      Similarity.lshNearDupPairsFrom(lshSig(s, d), Tables.load(s, d, "embeddings"), 0.4)),
     // ---- streaming: one-shot AvailableNow run of the view builder;
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>

@@ -297,8 +297,14 @@ object Dedup {
         row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
       .filter(col("rk") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
       .select(col("doc_id"), col("s"))
-    val cands = prefix.as("a")
-      .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    // the self-join fans out on shared prefix shingles — carry an 8-byte
+    // xxhash64 of the shingle as the join key instead of the string (the
+    // df-order and prefix SELECTION stay on strings, so exactness is
+    // untouched; a hash collision can only ADD a candidate, and the exact
+    // Jaccard verify below filters those)
+    val hashed = prefix.select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    val cands = hashed.as("a")
+      .join(hashed.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))

@@ -56,12 +56,15 @@ object Sessionize {
 
   // ---- streaming (custom state) --------------------------------------
 
-  final case class SessionState(lastTsS: Long, sessions: Long)
+  final case class SessionState(lastTsS: Long, sessions: Long, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
   /** Streaming per-user session counting with explicit state. Events
     * inside a micro-batch are sorted per key (bounded by per-user batch
-    * volume); state carries only (lastTs, count) per user.
+    * volume); state carries only (lastTs, sessionCount, eventCount) per
+    * user — the event count is CUMULATIVE across micro-batches, so every
+    * emission matches the batch [[userStats]] semantics over everything
+    * seen so far (a per-batch count would diverge after batch 1).
     */
   def streamingUserStats(
       readings: DataFrame,
@@ -78,15 +81,13 @@ object Sessionize {
         GroupStateTimeout.NoTimeout()) {
         case (user, rows, state: GroupState[SessionState]) =>
           val sorted = rows.map(_._2).toSeq.sorted
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
-          var events = 0L
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           sorted.foreach { t =>
             val isNew = st.lastTsS == Long.MinValue || t - st.lastTsS > gapSeconds
-            st = SessionState(t, st.sessions + (if (isNew) 1 else 0))
-            events += 1
+            st = SessionState(t, st.sessions + (if (isNew) 1 else 0), st.events + 1)
           }
           state.update(st)
-          Iterator(UserSessions(user, st.sessions, events))
+          Iterator(UserSessions(user, st.sessions, st.events))
       }
   }
 }

@@ -150,37 +150,45 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))
 
-  /** IVF bucket assignment: vec_id → nearest (by cosine) of the 8
-    * normalized centroids. At scale this is the partitioning key that
-    * routes vectors to executors (write `partitionBy("bucket")`).
+  /** `(vec_id, embedding, bucket)` — the IVF coarse-quantizer
+    * assignment shared by buckets/topK/index-write. The 8 centroid dot
+    * products are the dominant per-row cost; SparkEntry caches this
+    * frame so each downstream query evaluates them once.
     */
-  def ivfBuckets(embeddings: DataFrame): DataFrame = {
+  def ivfAssignments(embeddings: DataFrame): DataFrame = {
     val withSims = Centroids.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
       df.withColumn(s"s$j", expr(SparkDialect.dotConst("embedding", c)))
     }
     withSims
       .withColumn("bucket", expr(bucketCase(Centroids.length)))
-      .select(col("vec_id"), col("bucket"))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
   }
+
+  /** IVF bucket assignment: vec_id → nearest (by cosine) of the 8
+    * normalized centroids. At scale this is the partitioning key that
+    * routes vectors to executors (write `partitionBy("bucket")`).
+    */
+  def ivfBuckets(embeddings: DataFrame): DataFrame =
+    ivfBucketsFrom(ivfAssignments(embeddings))
+
+  def ivfBucketsFrom(assigned: DataFrame): DataFrame =
+    assigned.select(col("vec_id"), col("bucket")).orderBy(col("vec_id"))
 
   /** IVF search: probe ONLY the query's bucket, exact cosine inside it.
     * ~1/C of the data touched; recall is bounded by the coarse
     * quantizer (this is the standard IVF trade-off).
     */
-  def ivfTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val withSims = Centroids.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
-      df.withColumn(s"s$j", expr(SparkDialect.dotConst("embedding", c)))
-    }
-    withSims
-      .withColumn("bucket", expr(bucketCase(Centroids.length)))
+  def ivfTopK(embeddings: DataFrame, k: Int): DataFrame =
+    ivfTopKFrom(ivfAssignments(embeddings), k)
+
+  def ivfTopKFrom(assigned: DataFrame, k: Int): DataFrame =
+    assigned
       .filter(col("bucket") === QueryBucket)
       .withColumn("sim", expr(cosineToQuery(SparkDialect, "embedding")))
       .filter(col("sim").isNotNull) // zero-norm guard (see cosineToQuery)
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))
-  }
 
   /** Near-duplicate pairs via sign-LSH: candidates = pairs agreeing on
     * ≥1 of 4 bands (equi-join per band, NEVER all-pairs), verified with
@@ -188,19 +196,43 @@ object Similarity {
     * so the DuckDB oracle replays it exactly (recall of the LSH stage
     * is measured separately in SimilaritySpec).
     */
-  def lshNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val sig = (0 until LshBands)
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame =
+    lshNearDupPairsFrom(lshBanded(embeddings), embeddings, threshold)
+
+  /** `(vec_id, band0..band3)` — the sign-LSH signature frame. The 16
+    * sign-sums per row are interpreted higher-order-function expressions
+    * (deliberately: explicit 64-term codegen sums blew up janino), so
+    * they are the expensive part; SparkEntry caches this frame so the
+    * candidate self-join reads it instead of re-deriving the sums on
+    * both join sides (round-2 bench: 8 re-evaluations of the subtree).
+    */
+  def lshBanded(embeddings: DataFrame): DataFrame =
+    (0 until LshBands)
       .foldLeft(embeddings) { (df, b) =>
         df.withColumn(s"band$b", expr(bandExpr(SparkDialect, "embedding", b)))
       }
-      .select(col("vec_id") +: col("embedding") +: (0 until LshBands).map(b => col(s"band$b")): _*)
-    val cands = (0 until LshBands)
-      .map { b =>
-        val a = sig.select(col("vec_id").as("a_id"), col(s"band$b").as("bk"))
-        val bb = sig.select(col("vec_id").as("b_id"), col(s"band$b").as("bk"))
-        a.join(bb, Seq("bk")).filter(col("a_id") < col("b_id")).select(col("a_id"), col("b_id"))
-      }
-      .reduce(_ unionAll _)
+      .select(col("vec_id") +: (0 until LshBands).map(b => col(s"band$b")): _*)
+
+  /** [[lshNearDupPairs]] over a precomputed signature frame. Candidates
+    * come from ONE self-join on (band_idx, band_value) — the four bands
+    * are posexploded into rows, which replaces four per-band joins (and
+    * their four re-evaluations of the signature subtree) with a single
+    * equi-join; semantics are identical (a pair is a candidate iff it
+    * agrees on at least one band).
+    */
+  def lshNearDupPairsFrom(
+      sig: DataFrame,
+      embeddings: DataFrame,
+      threshold: Double): DataFrame = {
+    val banded = sig.select(
+      col("vec_id"),
+      posexplode(array((0 until LshBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
+    val cands = banded.as("a")
+      .join(
+        banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
     val ea = embeddings.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
     val eb = embeddings.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
@@ -219,12 +251,7 @@ object Similarity {
     * only its probed centroid partitions (1/C of the data for nprobe=1).
     */
   def writeIvfIndex(embeddings: DataFrame, path: String): Unit = {
-    val withSims = Centroids.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
-      df.withColumn(s"s$j", expr(SparkDialect.dotConst("embedding", c)))
-    }
-    withSims
-      .withColumn("bucket", expr(bucketCase(Centroids.length)))
-      .select(col("vec_id"), col("embedding"), col("bucket"))
+    ivfAssignments(embeddings)
       .write
       .mode("overwrite")
       .partitionBy("bucket")

@@ -126,13 +126,25 @@ object StreamingViews {
     spark.table(name)
   }
 
-  /** Production-shaped sink (S5): aggregation flushed per micro-batch
-    * into a partitioned parquet view table. With a lakehouse table
-    * format the `foreachBatch` body is an update-mode MERGE on
-    * (metric, geo, ts); plain parquet has no upsert, so this emits the
-    * complete view state and overwrites — idempotent under replay,
-    * which is what gives effective exactly-once on top of checkpointing
-    * (S6/S7: trigger cadence + earliest offsets are source options).
+  /** Production-shaped sink (S5): an UPDATE-mode MERGE upsert keyed on
+    * (metric, geo, ts) into a parquet view table partitioned by metric.
+    *
+    * Each micro-batch carries only the view rows whose aggregate changed
+    * in that trigger (update mode), so per-batch work is O(changed rows
+    * + size of the touched metric partitions) — NOT O(total view state),
+    * which is what a complete-mode rewrite costs and what kills this at
+    * 100 TB. The merge emulates `MERGE INTO view USING batch ON
+    * (metric, geo, ts)` on plain parquet:
+    *   keep = existing in touched partitions ⟕anti batch keys;
+    *   write (keep ∪ batch) with DYNAMIC partition overwrite — only the
+    *   metric partitions present in the batch are replaced, untouched
+    *   partitions are never rewritten (asserted in StreamingSpec).
+    * With a lakehouse format (Delta/Iceberg/Hudi) the body collapses to
+    * a real MERGE with file-level pruning; the key set and idempotence
+    * argument are identical. Replays of a checkpointed batch re-upsert
+    * the same keys with the same values — idempotent, which is what
+    * gives effective exactly-once on top of checkpointing (S6/S7:
+    * trigger cadence + earliest offsets are source options).
     */
   def materializeViews(
       spark: SparkSession,
@@ -151,16 +163,48 @@ object StreamingViews {
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q = viewStream(spark, sfDir, resolution, geoPrefixLen).writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write
-          .mode("overwrite")
-          .partitionBy("metric")
-          .parquet(outPath)
+        upsert(batch, outPath)
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** MERGE-shaped upsert of `batch` (update-mode view rows) into the
+    * metric-partitioned parquet table at `outPath`.
+    */
+  private[streaming] def upsert(batch: DataFrame, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(outPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val merged =
+      if (!exists) batch
+      else {
+        // only the touched metric partitions are even read: partition
+        // pruning on the isin filter keeps untouched partitions out of
+        // both the scan and (via dynamic overwrite) the write
+        val touched = batch.select("metric").distinct()
+          .collect().map(_.getString(0)).toSeq
+        val existing = spark.read.parquet(outPath)
+          .filter(col("metric").isin(touched: _*))
+          .select(batch.columns.map(col): _*) // partition col order back in line
+        val keep = existing.join(
+          batch.select("metric", "geo", "ts"),
+          Seq("metric", "geo", "ts"),
+          "left_anti")
+        keep.unionByName(batch)
+      }
+    // localCheckpoint cuts the plan's lineage on the files being
+    // replaced — without it the overwrite would read its own output
+    merged.localCheckpoint(eager = true)
+      .write
+      .mode("overwrite")
+      .partitionBy("metric")
+      .parquet(outPath)
   }
 }

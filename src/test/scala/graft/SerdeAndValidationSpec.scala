@@ -82,7 +82,70 @@ class SerdeAndValidationSpec extends AnyFunSuite {
       .contains("non-negative"))
   }
 
+  // ---- streaming serde (S1/S4/S7 shape minus the Kafka connector) ----
+  //
+  // The production source is readStream.format("kafka") → value bytes →
+  // ReadingJson.parse with the record timestamp as transport fallback.
+  // The connector jar isn't in this container, so the closest closable
+  // surface is a MemoryStream of (payload, transportTs) driven through
+  // the SAME parse plan — proving the serde + TSExtractor semantics
+  // (null-ts fallback, negative drop, corrupt-payload drop) hold under
+  // incremental streaming execution, not just batch.
+
+  test("streaming parse: corrupt dropped, null ts takes transport fallback, negative dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val parsed = ReadingJson.parse(mem.toDF().toDF("json", "transport"), col("json"), col("transport"))
+    val q = parsed.writeStream
+      .format("memory").queryName("stream_serde").outputMode("append").start()
+    mem.addData(
+      ("""{"metricId":"ok","timestamp":7000,"sourceId":"s1","value":1.5}""", 5000L),
+      ("""{"metricId":"fallback","value":2.0,"junk":[1,2]}""", 5000L), // null ts → transport
+      ("""{"metricId":"neg","timestamp":-42,"value":3.0}""", 5000L), // negative → drop
+      ("""this is { not json""", 5000L)) // corrupt → drop
+    q.processAllAvailable()
+    // second micro-batch: the fallback keeps working incrementally
+    mem.addData(("""{"metricId":"fallback2","value":4.0}""", 9000L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("stream_serde")
+      .select("metric", "ts").collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1).getTime).toMap
+    assert(out === Map("ok" -> 7000L, "fallback" -> 5000L, "fallback2" -> 9000L))
+  }
+
   // ---- streaming sessionization (custom state) -----------------------
+
+  test("flatMapGroupsWithState session stats stay cumulative across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = graft.sources.Tables.load(spark, Sf0001, "events")
+      .select(col("user_id").cast("long"), col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val median = events.map(_._2).sorted.apply(events.length / 2)
+    val mem = MemoryStream[(Long, Long)]
+    val q = Sessionize.streamingUserStats(mem.toDF().toDF("user_id", "ts"), 1800).writeStream
+      .format("memory").queryName("stream_sessions_mb").outputMode("update").start()
+    // event-time order across batches (per user too), so incremental
+    // session state must reproduce the one-shot batch answer
+    mem.addData(events.filter(_._2 < median).toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(events.filter(_._2 >= median).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // update mode appends every re-emission; stats are monotone, so the
+    // final value per user is the max
+    val streamed = spark.table("stream_sessions_mb")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = Sessionize.userStats(graft.sources.Tables.load(spark, Sf0001, "events"), 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(streamed.sameElements(batch))
+  }
 
   test("flatMapGroupsWithState session counts == batch window sessionization") {
     val events = graft.sources.Tables.load(spark, Sf0001, "events")

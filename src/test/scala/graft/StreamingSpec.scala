@@ -102,15 +102,38 @@ class StreamingSpec extends AnyFunSuite {
       s"late windows leaked through the watermark: $minEmitted < ~$medianSec")
   }
 
-  test("materializeViews writes a partitioned, re-readable view table") {
+  test("materializeViews MERGE-upserts: second run rewrites only touched metric partitions") {
     val tmp = Files.createTempDirectory("graft-mat").toFile.getAbsolutePath
-    StreamingViews.materializeViews(spark, Sf0001, s"$tmp/out", "day", 6, s"$tmp/ckpt")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$Sf0001/events.parquet")
+    val evDir = s"$tmp/events.parquet"
+
+    // run 1: everything except the 'error' metric
+    raw.filter(col("event_type") =!= "error").coalesce(1).write.mode("append").parquet(evDir)
+    StreamingViews.materializeViews(spark, tmp, s"$tmp/out", "day", 6, s"$tmp/ckpt")
+
+    def listing(metric: String): Seq[(String, Long, Long)] = {
+      val dir = new java.io.File(s"$tmp/out/metric=$metric")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sortBy(_._1)
+    }
+    val clickBefore = listing("click")
+    assert(clickBefore.nonEmpty)
+
+    // run 2 (same checkpoint → only the new file is processed): update
+    // mode emits 'error' keys only, so the merge must leave every other
+    // metric partition's files byte-identical
+    raw.filter(col("event_type") === "error").coalesce(1).write.mode("append").parquet(evDir)
+    StreamingViews.materializeViews(spark, tmp, s"$tmp/out", "day", 6, s"$tmp/ckpt")
+    assert(listing("click") === clickBefore, "untouched metric partition was rewritten")
+
+    // and the merged table equals the one-shot batch view over ALL events
     val written = spark.read.parquet(s"$tmp/out")
     val batch = ViewBuilder.build(
       SensorGrid.readings(spark, Sf0001),
       substring(col("gh12"), 1, 6),
       "day")
-    assert(written.count() === batch.count())
+    assert(normalize(written).sameElements(normalize(batch)))
     // partition pruning works on the sink layout
     val pruned = written.filter(col("metric") === "click")
     assert(pruned.count() === batch.filter(col("metric") === "click").count())
