@@ -478,6 +478,42 @@ object SparkEntry {
           min(col("ts").cast("long")).as("min_ts_s"))
         .orderBy(col("metric"))
     }),
+    // ---- S3 serialize wired into the gate: typed readings →
+    //      ReadingJson.serialize → ReadingJson.parse must round-trip
+    //      (parse ∘ serialize == id), checked against the events table
+    //      the readings came from ----
+    "json_roundtrip" -> ((s, d) => {
+      val typed = Tables.load(s, d, "events").select(
+        col("event_type").as("metric"),
+        col("ts"),
+        floor(col("value") * 100).cast("double").as("value"),
+        concat(lit("gh"), (col("user_id") % 32).cast("string")).as("geohash"),
+        concat(lit("s"), col("user_id").cast("string")).as("sourceId"))
+      val back = ReadingJson.parse(ReadingJson.serialize(typed), col("json"), lit(-1L))
+      back
+        .groupBy(col("metric"), col("geohash"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value")).cast("long").as("sum_cents"),
+          min(col("ts").cast("long")).as("min_ts_s"),
+          max(col("sourceId")).as("max_src"))
+        .orderBy(col("metric"), col("geohash"))
+    }),
+    // ---- multimodal REAL header decode: spec-correct PNG/WAV headers
+    //      synthesized from doc_id, parsed back by byte arithmetic; the
+    //      oracle recomputes the fields from doc_id alone, certifying
+    //      decode(encode(x)) == x over actual container bytes ----
+    "multimodal_decode" -> ((s, d) => {
+      val m = Multimodal.decodeMeta(Multimodal.synthesizeAssets(Tables.load(s, d, "documents")))
+      m.select(
+        col("id"),
+        col("meta.fmt").as("fmt"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.channels").as("channels"))
+        .orderBy(col("id"))
+    }),
     // ---- multimodal plumbing (decode step stubbed; see Multimodal) ----
     "multimodal_meta" -> ((s, d) => {
       val m = Multimodal.decodeMeta(Multimodal.assets(Tables.load(s, d, "documents")))
@@ -626,10 +662,32 @@ object SparkEntry {
         | sum(floor(value * 100)) AS sum_cents,
         | min(epoch_ns(ts) // 1000000000) AS min_ts_s
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // independent of the serde: the oracle recomputes the aggregate from
+    // the raw events, so any loss in serialize∘parse (field drop, ts
+    // shift, value corruption) breaks the hash. floor-cents sums are
+    // integral doubles → exact under any summation order.
+    "json_roundtrip" ->
+      """SELECT event_type AS metric,
+        | 'gh' || CAST(user_id % 32 AS VARCHAR) AS geohash,
+        | count(*) AS cnt,
+        | CAST(sum(floor(value * 100)) AS BIGINT) AS sum_cents,
+        | min(epoch_ns(ts) // 1000000000) AS min_ts_s,
+        | max('s' || CAST(user_id AS VARCHAR)) AS max_src
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
         | substr(sha256(text), 1, 8) AS digest8,
         | ascii(substr(text, 1, 1)) AS head
+        |FROM documents ORDER BY id""".stripMargin,
+    // independent of the byte plumbing: expected fields recomputed from
+    // doc_id arithmetic (same derivations as Multimodal.synthesizeAssets)
+    "multimodal_decode" ->
+      """SELECT doc_id AS id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS fmt,
+        | CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 1904 + 16 AS INT) END AS width,
+        | CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id * 7) % 1064 + 16 AS INT) END AS height,
+        | CASE WHEN doc_id % 2 = 1 THEN CAST(([8000,16000,22050,44100])[CAST(doc_id % 4 + 1 AS INT)] AS INT) END AS sample_rate,
+        | CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels
         |FROM documents ORDER BY id""".stripMargin)
 
   /** The full oracle map, including DATA-DEPENDENT entries whose expected

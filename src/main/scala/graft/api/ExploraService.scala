@@ -41,23 +41,64 @@ final case class SnapshotParams(
     resolution: String,
     geoIndex: String = "quadtiling")
 
-class ExploraService(readings: DataFrame) {
+/** @param viewStore when set, views are MATERIALIZED to parquet under
+  *   this path, partitioned by the first `geoPartLen` characters of the
+  *   geo key (`geo_part`) — the 100 TB layout: a snapshot/history probe
+  *   carries a `geo_part` predicate, so the scan prunes to the probed
+  *   partitions at the FILE level (PartitionFilters, asserted in
+  *   ExploraServiceSpec) instead of reading the whole view. When None,
+  *   views are kept as in-process persisted DataFrames (harness mode).
+  */
+class ExploraService(
+    readings: DataFrame,
+    viewStore: Option[String] = None,
+    geoPartLen: Int = 2) {
 
   private val viewCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, String), DataFrame]
 
+  private def geoExpr(geoIndex: String, precision: Int) = geoIndex match {
+    // prefix property: substring of a finer key IS the coarser key,
+    // for both geohashes and quadkeys (GeoKernelSpec)
+    case "quadtiling" => substring(col("qk14"), 1, precision)
+    case _            => substring(col("gh12"), 1, precision)
+  }
+
   private def view(geoIndex: String, precision: Int, resolution: String): DataFrame =
     viewCache.getOrElseUpdate(
-      (geoIndex, precision, resolution), {
-        // prefix property: substring of a finer key IS the coarser key,
-        // for both geohashes and quadkeys (GeoKernelSpec)
-        val geo = geoIndex match {
-          case "quadtiling" => substring(col("qk14"), 1, precision)
-          case _            => substring(col("gh12"), 1, precision)
-        }
-        ViewBuilder.build(readings, geo, resolution)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (geoIndex, precision, resolution),
+      viewStore match {
+        case Some(base) =>
+          val spark = readings.sparkSession
+          val path = s"$base/${geoIndex}_p${precision}_$resolution"
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p))
+            ViewBuilder.build(readings, geoExpr(geoIndex, precision), resolution)
+              .withColumn("geo_part", substring(col("geo"), 1, geoPartLen))
+              .write
+              .mode("overwrite")
+              .partitionBy("geo_part")
+              .parquet(path)
+          spark.read.parquet(path)
+        case None =>
+          ViewBuilder.build(readings, geoExpr(geoIndex, precision), resolution)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
+
+  /** Partition-level pre-filter: geo probe prefixes → `geo_part`
+    * predicate (a SUPERSET of the row-level geo predicate, which still
+    * applies afterwards). No-op for in-process views.
+    */
+  private def partPruned(v: DataFrame, prefixes: Seq[String]): DataFrame =
+    if (!v.columns.contains("geo_part") || prefixes.isEmpty) v
+    else {
+      val preds = prefixes.map(_.take(geoPartLen)).distinct.map { q =>
+        if (q.length == geoPartLen) col("geo_part") === q
+        else col("geo_part").startsWith(q) // coarser-than-partition prefix
+      }
+      v.filter(preds.reduce(_ || _))
+    }
 
   /** GET …/history equivalent (QueryingService.java:38-135). */
   def history(p: HistoryParams): DataFrame = {
@@ -78,7 +119,7 @@ class ExploraService(readings: DataFrame) {
     val geoPred = ExploraQueries.cellsPredicate(p.geohashes)
     val source =
       if (p.src == "raw") rawAsView(p.precision, res) // reference's src=raw branch (dead there, real here)
-      else view("geohashing", p.precision, res)
+      else partPruned(view("geohashing", p.precision, res), p.geohashes)
     ExploraQueries.history(source, p.metricId, geoPred, from, to, p.aggregate)
   }
 
@@ -97,7 +138,7 @@ class ExploraService(readings: DataFrame) {
         GeoHash.coverPrefixes(p.north, p.west, p.south, p.east, p.precision)
     }
     ExploraQueries.snapshot(
-      view(p.geoIndex, p.precision, p.resolution),
+      partPruned(view(p.geoIndex, p.precision, p.resolution), prefixes),
       p.metricId,
       ExploraQueries.prefixPredicate(prefixes),
       ts,

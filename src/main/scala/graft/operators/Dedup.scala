@@ -301,8 +301,13 @@ object Dedup {
     // xxhash64 of the shingle as the join key instead of the string (the
     // df-order and prefix SELECTION stay on strings, so exactness is
     // untouched; a hash collision can only ADD a candidate, and the exact
-    // Jaccard verify below filters those)
+    // Jaccard verify below filters those). PERSIST the prefix frame: a
+    // self-join otherwise duplicates its whole subtree (explode → docFreq
+    // join → window) into both sides — measured 3× the build cost at
+    // sf0.1. The persist is released by Spark's ContextCleaner once the
+    // plan's RDD is unreachable.
     val hashed = prefix.select(col("doc_id"), xxhash64(col("s")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = hashed.as("a")
       .join(hashed.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))

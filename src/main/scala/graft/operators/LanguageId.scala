@@ -24,7 +24,11 @@ object LanguageId {
     "en" -> Seq("the", "ing", "ion", "and", "ent"),
     "es" -> Seq("que", "los", "ada", "nte", "cio"),
     "fr" -> Seq("les", "que", "eur", "ent", "ais"),
-    "zh" -> Seq.empty) // han-script text never matches latin trigrams
+    // single han characters: script detection through the same
+    // replace primitive (an EMPTY profile scored 0 and could never win
+    // the argmax — every zh doc fell to the tie-break language, caught
+    // by the accuracy fixture in PipelineOpsSpec)
+    "zh" -> Seq("的", "是", "了", "在", "我"))
 
   /** Matched-character score for one language profile (dialect-shared
     * SQL: length/replace behave identically in Spark and DuckDB).

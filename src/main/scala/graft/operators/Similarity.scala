@@ -234,12 +234,28 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    val ea = embeddings.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val eb = embeddings.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    // Verify cost dominates (4-bit bands are a coarse filter: candidate
+    // count is O(pairs-in-bucket²)), so per-PAIR work is trimmed to one
+    // codegen'd dot product: norms are computed once per VECTOR (not per
+    // pair), elements are pre-cast to double once, and the dot product
+    // is an explicit 64-term left-associated sum — same association
+    // order as the HOF fold and the DuckDB chain, so the doubles stay
+    // bit-identical (one 64-term expression is fine for janino; it was
+    // 16 of them in one projection that blew up).
+    val prepped = embeddings.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"),
+      expr(s"sqrt(${SparkDialect.dotSelf("embedding")})").as("nrm"))
+    val ea = prepped.select(col("vec_id").as("a_id"), col("ed").as("ea"), col("nrm").as("na"))
+    val eb = prepped.select(col("vec_id").as("b_id"), col("ed").as("eb"), col("nrm").as("nb"))
+    val dot = (0 until Dim).map(i => s"ea[$i]*eb[$i]").mkString("0D + ", " + ", "")
     cands
-      .join(ea, "a_id")
-      .join(eb, "b_id")
-      .withColumn("sim", expr(cosinePair(SparkDialect, "ea", "eb")))
+      // vectors-per-side is O(corpus), tiny next to the candidate pair
+      // stream — broadcast them so the pairs never shuffle (at 100 TB
+      // this becomes a bucketed join on vec_id ranges instead)
+      .join(broadcast(ea), "a_id")
+      .join(broadcast(eb), "b_id")
+      .withColumn("sim", expr(s"($dot) / nullif(na * nb, 0)"))
       .filter(col("sim").isNotNull && col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
       .orderBy(col("a_id"), col("b_id"))

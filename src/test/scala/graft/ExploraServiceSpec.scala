@@ -62,6 +62,50 @@ class ExploraServiceSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_.getString(0).length == 10))
   }
 
+  test("disk-backed view store: snapshot probe prunes geo_part partitions at file level") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-viewstore").toFile.getAbsolutePath
+    // geoPartLen 5: the sf0.001 grid is all one Antwerp geohash-4 cell
+    // (u155…), so partitions only separate at the 5th character
+    val disk = new ExploraService(
+      SensorGrid.readings(spark, Sf0001).cache(), viewStore = Some(tmp), geoPartLen = 5)
+    val ts = java.time.Instant.parse("2024-01-15T07:00:00Z").toEpochMilli
+    // probe a small box around the one cell that HAS signup data that
+    // day at sf0.001 (u1555j): covers a strict subset of the geo_part
+    // partitions (pruning observable), and the non-empty result keeps
+    // AQE from collapsing the scan to EmptyRelation
+    val (clat, clon) = graft.geo.GeoHash.decode("u1555j")
+    val params = SnapshotParams(
+      "signup", "count", ts, clat + 0.01, clon - 0.01, clat - 0.01, clon + 0.01,
+      6, "day", geoIndex = "geohashing")
+
+    val probe = disk.snapshot(params)
+    // same answer as the in-process service
+    val mem = svc.snapshot(params).collect().map(_.toSeq).sortBy(_.mkString)
+    assert(mem.nonEmpty, "probe bbox/date has no data — pick one that does")
+    assert(probe.collect().map(_.toSeq).sortBy(_.mkString).sameElements(mem))
+
+    // the scan must prune on the partition column, not read-all-then-filter.
+    // AQE wraps the plan and QueryStageExec nodes are LEAVES, so unwrap
+    // both adaptive layers recursively to reach the file scan.
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansOf(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      }.flatten
+    val scans = scansOf(probe.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a parquet file scan under the disk-backed service")
+    val pf = scans.head.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("geo_part"), s"no geo_part partition filter in scan: $pf")
+    // pruning is effective: fewer partition dirs touched than exist
+    val allParts = new java.io.File(s"$tmp/geohashing_p6_day")
+      .listFiles().count(_.getName.startsWith("geo_part="))
+    assert(scans.head.selectedPartitions.partitionCount < allParts,
+      s"probe read all $allParts partitions — no pruning")
+  }
+
   test("invalid parameters are rejected before any Spark work") {
     intercept[IllegalArgumentException] {
       svc.history(HistoryParams("click", "median", gh6, 6, Some("day"), None, Some(from), to))

@@ -90,6 +90,71 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s.filter(col("avg_tok_len") <= 0 || col("avg_tok_len") > 30).count() === 0)
   }
 
+  test("language-ID accuracy ≥ 0.9 on a corpus whose text matches its labels") {
+    // the driver-provided documents table has labels uncorrelated with
+    // the text (synthetic corpus), so accuracy is unmeasurable there —
+    // this fixture gives each language its actual character distribution
+    import SparkTestBase.spark.implicits._
+    val vocab = Map(
+      "de" -> Seq("der", "schule", "und", "einfach", "ich", "nicht", "sprache", "schnell"),
+      "en" -> Seq("the", "running", "nation", "and", "entity", "thing", "motion", "present"),
+      "es" -> Seq("que", "los", "cansada", "gente", "cancion", "adelante", "ciudad", "nada"),
+      "fr" -> Seq("les", "meilleur", "lentement", "anglais", "franchement", "douceur", "jamais"),
+      "zh" -> Seq("的是", "了在", "我们", "你好", "学习"))
+    val rnd = new scala.util.Random(13)
+    val docs = (0 until 200).map { i =>
+      val lang = vocab.keys.toSeq.sorted(Ordering.String)(i % 5)
+      val words = Seq.fill(30)(vocab(lang)(rnd.nextInt(vocab(lang).size)))
+      (i.toLong, words.mkString(" "), lang)
+    }.toDF("doc_id", "text", "lang")
+    val preds = graft.operators.LanguageId.predict(docs).collect()
+    val correct = preds.count(r => r.getString(1) == r.getString(2))
+    val acc = correct.toDouble / preds.length
+    assert(acc >= 0.9, s"language-ID accuracy $acc < 0.9 on the distribution-matched corpus")
+  }
+
+  test("multimodal decode parses real PNG and WAV header bytes") {
+    import SparkTestBase.spark.implicits._
+    def bytes(hexStr: String): Array[Byte] =
+      hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // a genuine, complete 1×1 RGBA PNG file
+    val png1x1 = bytes(
+      "89504E470D0A1A0A0000000D49484452000000010000000108060000001F15C489" +
+        "0000000A49444154789C63000100000500010D0A2DB40000000049454E44AE426082")
+    // a standard 44-byte RIFF/WAVE header: PCM, stereo, 44100 Hz, 16-bit
+    val wav44 = bytes(
+      "5249464624000000" + "57415645" + "666D7420" + "10000000" + "0100" + "0200" +
+        "44AC0000" + "10B10200" + "0400" + "1000" + "6461746100000000")
+    val df = Seq((1L, "image", png1x1), (2L, "audio", wav44))
+      .toDF("id", "modality", "payload")
+    val m = Multimodal.decodeMeta(df)
+      .select(col("id"), col("meta.fmt"), col("meta.width"), col("meta.height"),
+        col("meta.sample_rate"), col("meta.channels"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getString(1) === "image/png")
+    assert(m(1L).getInt(2) === 1 && m(1L).getInt(3) === 1)
+    assert(m(1L).isNullAt(4) && m(1L).isNullAt(5))
+    assert(m(2L).getString(1) === "audio/wav")
+    assert(m(2L).isNullAt(2) && m(2L).isNullAt(3))
+    assert(m(2L).getInt(4) === 44100 && m(2L).getInt(5) === 2)
+  }
+
+  test("multimodal synthesized headers round-trip: decode(encode(doc_id)) == doc_id derivation") {
+    val out = Multimodal.decodeMeta(Multimodal.synthesizeAssets(docs.limit(50)))
+      .select(col("id"), col("meta.fmt"), col("meta.width"), col("meta.sample_rate"))
+      .collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) {
+        assert(r.getString(1) === "image/png")
+        assert(r.getInt(2) === (id % 1904 + 16).toInt)
+      } else {
+        assert(r.getString(1) === "audio/wav")
+        assert(r.getInt(3) === Seq(8000, 16000, 22050, 44100)((id % 4).toInt))
+      }
+    }
+  }
+
   test("multimodal plumbing: schema, deterministic stub meta, bounded frame sample") {
     val a = Multimodal.assets(docs.limit(20))
     val m = Multimodal.decodeMeta(a)

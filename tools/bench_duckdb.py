@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""DuckDB anchor for BASELINE.md: wall-times of the headline queries'
+oracle SQL at a given SF, so "Spark within 2x of a tuned single-node
+engine" is a checkable number instead of a shape argument.
+
+Usage: python3 tools/bench_duckdb.py [sfDir] [oracle_sql.json]
+(the json comes from a graft.Verify run; dedup_minhash_lsh is skipped --
+its oracle is a precomputed VALUES literal, not a real query)
+"""
+import json, os, sys, time
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+ORACLE = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
+HEADLINE = [
+    "q1_agg", "view_min", "history_avg", "snapshot_gh_sum",
+    "token_top20", "dedup_ngram_pairs", "dedup_minhash_pairs",
+    "similarity_topk", "embedding_neardup_lsh", "user_sessions",
+]
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(ORACLE))
+out = {}
+for name in HEADLINE:
+    sql = oracle.get(name)
+    if not sql:
+        continue
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    out[name] = round(best, 3)
+    print(f"{out[name]:8.3f}  {name}", flush=True)
+print(json.dumps({"sf": SF, "engine": "duckdb", "best_of": 3, "queries": out}))
