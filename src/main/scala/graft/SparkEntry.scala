@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Dedup, ExploraQueries, LanguageId, Multimodal, Sessionize, Similarity, TextAnalysis, ViewBuilder}
+import graft.operators.{Dedup, ExploraQueries, LanguageId, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, ViewBuilder}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -84,8 +84,15 @@ object SparkEntry {
   private def cachedView(s: SparkSession, dir: String, kind: String, res: String)(
       build: => DataFrame): DataFrame =
     cacheFor(s).getOrElseUpdate(
-      (dir, kind, res),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      (dir, kind, res), {
+        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize NOW: persist alone is lazy, and a downstream
+        // SELF-join (minhash bands, LSH candidates, prefix pairs)
+        // launches both sides concurrently — each would race to compute
+        // the not-yet-populated cache and do the full build twice
+        df.count()
+        df
+      })
 
   private def ghView(s: SparkSession, dir: String, res: String): DataFrame =
     cachedView(s, dir, "gh", res) {
@@ -478,6 +485,15 @@ object SparkEntry {
           min(col("ts").cast("long")).as("min_ts_s"))
         .orderBy(col("metric"))
     }),
+    // ---- corpus sampling + normalization dedup (training-data ops) ----
+    // deterministic content-hash sampling: rerun/backfill-stable, no RNG
+    // state, stratification-safe (audited per language)
+    "sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSampleAudit(Tables.load(s, d, "documents"), permille = 250)),
+    // case/whitespace-normalized fingerprints: duplication visible beyond
+    // byte-exact dedup, per language
+    "normalized_fingerprint" -> ((s, d) =>
+      Sampling.normalizedFingerprint(Tables.load(s, d, "documents"))),
     // ---- S3 serialize wired into the gate: typed readings →
     //      ReadingJson.serialize → ReadingJson.parse must round-trip
     //      (parse ∘ serialize == id), checked against the events table
@@ -662,6 +678,8 @@ object SparkEntry {
         | sum(floor(value * 100)) AS sum_cents,
         | min(epoch_ns(ts) // 1000000000) AS min_ts_s
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_stratified" -> Sampling.stratifiedSampleAuditSql(250),
+    "normalized_fingerprint" -> Sampling.NormalizedFingerprintSql,
     // independent of the serde: the oracle recomputes the aggregate from
     // the raw events, so any loss in serialize∘parse (field drop, ts
     // shift, value corruption) breaks the hash. floor-cents sums are

@@ -308,6 +308,8 @@ object Dedup {
     // plan's RDD is unreachable.
     val hashed = prefix.select(col("doc_id"), xxhash64(col("s")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hashed.count() // eager: the self-join's two stages would otherwise
+    // race to populate the cache and each run the full prefix subtree
     val cands = hashed.as("a")
       .join(hashed.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -350,12 +352,55 @@ object Dedup {
 
   /** Collapse near-duplicate PAIRS into clusters: every document in a
     * connected component maps to the component's minimal doc_id (the
-    * canonical survivor). Iterative min-label propagation over the edge
-    * list — each round is two joins + a groupBy (all distributed; no
-    * driver-side graph), converging in O(component diameter) rounds,
-    * which for dedup graphs (small, dense clusters) is 2-3.
+    * canonical survivor).
+    *
+    * Adaptive execution — the same trade Spark's broadcast join makes:
+    * the pair list is the OUTPUT of near-dup detection (orders of
+    * magnitude smaller than the corpus), so when it fits comfortably on
+    * the driver (≤ [[SmallGraphEdges]] edges ≈ 16 MB) a driver-side
+    * union-find answers in microseconds instead of ~10 distributed jobs
+    * of label propagation. Above the threshold the distributed
+    * [[clustersDistributed]] path runs — no driver-side graph, ever,
+    * for large inputs. Both paths compute identical components
+    * (asserted in PipelineOpsSpec).
     */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val n = pairs.count()
+    if (n <= SmallGraphEdges) clustersLocal(pairs)
+    else clustersDistributed(pairs, maxIter)
+  }
+
+  /** Driver-side graph threshold: 1M edges ≈ 16 MB of longs. */
+  val SmallGraphEdges: Long = 1L << 20
+
+  /** Union-find with path compression on collected edges; canonical id =
+    * component minimum (identical semantics to the distributed path).
+    */
+  private def clustersLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val out = parent.keys.toSeq.map(id => (id, find(id))).sortBy(_._1)
+    out.toDF("doc_id", "canonical_id").orderBy(col("doc_id"))
+  }
+
+  /** Iterative min-label propagation over the edge list — each round is
+    * two joins + a groupBy (all distributed), converging in O(component
+    * diameter) rounds, which for dedup graphs (small, dense clusters)
+    * is 2-3.
+    */
+  def clustersDistributed(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // undirected edges + self-loops keep singletons and let labels flow
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))

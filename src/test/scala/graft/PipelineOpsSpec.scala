@@ -49,6 +49,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 30L -> 20L))
   }
 
+  test("small-graph union-find path == distributed label propagation (real pairs)") {
+    val pairs = Dedup.ngramJaccardPairsPrefix(docs, 3, 0.8).persist()
+    val local = Dedup.clusters(pairs) // ≤ threshold → union-find
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val dist = Dedup.clustersDistributed(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(local.sameElements(dist))
+    assert(local.nonEmpty)
+  }
+
   test("exact dedup is idempotent and keeps minimal ids") {
     val d1 = Dedup.exact(docs)
     assert(d1.count() === docs.select(md5(col("text"))).distinct().count())
@@ -88,6 +98,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     val s = TextAnalysis.stats(docs)
     assert(s.filter(col("n_tokens") <= 0).count() === 0)
     assert(s.filter(col("avg_tok_len") <= 0 || col("avg_tok_len") > 30).count() === 0)
+  }
+
+  test("content-hash sampling: deterministic, union-distributive, rate-accurate") {
+    import graft.operators.Sampling
+    val ids = Sampling.sampleByContent(docs, 250).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // deterministic: same selection on rerun
+    assert(Sampling.sampleByContent(docs, 250).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === ids)
+    // union-distributive: sampling two shards == sampling the union
+    // (the property that makes incremental backfills safe)
+    val shardA = Sampling.sampleByContent(docs.filter(col("doc_id") % 2 === 0), 250)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val shardB = Sampling.sampleByContent(docs.filter(col("doc_id") % 2 === 1), 250)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((shardA ++ shardB) === ids)
+    // rate ≈ 250‰ (binomial tolerance at 500 docs, duplicates correlate)
+    val rate = ids.size.toDouble / docs.count()
+    assert(math.abs(rate - 0.25) < 0.08, s"sample rate $rate far from 0.25")
   }
 
   test("language-ID accuracy ≥ 0.9 on a corpus whose text matches its labels") {
