@@ -485,6 +485,30 @@ object SparkEntry {
           min(col("ts").cast("long")).as("min_ts_s"))
         .orderBy(col("metric"))
     }),
+    // ---- temporal joins (operators Spark lacks as built-ins, composed
+    //      scale-first: as-of via union+window — no nested-loop join;
+    //      range via interval binning — equi-join on the bin) ----
+    "asof_join" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("long").as("ts_s"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").cast("long").as("ts_s"))
+        .agg(round(max(col("value")), 6).as("click_val"))
+      graft.operators.TemporalJoins.asofJoin(purchases, clicks, "user_id", "ts_s", "click_val")
+        .select(col("user_id"), col("ts_s"), col("event_id"), col("asof_ts_s"), col("asof_val"))
+        .orderBy(col("event_id"))
+    }),
+    "range_join_count" -> ((s, d) => {
+      val intervals = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("interval_id"),
+        col("o_orderdate").cast("timestamp").cast("long").as("start_s"),
+        (col("o_orderdate").cast("timestamp").cast("long") + 3 * 86400).as("end_s"))
+      val items = Tables.load(s, d, "lineitem")
+        .select(col("l_shipdate").cast("timestamp").cast("long").as("ts_s"))
+      graft.operators.TemporalJoins.rangeCount(items, "ts_s", intervals, binS = 86400)
+        .orderBy(col("interval_id"))
+    }),
     // ---- corpus sampling + normalization dedup (training-data ops) ----
     // deterministic content-hash sampling: rerun/backfill-stable, no RNG
     // state, stratification-safe (audited per language)
@@ -678,6 +702,31 @@ object SparkEntry {
         | sum(floor(value * 100)) AS sum_cents,
         | min(epoch_ns(ts) // 1000000000) AS min_ts_s
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB's native ASOF JOIN is the independent oracle for the
+    // union+window composition (equal-ts matches, no-prior → NULL)
+    "asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+        |         round(max(value), 6) AS click_val
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, p.ts_s, p.event_id,
+        |       c.ts_s AS asof_ts_s, c.click_val AS asof_val
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_s >= c.ts_s
+        |ORDER BY p.event_id""".stripMargin,
+    // plain non-equi join in DuckDB vs the binned equi-join in Spark
+    "range_join_count" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey AS interval_id,
+        |         epoch_ns(o_orderdate) // 1000000000 AS start_s,
+        |         epoch_ns(o_orderdate) // 1000000000 + 259200 AS end_s
+        |  FROM orders),
+        |l AS (SELECT epoch_ns(l_shipdate) // 1000000000 AS ts_s FROM lineitem)
+        |SELECT interval_id, count(*) AS n_in_range
+        |FROM iv JOIN l ON l.ts_s >= iv.start_s AND l.ts_s <= iv.end_s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sample_stratified" -> Sampling.stratifiedSampleAuditSql(250),
     "normalized_fingerprint" -> Sampling.NormalizedFingerprintSql,
     // independent of the serde: the oracle recomputes the aggregate from

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins, composed from operators
+  * Catalyst CAN optimize — no nested-loop joins, no per-row UDFs.
+  *
+  * As-of join: the classic "latest right row at or before each left
+  * row's time, per key". The naive formulation is a non-equi join
+  * (BroadcastNestedLoopJoin — quadratic, forbidden in PlanAuditSpec);
+  * the scale shape used here is the UNION + running-`last` window:
+  * tag both sides, union, and take `last(right_value, ignoreNulls)`
+  * over (key ORDER BY ts, tag). One shuffle on the key, one sort —
+  * identical cost profile to any windowed aggregation, regardless of
+  * how many right rows precede each left row.
+  *
+  * Range join: "left rows falling inside right [start, end] windows"
+  * without an equi key. The naive form is again a nested-loop join;
+  * the scale shape is BINNING: explode each interval into the fixed
+  * time bins it overlaps, join on bin equality (a plain shuffled hash
+  * join), then post-filter the exact bounds. Join fan-out is bounded
+  * by interval-length/bin — a tunable, not a data-size quadratic.
+  */
+object TemporalJoins {
+
+  /** As-of join: for each left row, the latest `rightVal` with
+    * `right.tsS <= left.tsS` and the same `key`. Right rows must be
+    * unique per (key, tsS) — pre-aggregate if not (ties would otherwise
+    * be nondeterministic in ANY as-of implementation).
+    *
+    * Input frames: left(key, tsS, …leftCols), right(key, tsS, rightVal).
+    * Output: left columns + (asof_ts_s, asof_val), nullable when no
+    * right row precedes.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsS: String,
+      rightVal: String): DataFrame = {
+    val leftCols = left.columns
+    // tag=0 sorts before tag=1 at equal ts → a right row AT the left
+    // row's exact ts counts as "at or before" (ASOF >= semantics)
+    val l = left.withColumn("_tag", lit(1))
+      .withColumn("_rts", lit(null).cast("long"))
+      .withColumn("_rval", lit(null).cast(right.schema(rightVal).dataType))
+    val r = right.select(
+      col(key) +: right.columns.filterNot(_ == key).map(col): _*)
+      .withColumn("_tag", lit(0))
+      .withColumnRenamed(tsS, "_rts0")
+      .withColumn(tsS, col("_rts0"))
+      .withColumn("_rts", col("_rts0"))
+      .withColumnRenamed(rightVal, "_rval")
+      .drop("_rts0")
+    val unioned = l.select(
+      (Seq(key, tsS, "_tag", "_rts", "_rval") ++
+        leftCols.filterNot(c => c == key || c == tsS)).map(col): _*)
+      .unionByName(
+        r.select(Seq(key, tsS, "_tag", "_rts", "_rval").map(col): _*)
+          .withColumns(
+            leftCols.filterNot(c => c == key || c == tsS)
+              .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsS), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof_ts_s", last(col("_rts"), ignoreNulls = true).over(w))
+      .withColumn("asof_val", last(col("_rval"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .drop("_tag", "_rts", "_rval")
+  }
+
+  /** Binned range join + count: for each right interval
+    * `[startS, endS]` (inclusive), the number of left rows with
+    * `startS <= left.tsS <= endS`. `binS` controls join fan-out:
+    * each interval joins only its ceil(len/binS)+1 bins.
+    */
+  def rangeCount(
+      left: DataFrame,
+      tsS: String,
+      intervals: DataFrame, // (interval_id, start_s, end_s)
+      binS: Long): DataFrame = {
+    val binned = left.withColumn("_bin", (col(tsS) / binS).cast("long"))
+    val exploded = intervals.withColumn(
+      "_bin",
+      explode(expr(s"sequence(CAST(start_s / $binS AS LONG), CAST(end_s / $binS AS LONG))")))
+    exploded
+      .join(binned, Seq("_bin")) // plain shuffled/broadcast hash join
+      .filter(col(tsS) >= col("start_s") && col(tsS) <= col("end_s"))
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_in_range"))
+  }
+}
