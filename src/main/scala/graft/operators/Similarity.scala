@@ -1,7 +1,9 @@
 package graft.operators
 
+import graft.functions.{FloatDotConstExpr, FloatDotSelfExpr}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
 
 /** Similarity search over an embedding column (`array<float>`, 64-d).
   *
@@ -24,11 +26,14 @@ object Similarity {
   val Dim = 64
 
   /** Expression dialect. Both emit a strict LEFT fold seeded with 0.0
-    * over the same term order, so the doubles agree bit-for-bit:
-    * Spark uses higher-order functions (`aggregate`/`zip_with` — small
-    * expression trees; the 64-term explicit sums made Catalyst/janino
-    * compile multi-MB codegen units), DuckDB uses the explicit
-    * `0 + t1 + t2 + …` chain (its list_sum order is unspecified).
+    * over the same term order, so the doubles agree bit-for-bit.
+    * DuckDB uses the explicit `0 + t1 + t2 + …` chain (its list_sum
+    * order is unspecified). SparkDialect (higher-order functions) is
+    * the REFERENCE formulation the production path is checked against:
+    * the hot path now runs the native codegen kernels
+    * (graft.functions.VectorKernels, same left-fold order — tight
+    * generated loop instead of per-row closure allocation), and
+    * PipelineOpsSpec asserts kernel == HOF bit-for-bit.
     */
   sealed trait Dialect {
     def dotConst(col: String, v: Array[Double]): String
@@ -97,6 +102,30 @@ object Similarity {
   def cosineToQuery(d: Dialect, col: String): String =
     s"((${d.dotConst(col, QueryVec)}) / nullif(sqrt(${d.dotSelf(col)}) * $QueryNorm, 0))"
 
+  // ---- Spark Column surface: native codegen kernels ------------------
+  // (graft.functions.VectorKernels — tight generated loops with the SAME
+  // left-fold association as the HOF dialect above and the DuckDB chain;
+  // SimilaritySpec asserts bit-equality against the HOF formulation)
+
+  private def dotConstCol(c: Column, v: Array[Double]): Column =
+    Shim.column(FloatDotConstExpr(Shim.expression(c), v.toSeq))
+
+  private def dotSelfCol(c: Column): Column =
+    Shim.column(FloatDotSelfExpr(Shim.expression(c)))
+
+  /** Codegen cosine(col, QueryVec) — same values as
+    * `cosineToQuery(SparkDialect, …)`, minus the per-row closure churn.
+    */
+  def cosineToQueryCol(c: Column): Column =
+    dotConstCol(c, QueryVec) / nullif(sqrt(dotSelfCol(c)) * lit(QueryNorm), lit(0d))
+
+  /** Codegen band value (4 sign bits) for [[lshBanded]]. */
+  private def bandCol(c: Column, band: Int): Column =
+    (0 until LshRowsPerBand).map { r =>
+      val plane = Planes(band * LshRowsPerBand + r).map(_.toDouble)
+      when(dotConstCol(c, plane) > 0, 1).otherwise(0) * (1 << (LshRowsPerBand - 1 - r))
+    }.reduce(_ + _)
+
   /** cosine(a, b) — same zero-norm protection. */
   def cosinePair(d: Dialect, a: String, b: String): String =
     s"((${d.dotPair(a, b)}) / nullif(sqrt(${d.dotSelf(a)}) * sqrt(${d.dotSelf(b)}), 0))"
@@ -142,7 +171,7 @@ object Similarity {
     */
   def topK(embeddings: DataFrame, k: Int): DataFrame =
     embeddings
-      .withColumn("sim", expr(cosineToQuery(SparkDialect, "embedding")))
+      .withColumn("sim", cosineToQueryCol(col("embedding")))
       // zero-norm embeddings cosine to NULL (see cosineToQuery) and must
       // never appear in a ranking
       .filter(col("sim").isNotNull)
@@ -157,7 +186,7 @@ object Similarity {
     */
   def ivfAssignments(embeddings: DataFrame): DataFrame = {
     val withSims = Centroids.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
-      df.withColumn(s"s$j", expr(SparkDialect.dotConst("embedding", c)))
+      df.withColumn(s"s$j", dotConstCol(col("embedding"), c))
     }
     withSims
       .withColumn("bucket", expr(bucketCase(Centroids.length)))
@@ -184,7 +213,7 @@ object Similarity {
   def ivfTopKFrom(assigned: DataFrame, k: Int): DataFrame =
     assigned
       .filter(col("bucket") === QueryBucket)
-      .withColumn("sim", expr(cosineToQuery(SparkDialect, "embedding")))
+      .withColumn("sim", cosineToQueryCol(col("embedding")))
       .filter(col("sim").isNotNull) // zero-norm guard (see cosineToQuery)
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
@@ -209,7 +238,7 @@ object Similarity {
   def lshBanded(embeddings: DataFrame): DataFrame =
     (0 until LshBands)
       .foldLeft(embeddings) { (df, b) =>
-        df.withColumn(s"band$b", expr(bandExpr(SparkDialect, "embedding", b)))
+        df.withColumn(s"band$b", bandCol(col("embedding"), b))
       }
       .select(col("vec_id") +: (0 until LshBands).map(b => col(s"band$b")): _*)
 
@@ -245,7 +274,7 @@ object Similarity {
     val prepped = embeddings.select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"),
-      expr(s"sqrt(${SparkDialect.dotSelf("embedding")})").as("nrm"))
+      sqrt(dotSelfCol(col("embedding"))).as("nrm"))
     val ea = prepped.select(col("vec_id").as("a_id"), col("ed").as("ea"), col("nrm").as("na"))
     val eb = prepped.select(col("vec_id").as("b_id"), col("ed").as("eb"), col("nrm").as("nb"))
     val dot = (0 until Dim).map(i => s"ea[$i]*eb[$i]").mkString("0D + ", " + ", "")
@@ -290,7 +319,7 @@ object Similarity {
     spark.read
       .parquet(path)
       .filter(col("bucket").isin(probed: _*))
-      .withColumn("sim", expr(cosineToQuery(SparkDialect, "embedding")))
+      .withColumn("sim", cosineToQueryCol(col("embedding")))
       .filter(col("sim").isNotNull) // zero-norm guard (see cosineToQuery)
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)

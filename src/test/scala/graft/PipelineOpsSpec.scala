@@ -100,6 +100,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s.filter(col("avg_tok_len") <= 0 || col("avg_tok_len") > 30).count() === 0)
   }
 
+  test("codegen vector kernels == HOF reference formulation bit-for-bit") {
+    // the native FloatDot* expressions must reproduce the interpreted
+    // higher-order-function fold EXACTLY (same left association), or
+    // every similarity oracle silently drifts
+    val hofCos = emb.selectExpr(
+      "vec_id",
+      s"${Similarity.cosineToQuery(Similarity.SparkDialect, "embedding")} AS sim")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val cgCos = emb.select(col("vec_id"), Similarity.cosineToQueryCol(col("embedding")).as("sim"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)))
+    assert(cgCos.nonEmpty)
+    cgCos.foreach { case (id, v) => assert(v === hofCos(id), s"cosine mismatch for vec $id") }
+
+    val hofBands = (0 until Similarity.LshBands).foldLeft(emb) { (df, b) =>
+      df.withColumn(s"band$b", expr(Similarity.bandExpr(Similarity.SparkDialect, "embedding", b)))
+    }.select("vec_id", "band0", "band1", "band2", "band3")
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    Similarity.lshBanded(emb).collect().foreach { r =>
+      assert((1 to 4).map(r.getInt) === hofBands(r.getLong(0)))
+    }
+  }
+
   test("content-hash sampling: deterministic, union-distributive, rate-accurate") {
     import graft.operators.Sampling
     val ids = Sampling.sampleByContent(docs, 250).select("doc_id")
