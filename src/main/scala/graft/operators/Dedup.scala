@@ -47,7 +47,8 @@ object Dedup {
     * exactly this recompute).
     */
   def shingleSets(docs: DataFrame, n: Int): DataFrame =
-    withShingles(docs, n).select(col("doc_id"), col("shingles"))
+    withShingles(graft.sources.Tables.fanOut(docs), n)
+      .select(col("doc_id"), col("shingles"))
 
   private def explodeShingles(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), explode(col("shingles")).as("s"))
@@ -481,7 +482,10 @@ object Dedup {
     * per-token contributions; 16 bits packed MSB-first.
     */
   def simhash16(docs: DataFrame): DataFrame = {
-    val tok = withTokens(docs)
+    // per-distinct-token md5 dominates and runs BEFORE the first
+    // exchange — fan the scan out so it isn't single-task on the
+    // one-file test corpus
+    val tok = withTokens(graft.sources.Tables.fanOut(docs))
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tk"))
       .withColumn("h", md5(col("tk")))
     val sums = (0 until 16).map(b => sum(expr(bitContrib(b))).as(s"c$b"))

@@ -79,13 +79,26 @@ object Similarity {
     raw.map(_ / n)
   }
 
-  /** 16 random-sign hyperplanes (seeded) for sign-LSH: 4 bands × 4 bits. */
+  /** 64 random-sign hyperplanes (seeded) for sign-LSH: 8 bands × 8 bits.
+    *
+    * Band width bounds candidate cost: expected candidates ≈
+    * bands · n²/2^bits, so 8-bit bands cut the self-join fan-out 16×
+    * vs the earlier 4-bit bands (which at 50k vectors produced ~300M
+    * candidate rows — a disguised all-pairs). Recall at genuine
+    * near-dup similarity stays high (cos ≥ 0.9 → per-bit agreement
+    * p = 1 − acos(0.9)/π ≈ 0.856, band hit p⁸ ≈ 0.29, eight bands →
+    * 1−(1−0.29)⁸ ≈ 0.93; asserted on planted near-dups in
+    * SimilaritySpec). Weakly-similar pairs (cos ≈ 0.4) are found with
+    * correspondingly lower probability — the correct LSH trade-off;
+    * catching weak pairs cheaply is what the coarse 4-bit setting
+    * pretended to do by brute-forcing 16 giant buckets.
+    */
   val Planes: Array[Array[Int]] = {
     val rnd = new scala.util.Random(7)
-    Array.fill(16)(Array.fill(Dim)(rnd.nextInt(2) * 2 - 1))
+    Array.fill(64)(Array.fill(Dim)(rnd.nextInt(2) * 2 - 1))
   }
-  val LshBands = 4
-  val LshRowsPerBand = 4
+  val LshBands = 8
+  val LshRowsPerBand = 8
 
   /** ||QueryVec|| with the same fold order as the generated sums. */
   val QueryNorm: Double =
@@ -220,20 +233,20 @@ object Similarity {
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))
 
   /** Near-duplicate pairs via sign-LSH: candidates = pairs agreeing on
-    * ≥1 of 4 bands (equi-join per band, NEVER all-pairs), verified with
-    * exact cosine ≥ `threshold`. Candidate generation is deterministic,
-    * so the DuckDB oracle replays it exactly (recall of the LSH stage
-    * is measured separately in SimilaritySpec).
+    * ≥1 of [[LshBands]] bands (equi-join per band, NEVER all-pairs),
+    * verified with exact cosine ≥ `threshold`. Candidate generation is
+    * deterministic, so the DuckDB oracle replays it exactly (recall of
+    * the LSH stage on planted near-dups is measured separately in
+    * PipelineOpsSpec).
     */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame =
     lshNearDupPairsFrom(lshBanded(embeddings), embeddings, threshold)
 
-  /** `(vec_id, band0..band3)` — the sign-LSH signature frame. The 16
-    * sign-sums per row are interpreted higher-order-function expressions
-    * (deliberately: explicit 64-term codegen sums blew up janino), so
-    * they are the expensive part; SparkEntry caches this frame so the
-    * candidate self-join reads it instead of re-deriving the sums on
-    * both join sides (round-2 bench: 8 re-evaluations of the subtree).
+  /** `(vec_id, band0..band{n-1})` — the sign-LSH signature frame. The
+    * 64 sign-plane dot products per row are the expensive part;
+    * SparkEntry caches this frame so the candidate self-join reads it
+    * instead of re-deriving the sums on both join sides (round-2
+    * bench: 8 re-evaluations of the subtree).
     */
   def lshBanded(embeddings: DataFrame): DataFrame =
     (0 until LshBands)

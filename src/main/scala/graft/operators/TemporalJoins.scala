@@ -82,7 +82,17 @@ object TemporalJoins {
       tsS: String,
       intervals: DataFrame, // (interval_id, start_s, end_s)
       binS: Long): DataFrame = {
-    val binned = left.withColumn("_bin", (col(tsS) / binS).cast("long"))
+    // COUNT only needs (ts, multiplicity), so collapse left to one row
+    // per (bin, distinct ts) BEFORE the join: join fan-out becomes
+    // distinct-ts-per-bin × intervals-per-bin instead of
+    // rows-per-bin × intervals-per-bin. On timestamp-skewed data (e.g.
+    // date-valued ts) that is orders of magnitude; it never loses
+    // (aggregate-before-join is monotone in input size).
+    val binned = left
+      .select(col(tsS))
+      .withColumn("_bin", (col(tsS) / binS).cast("long"))
+      .groupBy(col("_bin"), col(tsS))
+      .agg(count(lit(1)).as("_n"))
     val exploded = intervals.withColumn(
       "_bin",
       explode(expr(s"sequence(CAST(start_s / $binS AS LONG), CAST(end_s / $binS AS LONG))")))
@@ -90,6 +100,6 @@ object TemporalJoins {
       .join(binned, Seq("_bin")) // plain shuffled/broadcast hash join
       .filter(col(tsS) >= col("start_s") && col(tsS) <= col("end_s"))
       .groupBy(col("interval_id"))
-      .agg(count(lit(1)).as("n_in_range"))
+      .agg(sum(col("_n")).cast("long").as("n_in_range"))
   }
 }

@@ -110,7 +110,9 @@ object TextAnalysis {
     * overlapping docs).
     */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs
+    // the per-token md5 fold is the whole cost and sits before any
+    // exchange — fan out the one-file test scan (no-op on real corpora)
+    graft.sources.Tables.fanOut(docs)
       .withColumn("toks", expr(toks))
       .select(col("doc_id"), expr("array_min(transform(toks, x -> md5(x)))").as("fp"))
       .orderBy(col("doc_id"))

@@ -35,4 +35,18 @@ object Tables {
       else d
     }
   }
+
+  /** Spread a narrow compute-heavy stage across the cluster when the
+    * scan gives too few input splits. The test corpus is ONE sub-MB
+    * parquet file → one partition, so every per-row md5/shingle stage
+    * before the first exchange ran on a single task (this was the
+    * round-2 "md5-family bench blowup"). A real 100 TB corpus has
+    * thousands of splits and takes the `df` branch — the shuffle is
+    * never paid where scan parallelism already exists.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(target / 2, 2)) df
+    else df.repartition(target)
+  }
 }

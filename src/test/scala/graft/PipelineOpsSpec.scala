@@ -113,12 +113,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cgCos.nonEmpty)
     cgCos.foreach { case (id, v) => assert(v === hofCos(id), s"cosine mismatch for vec $id") }
 
-    val hofBands = (0 until Similarity.LshBands).foldLeft(emb) { (df, b) =>
+    val nb = Similarity.LshBands
+    val hofBands = (0 until nb).foldLeft(emb) { (df, b) =>
       df.withColumn(s"band$b", expr(Similarity.bandExpr(Similarity.SparkDialect, "embedding", b)))
-    }.select("vec_id", "band0", "band1", "band2", "band3")
-      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    }.select(col("vec_id") +: (0 until nb).map(b => col(s"band$b")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to nb).map(r.getInt)).toMap
     Similarity.lshBanded(emb).collect().foreach { r =>
-      assert((1 to 4).map(r.getInt) === hofBands(r.getLong(0)))
+      assert((1 to nb).map(r.getInt) === hofBands(r.getLong(0)))
     }
   }
 
