@@ -151,6 +151,34 @@ object SparkEntry {
       Similarity.ivfAssignments(Tables.load(s, dir, "embeddings"))
     }
 
+  /** Eagerly materialize every shared cached frame, timed per cache.
+    *
+    * Bench calls this so one-time shared builds (views, shingles,
+    * signatures, IVF assignments) are charged ONCE as an explicit,
+    * visible setup phase — instead of silently charged to whichever
+    * consumer query happens to sort first in the run (round-2/3 benches
+    * attributed ~30 s of shared shingle+signature builds to
+    * `dedup_clusters`/`dedup_minhash_sig` purely by iteration order).
+    */
+  def warmShared(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val builds: Seq[(String, () => Any)] = Seq(
+      "view_gh_min" -> (() => ghView(s, dir, "min")),
+      "view_gh_hour" -> (() => ghView(s, dir, "hour")),
+      "view_gh_day" -> (() => ghView(s, dir, "day")),
+      "view_gh_month" -> (() => ghView(s, dir, "month")),
+      "view_quad_day" -> (() => quadView(s, dir, "day")),
+      "doc_shingles" -> (() => docShingles(s, dir)),
+      "md5_sig16" -> (() => mdSig16(s, dir)),
+      "ngram_pairs" -> (() => ngramPairs(s, dir)),
+      "lsh_sig" -> (() => lshSig(s, dir)),
+      "ivf_assign" -> (() => ivfAssigned(s, dir)))
+    builds.map { case (name, f) =>
+      val t0 = System.nanoTime()
+      f()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+  }
+
   /** View presentation row (FIXTURES.md §A2) with the shared conventions. */
   private def presentView(v: DataFrame): DataFrame =
     v.select(

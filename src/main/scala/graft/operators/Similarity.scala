@@ -118,7 +118,7 @@ object Similarity {
   // ---- Spark Column surface: native codegen kernels ------------------
   // (graft.functions.VectorKernels — tight generated loops with the SAME
   // left-fold association as the HOF dialect above and the DuckDB chain;
-  // SimilaritySpec asserts bit-equality against the HOF formulation)
+  // PipelineOpsSpec asserts bit-equality against the HOF formulation)
 
   private def dotConstCol(c: Column, v: Array[Double]): Column =
     Shim.column(FloatDotConstExpr(Shim.expression(c), v.toSeq))
@@ -132,7 +132,7 @@ object Similarity {
   def cosineToQueryCol(c: Column): Column =
     dotConstCol(c, QueryVec) / nullif(sqrt(dotSelfCol(c)) * lit(QueryNorm), lit(0d))
 
-  /** Codegen band value (4 sign bits) for [[lshBanded]]. */
+  /** Codegen band value ([[LshRowsPerBand]] sign bits) for [[lshBanded]]. */
   private def bandCol(c: Column, band: Int): Column =
     (0 until LshRowsPerBand).map { r =>
       val plane = Planes(band * LshRowsPerBand + r).map(_.toDouble)
@@ -147,7 +147,7 @@ object Similarity {
   def signBit(d: Dialect, col: String, p: Array[Int]): String =
     s"(CASE WHEN (${d.signSum(col, p)}) > 0 THEN 1 ELSE 0 END)"
 
-  /** Band value from 4 sign bits (b = band index). */
+  /** Band value from [[LshRowsPerBand]] sign bits (b = band index). */
   def bandExpr(d: Dialect, col: String, band: Int): String = {
     val bits =
       (0 until LshRowsPerBand).map(r => signBit(d, col, Planes(band * LshRowsPerBand + r)))
@@ -237,7 +237,7 @@ object Similarity {
     * verified with exact cosine ≥ `threshold`. Candidate generation is
     * deterministic, so the DuckDB oracle replays it exactly (recall of
     * the LSH stage on planted near-dups is measured separately in
-    * PipelineOpsSpec).
+    * SimilaritySpec, which plants perturbed copies and asserts recall).
     */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame =
     lshNearDupPairsFrom(lshBanded(embeddings), embeddings, threshold)
@@ -256,11 +256,11 @@ object Similarity {
       .select(col("vec_id") +: (0 until LshBands).map(b => col(s"band$b")): _*)
 
   /** [[lshNearDupPairs]] over a precomputed signature frame. Candidates
-    * come from ONE self-join on (band_idx, band_value) — the four bands
-    * are posexploded into rows, which replaces four per-band joins (and
-    * their four re-evaluations of the signature subtree) with a single
-    * equi-join; semantics are identical (a pair is a candidate iff it
-    * agrees on at least one band).
+    * come from ONE self-join on (band_idx, band_value) — the
+    * [[LshBands]] bands are posexploded into rows, which replaces the
+    * per-band joins (and their re-evaluations of the signature subtree)
+    * with a single equi-join; semantics are identical (a pair is a
+    * candidate iff it agrees on at least one band).
     */
   def lshNearDupPairsFrom(
       sig: DataFrame,
@@ -276,8 +276,8 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    // Verify cost dominates (4-bit bands are a coarse filter: candidate
-    // count is O(pairs-in-bucket²)), so per-PAIR work is trimmed to one
+    // Verify cost dominates (candidate count is O(pairs-in-bucket²)
+    // summed over the band buckets), so per-PAIR work is trimmed to one
     // codegen'd dot product: norms are computed once per VECTOR (not per
     // pair), elements are pre-cast to double once, and the dot product
     // is an explicit 64-term left-associated sum — same association

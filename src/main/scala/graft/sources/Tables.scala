@@ -45,8 +45,28 @@ object Tables {
     * never paid where scan parallelism already exists.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(target / 2, 2)) df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Estimate scan splits from FILE METADATA only. `df.rdd` here would
+    // force physical planning and, under AQE, eagerly execute any
+    // upstream shuffle stages at plan-construction time — a latent
+    // hazard if fanOut ever wraps a derived frame (ADVICE round 3).
+    // inputFiles walks the logical plan without running a job.
+    val files = df.inputFiles
+    val estSplits =
+      if (files.isEmpty) Int.MaxValue // not a file scan: leave partitioning alone
+      else {
+        val maxSplit = math.max(spark.sessionState.conf.filesMaxPartitionBytes, 1L)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val totalBytes = files.iterator.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          try p.getFileSystem(hconf).getFileStatus(p).getLen
+          catch { case _: java.io.IOException => 0L }
+        }.sum
+        // each file is >=1 split; a big file contributes ceil(len/maxSplit)
+        math.max(files.length.toLong, (totalBytes + maxSplit - 1) / maxSplit)
+      }
+    if (estSplits >= math.max(target / 2, 2)) df
     else df.repartition(target)
   }
 }

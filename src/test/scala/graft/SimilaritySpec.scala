@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empirical recall of the sign-LSH near-dup pipeline on PLANTED
+  * near-duplicates (the test Similarity.scala's band-width analysis
+  * promises: cos ≥ 0.9 pairs should survive the 8-bit × 8-band candidate
+  * stage with probability ≈ 0.93, so measured recall on a planted set
+  * must stay well above the weak-similarity regime).
+  *
+  * The analytical number is an EXPECTATION over random hyperplanes; the
+  * planes here are fixed (seed 7), so we assert a conservative floor
+  * (≥ 0.85) rather than the mean. A 4-bit→8-bit band regression (or any
+  * future band-shape change that tanks mid-similarity recall) trips this
+  * before it ships.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val Dim = Similarity.Dim
+
+  /** Deterministic base vector (unit-ish scale, varied direction). */
+  private def baseVec(rnd: scala.util.Random): Array[Float] =
+    Array.fill(Dim)((rnd.nextDouble() * 2 - 1).toFloat)
+
+  /** Perturb v so that cos(v, v') lands near `target` (mix with an
+    * orthogonalized random direction).
+    */
+  private def perturb(v: Array[Float], target: Double, rnd: scala.util.Random): Array[Float] = {
+    val r = Array.fill(Dim)(rnd.nextDouble() * 2 - 1)
+    val vd = v.map(_.toDouble)
+    val nv = math.sqrt(vd.map(x => x * x).sum)
+    val proj = vd.indices.foldLeft(0.0)((a, i) => a + vd(i) * r(i)) / (nv * nv)
+    val orth = r.indices.map(i => r(i) - proj * vd(i)).toArray
+    val no = math.sqrt(orth.map(x => x * x).sum)
+    val s = math.sin(math.acos(target))
+    vd.indices.map(i => (target * vd(i) / nv + s * orth(i) / no).toFloat).toArray
+  }
+
+  private def cosExact(a: Array[Float], b: Array[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val dot = ad.indices.foldLeft(0.0)((acc, i) => acc + ad(i) * bd(i))
+    dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+  }
+
+  private def toDf(rows: Seq[(Long, Array[Float])]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) => Row(id, v.toSeq) }, 4),
+      schema)
+  }
+
+  test("sign-LSH finds >=85% of planted cos>=0.9 near-dup pairs") {
+    val rnd = new scala.util.Random(42)
+    val nPlanted = 120
+    val nNoise = 300
+    // planted pairs: base i (id 2i) + perturbed copy (id 2i+1), target cos 0.92
+    val planted = (0 until nPlanted).flatMap { i =>
+      val v = baseVec(rnd)
+      Seq((2L * i, v), (2L * i + 1, perturb(v, 0.92, rnd)))
+    }
+    val noise = (0 until nNoise).map(i => (100000L + i, baseVec(rnd)))
+    val all = planted ++ noise
+
+    // ground truth: planted pairs whose EXACT cosine is >= 0.9 (the
+    // perturbation targets 0.92 but float rounding scatters slightly)
+    val byId = all.toMap
+    val truth = (0 until nPlanted)
+      .map(i => (2L * i, 2L * i + 1))
+      .filter { case (a, b) => cosExact(byId(a), byId(b)) >= 0.9 }
+      .toSet
+    assert(truth.size > 80, s"fixture degenerate: only ${truth.size} true pairs")
+
+    val found = Similarity.lshNearDupPairs(toDf(all), 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+
+    // precision is structurally 1.0 (exact verify after candidates);
+    // anything reported must be a genuinely-similar pair
+    val plantedFound = truth.intersect(found)
+    val recall = plantedFound.size.toDouble / truth.size
+    info(f"planted-pair recall = $recall%.3f (${plantedFound.size}/${truth.size})")
+    assert(recall >= 0.85, f"sign-LSH recall regressed: $recall%.3f < 0.85")
+
+    // every reported pair must actually verify at the exact threshold
+    found.foreach { case (a, b) =>
+      val c = cosExact(byId(a), byId(b))
+      assert(c >= 0.9 - 1e-6, s"pair ($a,$b) reported with exact cos $c < 0.9")
+    }
+  }
+
+  test("weak pairs (cos ~= 0.4) are mostly filtered by the bands") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 100).flatMap { i =>
+      val v = baseVec(rnd)
+      Seq((2L * i, v), (2L * i + 1, perturb(v, 0.4, rnd)))
+    }
+    // threshold 0.3 would ACCEPT a cos-0.4 pair if it ever became a
+    // candidate — so surviving pairs measure the candidate stage, not
+    // the verify stage. Expected band-hit rate at cos 0.4:
+    // p = 1-acos(0.4)/pi ~= 0.63, band p^8 ~= 0.025, 8 bands -> ~18%.
+    val found = Similarity.lshNearDupPairs(toDf(rows), 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .count { case (a, b) => b == a + 1 && a % 2 == 0 }
+    info(s"weak pairs surviving candidates: $found/100")
+    assert(found < 50, s"bands pass too many weak pairs ($found/100) — band width regressed?")
+  }
+}
