@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Dedup, ExploraQueries, LanguageId, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, ViewBuilder}
+import graft.operators.{Curation, Dedup, ExploraQueries, LanguageId, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, ViewBuilder}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -582,6 +582,16 @@ object SparkEntry {
         col("meta.channels").as("channels"))
         .orderBy(col("id"))
     }),
+    // ---- curation: chunking, PII redaction, inverted index ----
+    // fixed-window overlapping chunking (window 120 / stride 90): the
+    // standard pre-tokenization shape; narrow flatMap, no shuffle
+    "doc_chunks" -> ((s, d) => Curation.chunkDocs(Tables.load(s, d, "documents"))),
+    // synthesize deterministic PII into the corpus (both engines
+    // identically), then count + redact + digest — the redaction
+    // operator runs on real string content
+    "pii_redact" -> ((s, d) => Curation.piiAudit(Tables.load(s, d, "documents"))),
+    // token -> posting-list digest + df + occurrences (two-level agg)
+    "inverted_index" -> ((s, d) => Curation.invertedIndex(Tables.load(s, d, "documents"))),
     // ---- multimodal plumbing (decode step stubbed; see Multimodal) ----
     "multimodal_meta" -> ((s, d) => {
       val m = Multimodal.decodeMeta(Multimodal.assets(Tables.load(s, d, "documents")))
@@ -757,6 +767,9 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sample_stratified" -> Sampling.stratifiedSampleAuditSql(250),
     "normalized_fingerprint" -> Sampling.NormalizedFingerprintSql,
+    "doc_chunks" -> Curation.chunkDocsSql(),
+    "pii_redact" -> Curation.PiiAuditSql,
+    "inverted_index" -> Curation.InvertedIndexSql,
     // independent of the serde: the oracle recomputes the aggregate from
     // the raw events, so any loss in serialize∘parse (field drop, ts
     // shift, value corruption) breaks the hash. floor-cents sums are
