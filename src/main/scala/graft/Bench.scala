@@ -71,11 +71,23 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
-    // setup phase: shared caches, timed explicitly
-    val setup: Seq[(String, Double)] =
-      try SparkEntry.warmShared(spark, sfDir)
-      catch { case _: Throwable => Seq.empty }
-    val setupSec = setup.map(_._2).sum
+    // setup phase: shared caches, timed explicitly. A build that throws
+    // is recorded under setup_errors (partial setup timings are kept) —
+    // never silently dropped (ADVICE round 4): a zero-cost setup phase
+    // must mean "nothing to build", not "everything failed".
+    val setupTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val setupErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.sharedBuilds(spark, sfDir).foreach { case (name, f) =>
+      val t0 = System.nanoTime()
+      try {
+        f()
+        setupTimes(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          setupErrors(name) = s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(160))}"
+      }
+    }
+    val setupSec = setupTimes.values.sum
 
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -95,20 +107,27 @@ object Bench {
       }
       passSum
     }
+    // A query that failed in ANY pass is an error, full stop: it leaves
+    // `queries`/`value` entirely (its lucky-pass min would undercount
+    // the suite, and its failed pass contributed 0 s to that
+    // pass_total, making the two views disagree — ADVICE round 4).
+    errors.keys.foreach(best.remove)
 
     def jmap(xs: Iterable[(String, Double)]): String =
       xs.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    def jerr(xs: Iterable[(String, String)]): String =
+      xs.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = setupSec + best.values.sum
     val onlyField = only.fold("")(f => s""""only":"${esc(f.toSeq.sorted.mkString(","))}",""")
     println(
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
-        s""""queries":${jmap(best)},"setup":${jmap(setup)},""" +
+        s""""queries":${jmap(best)},"setup":${jmap(setupTimes)},""" +
         s""""setup_sec":${"%.3f".format(setupSec)},""" +
+        s""""setup_errors":${jerr(setupErrors)},""" +
         s""""passes":$passes,"pass_totals":[${passTotals.map("%.3f".format(_)).mkString(",")}],""" +
         s"""$onlyField"n_queries":${selected.size},""" +
-        s""""errors":$es,"n_errors":${errors.size},"sf":"${esc(sfDir)}"}""")
+        s""""errors":${jerr(errors)},"n_errors":${errors.size + setupErrors.size},"sf":"${esc(sfDir)}"}""")
     spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    if (errors.nonEmpty || setupErrors.nonEmpty) sys.exit(1)
   }
 }

@@ -160,8 +160,18 @@ object SparkEntry {
     * attributed ~30 s of shared shingle+signature builds to
     * `dedup_clusters`/`dedup_minhash_sig` purely by iteration order).
     */
-  def warmShared(s: SparkSession, dir: String): Seq[(String, Double)] = {
-    val builds: Seq[(String, () => Any)] = Seq(
+  def warmShared(s: SparkSession, dir: String): Seq[(String, Double)] =
+    sharedBuilds(s, dir).map { case (name, f) =>
+      val t0 = System.nanoTime()
+      f()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+
+  /** The shared-cache build list itself, so callers (Bench) can time and
+    * error-handle each build individually instead of all-or-nothing.
+    */
+  def sharedBuilds(s: SparkSession, dir: String): Seq[(String, () => Any)] =
+    Seq(
       "view_gh_min" -> (() => ghView(s, dir, "min")),
       "view_gh_hour" -> (() => ghView(s, dir, "hour")),
       "view_gh_day" -> (() => ghView(s, dir, "day")),
@@ -172,12 +182,6 @@ object SparkEntry {
       "ngram_pairs" -> (() => ngramPairs(s, dir)),
       "lsh_sig" -> (() => lshSig(s, dir)),
       "ivf_assign" -> (() => ivfAssigned(s, dir)))
-    builds.map { case (name, f) =>
-      val t0 = System.nanoTime()
-      f()
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-  }
 
   /** View presentation row (FIXTURES.md §A2) with the shared conventions. */
   private def presentView(v: DataFrame): DataFrame =

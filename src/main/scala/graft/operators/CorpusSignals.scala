@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level quality signals for training-data curation, beyond the
+  * per-document stats in [[TextAnalysis]]:
+  *
+  *   - repetition metrics (the Gopher/C4-style filters: distinct-token
+  *     ratio, top-token mass, duplicate-bigram fraction) used to drop
+  *     low-quality boilerplate/spam documents before training;
+  *   - TF-IDF top terms per document (the classic relevance weighting
+  *     over the inverted-index shape);
+  *   - sketch certification: approximate distinct counts (HLL++) and
+  *     approximate percentiles checked against their exact values, so
+  *     the driver gate certifies the approximation error bound that the
+  *     100 TB path relies on.
+  *
+  * All builtins, no UDFs. Every aggregation is partial+final (map-side
+  * combine); the only wide operations are hash aggregations keyed by
+  * (doc_id, term) / (token) and one per-doc window for ranking — no
+  * joins on high-cardinality keys except token df lookup, which
+  * broadcast-joins a vocabulary-sized frame at test scale and falls back
+  * to a shuffle join at corpus scale (both correct; Spark picks by
+  * stats).
+  */
+object CorpusSignals {
+
+  private val toks = Dedup.TokensExpr
+
+  /** Word bigrams of `toks` — guarded: Spark's `sequence(2, n)` DESCENDS
+    * when n < 2, so short docs must short-circuit to an empty array.
+    */
+  private val GramsExpr =
+    "CASE WHEN size(toks) >= 2 THEN transform(sequence(2, size(toks)), i -> concat(toks[i-2], ' ', toks[i-1])) ELSE array() END"
+
+  /** Per-document repetition metrics (Gopher-style quality filters):
+    *
+    *   - `distinct_ratio`   distinct tokens / total tokens (low ⇒ spam)
+    *   - `top_token_ratio`  most frequent token's mass (high ⇒ boilerplate)
+    *   - `dup_2gram_ratio`  1 − distinct bigrams / total bigrams
+    *                        (NULL for docs with < 2 tokens)
+    *
+    * Plan shape: ONE explode of tagged (kind, term) rows → hash agg on
+    * (doc_id, kind, term) → hash agg on doc_id with FILTERed aggregates.
+    * No self-join on doc_id: both token and bigram statistics ride the
+    * same shuffle. The shuffle carries terms, not documents — at 100 TB
+    * the bytes are bounded by token count, and map-side combine collapses
+    * each document's repeats before the exchange (repetitive docs — the
+    * ones this filter targets — compress the MOST).
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val terms = graft.sources.Tables.fanOut(docs)
+      .withColumn("toks", expr(toks))
+      .withColumn("grams", expr(GramsExpr))
+      .select(
+        col("doc_id"),
+        explode(concat(
+          expr("transform(toks, x -> named_struct('kind', 't', 'term', x))"),
+          expr("transform(grams, g -> named_struct('kind', 'g', 'term', g))"))).as("tt"))
+      .select(col("doc_id"), col("tt.kind").as("kind"), col("tt.term").as("term"))
+    val counted = terms
+      .groupBy(col("doc_id"), col("kind"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    counted
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("kind") === "t", col("c"))).as("n_tokens"),
+        count(when(col("kind") === "t", lit(1))).as("n_distinct"),
+        max(when(col("kind") === "t", col("c"))).as("top_c"),
+        sum(when(col("kind") === "g", col("c"))).as("n_grams"),
+        count(when(col("kind") === "g", lit(1))).as("n_distinct_grams"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("n_distinct").cast("double") / expr("nullif(n_tokens, 0)"), 6)
+          .as("distinct_ratio"),
+        round(col("top_c").cast("double") / expr("nullif(n_tokens, 0)"), 6)
+          .as("top_token_ratio"),
+        round(lit(1.0) - col("n_distinct_grams").cast("double") / expr("nullif(n_grams, 0)"), 6)
+          .as("dup_2gram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val RepetitionStatsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |terms AS (
+      |  SELECT doc_id, 't' AS kind, unnest(toks) AS term FROM d
+      |  UNION ALL
+      |  SELECT doc_id, 'g' AS kind,
+      |         unnest(list_transform(range(2, len(toks) + 1), i -> toks[i-1] || ' ' || toks[i])) AS term
+      |  FROM d),
+      |counted AS (
+      |  SELECT doc_id, kind, term, count(*) AS c FROM terms GROUP BY 1, 2, 3),
+      |agg AS (
+      |  SELECT doc_id,
+      |         CAST(sum(c) FILTER (kind = 't') AS BIGINT) AS n_tokens,
+      |         count(*) FILTER (kind = 't') AS n_distinct,
+      |         max(c) FILTER (kind = 't') AS top_c,
+      |         CAST(sum(c) FILTER (kind = 'g') AS BIGINT) AS n_grams,
+      |         count(*) FILTER (kind = 'g') AS n_distinct_grams
+      |  FROM counted GROUP BY 1)
+      |SELECT doc_id, n_tokens,
+      |       round(CAST(n_distinct AS DOUBLE) / nullif(n_tokens, 0), 6) AS distinct_ratio,
+      |       round(CAST(top_c AS DOUBLE) / nullif(n_tokens, 0), 6) AS top_token_ratio,
+      |       round(1.0 - CAST(n_distinct_grams AS DOUBLE) / nullif(n_grams, 0), 6) AS dup_2gram_ratio
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Number of top TF-IDF terms reported per document. */
+  val TfidfTopK = 3
+
+  /** Top-k TF-IDF terms per document with smoothed IDF
+    * `ln((N+1)/(df+1)) + 1` (the standard sklearn-style smoothing: no
+    * zero or negative weights, no div-by-zero on unseen terms).
+    *
+    * Plan shape: term counts (one explode + hash agg) feed BOTH the tf
+    * side and the df side; `N` arrives as a broadcast one-row aggregate
+    * (never a driver-side `.count()` — the plan stays lazy and whole).
+    * The df lookup joins on `token`: vocabulary-sized, broadcast at test
+    * scale; at 100 TB it becomes a shuffle join on the token — still the
+    * right shape, since both sides are already aggregated (bytes =
+    * vocabulary + per-doc distinct terms, never raw text). The final
+    * per-doc top-k is a window over (doc_id) — each partition holds one
+    * document's distinct terms, bounded by document length.
+    *
+    * Ties break on token ascending, so output is deterministic.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = TfidfTopK): DataFrame = {
+    val fan = graft.sources.Tables.fanOut(docs)
+    val tf = fan
+      .select(col("doc_id"), explode(expr(toks)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = fan.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        col("tf").cast("double") *
+          (log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double")) + lit(1.0)))
+    scored
+      .withColumn(
+        "rnk",
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("token"), round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  def tfidfTopTermsSql(k: Int = TfidfTopK): String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM u GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token,
+       |         CAST(tf.tf AS DOUBLE) *
+       |           (ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) + 1.0) AS tfidf
+       |  FROM tf JOIN df USING (token) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, token, tfidf,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, rnk, token, round(tfidf, 6) AS tfidf
+       |FROM ranked WHERE rnk <= $k ORDER BY doc_id, rnk""".stripMargin
+
+  /** Relative error the sketches must stay within for the gate to pass. */
+  val SketchTolerance = 0.05
+
+  /** Certify the approximate sketches against exact answers, per
+    * event_type over `events`:
+    *
+    *   - `exact_users`  exact distinct user_id (the oracle recomputes it)
+    *   - `users_ok`     HLL++ (`approx_count_distinct`, rsd 0.01) within
+    *                    [[SketchTolerance]] of exact
+    *   - `p50`          exact interpolated median of `value`
+    *   - `p50_ok`       `approx_percentile` (accuracy 10⁴) within
+    *                    [[SketchTolerance]] relative of exact
+    *
+    * The oracle emits the exact values plus literal TRUE for both `ok`
+    * columns — so the driver's hash gate FAILS if either sketch drifts
+    * outside its bound. This is the check that matters at 100 TB, where
+    * exact distinct-count shuffles every key and the sketch path (fixed
+    * 16 KB state per group, partial-mergeable) is the only affordable
+    * plan; certifying its error on the same gate as everything else
+    * keeps "approximate" an engineering bound instead of a hope.
+    */
+  def sketchCertify(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          lit(SketchTolerance) * col("exact_users").cast("double")).as("users_ok"),
+        round(col("p50_exact"), 6).as("p50"),
+        (abs(col("p50_approx") - col("p50_exact")) <=
+          lit(SketchTolerance) * abs(col("p50_exact")) + lit(1e-9)).as("p50_ok"))
+      .orderBy(col("event_type"))
+
+  val SketchCertifySql: String =
+    """SELECT event_type,
+      |       count(DISTINCT user_id) AS exact_users,
+      |       TRUE AS users_ok,
+      |       round(quantile_cont(value, 0.5), 6) AS p50,
+      |       TRUE AS p50_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+}

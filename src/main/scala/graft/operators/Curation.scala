@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * construction.
   *
   * All three are built from codegen'd builtins (sequence/explode/
-  * substring/regexp_*/collect_set) — no UDFs. Chunking and redaction
+  * substring/regexp functions/collect_set) — no UDFs. Chunking and redaction
   * are NARROW (per-row flatMap/map, zero shuffle before the final
   * presentation sort); the inverted index is two hash aggregations
   * with map-side combine. Each operator ships a DuckDB twin built
@@ -99,11 +99,14 @@ object Curation {
         expr("repeat(concat(' user', CAST(doc_id AS STRING), '@mail.example'), CAST(doc_id % 3 AS INT))"),
         expr("repeat(concat(' https://h', CAST(doc_id % 7 AS STRING), '.example/p', CAST(doc_id AS STRING)), CAST(doc_id % 2 AS INT))")))
 
+  // NOTE: `||` must never start a line here — this fragment is embedded
+  // into PiiAuditSql whose own stripMargin would eat the first pipe of a
+  // line-leading `||`, silently corrupting the concat into a bit-or.
   private val SyntheticPiiSql =
     """SELECT doc_id,
-      |       text
-      |       || repeat(' user' || CAST(doc_id AS VARCHAR) || '@mail.example', CAST(doc_id % 3 AS INT))
-      |       || repeat(' https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR), CAST(doc_id % 2 AS INT))
+      |       text ||
+      |       repeat(' user' || CAST(doc_id AS VARCHAR) || '@mail.example', CAST(doc_id % 3 AS INT)) ||
+      |       repeat(' https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/p' || CAST(doc_id AS VARCHAR), CAST(doc_id % 2 AS INT))
       |       AS text
       |FROM documents""".stripMargin
 

@@ -56,15 +56,38 @@ object Tables {
     val estSplits =
       if (files.isEmpty) Int.MaxValue // not a file scan: leave partitioning alone
       else {
-        val maxSplit = math.max(spark.sessionState.conf.filesMaxPartitionBytes, 1L)
+        // Replicate Spark's actual scan partitioning (ADVICE round 4 —
+        // the old max(nFiles, bytes/maxPartitionBytes) overestimated and
+        // could skip a needed repartition): maxSplitBytes =
+        // min(filesMaxPartitionBytes, max(openCostInBytes,
+        // totalWithOpenCost/parallelism)), files cut into splits of that
+        // size, splits sorted by length descending and bin-packed with
+        // per-split open cost, closing a bin before it would overflow —
+        // the same algorithm as FilePartition.getFilePartitions, so the
+        // estimate IS the real partition count (modulo racing writers).
+        val conf = spark.sessionState.conf
+        val openCost = math.max(conf.filesOpenCostInBytes, 0L)
         val hconf = spark.sparkContext.hadoopConfiguration
-        val totalBytes = files.iterator.map { f =>
+        val lens = files.map { f =>
           val p = new org.apache.hadoop.fs.Path(f)
           try p.getFileSystem(hconf).getFileStatus(p).getLen
           catch { case _: java.io.IOException => 0L }
-        }.sum
-        // each file is >=1 split; a big file contributes ceil(len/maxSplit)
-        math.max(files.length.toLong, (totalBytes + maxSplit - 1) / maxSplit)
+        }
+        val totalWithOpen = lens.map(_ + openCost).sum
+        val bytesPerCore = totalWithOpen / math.max(spark.sparkContext.defaultParallelism, 1)
+        val maxSplit = math.max(
+          1L,
+          math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore)))
+        val splits = lens.flatMap { len =>
+          (0L until len by maxSplit).map(off => math.min(maxSplit, len - off))
+        }.sortBy(-_)
+        var bins = 0L
+        var cur = -1L // force a first bin
+        splits.foreach { s =>
+          if (cur < 0 || cur + s > maxSplit) { bins += 1; cur = 0L }
+          cur += s + openCost
+        }
+        math.max(bins, 1L)
       }
     if (estSplits >= math.max(target / 2, 2)) df
     else df.repartition(target)
