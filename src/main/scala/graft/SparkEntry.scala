@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Curation, Dedup, ExploraQueries, LanguageId, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, ViewBuilder}
+import graft.operators.{CorpusSignals, Curation, Dedup, ExploraQueries, LanguageId, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, ViewBuilder}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -605,7 +605,19 @@ object SparkEntry {
         substring(col("digest"), 1, 8).as("digest8"),
         ascii(substring(col("payload").cast("string"), 1, 1)).as("head"))
         .orderBy(col("id"))
-    }))
+    }),
+    // ---- corpus-level quality signals (CorpusSignals) ----
+    // Gopher/C4-style repetition filters: one explode, two hash aggs
+    "repetition_stats" -> ((s, d) =>
+      CorpusSignals.repetitionStats(Tables.load(s, d, "documents"))),
+    // per-doc top-3 TF-IDF terms (smoothed idf; tf and df share one agg)
+    "tfidf_top3" -> ((s, d) =>
+      CorpusSignals.tfidfTopTerms(Tables.load(s, d, "documents"))),
+    // sketch error-bound certification: the oracle emits exact values +
+    // literal TRUE, so the hash gate fails if HLL++/approx-percentile
+    // drift outside the 5% bound the 100 TB path relies on
+    "sketch_certify" -> ((s, d) =>
+      CorpusSignals.sketchCertify(Tables.load(s, d, "events"))))
 
   def oracleSql: Map[String, String] = Map(
     "view_min" -> viewSql(Gh6Expr, "min"),
@@ -800,7 +812,10 @@ object SparkEntry {
         | CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id * 7) % 1064 + 16 AS INT) END AS height,
         | CASE WHEN doc_id % 2 = 1 THEN CAST(([8000,16000,22050,44100])[CAST(doc_id % 4 + 1 AS INT)] AS INT) END AS sample_rate,
         | CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels
-        |FROM documents ORDER BY id""".stripMargin)
+        |FROM documents ORDER BY id""".stripMargin,
+    "repetition_stats" -> CorpusSignals.RepetitionStatsSql,
+    "tfidf_top3" -> CorpusSignals.tfidfTopTermsSql(),
+    "sketch_certify" -> CorpusSignals.SketchCertifySql)
 
   /** The full oracle map, including DATA-DEPENDENT entries whose expected
     * output is computed driver-side from an independent scalar kernel and
