@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{CorpusSignals, Curation, Dedup, ExploraQueries, LanguageId, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, ViewBuilder}
+import graft.operators.{CorpusSignals, Curation, Dedup, ExploraQueries, LanguageId, Multimodal, Profiling, Sampling, Sessionize, Similarity, TextAnalysis, ViewBuilder}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -617,7 +617,17 @@ object SparkEntry {
     // literal TRUE, so the hash gate fails if HLL++/approx-percentile
     // drift outside the 5% bound the 100 TB path relies on
     "sketch_certify" -> ((s, d) =>
-      CorpusSignals.sketchCertify(Tables.load(s, d, "events"))))
+      CorpusSignals.sketchCertify(Tables.load(s, d, "events"))),
+    // ---- dataset profiling (Profiling) ----
+    // per-column null/distinct/range stats in ONE multi-agg pass
+    "data_profile" -> ((s, d) => Profiling.dataProfile(Tables.load(s, d, "events"))),
+    // fixed-width value histogram; bounds broadcast, identical IEEE
+    // bin arithmetic on both engines
+    "value_histogram" -> ((s, d) => Profiling.valueHistogram(Tables.load(s, d, "events"))),
+    // stateful streaming dedup under AvailableNow == batch Dedup.exact
+    // (same oracle): arrival-order-independent survivor rule
+    "streaming_dedup" -> ((s, d) =>
+      graft.streaming.StreamingViews.runDedupAvailableNow(s, d)))
 
   def oracleSql: Map[String, String] = Map(
     "view_min" -> viewSql(Gh6Expr, "min"),
@@ -815,7 +825,10 @@ object SparkEntry {
         |FROM documents ORDER BY id""".stripMargin,
     "repetition_stats" -> CorpusSignals.RepetitionStatsSql,
     "tfidf_top3" -> CorpusSignals.tfidfTopTermsSql(),
-    "sketch_certify" -> CorpusSignals.SketchCertifySql)
+    "sketch_certify" -> CorpusSignals.SketchCertifySql,
+    "data_profile" -> Profiling.DataProfileSql,
+    "value_histogram" -> Profiling.valueHistogramSql(),
+    "streaming_dedup" -> Dedup.ExactSql)
 
   /** The full oracle map, including DATA-DEPENDENT entries whose expected
     * output is computed driver-side from an independent scalar kernel and

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-profiling operators: the data-quality pass every large-scale
+  * pipeline runs before (and after) transformation — per-column
+  * null/distinct/range statistics and value histograms. The reference
+  * has no analogue (its schema is fixed at deploy time); these belong to
+  * the training-data-pipeline surface.
+  *
+  * Scale notes: `dataProfile` is ONE multi-aggregate pass — Spark plans
+  * the n-column count-distinct set via a single Expand (rows × n_cols)
+  * feeding one partial+final hash aggregation; no per-column scans and
+  * no joins. At 100 TB exact distinct on a high-cardinality column
+  * shuffles every distinct key once (unavoidable for exactness; bytes =
+  * distinct keys, not rows). When a bound is acceptable, swap
+  * `count_distinct` for `approx_count_distinct` — fixed 16 KB of state
+  * per column, certified within 5% on this very gate by
+  * [[CorpusSignals.sketchCertify]]. `valueHistogram` is two aggregation
+  * passes (global min/max, then bin counts) with the one-row bounds
+  * frame broadcast — never collected to the driver.
+  */
+object Profiling {
+
+  /** Per-column profile of the events table: null count, exact distinct
+    * count, numeric min/max (NULL for non-numeric columns; timestamps
+    * surface as epoch seconds). One row per column, one aggregation pass.
+    */
+  def dataProfile(events: DataFrame): DataFrame = {
+    // numeric view of each profiled column (NULL where not castable)
+    val numeric: Map[String, Column] = Map(
+      "event_id" -> col("event_id").cast("double"),
+      "user_id" -> col("user_id").cast("double"),
+      "value" -> col("value"),
+      "ts_s" -> col("ts").cast("long").cast("double"),
+      "event_type" -> lit(null).cast("double"),
+      "props" -> lit(null).cast("double"))
+    val source: Map[String, Column] = Map(
+      "event_id" -> col("event_id"),
+      "user_id" -> col("user_id"),
+      "value" -> col("value"),
+      "ts_s" -> col("ts").cast("long"),
+      "event_type" -> col("event_type"),
+      "props" -> col("props"))
+    val cols = source.keys.toSeq.sorted
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(source(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(source(c)).as(s"${c}__distinct"),
+        round(min(numeric(c)), 6).as(s"${c}__min"),
+        round(max(numeric(c)), 6).as(s"${c}__max"))
+    }
+    val one = events.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single row to (column, stats) via stack — still one pass
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+      .mkString(", ")
+    one
+      .select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (column, n_nulls, n_distinct, min_num, max_num)"))
+      .orderBy(col("column"))
+  }
+
+  /** DuckDB twin: one SELECT per column, UNION ALL (DuckDB plans each
+    * leg off the same scan; at oracle scale that's fine — the Spark side
+    * is the single-pass shape that matters at 100 TB).
+    */
+  val DataProfileSql: String = {
+    def leg(c: String, sourceExpr: String, numExpr: String) =
+      s"""SELECT '$c' AS "column",
+         |  CAST(count(*) - count($sourceExpr) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $sourceExpr) AS BIGINT) AS n_distinct,
+         |  round(CAST(min($numExpr) AS DOUBLE), 6) AS min_num,
+         |  round(CAST(max($numExpr) AS DOUBLE), 6) AS max_num
+         |FROM events""".stripMargin
+    Seq(
+      leg("event_id", "event_id", "event_id"),
+      leg("event_type", "event_type", "NULL"),
+      leg("props", "props", "NULL"),
+      leg("ts_s", "epoch_ns(ts) // 1000000000", "epoch_ns(ts) // 1000000000"),
+      leg("user_id", "user_id", "user_id"),
+      leg("value", "value", "value")).mkString("", "\nUNION ALL\n", "\nORDER BY 1")
+  }
+
+  /** Number of fixed-width histogram bins. */
+  val HistogramBins = 20
+
+  /** Fixed-width histogram of `value` per event_type: global [min, max]
+    * split into [[HistogramBins]] bins; the max value is clamped into the
+    * last bin. Two aggregation passes; the one-row bounds frame joins via
+    * broadcast (never `.collect()`), so the plan stays whole and lazy.
+    *
+    * Bin arithmetic is the identical IEEE expression tree on both
+    * engines — `floor((value - lo) * nbins / (hi - lo))` — so boundary
+    * assignment agrees bit-for-bit.
+    */
+  def valueHistogram(events: DataFrame, bins: Int = HistogramBins): DataFrame = {
+    // one-row bounds joined on a non-foldable constant-1 key:
+    // BroadcastHashJoin, never a nested-loop (PlanAuditSpec kill
+    // criterion; a foldable key constant-folds back into one)
+    val bounds = events
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .withColumn("one", CorpusSignals.one(col("lo")))
+    events
+      .withColumn("one", CorpusSignals.one(col("value")))
+      .join(broadcast(bounds), "one")
+      .drop("one")
+      .withColumn(
+        "bin",
+        least(
+          floor((col("value") - col("lo")) * lit(bins) / (col("hi") - col("lo"))),
+          lit(bins - 1L)).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  def valueHistogramSql(bins: Int = HistogramBins): String =
+    s"""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+       |SELECT event_type,
+       |       CAST(least(floor((value - lo) * $bins / (hi - lo)), ${bins - 1}) AS BIGINT) AS bin,
+       |       count(*) AS cnt
+       |FROM events CROSS JOIN b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

@@ -126,6 +126,33 @@ object StreamingViews {
     spark.table(name)
   }
 
+  /** Streaming exact deduplication: the stateful groupBy on the content
+    * hash runs under INCREMENTAL execution (AvailableNow) and must equal
+    * the batch [[graft.operators.Dedup.exact]] output — the arrival-order-
+    * independent survivor rule (min doc_id per hash) is what makes the
+    * streaming result deterministic and oracle-checkable. State per key is
+    * one (hash, min_id) pair — fixed-size, shuffle carries hashes only,
+    * never document text; with a watermarked ingest timestamp the same
+    * plan bounds state via `dropDuplicatesWithinWatermark` semantics.
+    */
+  def runDedupAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val name = s"stream_dedup_${sinkId.incrementAndGet()}"
+    val q = spark.readStream.schema(schema)
+      .parquet(s"$sfDir/{documents.parquet}")
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Production-shaped sink (S5): an UPDATE-mode MERGE upsert keyed on
     * (metric, geo, ts) into a parquet view table partitioned by metric.
     *
