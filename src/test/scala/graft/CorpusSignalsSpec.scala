@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusSignals, Dedup, Profiling}
+import graft.sources.Tables
+
+/** Semantic checks for the corpus-signal and profiling operators — the
+  * oracle gate proves engine parity; these prove the METRICS mean what
+  * they claim on crafted inputs.
+  */
+class CorpusSignalsSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("repetitionStats flags repeated-token spam and clean text correctly") {
+    val d = docs(
+      0L -> "spam spam spam spam spam spam spam spam", // 8x one token
+      1L -> "the quick brown fox jumps over a lazy dog", // all distinct
+      2L -> "ab cd ab cd ab cd ab cd") // repeated bigram pattern
+    val r = CorpusSignals.repetitionStats(d).collect().map(r => r.getLong(0) -> r).toMap
+
+    val spamR = r(0L)
+    assert(spamR.getAs[Double]("distinct_ratio") === 1.0 / 8)
+    assert(spamR.getAs[Double]("top_token_ratio") === 1.0)
+    // 7 bigrams, all "spam spam" -> dup ratio 1 - 1/7
+    assert(math.abs(spamR.getAs[Double]("dup_2gram_ratio") - (1.0 - 1.0 / 7)) < 1e-6)
+
+    val cleanR = r(1L)
+    assert(cleanR.getAs[Double]("distinct_ratio") === 1.0)
+    assert(cleanR.getAs[Double]("dup_2gram_ratio") === 0.0)
+
+    // alternating pattern: 2 distinct tokens of 8, 7 bigrams but only
+    // 2 distinct ("ab cd", "cd ab")
+    val altR = r(2L)
+    assert(altR.getAs[Double]("distinct_ratio") === 0.25)
+    assert(math.abs(altR.getAs[Double]("dup_2gram_ratio") - (1.0 - 2.0 / 7)) < 1e-6)
+  }
+
+  test("repetitionStats: single-token doc has NULL dup_2gram_ratio, not a div-by-zero") {
+    val r = CorpusSignals.repetitionStats(docs(0L -> "lonely")).collect()(0)
+    assert(r.getAs[Long]("n_tokens") === 1L)
+    assert(r.isNullAt(r.fieldIndex("dup_2gram_ratio")))
+  }
+
+  test("tfidfTopTerms scores match hand-computed smoothed tf-idf") {
+    val d = docs(
+      0L -> "common common unicorn",
+      1L -> "common words here",
+      2L -> "common words there")
+    // N=3. Hand-computed w = tf * (ln((N+1)/(df+1)) + 1):
+    //   doc0 common  (df=3): 2*(ln(4/4)+1) = 2.0
+    //   doc0 unicorn (df=1): 1*(ln(4/2)+1) ≈ 1.693147
+    //   doc1 here    (df=1): 1.693147 > words (df=2): ln(4/3)+1 ≈ 1.287682
+    val top = CorpusSignals.tfidfTopTerms(d, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3))).toMap
+    assert(top((0L, 1)) === ("common", 2.0))
+    assert(top((0L, 2))._1 === "unicorn")
+    assert(math.abs(top((0L, 2))._2 - 1.693147) < 1e-6)
+    assert(top((1L, 1))._1 === "here")
+    assert(math.abs(top((1L, 1))._2 - 1.693147) < 1e-6)
+    assert(top((1L, 2))._1 === "words")
+    assert(math.abs(top((1L, 2))._2 - 1.287682) < 1e-6)
+  }
+
+  test("sketchCertify: both sketch bounds hold on real data (events sf0.001)") {
+    val out = CorpusSignals.sketchCertify(Tables.load(spark, Sf0001, "events")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("users_ok"), s"HLL++ outside 5% for ${r.getString(0)}")
+      assert(r.getAs[Boolean]("p50_ok"), s"approx_percentile outside 5% for ${r.getString(0)}")
+    }
+  }
+
+  test("dataProfile reports exact null counts and ranges on a crafted frame") {
+    import spark.implicits._
+    // reuse the events schema: profile keys off fixed column names
+    val e = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(100L)), 7L, "click", 1.5, """{"k":1}"""),
+      (2L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(200L)), 7L, "view", -0.5, """{"k":2}"""),
+      (3L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(300L)), 8L, "click", 4.0, """{"k":3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("value", when(col("event_id") === 2L, lit(null).cast("double")).otherwise(col("value")))
+    val p = Profiling.dataProfile(e).collect().map(r => r.getString(0) -> r).toMap
+    assert(p("value").getAs[Long]("n_nulls") === 1L)
+    assert(p("value").getAs[Long]("n_distinct") === 2L)
+    assert(p("value").getAs[Double]("min_num") === 1.5)
+    assert(p("value").getAs[Double]("max_num") === 4.0)
+    assert(p("user_id").getAs[Long]("n_distinct") === 2L)
+    assert(p("event_type").isNullAt(p("event_type").fieldIndex("min_num")))
+    assert(p("ts_s").getAs[Double]("min_num") === 100.0)
+    assert(p("ts_s").getAs[Double]("max_num") === 300.0)
+  }
+
+  test("valueHistogram: bins partition the value range; counts sum to row count") {
+    val e = Tables.load(spark, Sf0001, "events")
+    val h = Profiling.valueHistogram(e)
+    val total = h.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total === e.count())
+    val bins = h.select("bin").distinct().collect().map(_.getLong(0))
+    assert(bins.forall(b => b >= 0 && b < Profiling.HistogramBins))
+    // the extremes land in the first and last bin
+    assert(bins.contains(0L) && bins.contains(Profiling.HistogramBins - 1L))
+  }
+
+  test("streaming dedup == batch dedup (incremental execution parity)") {
+    val streamed = graft.streaming.StreamingViews
+      .runDedupAvailableNow(spark, Sf0001).collect().map(_.getLong(0))
+    val batch = Dedup.exact(Tables.load(spark, Sf0001, "documents"))
+      .collect().map(_.getLong(0))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}
