@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{CorpusSignals, Curation, Dedup, ExploraQueries, LanguageId, Multimodal, Profiling, Sampling, Sessionize, Similarity, TextAnalysis, ViewBuilder}
+import graft.operators.{CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, Multimodal, Profiling, Sampling, Sessionize, Similarity, TextAnalysis, ViewBuilder}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -627,7 +627,11 @@ object SparkEntry {
     // stateful streaming dedup under AvailableNow == batch Dedup.exact
     // (same oracle): arrival-order-independent survivor rule
     "streaming_dedup" -> ((s, d) =>
-      graft.streaming.StreamingViews.runDedupAvailableNow(s, d)))
+      graft.streaming.StreamingViews.runDedupAvailableNow(s, d)),
+    // train/eval n-gram decontamination: distinct eval grams equi-joined
+    // against per-doc train grams — dedup-join shape, never all-pairs
+    "decontaminate" -> ((s, d) =>
+      Decontamination.contaminated(Tables.load(s, d, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
     "view_min" -> viewSql(Gh6Expr, "min"),
@@ -828,7 +832,8 @@ object SparkEntry {
     "sketch_certify" -> CorpusSignals.SketchCertifySql,
     "data_profile" -> Profiling.DataProfileSql,
     "value_histogram" -> Profiling.valueHistogramSql(),
-    "streaming_dedup" -> Dedup.ExactSql)
+    "streaming_dedup" -> Dedup.ExactSql,
+    "decontaminate" -> Decontamination.contaminatedSql())
 
   /** The full oracle map, including DATA-DEPENDENT entries whose expected
     * output is computed driver-side from an independent scalar kernel and

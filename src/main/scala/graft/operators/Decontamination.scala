@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination: flag training documents that share word
+  * n-grams with a held-out evaluation set — the standard pre-training
+  * hygiene pass (benchmark answers leaking into the training corpus
+  * inflate eval scores). The classic recipe checks 8-13-gram overlap;
+  * the synthetic docs here are 20-80 tokens, so the driver entry uses
+  * [[DefaultN]]-grams against the same shingle machinery the dedup
+  * family uses ([[Dedup.withShingles]]).
+  *
+  * Plan shape: eval n-grams are aggregated to a DISTINCT gram set (the
+  * small side — bounded by eval-corpus size, broadcast at test scale,
+  * plain shuffle equi-join at 100 TB); train docs explode to distinct
+  * per-doc grams and equi-join ON THE GRAM — candidate work is bounded
+  * by gram document-frequency exactly like the n-gram dedup join, never
+  * all-pairs. The shuffle carries grams (strings bounded by n tokens),
+  * not documents. Output: one row per contaminated training doc with
+  * the count of distinct leaked n-grams — the triage ranking an actual
+  * decontamination run acts on.
+  */
+object Decontamination {
+
+  /** N-gram width for the driver entry. 3-grams over the small synthetic
+    * vocabulary flag 94% of training docs (pure collision noise); 5-grams
+    * flag exactly the planted cross-split near-duplicates — the signal a
+    * real decontamination run wants. Real corpora use 8-13.
+    */
+  val DefaultN = 5
+
+  /** Eval split for the driver entry: sources are assigned round-robin
+    * by doc_id, so this is a deterministic ~10% holdout.
+    */
+  val EvalSources: Seq[String] = Seq("src0", "src1")
+
+  /** Training docs sharing at least one distinct word `n`-gram with the
+    * eval split, with the distinct-overlap count.
+    */
+  def contaminated(
+      docs: DataFrame,
+      evalSources: Seq[String] = EvalSources,
+      n: Int = DefaultN): DataFrame = {
+    val grams = Dedup.shingleSets(docs.filter(col("source").isin(evalSources: _*)), n)
+      .select(explode(col("shingles")).as("s"))
+      .distinct()
+    val train = Dedup.shingleSets(docs.filter(!col("source").isin(evalSources: _*)), n)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    train
+      .join(grams, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_leaked"))
+      .orderBy(col("doc_id"))
+  }
+
+  def contaminatedSql(evalSources: Seq[String] = EvalSources, n: Int = DefaultN): String = {
+    val evalList = evalSources.map(s => s"'$s'").mkString(", ")
+    val grams = (1 to n).map(j => s"t[i+$j]").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, source,
+       |         list_distinct(list_transform(range(0, len(t) - ${n - 1}),
+       |           i -> concat_ws(' ', $grams))) AS shingles
+       |  FROM toks WHERE len(t) >= $n),
+       |ev AS (
+       |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE source IN ($evalList)),
+       |tr AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE source NOT IN ($evalList))
+       |SELECT doc_id, count(*) AS n_leaked
+       |FROM tr JOIN ev USING (s)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+}

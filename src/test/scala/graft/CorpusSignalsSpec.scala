@@ -109,6 +109,22 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(bins.contains(0L) && bins.contains(Profiling.HistogramBins - 1L))
   }
 
+  test("decontamination flags exactly the train docs sharing an eval n-gram") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "the secret eval answer is forty two exactly", "src0"), // eval
+      (1L, "totally unrelated evaluation content here today", "src1"), // eval
+      (10L, "prefix words then the secret eval answer is forty two exactly copied", "src5"), // leaked
+      (11L, "clean training document with its own fresh content", "src6"), // clean
+      (12L, "the secret eval answer but differs from here on", "src7")) // shares only a 4-gram
+      .toDF("doc_id", "text", "source")
+    val flagged = graft.operators.Decontamination.contaminated(d, Seq("src0", "src1"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet === Set(10L))
+    // doc 10 contains eval doc 0's full 8-token span: 4 distinct 5-grams leak
+    assert(flagged(10L) === 4L)
+  }
+
   test("streaming dedup == batch dedup (incremental execution parity)") {
     val streamed = graft.streaming.StreamingViews
       .runDedupAvailableNow(spark, Sf0001).collect().map(_.getLong(0))
