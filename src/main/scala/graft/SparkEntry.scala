@@ -402,6 +402,11 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopKFrom(ivfAssigned(s, d), 5)),
     "embedding_neardup_lsh" -> ((s, d) =>
       Similarity.lshNearDupPairsFrom(lshSig(s, d), Tables.load(s, d, "embeddings"), 0.4)),
+    // semantic dedup composed end-to-end: sign-LSH near-dup pairs feed
+    // the same connected-components clustering as the text dedup family
+    "semantic_clusters" -> ((s, d) =>
+      Dedup.clusters(
+        Similarity.lshNearDupPairsFrom(lshSig(s, d), Tables.load(s, d, "embeddings"), 0.4))),
     // ---- streaming: one-shot AvailableNow run of the view builder;
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
@@ -833,7 +838,8 @@ object SparkEntry {
     "data_profile" -> Profiling.DataProfileSql,
     "value_histogram" -> Profiling.valueHistogramSql(),
     "streaming_dedup" -> Dedup.ExactSql,
-    "decontaminate" -> Decontamination.contaminatedSql())
+    "decontaminate" -> Decontamination.contaminatedSql(),
+    "semantic_clusters" -> Dedup.clustersSql(Similarity.lshNearDupSql(0.4)))
 
   /** The full oracle map, including DATA-DEPENDENT entries whose expected
     * output is computed driver-side from an independent scalar kernel and
