@@ -76,6 +76,14 @@ class ExploraService(
           if (!fs.exists(p))
             ViewBuilder.build(readings, geoExpr(geoIndex, precision), resolution)
               .withColumn("geo_part", substring(col("geo"), 1, geoPartLen))
+              // cluster rows by (geo, ts) inside each partition so
+              // parquet row-group min/max statistics line up with the
+              // probe predicates: a snapshot probe (geo IN-list + one ts)
+              // or history probe (geo prefix + ts range) then skips
+              // whole row groups, not just whole partitions — the layout
+              // that matters once a geo_part partition holds many
+              // row groups at 100 TB
+              .sortWithinPartitions(col("geo"), col("ts"))
               .write
               .mode("overwrite")
               .partitionBy("geo_part")
