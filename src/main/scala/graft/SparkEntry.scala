@@ -143,6 +143,15 @@ object SparkEntry {
       Similarity.lshBanded(Tables.load(s, dir, "embeddings"))
     }
 
+  /** Verified sign-LSH near-dup pairs — shared by `embedding_neardup_lsh`
+    * and `semantic_clusters` (the clustering would otherwise re-run the
+    * whole candidate join + exact verify).
+    */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "lsh_pairs", "0.4") {
+      Similarity.lshNearDupPairsFrom(lshSig(s, dir), Tables.load(s, dir, "embeddings"), 0.4)
+    }
+
   /** IVF coarse-quantizer assignments (8 centroid dots per vector) —
     * shared by ann_buckets and ann_ivf_topk.
     */
@@ -181,6 +190,7 @@ object SparkEntry {
       "md5_sig16" -> (() => mdSig16(s, dir)),
       "ngram_pairs" -> (() => ngramPairs(s, dir)),
       "lsh_sig" -> (() => lshSig(s, dir)),
+      "lsh_pairs" -> (() => lshPairs(s, dir)),
       "ivf_assign" -> (() => ivfAssigned(s, dir)))
 
   /** View presentation row (FIXTURES.md §A2) with the shared conventions. */
@@ -400,13 +410,10 @@ object SparkEntry {
     "similarity_topk" -> ((s, d) => Similarity.topK(Tables.load(s, d, "embeddings"), 10)),
     "ann_buckets" -> ((s, d) => Similarity.ivfBucketsFrom(ivfAssigned(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopKFrom(ivfAssigned(s, d), 5)),
-    "embedding_neardup_lsh" -> ((s, d) =>
-      Similarity.lshNearDupPairsFrom(lshSig(s, d), Tables.load(s, d, "embeddings"), 0.4)),
+    "embedding_neardup_lsh" -> ((s, d) => lshPairs(s, d)),
     // semantic dedup composed end-to-end: sign-LSH near-dup pairs feed
     // the same connected-components clustering as the text dedup family
-    "semantic_clusters" -> ((s, d) =>
-      Dedup.clusters(
-        Similarity.lshNearDupPairsFrom(lshSig(s, d), Tables.load(s, d, "embeddings"), 0.4))),
+    "semantic_clusters" -> ((s, d) => Dedup.clusters(lshPairs(s, d))),
     // ---- streaming: one-shot AvailableNow run of the view builder;
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>

@@ -17,6 +17,8 @@ HEADLINE = [
     "q1_agg", "view_min", "history_avg", "snapshot_gh_sum",
     "token_top20", "dedup_ngram_pairs", "dedup_minhash_pairs",
     "similarity_topk", "embedding_neardup_lsh", "user_sessions",
+    "repetition_stats", "tfidf_top3", "sketch_certify", "data_profile",
+    "value_histogram", "decontaminate", "semantic_clusters",
 ]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
