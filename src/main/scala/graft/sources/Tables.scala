@@ -36,6 +36,31 @@ object Tables {
     }
   }
 
+  /** Write `df` as a bucketed (and per-bucket sorted) parquet table at
+    * an explicit path, registered as `table` in the session catalog.
+    *
+    * Bucketing is the 100 TB join strategy this library leans on: two
+    * tables bucketed on the same key with the same bucket count join
+    * with ZERO exchanges — the shuffle is paid once at write time and
+    * amortized over every subsequent join/aggregation on that key
+    * (asserted plan-level in BucketingSpec). `sortBy` additionally lets
+    * the sort-merge join skip its per-partition sorts when each bucket
+    * is a single file.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCol: String,
+      buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Spread a narrow compute-heavy stage across the cluster when the
     * scan gives too few input splits. The test corpus is ONE sub-MB
     * parquet file → one partition, so every per-row md5/shingle stage
