@@ -206,6 +206,83 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("bucket"))
   }
 
+  // ---- k-means centroid training (Lloyd's) ---------------------------
+
+  /** Nearest-centroid assignment by squared L2 for ARBITRARY centroids:
+    * argmin_j |v − c_j|² == argmax_j (2·v·c_j − |c_j|²) since |v|² is
+    * constant per row. Each score is one codegen'd constant-dot — the
+    * same expression family as the fixed-centroid IVF path; ties break
+    * to the lowest j in both dialects.
+    */
+  def assignNearest(embeddings: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val withS = cents.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
+      df.withColumn(
+        s"s$j",
+        dotConstCol(col("embedding"), c) * lit(2.0) - lit(c.map(x => x * x).sum))
+    }
+    withS
+      .withColumn("bucket", expr(bucketCase(cents.length)))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+  }
+
+  /** Train `k` IVF centroids with `iters` Lloyd iterations.
+    *
+    * Distribution contract: the DATA never leaves the executors — each
+    * iteration is one narrow assignment map (k codegen dots per row) and
+    * one partial+final hash aggregation (64 `avg`s per bucket); only the
+    * k×64-double centroid table (a few KB, independent of corpus size)
+    * ever reaches the driver. That is the canonical scale shape for
+    * Lloyd's: at 100 TB the per-iteration cost is one scan, no joins,
+    * no per-row UDFs.
+    *
+    * Deterministic: init = the k lowest-vec_id vectors; empty clusters
+    * keep their previous centroid. Convergence (non-increasing
+    * within-cluster cost) is asserted in SimilaritySpec.
+    */
+  def kmeansCentroids(
+      embeddings: DataFrame,
+      k: Int = Centroids.length,
+      iters: Int = 5): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = embeddings
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
+    for (_ <- 0 until iters) {
+      val aggs = (0 until Dim).map(i => avg(col("embedding").getItem(i)).as(s"c$i"))
+      val rows = assignNearest(embeddings, cents)
+        .groupBy(col("bucket"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        next(r.getInt(0)) = Array.tabulate(Dim)(i => r.getDouble(i + 1))
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Within-cluster sum of squared distances for `cents` — the Lloyd
+    * objective, one aggregation pass (used by the convergence spec).
+    */
+  def kmeansCost(embeddings: DataFrame, cents: Array[Array[Double]]): Double = {
+    // |v − c_best|² = |v|² − max_j(2·v·c_j − |c_j|²), one pass, no join
+    val best = cents.indices.map(j => s"s$j").mkString("greatest(", ", ", ")")
+    val withS = cents.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
+      df.withColumn(
+        s"s$j",
+        dotConstCol(col("embedding"), c) * lit(2.0) - lit(c.map(x => x * x).sum))
+    }
+    withS
+      .select((dotSelfCol(col("embedding")) - expr(best)).as("d2"))
+      .agg(sum(col("d2")))
+      .collect()(0)
+      .getDouble(0)
+  }
+
   /** IVF bucket assignment: vec_id → nearest (by cosine) of the 8
     * normalized centroids. At scale this is the partitioning key that
     * routes vectors to executors (write `partitionBy("bucket")`).

@@ -112,4 +112,33 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"weak pairs surviving candidates: $found/100")
     assert(found < 50, s"bands pass too many weak pairs ($found/100) — band width regressed?")
   }
+
+  test("kmeans: Lloyd cost is non-increasing and final assignment is argmin-optimal") {
+    val emb = graft.sources.Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
+    val init = Similarity.kmeansCentroids(emb, k = 4, iters = 0)
+    val c1 = Similarity.kmeansCentroids(emb, k = 4, iters = 1)
+    val c3 = Similarity.kmeansCentroids(emb, k = 4, iters = 3)
+    val cost0 = Similarity.kmeansCost(emb, init)
+    val cost1 = Similarity.kmeansCost(emb, c1)
+    val cost3 = Similarity.kmeansCost(emb, c3)
+    info(f"kmeans cost: init $cost0%.1f -> 1 iter $cost1%.1f -> 3 iters $cost3%.1f")
+    assert(cost1 <= cost0 + 1e-6)
+    assert(cost3 <= cost1 + 1e-6)
+
+    // the distributed assignment equals a driver-side brute-force argmin
+    val assigned = Similarity.assignNearest(emb, c3)
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Float](1).toArray, r.getInt(2))).toMap
+    assigned.foreach { case (id, (v, bucket)) =>
+      val dists = c3.map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < c.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+        d
+      }
+      val best = dists.indexOf(dists.min)
+      assert(
+        math.abs(dists(bucket) - dists(best)) < 1e-9,
+        s"vec $id assigned bucket $bucket (d=${dists(bucket)}) but argmin is $best (d=${dists.min})")
+    }
+  }
 }
