@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, Multimodal, Profiling, Sampling, Sessionize, Similarity, TextAnalysis, ViewBuilder}
+import graft.operators.{CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, TextAnalysis, ViewBuilder}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -643,7 +643,11 @@ object SparkEntry {
     // train/eval n-gram decontamination: distinct eval grams equi-joined
     // against per-doc train grams — dedup-join shape, never all-pairs
     "decontaminate" -> ((s, d) =>
-      Decontamination.contaminated(Tables.load(s, d, "documents"))))
+      Decontamination.contaminated(Tables.load(s, d, "documents"))),
+    // sequence packing via a two-level distributed prefix sum — no
+    // global window, no UDFs; oracle is DuckDB's plain window cumsum
+    "pack_assign" -> ((s, d) =>
+      Packing.packAssignments(Tables.load(s, d, "documents"))))
 
   def oracleSql: Map[String, String] = Map(
     "view_min" -> viewSql(Gh6Expr, "min"),
@@ -846,7 +850,8 @@ object SparkEntry {
     "value_histogram" -> Profiling.valueHistogramSql(),
     "streaming_dedup" -> Dedup.ExactSql,
     "decontaminate" -> Decontamination.contaminatedSql(),
-    "semantic_clusters" -> Dedup.clustersSql(Similarity.lshNearDupSql(0.4)))
+    "semantic_clusters" -> Dedup.clustersSql(Similarity.lshNearDupSql(0.4)),
+    "pack_assign" -> Packing.packAssignmentsSql())
 
   /** The full oracle map, including DATA-DEPENDENT entries whose expected
     * output is computed driver-side from an independent scalar kernel and

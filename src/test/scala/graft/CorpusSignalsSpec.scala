@@ -125,6 +125,31 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(flagged(10L) === 4L)
   }
 
+  test("packAssignments: two-level prefix sum == brute-force cumsum, packs respect budget") {
+    val d = Tables.load(spark, Sf0001, "documents")
+    val out = graft.operators.Packing.packAssignments(d).collect()
+    // brute-force prefix sum on the driver (sf0.001: 50 docs, spans a
+    // group boundary at GroupWidth=64 only at sf>=0.01 — so also check
+    // a crafted frame below)
+    var cum = 0L
+    out.sortBy(_.getLong(0)).foreach { r =>
+      assert(r.getLong(2) === cum, s"doc ${r.getLong(0)} cum_before")
+      assert(r.getLong(3) === cum / graft.operators.Packing.PackBudget)
+      cum += r.getLong(1)
+    }
+
+    // crafted frame crossing several group boundaries: 200 docs of 10
+    // tokens each, budget 64 -> cum_before = 10*doc_id, pack flips every
+    // 7th doc; groups of width 64 force non-trivial offsets
+    import spark.implicits._
+    val crafted = (0L until 200L).map(i => (i, Seq.fill(10)("tok").mkString(" "))).toDF("doc_id", "text")
+    val c = graft.operators.Packing.packAssignments(crafted, budget = 64L).collect()
+    c.foreach { r =>
+      assert(r.getLong(2) === 10L * r.getLong(0))
+      assert(r.getLong(3) === (10L * r.getLong(0)) / 64L)
+    }
+  }
+
   test("streaming dedup == batch dedup (incremental execution parity)") {
     val streamed = graft.streaming.StreamingViews
       .runDedupAvailableNow(spark, Sf0001).collect().map(_.getLong(0))
