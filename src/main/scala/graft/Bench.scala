@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Protocol (labeled in the emitted JSON, nothing hidden):
   *   1. untimed warmup scan (session/codegen init);
-  *   2. `setup` — SparkEntry.warmShared materializes every SHARED cached
-  *      frame (views, shingles, signatures), timed per cache. One-time
+  *   2. `setup` — SparkEntry.sharedBuilds materializes every SHARED
+  *      cached frame (views, shingles, signatures), timed per cache
+  *      with per-build error capture. One-time
   *      shared builds are charged here, once, explicitly — not to
   *      whichever consumer query sorts first (rounds 2-3 attributed
   *      ~30 s of shared builds to alphabetical accidents);
@@ -113,20 +114,26 @@ object Bench {
     // pass_total, making the two views disagree — ADVICE round 4).
     errors.keys.foreach(best.remove)
 
+    // Locale.ROOT: "%.3f" under a comma-decimal default locale (e.g.
+    // de_DE) would emit {"value":77,300} — invalid JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(xs: Iterable[(String, Double)]): String =
-      xs.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+      xs.map { case (k, v) => s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     def jerr(xs: Iterable[(String, String)]): String =
       xs.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = setupSec + best.values.sum
     val onlyField = only.fold("")(f => s""""only":"${esc(f.toSeq.sorted.mkString(","))}",""")
+    // setup failures appear in `errors` too (prefixed) so that
+    // n_errors == len(errors) always holds for consumers
+    val allErrors = setupErrors.map { case (k, v) => s"setup:$k" -> v } ++ errors
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""queries":${jmap(best)},"setup":${jmap(setupTimes)},""" +
-        s""""setup_sec":${"%.3f".format(setupSec)},""" +
+        s""""setup_sec":${num(setupSec)},""" +
         s""""setup_errors":${jerr(setupErrors)},""" +
-        s""""passes":$passes,"pass_totals":[${passTotals.map("%.3f".format(_)).mkString(",")}],""" +
+        s""""passes":$passes,"pass_totals":[${passTotals.map(num).mkString(",")}],""" +
         s"""$onlyField"n_queries":${selected.size},""" +
-        s""""errors":${jerr(errors)},"n_errors":${errors.size + setupErrors.size},"sf":"${esc(sfDir)}"}""")
+        s""""errors":${jerr(allErrors)},"n_errors":${allErrors.size},"sf":"${esc(sfDir)}"}""")
     spark.stop()
     if (errors.nonEmpty || setupErrors.nonEmpty) sys.exit(1)
   }

@@ -160,24 +160,14 @@ object SparkEntry {
       Similarity.ivfAssignments(Tables.load(s, dir, "embeddings"))
     }
 
-  /** Eagerly materialize every shared cached frame, timed per cache.
-    *
-    * Bench calls this so one-time shared builds (views, shingles,
-    * signatures, IVF assignments) are charged ONCE as an explicit,
-    * visible setup phase — instead of silently charged to whichever
-    * consumer query happens to sort first in the run (round-2/3 benches
-    * attributed ~30 s of shared shingle+signature builds to
-    * `dedup_clusters`/`dedup_minhash_sig` purely by iteration order).
-    */
-  def warmShared(s: SparkSession, dir: String): Seq[(String, Double)] =
-    sharedBuilds(s, dir).map { case (name, f) =>
-      val t0 = System.nanoTime()
-      f()
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-
-  /** The shared-cache build list itself, so callers (Bench) can time and
-    * error-handle each build individually instead of all-or-nothing.
+  /** The shared-cache build list. Bench materializes these eagerly as an
+    * explicit, per-build-timed-and-error-handled setup phase, so
+    * one-time shared builds (views, shingles, signatures, LSH pairs, IVF
+    * assignments) are charged ONCE and visibly — instead of silently
+    * charged to whichever consumer query happens to sort first in the
+    * run (round-2/3 benches attributed ~30 s of shared
+    * shingle+signature builds to `dedup_clusters`/`dedup_minhash_sig`
+    * purely by iteration order).
     */
   def sharedBuilds(s: SparkSession, dir: String): Seq[(String, () => Any)] =
     Seq(

@@ -82,8 +82,13 @@ class ExploraService(
               // or history probe (geo prefix + ts range) then skips
               // whole row groups, not just whole partitions — the layout
               // that matters once a geo_part partition holds many
-              // row groups at 100 TB
-              .sortWithinPartitions(col("geo"), col("ts"))
+              // row groups at 100 TB. geo_part LEADS the sort: the
+              // partitioned writer requires ordering by the partition
+              // column, and a sort that doesn't satisfy it as a prefix
+              // gets a SECOND planner-inserted sort on geo_part alone —
+              // wasted work, and a spill-merge there interleaves equal
+              // keys and silently destroys the (geo, ts) clustering
+              .sortWithinPartitions(col("geo_part"), col("geo"), col("ts"))
               .write
               .mode("overwrite")
               .partitionBy("geo_part")

@@ -228,8 +228,13 @@ object CorpusSignals {
       .agg(
         expr("percentile(value, 0.5)").as("p50_exact"),
         expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"))
+    // null-safe equality: a NULL event_type group exists on BOTH sides
+    // and must be certified too — a plain inner equi-join would silently
+    // drop it (NULL never equals NULL) while the single-query oracle
+    // keeps it
     users
-      .join(broadcast(pcts), "event_type")
+      .join(broadcast(pcts), users("event_type") <=> pcts("event_type"))
+      .drop(pcts("event_type"))
       .select(
         col("event_type"),
         col("exact_users"),

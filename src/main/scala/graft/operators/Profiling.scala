@@ -108,9 +108,15 @@ object Profiling {
       .drop("one")
       .withColumn(
         "bin",
-        least(
-          floor((col("value") - col("lo")) * lit(bins) / (col("hi") - col("lo"))),
-          lit(bins - 1L)).cast("long"))
+        // hi == lo (constant column) must be guarded in BOTH dialects:
+        // the unguarded expression is 0/0 = NaN, and the engines then
+        // DIVERGE — Spark's floor(double)→long maps NaN to 0 while
+        // DuckDB keeps floor(nan)=nan, which `least` treats as greater
+        // (NaN orders last) and casts to bins-1
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(
+            floor((col("value") - col("lo")) * lit(bins) / (col("hi") - col("lo"))),
+            lit(bins - 1L)).cast("long")))
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("event_type"), col("bin"))
@@ -119,7 +125,9 @@ object Profiling {
   def valueHistogramSql(bins: Int = HistogramBins): String =
     s"""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
        |SELECT event_type,
-       |       CAST(least(floor((value - lo) * $bins / (hi - lo)), ${bins - 1}) AS BIGINT) AS bin,
+       |       CASE WHEN hi = lo THEN 0
+       |            ELSE CAST(least(floor((value - lo) * $bins / (hi - lo)), ${bins - 1}) AS BIGINT)
+       |       END AS bin,
        |       count(*) AS cnt
        |FROM events CROSS JOIN b
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

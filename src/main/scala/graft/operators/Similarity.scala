@@ -214,16 +214,24 @@ object Similarity {
     * same expression family as the fixed-centroid IVF path; ties break
     * to the lowest j in both dialects.
     */
-  def assignNearest(embeddings: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val withS = cents.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
+  /** s_j = 2·v·c_j − |c_j|² score columns — the ONE definition of the
+    * k-means objective's per-centroid score, shared by assignment and
+    * cost so the convergence spec can never drift from what the
+    * assignment optimizes.
+    */
+  private def withCentroidScores(
+      embeddings: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    cents.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
       df.withColumn(
         s"s$j",
         dotConstCol(col("embedding"), c) * lit(2.0) - lit(c.map(x => x * x).sum))
     }
-    withS
+
+  def assignNearest(embeddings: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    withCentroidScores(embeddings, cents)
       .withColumn("bucket", expr(bucketCase(cents.length)))
       .select(col("vec_id"), col("embedding"), col("bucket"))
-  }
 
   /** Train `k` IVF centroids with `iters` Lloyd iterations.
     *
@@ -271,12 +279,7 @@ object Similarity {
   def kmeansCost(embeddings: DataFrame, cents: Array[Array[Double]]): Double = {
     // |v − c_best|² = |v|² − max_j(2·v·c_j − |c_j|²), one pass, no join
     val best = cents.indices.map(j => s"s$j").mkString("greatest(", ", ", ")")
-    val withS = cents.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
-      df.withColumn(
-        s"s$j",
-        dotConstCol(col("embedding"), c) * lit(2.0) - lit(c.map(x => x * x).sum))
-    }
-    withS
+    withCentroidScores(embeddings, cents)
       .select((dotSelfCol(col("embedding")) - expr(best)).as("d2"))
       .agg(sum(col("d2")))
       .collect()(0)
