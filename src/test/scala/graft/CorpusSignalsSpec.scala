@@ -98,6 +98,31 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(p("ts_s").getAs[Double]("max_num") === 300.0)
   }
 
+  test("valueHistogram: constant value column lands in bin 0 (hi==lo guard)") {
+    import spark.implicits._
+    val e = Seq((1L, "click", 7.5), (2L, "view", 7.5), (3L, "click", 7.5))
+      .toDF("event_id", "event_type", "value")
+    val h = Profiling.valueHistogram(e).collect()
+    assert(h.forall(_.getLong(1) === 0L), h.mkString(", "))
+    assert(h.map(_.getLong(2)).sum === 3L)
+  }
+
+  test("sketchCertify: a NULL group key is certified, not dropped") {
+    import spark.implicits._
+    // odd value count per group: approx_percentile returns an ELEMENT,
+    // so the exact interpolated median only coincides for odd counts —
+    // the 5% bound is a distribution-scale guarantee, not a 2-row one
+    val e = Seq(
+      (Some("click"), 1L, 1.0), (Some("click"), 2L, 2.0), (Some("click"), 2L, 3.0),
+      (None, 3L, 5.0), (None, 4L, 6.0), (None, 4L, 7.0))
+      .toDF("event_type", "user_id", "value")
+    val out = CorpusSignals.sketchCertify(e).collect()
+    assert(out.length === 2)
+    val nullRow = out.find(_.isNullAt(0)).getOrElse(fail("NULL group missing"))
+    assert(nullRow.getAs[Long]("exact_users") === 2L)
+    assert(nullRow.getAs[Boolean]("users_ok") && nullRow.getAs[Boolean]("p50_ok"))
+  }
+
   test("valueHistogram: bins partition the value range; counts sum to row count") {
     val e = Tables.load(spark, Sf0001, "events")
     val h = Profiling.valueHistogram(e)
