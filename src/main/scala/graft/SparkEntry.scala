@@ -637,7 +637,32 @@ object SparkEntry {
     // sequence packing via a two-level distributed prefix sum — no
     // global window, no UDFs; oracle is DuckDB's plain window cumsum
     "pack_assign" -> ((s, d) =>
-      Packing.packAssignments(Tables.load(s, d, "documents"))))
+      Packing.packAssignments(Tables.load(s, d, "documents"))),
+    // THE showcase composition — the full training-data flow as one
+    // DataFrame program: quality filter ∘ repetition filter ∘ exact
+    // dedup ∘ decontamination ∘ sequence packing, reported per pack.
+    // Every stage is the same operator the standalone entries check.
+    "corpus_pipeline" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      // thresholds tuned to THIS corpus (quality and distinct-ratio are
+      // anti-correlated here: long docs saturate their vocabulary), the
+      // way a real pipeline tunes its filters to corpus statistics
+      val good = TextAnalysis.qualityScore(docs)
+        .filter(col("quality") >= 0.5).select(col("doc_id"))
+      val varied = CorpusSignals.repetitionStats(docs)
+        .filter(col("distinct_ratio") >= 0.35).select(col("doc_id"))
+      val deduped = Dedup.exact(docs)
+      val dirty = Decontamination.contaminated(docs).select(col("doc_id"))
+      val surv = docs
+        .join(good, "doc_id")
+        .join(varied, "doc_id")
+        .join(deduped, "doc_id")
+        .join(dirty, Seq("doc_id"), "left_anti")
+      Packing.packAssignments(surv)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .orderBy(col("pack_id"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "view_min" -> viewSql(Gh6Expr, "min"),
@@ -841,7 +866,26 @@ object SparkEntry {
     "streaming_dedup" -> Dedup.ExactSql,
     "decontaminate" -> Decontamination.contaminatedSql(),
     "semantic_clusters" -> Dedup.clustersSql(Similarity.lshNearDupSql(0.4)),
-    "pack_assign" -> Packing.packAssignmentsSql())
+    "pack_assign" -> Packing.packAssignmentsSql(),
+    "corpus_pipeline" ->
+      s"""WITH q AS (SELECT doc_id FROM (${TextAnalysis.QualityScoreSql}) WHERE quality >= 0.5),
+         |r AS (SELECT doc_id FROM (${CorpusSignals.RepetitionStatsSql}) WHERE distinct_ratio >= 0.35),
+         |k AS (${Dedup.ExactSql}),
+         |dirty AS (${Decontamination.contaminatedSql()}),
+         |surv AS (
+         |  SELECT d.doc_id,
+         |         CAST(len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+         |  FROM documents d
+         |  JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN k USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |s AS (
+         |  SELECT doc_id, n_toks,
+         |         CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM surv)
+         |SELECT cum_before // ${Packing.PackBudget} AS pack_id,
+         |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** The full oracle map, including DATA-DEPENDENT entries whose expected
     * output is computed driver-side from an independent scalar kernel and
