@@ -384,6 +384,10 @@ object SparkEntry {
     // duplicate clusters: connected components over the near-dup pairs,
     // each doc mapped to its canonical (minimal) id
     "dedup_clusters" -> ((s, d) => Dedup.clusters(ngramPairs(s, d))),
+    // directed containment (quote/subset detection) off the same shared
+    // shingle frame as the Jaccard family
+    "containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairsFrom(docShingles(s, d), 0.8)),
     // full MinHash-LSH pipeline, md5 family → the ENTIRE pipeline
     // (signatures, bands, candidate join, exact verify) is oracle-checked
     "dedup_minhash_pairs" -> ((s, d) =>
@@ -867,6 +871,7 @@ object SparkEntry {
     "decontaminate" -> Decontamination.contaminatedSql(),
     "semantic_clusters" -> Dedup.clustersSql(Similarity.lshNearDupSql(0.4)),
     "pack_assign" -> Packing.packAssignmentsSql(),
+    "containment_pairs" -> Dedup.containmentSql(3, 0.8),
     "corpus_pipeline" ->
       s"""WITH q AS (SELECT doc_id FROM (${TextAnalysis.QualityScoreSql}) WHERE quality >= 0.5),
          |r AS (SELECT doc_id FROM (${CorpusSignals.RepetitionStatsSql}) WHERE distinct_ratio >= 0.35),

@@ -349,6 +349,52 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---- containment (asymmetric Jaccard) ------------------------------
+
+  /** Directed containment pairs: (a, b) with
+    * `|shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ t` and a ≠ b — the
+    * quote/subset detector (a near-fully-contained document is a quote,
+    * an excerpt, or a padded duplicate even when symmetric Jaccard is
+    * low because b is much longer). Same bounded shingle equi-join
+    * shape as [[ngramJaccardPairs]]; asymmetry just changes the
+    * denominator. The PPJoin prefix filter does NOT apply (it is a
+    * symmetric-Jaccard bound), so at corpus scale the shingle join runs
+    * with a document-frequency cap on hot shingles instead.
+    */
+  def containmentPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
+    val u = sh.select(col("doc_id"), size(col("shingles")).as("nsh"), explode(col("shingles")).as("s"))
+    u.as("a")
+      .join(u.as("b"), col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("a_id"),
+        col("b.doc_id").as("b_id"),
+        col("a.nsh").as("na"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment", round(col("common").cast("double") / col("na"), 6))
+      .filter(col("common").cast("double") / col("na") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def containmentSql(n: Int, threshold: Double): String = {
+    val grams = (1 to n).map(j => s"t[i+$j]").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, len(t) - ${n - 1}),
+       |    i -> concat_ws(' ', $grams))) AS shingles
+       |  FROM toks WHERE len(t) >= $n),
+       |u AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh),
+       |j AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nsh AS na, count(*) AS common
+       |  FROM u a JOIN u b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT a_id, b_id, round(CAST(common AS DOUBLE) / na, 6) AS containment
+       |FROM j WHERE CAST(common AS DOUBLE) / na >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   // ---- duplicate clustering (connected components) -------------------
 
   /** Collapse near-duplicate PAIRS into clusters: every document in a
