@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, TextAnalysis, ViewBuilder}
+import graft.operators.{CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, ViewBuilder}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -556,6 +556,20 @@ object SparkEntry {
     // byte-exact dedup, per language
     "normalized_fingerprint" -> ((s, d) =>
       Sampling.normalizedFingerprint(Tables.load(s, d, "documents"))),
+    // deterministic mixture resampling: integer-only rate arithmetic,
+    // per-stratum hash thresholds; one pass over the corpus, counts +
+    // feasible-size broadcast back onto the scan
+    "mixture_resample" -> ((s, d) =>
+      Sampling.mixtureResample(Tables.load(s, d, "documents"))),
+    // span-level exact dedup (Lee et al. arXiv:2107.06499): maximal
+    // cross-document duplicated character spans via distributed gram
+    // matching + gaps-and-islands (the suffix-array replacement)
+    "dup_spans" -> ((s, d) =>
+      SpanDedup.duplicatedSpans(Tables.load(s, d, "documents"))),
+    // hashed-feature linear classifier serving plan: narrow integer
+    // fold per doc, exact and order-independent, one final division
+    "quality_classify" -> ((s, d) =>
+      TextAnalysis.classifierScore(Tables.load(s, d, "documents"))),
     // ---- S3 serialize wired into the gate: typed readings →
     //      ReadingJson.serialize → ReadingJson.parse must round-trip
     //      (parse ∘ serialize == id), checked against the events table
@@ -721,6 +735,9 @@ object SparkEntry {
     "text_stats" -> TextAnalysis.StatsSql,
     "lang_profile" -> TextAnalysis.LangProfileSql,
     "quality_score" -> TextAnalysis.QualityScoreSql,
+    "quality_classify" -> TextAnalysis.ClassifierScoreSql,
+    "mixture_resample" -> Sampling.MixtureResampleSql,
+    "dup_spans" -> SpanDedup.duplicatedSpansSql(),
     "doc_fingerprint" -> TextAnalysis.FingerprintSql,
     "token_top20" -> TextAnalysis.tokenTopKSql(20),
     "dedup_exact" -> Dedup.ExactSql,

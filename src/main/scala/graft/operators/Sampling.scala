@@ -72,4 +72,89 @@ object Sampling {
     """SELECT lang, count(*) AS n_docs,
       | count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct_norm
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- mixture resampling --------------------------------------------
+
+  /** Target corpus mixture by language, in per-mille (sums to 1000).
+    * In a real pipeline these come from the data-mixing recipe (e.g.
+    * per-source weights in The Pile / Dolma dataset cards); strata
+    * absent from the map are dropped.
+    */
+  val MixWeightsPermille: Seq[(String, Long)] =
+    Seq("en" -> 300L, "de" -> 200L, "es" -> 200L, "fr" -> 150L, "zh" -> 150L)
+
+  /** Deterministic mixture resampling: downsample each language stratum
+    * so the surviving corpus matches `MixWeightsPermille` as closely as
+    * the 1/4096 hash granularity allows, keeping the largest corpus the
+    * targets permit (no stratum is ever upsampled).
+    *
+    * The feasible corpus size is `T = min_s floor(n_s·1000 / w_s)`; the
+    * per-stratum keep threshold is `thr_s = min(4096, floor(w_s·T·4096
+    * / (1000·n_s)))` and a doc survives iff the first 3 hex digits of
+    * `md5(text)` fall under `thr_s` — the same rerun/backfill-stable,
+    * coordination-free selection rule as [[sampleByContent]], now with a
+    * per-stratum rate. ALL rate arithmetic is integer (BIGINT div), so
+    * the Spark plan and the DuckDB twin cannot drift on float rounding.
+    *
+    * Plan shape: one hash aggregation for the stratum counts (5 rows),
+    * a single-row min, both broadcast back onto the corpus scan — one
+    * pass over the data, no global shuffle of documents. At 100 TB the
+    * counts frame is |strata| rows; the doc-side work is a narrow
+    * md5+compare per row.
+    *
+    * Output is the per-stratum audit `(lang, n_docs, thr_4096, n_kept)`
+    * — all integers, fully deterministic.
+    */
+  def mixtureResample(docs: DataFrame): DataFrame = {
+    val wCol = MixWeightsPermille.foldLeft(lit(0L)) { case (acc, (l, w)) =>
+      when(col("lang") === l, lit(w)).otherwise(acc)
+    }
+    val caps = docs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", wCol)
+      .filter(col("w") > 0)
+      .withColumn("cap", expr("n_docs * 1000 DIV w"))
+    // one-row feasible-size join on a non-foldable constant-1 key —
+    // BroadcastHashJoin, not a nested loop (see CorpusSignals.one)
+    val t = caps
+      .agg(min(col("cap")).as("t"))
+      .withColumn("one", CorpusSignals.one(col("t")))
+    val thr = caps
+      .withColumn("one", CorpusSignals.one(col("cap")))
+      .join(broadcast(t), "one")
+      .withColumn("thr_4096", least(lit(4096L), expr("w * t * 4096 DIV (1000 * n_docs)")))
+      .select(col("lang"), col("n_docs"), col("thr_4096"))
+    docs
+      .join(broadcast(thr), "lang")
+      .withColumn(
+        "kept",
+        (col("thr_4096") >= 4096 ||
+          substring(md5(col("text")), 1, 3) < lpad(lower(hex(col("thr_4096"))), 3, "0"))
+          .cast("int"))
+      .groupBy(col("lang"), col("n_docs"), col("thr_4096"))
+      .agg(sum(col("kept")).cast("long").as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB twin — identical integer arithmetic (`//` == Spark `DIV`
+    * on positive BIGINTs), identical hex-threshold comparison.
+    */
+  val MixtureResampleSql: String = {
+    val values = MixWeightsPermille.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+    s"""WITH w(lang, w) AS (VALUES $values),
+       |c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+       |caps AS (SELECT c.lang, n_docs, w.w, n_docs * 1000 // w.w AS cap
+       |         FROM c JOIN w USING (lang)),
+       |t AS (SELECT min(cap) AS t FROM caps),
+       |thr AS (SELECT lang, n_docs,
+       |               least(4096, w * t.t * 4096 // (1000 * n_docs)) AS thr_4096
+       |        FROM caps, t)
+       |SELECT d.lang, thr.n_docs, thr.thr_4096,
+       |  CAST(sum(CASE WHEN thr.thr_4096 >= 4096
+       |                  OR substr(md5(d.text), 1, 3) < lpad(lower(to_hex(thr.thr_4096)), 3, '0')
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents d JOIN thr ON d.lang = thr.lang
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+  }
 }

@@ -105,6 +105,53 @@ object TextAnalysis {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Hashed-feature linear classifier SERVING plan — the shape of a
+    * fastText-style document-quality model applied at corpus scale:
+    * per token, a weight looked up by feature hash; per doc, the weight
+    * sum, the normalized score, and the sign label. The weights here are
+    * a deterministic hash-derived fixture (odd integers in [-15, 15]
+    * keyed by the first hex digit of md5(token)); a trained model ships
+    * a broadcast weight table instead — the plan is identical.
+    *
+    * Scale properties: the whole computation is one NARROW per-row
+    * split+fold (higher-order `aggregate`, no explode, no shuffle before
+    * the presentation sort), and the per-token weights are INTEGERS, so
+    * the sum is exact and order-independent — the score is bit-stable
+    * under any partitioning or re-run, unlike a float dot-product fold.
+    * The only floating op is one final division per document.
+    */
+  def classifierScore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(toks))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr(
+          """aggregate(toks, CAST(0 AS BIGINT),
+            | (acc, t) -> acc + 2 * locate(substring(md5(t), 1, 1), '0123456789abcdef') - 17)"""
+            .stripMargin).as("w_sum"))
+      .filter(col("n_toks") > 0)
+      .withColumn("score", round(col("w_sum") / (col("n_toks") * lit(15)).cast("double"), 6))
+      .withColumn("label", (col("w_sum") > 0).cast("int"))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB twin — same weights (strpos == locate with args swapped),
+    * same integer sum, same single final division.
+    */
+  val ClassifierScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+      |         CAST(list_sum(list_transform(toks,
+      |           x -> 2 * strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 17)) AS BIGINT) AS w_sum
+      |  FROM t WHERE len(toks) > 0)
+      |SELECT doc_id, n_toks, w_sum,
+      |       round(w_sum / CAST(n_toks * 15 AS DOUBLE), 6) AS score,
+      |       CASE WHEN w_sum > 0 THEN 1 ELSE 0 END AS label
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** Document fingerprint: min-md5 over tokens (1-permutation MinHash —
     * a compact content signature; grouping by it clusters heavily
     * overlapping docs).
