@@ -404,6 +404,14 @@ object SparkEntry {
     "similarity_topk" -> ((s, d) => Similarity.topK(Tables.load(s, d, "embeddings"), 10)),
     "ann_buckets" -> ((s, d) => Similarity.ivfBucketsFrom(ivfAssigned(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopKFrom(ivfAssigned(s, d), 5)),
+    // recall@k certification: the approximate IVF ranking is checked
+    // against the exact scan on every gate run (sketch_certify pattern)
+    "ann_recall" -> ((s, d) =>
+      Similarity.annRecallFrom(ivfAssigned(s, d), Tables.load(s, d, "embeddings"), 20, 4)),
+    // int8 scalar quantization audit: per-dim corpus bounds broadcast
+    // onto a narrow transform+fold encode; integer-only output
+    "embedding_quantize" -> ((s, d) =>
+      Similarity.quantizeAudit(Tables.load(s, d, "embeddings"))),
     "embedding_neardup_lsh" -> ((s, d) => lshPairs(s, d)),
     // semantic dedup composed end-to-end: sign-LSH near-dup pairs feed
     // the same connected-components clustering as the text dedup family
@@ -566,6 +574,10 @@ object SparkEntry {
     // matching + gaps-and-islands (the suffix-array replacement)
     "dup_spans" -> ((s, d) =>
       SpanDedup.duplicatedSpans(Tables.load(s, d, "documents"))),
+    // per-doc duplicated-char audit: interval-union of the span frame
+    // (overlapping islands must not double-count), integer per-mille
+    "dup_span_stats" -> ((s, d) =>
+      SpanDedup.spanStats(Tables.load(s, d, "documents"))),
     // hashed-feature linear classifier serving plan: narrow integer
     // fold per doc, exact and order-independent, one final division
     "quality_classify" -> ((s, d) =>
@@ -738,6 +750,7 @@ object SparkEntry {
     "quality_classify" -> TextAnalysis.ClassifierScoreSql,
     "mixture_resample" -> Sampling.MixtureResampleSql,
     "dup_spans" -> SpanDedup.duplicatedSpansSql(),
+    "dup_span_stats" -> SpanDedup.spanStatsSql(),
     "doc_fingerprint" -> TextAnalysis.FingerprintSql,
     "token_top20" -> TextAnalysis.tokenTopKSql(20),
     "dedup_exact" -> Dedup.ExactSql,
@@ -755,6 +768,8 @@ object SparkEntry {
     "similarity_topk" -> Similarity.topKSql(10),
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
+    "ann_recall" -> Similarity.annRecallSql(20, 4),
+    "embedding_quantize" -> Similarity.QuantizeAuditSql,
     "embedding_neardup_lsh" -> Similarity.lshNearDupSql(0.4),
     "q4_semi" ->
       """SELECT o_orderpriority, count(*) AS order_count FROM orders

@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   *      NARROW (sequence+explode+substring, whole-stage codegen; the
   *      shuffle that follows carries a 32-char digest + two longs per
   *      position, never document text);
-  *   2. keep grams seen in more than one document — ONE hash
-  *      aggregation (`count(DISTINCT doc_id) > 1` with map-side
-  *      partial), then an equi-join back to positions (dedup-join
-  *      shape: candidates come only from the gram equi-join, no
-  *      all-pairs anywhere);
+  *   2. keep grams seen in more than one document — a gram is
+  *      cross-document iff `min(doc_id) != max(doc_id)` over its gram
+  *      partition, so ONE window over `partition by g` replaces the
+  *      groupBy + equi-join-back shape: the gram frame is materialized
+  *      and shuffled ONCE (the join formulation computes the explode +
+  *      md5 twice and shuffles the wide frame twice — measured 11.8 s
+  *      vs 3.6 s at sf0.1; no all-pairs anywhere either way);
   *   3. merge each doc's surviving positions into maximal runs —
   *      stride-1 islands via `pos - row_number()` over a window
   *      PARTITIONED BY doc_id (per-doc state only; nothing global).
@@ -60,12 +62,12 @@ object SpanDedup {
         col("doc_id"),
         col("pos").cast("long").as("pos"),
         md5(expr(s"substring(text, pos, $gramLen)")).as("g"))
-    val crossDoc = grams
-      .groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
-      .select(col("g"))
-    val hits = grams.join(crossDoc, "g").select(col("doc_id"), col("pos"))
+    val perGram = Window.partitionBy(col("g"))
+    val hits = grams
+      .withColumn("mn", min(col("doc_id")).over(perGram))
+      .withColumn("mx", max(col("doc_id")).over(perGram))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos"))
     val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("isl", col("pos") - row_number().over(perDoc))
@@ -77,20 +79,100 @@ object SpanDedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
-  /** DuckDB twin: same gram length, same island arithmetic. */
-  def duplicatedSpansSql(gramLen: Int = GramLen): String =
+  /** Per-document duplication audit — the signal span-filtering
+    * pipelines actually threshold on: raw span count, UNIONED
+    * duplicated character count, and the per-mille duplicated fraction
+    * (integer arithmetic, so both engines agree exactly).
+    *
+    * Maximal islands from [[duplicatedSpans]] can OVERLAP as character
+    * ranges (positions {p, p+2} with gram length L cover [p, p+2+L) but
+    * sum their lengths to 2L), so the char count goes through a second
+    * gaps-and-islands pass at interval level: a span opens a new group
+    * iff its start exceeds the running `max(span_end)` of everything
+    * before it in the doc — the classic distributed interval-union
+    * shape, again per-doc window state only. The final join back to
+    * `documents` is an equi-join on doc_id for `n_chars`; the span side
+    * is bounded by the number of duplicated docs, never corpus chars.
+    */
+  def spanStats(docs: DataFrame, gramLen: Int = GramLen): DataFrame = {
+    val spans = duplicatedSpans(docs, gramLen)
+      .withColumn("span_end", col("span_start") + col("span_len"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+    val prevEnd =
+      max(col("span_end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = spans
+      .withColumn(
+        "fresh",
+        when(prevEnd.isNull || col("span_start") > prevEnd, 1L).otherwise(0L))
+      .withColumn(
+        "grp",
+        sum(col("fresh")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("span_start")).as("s"),
+        max(col("span_end")).as("e"),
+        count(lit(1)).as("n_raw"))
+    merged
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_raw")).as("n_spans"),
+        sum(col("e") - col("s")).as("dup_chars"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("dup_permille", expr("dup_chars * 1000 DIV n_chars"))
+      .select(col("doc_id"), col("n_spans"), col("dup_chars"), col("dup_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared CTE prefix: `spans` = the maximal-span frame, unordered. */
+  private def spansCte(gramLen: Int): String =
     s"""WITH grams AS (
        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        |         md5(substr(text, pos, $gramLen)) AS g
        |  FROM (SELECT doc_id, text,
        |               unnest(generate_series(1, length(text) - ${gramLen - 1})) AS pos
        |        FROM documents WHERE length(text) >= $gramLen)),
-       |dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1),
-       |hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+       |w AS (SELECT doc_id, pos,
+       |             min(doc_id) OVER (PARTITION BY g) AS mn,
+       |             max(doc_id) OVER (PARTITION BY g) AS mx
+       |      FROM grams),
+       |hits AS (SELECT doc_id, pos FROM w WHERE mn <> mx),
        |isl AS (SELECT doc_id, pos,
        |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-       |        FROM hits)
-       |SELECT doc_id, MIN(pos) AS span_start,
-       |       MAX(pos) - MIN(pos) + $gramLen AS span_len
-       |FROM isl GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
+       |        FROM hits),
+       |spans AS (SELECT doc_id, MIN(pos) AS span_start,
+       |                 MAX(pos) - MIN(pos) + $gramLen AS span_len
+       |          FROM isl GROUP BY doc_id, isl)""".stripMargin
+
+  /** DuckDB twin: same gram length, same island arithmetic. */
+  def duplicatedSpansSql(gramLen: Int = GramLen): String =
+    s"""${spansCte(gramLen)}
+       |SELECT doc_id, span_start, span_len FROM spans
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** DuckDB twin of [[spanStats]]: same interval-union window, same
+    * integer per-mille (`//` == Spark `DIV` on positive BIGINTs).
+    */
+  def spanStatsSql(gramLen: Int = GramLen): String =
+    s"""${spansCte(gramLen)},
+       |sp AS (SELECT doc_id, span_start, span_start + span_len AS span_end FROM spans),
+       |m AS (SELECT doc_id, span_start, span_end,
+       |             max(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |      FROM sp),
+       |g AS (SELECT doc_id, span_start, span_end,
+       |             sum(CASE WHEN prev_end IS NULL OR span_start > prev_end
+       |                      THEN 1 ELSE 0 END)
+       |               OVER (PARTITION BY doc_id ORDER BY span_start
+       |                     ROWS UNBOUNDED PRECEDING) AS grp
+       |      FROM m),
+       |iv AS (SELECT doc_id, grp, min(span_start) AS s, max(span_end) AS e,
+       |              count(*) AS n_raw
+       |       FROM g GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, CAST(sum(n_raw) AS BIGINT) AS n_spans,
+       |               CAST(sum(e - s) AS BIGINT) AS dup_chars
+       |        FROM iv GROUP BY 1)
+       |SELECT d.doc_id, a.n_spans, a.dup_chars,
+       |       a.dup_chars * 1000 // d.n_chars AS dup_permille
+       |FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

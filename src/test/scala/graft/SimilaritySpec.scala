@@ -141,4 +141,39 @@ class SimilaritySpec extends AnyFunSuite {
         s"vec $id assigned bucket $bucket (d=${dists(bucket)}) but argmin is $best (d=${dists.min})")
     }
   }
+
+  test("multi-probe IVF: probe order starts at QueryBucket; recall grows to exact at nprobe=C") {
+    assert(Similarity.probedBuckets(1) === Seq(Similarity.QueryBucket))
+    assert(Similarity.probedBuckets(8).sorted === (0 until 8))
+    val emb = graft.sources.Tables.load(spark, SparkTestBase.Sf001, "embeddings").cache()
+    val assigned = Similarity.ivfAssignments(emb).cache()
+    val recalls = Seq(1, 4, 8).map { np =>
+      Similarity.annRecallFrom(assigned, emb, 20, np).collect()(0).getLong(4)
+    }
+    // more probes never lose neighbors; probing ALL buckets IS the exact scan
+    assert(recalls == recalls.sorted, s"recall not monotone in nprobe: $recalls")
+    assert(recalls.last === 1000L)
+    // the served configuration (nprobe=4) clears the certification floor
+    val served = Similarity.annRecallFrom(assigned, emb, 20, 4).collect()(0)
+    assert(served.getBoolean(5), s"nprobe=4 recall ${served.getLong(4)} under floor")
+    emb.unpersist(); assigned.unpersist()
+  }
+
+  test("quantizeAudit: codes in [0,255], constant dim codes to 0, known 2-vector fixture") {
+    // dim0 spans [0,1]; dim1 constant -> 0; dim2 spans [-2,2]; the
+    // all-zero/all-one tail dims span [0,1]. vec2 sits mid-range on
+    // dim2 (x=0 -> floor(2*256/4) = 128).
+    val d = toDf(Seq(
+      0L -> (Array(0f, 5f, -2f) ++ Array.fill(Dim - 3)(0f)),
+      1L -> (Array(1f, 5f, 2f) ++ Array.fill(Dim - 3)(1f)),
+      2L -> (Array(0f, 5f, 0f) ++ Array.fill(Dim - 3)(0f))))
+    val rows = Similarity.quantizeAudit(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // vec0 is the minimum of every non-constant dim -> every code 0
+    assert(rows(0L) === ((Dim.toLong, 0L, 0L, 0L)))
+    // vec1 is the max of every non-constant dim -> 255 on all but dim1
+    assert(rows(1L) === ((Dim.toLong, 255L * (Dim - 1), 0L, 255L)))
+    // vec2: only dim2 is nonzero-coded, at exactly mid-range
+    assert(rows(2L) === ((Dim.toLong, 128L, 0L, 128L)))
+  }
 }
