@@ -217,13 +217,20 @@ object Dedup {
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
       df.withColumn(s"band$b", xxhash64(lit(b) +: cols: _*))
     }
-    val cands = (0 until bands)
-      .map { b =>
-        val a = banded.select(col("doc_id").as("a_id"), col(s"band$b").as("bk"))
-        val bb = banded.select(col("doc_id").as("b_id"), col(s"band$b").as("bk"))
-        a.join(bb, Seq("bk")).filter(col("a_id") < col("b_id")).select(col("a_id"), col("b_id"))
-      }
-      .reduce(_ unionAll _)
+    // ONE self-equi-join on (band_idx, band_value) over the posexploded
+    // band frame — the per-band join union re-evaluated the signature
+    // subtree up to 2×bands times (same collapse as the embedding-LSH
+    // candidate join); a pair is a candidate iff it agrees on ≥1 band,
+    // identical semantics
+    val bandedL = banded.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
+    val cands = bandedL.as("a")
+      .join(
+        bandedL.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     verifyJaccard(sh, cands, threshold)
   }

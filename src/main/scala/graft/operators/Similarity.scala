@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{FloatDotConstExpr, FloatDotSelfExpr}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
 
@@ -365,20 +366,28 @@ object Similarity {
     * with a single equi-join; semantics are identical (a pair is a
     * candidate iff it agrees on at least one band).
     */
-  def lshNearDupPairsFrom(
-      sig: DataFrame,
-      embeddings: DataFrame,
-      threshold: Double): DataFrame = {
+  /** Distinct candidate pairs (a_id < b_id) agreeing on ≥1 band: ONE
+    * self-equi-join on (band_idx, band_value) over the posexploded
+    * signature frame. Shared by the threshold and k-NN consumers.
+    */
+  private def bandCandidates(sig: DataFrame): DataFrame = {
     val banded = sig.select(
       col("vec_id"),
       posexplode(array((0 until LshBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
-    val cands = banded.as("a")
+    banded.as("a")
       .join(
         banded.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.bk") === col("b.bk") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
+  }
+
+  def lshNearDupPairsFrom(
+      sig: DataFrame,
+      embeddings: DataFrame,
+      threshold: Double): DataFrame = {
+    val cands = bandCandidates(sig)
     // Verify cost dominates (candidate count is O(pairs-in-bucket²)
     // summed over the band buckets), so per-PAIR work is trimmed to one
     // codegen'd dot product: norms are computed once per VECTOR (not per
@@ -404,6 +413,75 @@ object Similarity {
       .filter(col("sim").isNotNull && col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Approximate k-NN JOIN: every vector's top-`k` most-similar OTHER
+    * vectors among its sign-LSH band candidates — the all-vectors
+    * generalization of the single-query ANN path, and the workhorse of
+    * semantic dedup / diversity sampling (each doc gets its nearest
+    * neighbors, not just pairs over a threshold).
+    *
+    * Candidates are the SAME single band equi-join as
+    * [[lshNearDupPairsFrom]] (never all-pairs), symmetrized by a cheap
+    * union so both endpoints of a pair see each other; ranking is a
+    * row_number window PARTITIONED BY vec_id (per-vector state only —
+    * the window never sees more rows than that vector's candidate
+    * count, which band width bounds). Ties break on sim DESC then
+    * neighbor id ASC over the UNROUNDED bit-identical double, so both
+    * engines rank identically.
+    */
+  def knnJoinFrom(sig: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
+    val cands = bandCandidates(sig)
+    val sym = cands.union(
+      cands.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val prepped = embeddings.select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"),
+      sqrt(dotSelfCol(col("embedding"))).as("nrm"))
+    val ea = prepped.select(col("vec_id").as("a_id"), col("ed").as("ea"), col("nrm").as("na"))
+    val eb = prepped.select(col("vec_id").as("b_id"), col("ed").as("eb"), col("nrm").as("nb"))
+    val dot = (0 until Dim).map(i => s"ea[$i]*eb[$i]").mkString("0D + ", " + ", "")
+    val perVec = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
+    sym
+      .join(broadcast(ea), "a_id")
+      .join(broadcast(eb), "b_id")
+      .withColumn("sim", expr(s"($dot) / nullif(na * nb, 0)"))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(perVec))
+      .filter(col("rank") <= k)
+      .select(
+        col("a_id").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("b_id").as("neighbor"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[knnJoinFrom]]: same candidates, same unrounded
+    * ranking key.
+    */
+  def knnJoinSql(k: Int): String = {
+    val bands = (0 until LshBands)
+      .map(b => s"${bandExpr(DuckDialect, "embedding", b)} AS band$b")
+      .mkString(",\n  ")
+    val cands = (0 until LshBands)
+      .map(b =>
+        s"SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM sig a JOIN sig b ON a.band$b = b.band$b AND a.vec_id < b.vec_id")
+      .mkString("\n  UNION\n  ")
+    s"""WITH sig AS (SELECT vec_id,\n  $bands\nFROM embeddings),
+       |cand AS (\n  $cands\n),
+       |sym AS (SELECT a_id, b_id FROM cand
+       |        UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM cand),
+       |v AS (
+       |  SELECT s.a_id, s.b_id, ${cosinePair(DuckDialect, "ea.embedding", "eb.embedding")} AS sim
+       |  FROM sym s
+       |  JOIN embeddings ea ON ea.vec_id = s.a_id
+       |  JOIN embeddings eb ON eb.vec_id = s.b_id),
+       |r AS (
+       |  SELECT a_id, b_id, sim,
+       |         row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rank
+       |  FROM v WHERE sim IS NOT NULL)
+       |SELECT a_id AS vec_id, CAST(rank AS BIGINT) AS rank,
+       |       b_id AS neighbor, round(sim, 6) AS sim
+       |FROM r WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
   }
 
   /** Persist the IVF index: embeddings written `partitionBy("bucket")`,

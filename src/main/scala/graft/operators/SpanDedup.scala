@@ -51,7 +51,14 @@ object SpanDedup {
   /** `(doc_id, span_start, span_len)` of every maximal cross-document
     * duplicated span, 1-based character positions.
     */
-  def duplicatedSpans(docs: DataFrame, gramLen: Int = GramLen): DataFrame = {
+  def duplicatedSpans(docs: DataFrame, gramLen: Int = GramLen): DataFrame =
+    spanFrame(docs, gramLen).orderBy(col("doc_id"), col("span_start"))
+
+  /** The unordered maximal-span frame — shared by [[duplicatedSpans]]
+    * and [[spanStats]] (SparkEntry caches it per (session, sf) so the
+    * gram explode+window runs once, not once per consumer).
+    */
+  def spanFrame(docs: DataFrame, gramLen: Int = GramLen): DataFrame = {
     val grams = docs
       .filter(length(col("text")) >= gramLen)
       .select(
@@ -76,7 +83,6 @@ object SpanDedup {
         min(col("pos")).as("span_start"),
         (max(col("pos")) - min(col("pos")) + lit(gramLen.toLong)).as("span_len"))
       .select(col("doc_id"), col("span_start"), col("span_len"))
-      .orderBy(col("doc_id"), col("span_start"))
   }
 
   /** Per-document duplication audit — the signal span-filtering
@@ -94,8 +100,11 @@ object SpanDedup {
     * `documents` is an equi-join on doc_id for `n_chars`; the span side
     * is bounded by the number of duplicated docs, never corpus chars.
     */
-  def spanStats(docs: DataFrame, gramLen: Int = GramLen): DataFrame = {
-    val spans = duplicatedSpans(docs, gramLen)
+  def spanStats(docs: DataFrame, gramLen: Int = GramLen): DataFrame =
+    spanStatsFrom(spanFrame(docs, gramLen), docs)
+
+  def spanStatsFrom(spanFr: DataFrame, docs: DataFrame): DataFrame = {
+    val spans = spanFr
       .withColumn("span_end", col("span_start") + col("span_len"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
     val prevEnd =

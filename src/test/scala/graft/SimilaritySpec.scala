@@ -159,6 +159,24 @@ class SimilaritySpec extends AnyFunSuite {
     emb.unpersist(); assigned.unpersist()
   }
 
+  test("knnJoin: ranks dense from 1, sims non-increasing, self excluded, planted pair mutual rank-1") {
+    val rnd = new scala.util.Random(11)
+    val base = baseVec(rnd)
+    val near = perturb(base, 0.97, rnd)
+    val d = toDf(Seq(0L -> base, 1L -> near) ++ (2L until 40L).map(i => i -> baseVec(rnd)))
+    val out = Similarity.knnJoinFrom(Similarity.lshBanded(d), d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.groupBy(_._1).foreach { case (v, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length), s"ranks not dense for $v")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq, s"sims not sorted for $v")
+      assert(!rows.exists(_._3 == v), s"self-neighbor for $v")
+    }
+    // the cos~0.97 planted pair must be band candidates and each other's top neighbor
+    assert(out.find(r => r._1 == 0L && r._2 == 1L).map(_._3) === Some(1L))
+    assert(out.find(r => r._1 == 1L && r._2 == 1L).map(_._3) === Some(0L))
+  }
+
   test("quantizeAudit: codes in [0,255], constant dim codes to 0, known 2-vector fixture") {
     // dim0 spans [0,1]; dim1 constant -> 0; dim2 spans [-2,2]; the
     // all-zero/all-one tail dims span [0,1]. vec2 sits mid-range on
