@@ -152,13 +152,23 @@ object SparkEntry {
       Similarity.lshBanded(Tables.load(s, dir, "embeddings"))
     }
 
+  /** Distinct band-candidate pairs — the self-join output shared by the
+    * verified near-dup pairs AND the k-NN join (two longs per row;
+    * without this cache each consumer re-runs the same self-join).
+    */
+  private def lshCands(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "lsh_cands", "8x8") {
+      Similarity.bandCandidates(lshSig(s, dir))
+    }
+
   /** Verified sign-LSH near-dup pairs — shared by `embedding_neardup_lsh`
     * and `semantic_clusters` (the clustering would otherwise re-run the
     * whole candidate join + exact verify).
     */
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     cachedView(s, dir, "lsh_pairs", "0.4") {
-      Similarity.lshNearDupPairsFrom(lshSig(s, dir), Tables.load(s, dir, "embeddings"), 0.4)
+      Similarity.lshNearDupPairsFromCands(
+        lshCands(s, dir), Tables.load(s, dir, "embeddings"), 0.4)
     }
 
   /** IVF coarse-quantizer assignments (8 centroid dots per vector) —
@@ -198,6 +208,7 @@ object SparkEntry {
       "xx_sig16" -> (() => xxSig16(s, dir)),
       "ngram_pairs" -> (() => ngramPairs(s, dir)),
       "lsh_sig" -> (() => lshSig(s, dir)),
+      "lsh_cands" -> (() => lshCands(s, dir)),
       "lsh_pairs" -> (() => lshPairs(s, dir)),
       "ivf_assign" -> (() => ivfAssigned(s, dir)),
       "span_frame" -> (() => spanFrame(s, dir)))
@@ -432,7 +443,7 @@ object SparkEntry {
     // approximate k-NN join: top-3 neighbors per vector from the SAME
     // band candidate join; per-vector row_number window, never all-pairs
     "knn_join_lsh" -> ((s, d) =>
-      Similarity.knnJoinFrom(lshSig(s, d), Tables.load(s, d, "embeddings"), 3)),
+      Similarity.knnJoinFromCands(lshCands(s, d), Tables.load(s, d, "embeddings"), 3)),
     // semantic dedup composed end-to-end: sign-LSH near-dup pairs feed
     // the same connected-components clustering as the text dedup family
     "semantic_clusters" -> ((s, d) => Dedup.clusters(lshPairs(s, d))),
@@ -589,6 +600,10 @@ object SparkEntry {
     // feasible-size broadcast back onto the scan
     "mixture_resample" -> ((s, d) =>
       Sampling.mixtureResample(Tables.load(s, d, "documents"))),
+    // fixed-count per-stratum sample: deterministic hash-order
+    // "reservoir" (eval-set carving / per-source caps)
+    "sample_k_per_group" -> ((s, d) =>
+      Sampling.sampleKPerGroup(Tables.load(s, d, "documents"), 10)),
     // span-level exact dedup (Lee et al. arXiv:2107.06499): maximal
     // cross-document duplicated character spans via distributed gram
     // matching + gaps-and-islands (the suffix-array replacement)
@@ -769,6 +784,7 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.QualityScoreSql,
     "quality_classify" -> TextAnalysis.ClassifierScoreSql,
     "mixture_resample" -> Sampling.MixtureResampleSql,
+    "sample_k_per_group" -> Sampling.sampleKPerGroupSql(10),
     "dup_spans" -> SpanDedup.duplicatedSpansSql(),
     "dup_span_stats" -> SpanDedup.spanStatsSql(),
     "doc_fingerprint" -> TextAnalysis.FingerprintSql,

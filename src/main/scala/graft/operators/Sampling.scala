@@ -73,6 +73,41 @@ object Sampling {
       | count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct_norm
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- fixed-count per-stratum sample --------------------------------
+
+  /** Exactly `min(k, |stratum|)` docs per language, chosen by md5(text)
+    * order — the deterministic replacement for a per-group reservoir
+    * sample (eval-set carving, per-source caps). Same rerun/backfill
+    * stability as [[sampleByContent]]: the "random" order is the content
+    * hash, so the selection is coordination-free and identical on any
+    * cluster. Ties (identical text twice in a stratum) break on doc_id.
+    *
+    * Plan shape: ONE per-group window (rank state only); at 100 TB,
+    * where a stratum is billions of rows, the production refinement is a
+    * two-phase cut — a rate prefilter at ~(k/|stratum|)·slack via the
+    * hash threshold, then this exact window over the survivors — same
+    * output, window input shrunk by the prefilter rate.
+    */
+  def sampleKPerGroup(docs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("text")), col("doc_id"))
+    docs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** DuckDB twin — same hash order, same tie-break. */
+  def sampleKPerGroupSql(k: Int): String =
+    s"""SELECT lang, rank, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
+       |              AS BIGINT) AS rank
+       |  FROM documents)
+       |WHERE rank <= $k ORDER BY lang, rank""".stripMargin
+
   // ---- mixture resampling --------------------------------------------
 
   /** Target corpus mixture by language, in per-mille (sums to 1000).

@@ -368,9 +368,11 @@ object Similarity {
     */
   /** Distinct candidate pairs (a_id < b_id) agreeing on ≥1 band: ONE
     * self-equi-join on (band_idx, band_value) over the posexploded
-    * signature frame. Shared by the threshold and k-NN consumers.
+    * signature frame. Shared by the threshold and k-NN consumers
+    * (SparkEntry caches this frame — the self-join is the dominant
+    * cost of both, and the pair list is two longs per row).
     */
-  private def bandCandidates(sig: DataFrame): DataFrame = {
+  def bandCandidates(sig: DataFrame): DataFrame = {
     val banded = sig.select(
       col("vec_id"),
       posexplode(array((0 until LshBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
@@ -386,8 +388,13 @@ object Similarity {
   def lshNearDupPairsFrom(
       sig: DataFrame,
       embeddings: DataFrame,
+      threshold: Double): DataFrame =
+    lshNearDupPairsFromCands(bandCandidates(sig), embeddings, threshold)
+
+  def lshNearDupPairsFromCands(
+      cands: DataFrame,
+      embeddings: DataFrame,
       threshold: Double): DataFrame = {
-    val cands = bandCandidates(sig)
     // Verify cost dominates (candidate count is O(pairs-in-bucket²)
     // summed over the band buckets), so per-PAIR work is trimmed to one
     // codegen'd dot product: norms are computed once per VECTOR (not per
@@ -430,8 +437,10 @@ object Similarity {
     * neighbor id ASC over the UNROUNDED bit-identical double, so both
     * engines rank identically.
     */
-  def knnJoinFrom(sig: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
-    val cands = bandCandidates(sig)
+  def knnJoinFrom(sig: DataFrame, embeddings: DataFrame, k: Int): DataFrame =
+    knnJoinFromCands(bandCandidates(sig), embeddings, k)
+
+  def knnJoinFromCands(cands: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
     val sym = cands.union(
       cands.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     val prepped = embeddings.select(

@@ -85,6 +85,23 @@ class SpanMixClassifySpec extends AnyFunSuite {
     }
   }
 
+  test("sampleKPerGroup: dense ranks, caps at stratum size, partition-invariant selection") {
+    val corpus = graft.sources.Tables.load(spark, Sf001, "documents")
+    val k = 7
+    val out = Sampling.sampleKPerGroup(corpus, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sizes = corpus.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length === math.min(k.toLong, sizes(lang)))
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length))
+    }
+    // content-hash order: the same docs are picked under any partitioning
+    val out7 = Sampling.sampleKPerGroup(corpus.repartition(7), k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet === out7.toSet)
+  }
+
   test("classifierScore matches a driver-side md5 reference and is partition-invariant") {
     val d = docs(
       0L -> "alpha beta gamma delta",

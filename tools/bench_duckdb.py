@@ -19,6 +19,8 @@ HEADLINE = [
     "similarity_topk", "embedding_neardup_lsh", "user_sessions",
     "repetition_stats", "tfidf_top3", "sketch_certify", "data_profile",
     "value_histogram", "decontaminate", "semantic_clusters",
+    "dup_spans", "dup_span_stats", "mixture_resample", "quality_classify",
+    "ann_recall", "embedding_quantize", "knn_join_lsh",
 ]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
