@@ -604,6 +604,10 @@ object SparkEntry {
     // "reservoir" (eval-set carving / per-source caps)
     "sample_k_per_group" -> ((s, d) =>
       Sampling.sampleKPerGroup(Tables.load(s, d, "documents"), 10)),
+    // deterministic epoch shuffle: hash-balanced shard + in-shard
+    // sequence, the reproducible training order for dataloaders
+    "epoch_shuffle" -> ((s, d) =>
+      Sampling.epochShuffle(Tables.load(s, d, "documents"))),
     // span-level exact dedup (Lee et al. arXiv:2107.06499): maximal
     // cross-document duplicated character spans via distributed gram
     // matching + gaps-and-islands (the suffix-array replacement)
@@ -785,6 +789,7 @@ object SparkEntry {
     "quality_classify" -> TextAnalysis.ClassifierScoreSql,
     "mixture_resample" -> Sampling.MixtureResampleSql,
     "sample_k_per_group" -> Sampling.sampleKPerGroupSql(10),
+    "epoch_shuffle" -> Sampling.EpochShuffleSql,
     "dup_spans" -> SpanDedup.duplicatedSpansSql(),
     "dup_span_stats" -> SpanDedup.spanStatsSql(),
     "doc_fingerprint" -> TextAnalysis.FingerprintSql,

@@ -108,6 +108,50 @@ object Sampling {
        |  FROM documents)
        |WHERE rank <= $k ORDER BY lang, rank""".stripMargin
 
+  // ---- deterministic epoch shuffle / sharding ------------------------
+
+  /** Number of training shards for [[epochShuffle]] (one per hex digit
+    * of the hash prefix; widen the prefix for more shards).
+    */
+  val NumShards = 16
+
+  /** Deterministic epoch shuffle: assign every doc a training shard and
+    * an in-shard sequence position, both derived from md5(text) — the
+    * dataloader-prep step that turns a curated corpus into a reproducible
+    * training order (same order on every rerun, any cluster size, no RNG
+    * state; a new "epoch seed" = prepend a salt to the hash input).
+    *
+    * Shard = first hex digit of the content hash (16-way), so shards are
+    * hash-balanced; sequence = rank by (hash, doc_id) WITHIN the shard —
+    * a per-shard window, parallel across shards, never a global sort.
+    * At 100 TB the in-shard rank uses the same two-level distributed
+    * prefix sum as [[graft.operators.Packing]]; the per-shard window
+    * here is the small-N formulation of the identical plan.
+    */
+  def epochShuffle(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    docs
+      .withColumn("h", md5(col("text")))
+      // hex digit -> 0..15 via alphabet position (Spark locate == DuckDB
+      // strpos, the same bridge the classifier weights use)
+      .withColumn(
+        "shard",
+        (expr("locate(substring(h, 1, 1), '0123456789abcdef')") - 1).cast("long"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("seq"))
+      .orderBy(col("shard"), col("seq"))
+  }
+
+  /** DuckDB twin — same hash, same shard digit, same in-shard order. */
+  val EpochShuffleSql: String =
+    """SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS seq
+      |FROM (SELECT doc_id, md5(text) AS h,
+      |             CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS BIGINT) AS shard
+      |      FROM documents)
+      |ORDER BY shard, seq""".stripMargin
+
   // ---- mixture resampling --------------------------------------------
 
   /** Target corpus mixture by language, in per-mille (sums to 1000).
@@ -130,6 +174,8 @@ object Sampling {
     * coordination-free selection rule as [[sampleByContent]], now with a
     * per-stratum rate. ALL rate arithmetic is integer (BIGINT div), so
     * the Spark plan and the DuckDB twin cannot drift on float rounding.
+    * Overflow bound: `w·t·4096 ≤ n_s·1000·4096`, within BIGINT for
+    * strata up to ~2.2e12 docs (ANSI mode fails loudly, never wraps).
     *
     * Plan shape: one hash aggregation for the stratum counts (5 rows),
     * a single-row min, both broadcast back onto the corpus scan — one
