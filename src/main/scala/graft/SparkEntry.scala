@@ -697,6 +697,11 @@ object SparkEntry {
     "value_histogram" -> ((s, d) => Profiling.valueHistogram(Tables.load(s, d, "events"))),
     // stateful streaming dedup under AvailableNow == batch Dedup.exact
     // (same oracle): arrival-order-independent survivor rule
+    // stateless streaming projection: the quality filter under
+    // incremental execution (append mode, zero state) — the shape of
+    // every streaming curation filter; same oracle as batch
+    "streaming_quality" -> ((s, d) =>
+      graft.streaming.StreamingViews.runQualityAvailableNow(s, d)),
     "streaming_dedup" -> ((s, d) =>
       graft.streaming.StreamingViews.runDedupAvailableNow(s, d)),
     // train/eval n-gram decontamination: distinct eval grams equi-joined
@@ -942,6 +947,7 @@ object SparkEntry {
     "data_profile" -> Profiling.DataProfileSql,
     "value_histogram" -> Profiling.valueHistogramSql(),
     "streaming_dedup" -> Dedup.ExactSql,
+    "streaming_quality" -> TextAnalysis.QualityScoreSql,
     "decontaminate" -> Decontamination.contaminatedSql(),
     "semantic_clusters" -> Dedup.clustersSql(Similarity.lshNearDupSql(0.4)),
     "pack_assign" -> Packing.packAssignmentsSql(),

@@ -359,13 +359,6 @@ object Similarity {
       }
       .select(col("vec_id") +: (0 until LshBands).map(b => col(s"band$b")): _*)
 
-  /** [[lshNearDupPairs]] over a precomputed signature frame. Candidates
-    * come from ONE self-join on (band_idx, band_value) — the
-    * [[LshBands]] bands are posexploded into rows, which replaces the
-    * per-band joins (and their re-evaluations of the signature subtree)
-    * with a single equi-join; semantics are identical (a pair is a
-    * candidate iff it agrees on at least one band).
-    */
   /** Distinct candidate pairs (a_id < b_id) agreeing on ≥1 band: ONE
     * self-equi-join on (band_idx, band_value) over the posexploded
     * signature frame. Shared by the threshold and k-NN consumers
@@ -391,18 +384,17 @@ object Similarity {
       threshold: Double): DataFrame =
     lshNearDupPairsFromCands(bandCandidates(sig), embeddings, threshold)
 
-  def lshNearDupPairsFromCands(
-      cands: DataFrame,
-      embeddings: DataFrame,
-      threshold: Double): DataFrame = {
-    // Verify cost dominates (candidate count is O(pairs-in-bucket²)
-    // summed over the band buckets), so per-PAIR work is trimmed to one
-    // codegen'd dot product: norms are computed once per VECTOR (not per
-    // pair), elements are pre-cast to double once, and the dot product
-    // is an explicit 64-term left-associated sum — same association
-    // order as the HOF fold and the DuckDB chain, so the doubles stay
-    // bit-identical (one 64-term expression is fine for janino; it was
-    // 16 of them in one projection that blew up).
+  /** Attach the exact pair cosine to a `(a_id, b_id)` frame as `sim`.
+    * Per-pair work is ONE codegen'd dot product: norms are computed once
+    * per VECTOR (not per pair), elements are pre-cast to double once,
+    * and the dot is an explicit 64-term left-associated sum — same
+    * association order as the HOF fold and the DuckDB chain, so the
+    * doubles stay bit-identical (this association order is load-bearing
+    * for oracle parity; it lives HERE and nowhere else). Vector sides
+    * are broadcast so the pair stream never shuffles (at 100 TB this
+    * becomes a bucketed join on vec_id ranges instead).
+    */
+  private def withPairCosine(pairs: DataFrame, embeddings: DataFrame): DataFrame = {
     val prepped = embeddings.select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"),
@@ -410,17 +402,24 @@ object Similarity {
     val ea = prepped.select(col("vec_id").as("a_id"), col("ed").as("ea"), col("nrm").as("na"))
     val eb = prepped.select(col("vec_id").as("b_id"), col("ed").as("eb"), col("nrm").as("nb"))
     val dot = (0 until Dim).map(i => s"ea[$i]*eb[$i]").mkString("0D + ", " + ", "")
-    cands
-      // vectors-per-side is O(corpus), tiny next to the candidate pair
-      // stream — broadcast them so the pairs never shuffle (at 100 TB
-      // this becomes a bucketed join on vec_id ranges instead)
+    pairs
       .join(broadcast(ea), "a_id")
       .join(broadcast(eb), "b_id")
       .withColumn("sim", expr(s"($dot) / nullif(na * nb, 0)"))
+      .drop("ea", "eb", "na", "nb")
+  }
+
+  def lshNearDupPairsFromCands(
+      cands: DataFrame,
+      embeddings: DataFrame,
+      threshold: Double): DataFrame =
+    // verify cost dominates (candidate count is O(pairs-in-bucket²)
+    // summed over the band buckets) — see withPairCosine for the
+    // per-pair trimming
+    withPairCosine(cands, embeddings)
       .filter(col("sim").isNotNull && col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   /** Approximate k-NN JOIN: every vector's top-`k` most-similar OTHER
     * vectors among its sign-LSH band candidates — the all-vectors
@@ -443,18 +442,8 @@ object Similarity {
   def knnJoinFromCands(cands: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
     val sym = cands.union(
       cands.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-    val prepped = embeddings.select(
-      col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"),
-      sqrt(dotSelfCol(col("embedding"))).as("nrm"))
-    val ea = prepped.select(col("vec_id").as("a_id"), col("ed").as("ea"), col("nrm").as("na"))
-    val eb = prepped.select(col("vec_id").as("b_id"), col("ed").as("eb"), col("nrm").as("nb"))
-    val dot = (0 until Dim).map(i => s"ea[$i]*eb[$i]").mkString("0D + ", " + ", "")
     val perVec = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
-    sym
-      .join(broadcast(ea), "a_id")
-      .join(broadcast(eb), "b_id")
-      .withColumn("sim", expr(s"($dot) / nullif(na * nb, 0)"))
+    withPairCosine(sym, embeddings)
       .filter(col("sim").isNotNull)
       .withColumn("rank", row_number().over(perVec))
       .filter(col("rank") <= k)
@@ -606,21 +595,28 @@ object Similarity {
       embeddings: DataFrame,
       k: Int,
       nprobe: Int): DataFrame = {
-    val one = CorpusSignals.one _
-    val exact  = topK(embeddings, k).select(col("vec_id"))
-    val approx = ivfTopKProbedFrom(assigned, k, nprobe).select(col("vec_id"))
-    val nExact   = exact.agg(count(lit(1)).as("n_exact"))
-      .withColumn("one", one(col("n_exact")))
-    val nApprox  = approx.agg(count(lit(1)).as("n_approx"))
-      .withColumn("one", one(col("n_approx")))
-    val nOverlap = exact.join(approx, "vec_id")
-      .agg(count(lit(1)).as("n_overlap"))
-      .withColumn("one", one(col("n_overlap")))
-    nExact
-      .join(broadcast(nApprox), "one")
-      .join(broadcast(nOverlap), "one")
+    // ONE pass: full-outer join of the two k-row id sets with presence
+    // flags, then a single aggregation computes all three counts — each
+    // ranking's scan is evaluated exactly once (the earlier three
+    // independent count branches re-ran both scans; the DuckDB twin had
+    // the same shape and was its slowest anchor at 14.6 s).
+    val exact  = topK(embeddings, k).select(col("vec_id"), lit(1L).as("e"))
+    val approx = ivfTopKProbedFrom(assigned, k, nprobe)
+      .select(col("vec_id"), lit(1L).as("a"))
+    exact
+      .join(approx, Seq("vec_id"), "full_outer")
+      .agg(
+        sum(coalesce(col("e"), lit(0L))).as("n_exact"),
+        sum(coalesce(col("a"), lit(0L))).as("n_approx"),
+        sum(when(col("e").isNotNull && col("a").isNotNull, 1L).otherwise(0L))
+          .as("n_overlap"))
       .withColumn("k", lit(k.toLong))
-      .withColumn("recall_permille", expr(s"n_overlap * 1000 DIV ${k}L"))
+      // denominator = |exact top-k|, not the literal k: on a corpus with
+      // fewer than k vectors the approximate ranking can still be
+      // perfect, and recall must read 1000, not |corpus|·1000/k
+      .withColumn(
+        "recall_permille",
+        expr("n_overlap * 1000 DIV greatest(n_exact, 1L)"))
       .withColumn("certified", col("recall_permille") >= RecallFloorPermille)
       .select(
         col("k"), col("n_exact"), col("n_approx"), col("n_overlap"),
@@ -631,16 +627,18 @@ object Similarity {
     * then the same integer recall arithmetic.
     */
   def annRecallSql(k: Int, nprobe: Int): String =
-    s"""WITH exact AS (SELECT vec_id FROM (${topKSql(k)})),
-       |approx AS (SELECT vec_id FROM (${ivfTopKProbedSql(k, nprobe)}))
-       |SELECT CAST($k AS BIGINT) AS k,
-       |  (SELECT count(*) FROM exact) AS n_exact,
-       |  (SELECT count(*) FROM approx) AS n_approx,
-       |  (SELECT count(*) FROM exact JOIN approx USING (vec_id)) AS n_overlap,
-       |  (SELECT count(*) FROM exact JOIN approx USING (vec_id)) * 1000 // $k
-       |    AS recall_permille,
-       |  (SELECT count(*) FROM exact JOIN approx USING (vec_id)) * 1000 // $k
-       |    >= $RecallFloorPermille AS certified""".stripMargin
+    s"""WITH exact AS (SELECT vec_id, 1 AS e FROM (${topKSql(k)})),
+       |approx AS (SELECT vec_id, 1 AS a FROM (${ivfTopKProbedSql(k, nprobe)})),
+       |f AS (SELECT e, a FROM exact FULL JOIN approx USING (vec_id)),
+       |c AS (SELECT CAST(sum(coalesce(e, 0)) AS BIGINT) AS n_exact,
+       |             CAST(sum(coalesce(a, 0)) AS BIGINT) AS n_approx,
+       |             CAST(sum(CASE WHEN e IS NOT NULL AND a IS NOT NULL
+       |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+       |      FROM f)
+       |SELECT CAST($k AS BIGINT) AS k, n_exact, n_approx, n_overlap,
+       |  n_overlap * 1000 // greatest(n_exact, 1) AS recall_permille,
+       |  n_overlap * 1000 // greatest(n_exact, 1) >= $RecallFloorPermille AS certified
+       |FROM c""".stripMargin
 
   // ---- int8 scalar quantization ---------------------------------------
 

@@ -34,11 +34,13 @@ import org.apache.spark.sql.functions._
   * A span of length S duplicated across docs yields S-L+1 consecutive
   * surviving positions, which collapse to one `[span_start,
   * span_start+span_len)` row. At 100 TB the gram explode is the
-  * dominant term (≈ corpus chars rows); hot grams (a boilerplate line
-  * shared by millions of docs) skew the groupBy key — the same
-  * stop-shingle / salting remedies documented for
-  * [[Dedup.ngramJaccardPairsFrom]] apply, and the count-distinct
-  * aggregation caps per-gram state at the distinct-doc count.
+  * dominant term (≈ corpus chars rows); a hot gram (a boilerplate line
+  * shared by millions of docs) puts ALL its occurrence rows in one
+  * window partition on one task — the skew remedy is a pre-pass that
+  * caps or drops grams above a document-frequency ceiling (the
+  * stop-shingle cap documented for [[Dedup.ngramJaccardPairsFrom]]):
+  * a gram that hot is boilerplate by definition, and capping it only
+  * widens the reported span boundaries by < L chars at the run edges.
   */
 object SpanDedup {
 

@@ -70,7 +70,14 @@ object TextAnalysis {
   /** Quality score: coverage-scaled non-stopword ratio in [0,1].
     * score = min(n_tokens, 100)/100 · (1 − stopword_ratio).
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    qualityScoreUnordered(docs).orderBy(col("doc_id"))
+
+  /** [[qualityScore]] without the presentation sort — a pure stateless
+    * projection, legal on a STREAMING DataFrame (append mode, no state
+    * store); the streaming entry runs exactly this and sorts the sink.
+    */
+  def qualityScoreUnordered(docs: DataFrame): DataFrame = {
     val stopArr = StopWords.map(w => s"'$w'").mkString("array(", ", ", ")")
     docs
       .withColumn("toks", expr(toks))
@@ -86,7 +93,6 @@ object TextAnalysis {
             (lit(1.0) - col("nstop").cast("double") / col("ntd")),
           6))
       .select(col("doc_id"), col("nt").as("n_tokens"), col("stop_ratio"), col("quality"))
-      .orderBy(col("doc_id"))
   }
 
   val QualityScoreSql: String = {

@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.functions.GeoFunctions
-import graft.operators.ViewBuilder
+import graft.operators.{TextAnalysis, ViewBuilder}
 import graft.sources.SensorGrid
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -151,6 +151,30 @@ object StreamingViews {
       .start()
     q.awaitTermination()
     spark.table(name).select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  /** Stateless streaming transform: the quality-score projection run
+    * under incremental execution in APPEND mode — no state store, no
+    * watermark, per-batch cost is a narrow map over that batch's rows
+    * only. This is the shape of every streaming curation FILTER
+    * (quality, language, length): stream == batch by construction for a
+    * stateless projection, and this entry pins that in the driver gate
+    * against the same DuckDB oracle as the batch `quality_score`.
+    */
+  def runQualityAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val name = s"stream_quality_${sinkId.incrementAndGet()}"
+    val q = spark.readStream.schema(schema)
+      .parquet(s"$sfDir/{documents.parquet}")
+      .transform(TextAnalysis.qualityScoreUnordered)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("doc_id"))
   }
 
   /** Production-shaped sink (S5): an UPDATE-mode MERGE upsert keyed on

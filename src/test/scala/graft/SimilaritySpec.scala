@@ -159,6 +159,15 @@ class SimilaritySpec extends AnyFunSuite {
     emb.unpersist(); assigned.unpersist()
   }
 
+  test("annRecall on a corpus smaller than k: denominator is |exact|, recall 1000 at nprobe=C") {
+    val rnd = new scala.util.Random(5)
+    val tiny = toDf((0L until 9L).map(i => i -> baseVec(rnd)))
+    val r = Similarity.annRecall(tiny, 20, 8).collect()(0)
+    assert(r.getLong(1) === 9L) // n_exact = corpus size, not k
+    assert(r.getLong(4) === 1000L, s"recall ${r.getLong(4)} — denominator must be |exact|, not k")
+    assert(r.getBoolean(5))
+  }
+
   test("knnJoin: ranks dense from 1, sims non-increasing, self excluded, planted pair mutual rank-1") {
     val rnd = new scala.util.Random(11)
     val base = baseVec(rnd)
