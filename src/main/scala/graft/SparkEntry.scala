@@ -444,6 +444,10 @@ object SparkEntry {
     // band candidate join; per-vector row_number window, never all-pairs
     "knn_join_lsh" -> ((s, d) =>
       Similarity.knnJoinFromCands(lshCands(s, d), Tables.load(s, d, "embeddings"), 3)),
+    // embedding-space decontamination: cross-set LSH join (train × eval
+    // split), the semantic counterpart of n-gram decontaminate
+    "semantic_decontaminate" -> ((s, d) =>
+      Similarity.semanticDecontaminate(Tables.load(s, d, "embeddings"), 0.35)),
     // semantic dedup composed end-to-end: sign-LSH near-dup pairs feed
     // the same connected-components clustering as the text dedup family
     "semantic_clusters" -> ((s, d) => Dedup.clusters(lshPairs(s, d))),
@@ -818,6 +822,7 @@ object SparkEntry {
     "embedding_quantize" -> Similarity.QuantizeAuditSql,
     "embedding_neardup_lsh" -> Similarity.lshNearDupSql(0.4),
     "knn_join_lsh" -> Similarity.knnJoinSql(3),
+    "semantic_decontaminate" -> Similarity.semanticDecontaminateSql(0.35),
     "q4_semi" ->
       """SELECT o_orderpriority, count(*) AS order_count FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)

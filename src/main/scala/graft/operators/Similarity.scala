@@ -482,6 +482,62 @@ object Similarity {
        |FROM r WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** Semantic decontamination: train-split vectors suspiciously close to
+    * an EVAL-split vector — the embedding-space counterpart of the
+    * n-gram [[Decontamination]] (catches paraphrased/translated leakage
+    * that exact grams miss). The eval split here is `label == 0` (in a
+    * real pipeline: the held-out benchmark's embeddings).
+    *
+    * Cross-SET approximate join: band the two sides with the SAME
+    * hyperplanes, equi-join on (band_idx, band_value) across sets (never
+    * eval × train all-pairs; at 100 TB the small eval side's banded
+    * frame is the broadcast side), then exact-verify candidates. One
+    * output row per flagged (train, eval) pair.
+    */
+  def semanticDecontaminate(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val banded = lshBanded(embeddings)
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+      .select(
+        col("vec_id"), col("label"),
+        posexplode(array((0 until LshBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
+    val evalSide  = banded.filter(col("label") === 0)
+      .select(col("vec_id").as("b_id"), col("band_idx"), col("bk"))
+    val trainSide = banded.filter(col("label") =!= 0)
+      .select(col("vec_id").as("a_id"), col("band_idx"), col("bk"))
+    val cands = trainSide
+      .join(broadcast(evalSide), Seq("band_idx", "bk"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    withPairCosine(cands, embeddings)
+      .filter(col("sim").isNotNull && col("sim") >= threshold)
+      .select(
+        col("a_id").as("train_id"), col("b_id").as("eval_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** DuckDB twin: same bands, same cross-set candidates, same verify. */
+  def semanticDecontaminateSql(threshold: Double): String = {
+    val bands = (0 until LshBands)
+      .map(b => s"${bandExpr(DuckDialect, "embedding", b)} AS band$b")
+      .mkString(",\n  ")
+    val cands = (0 until LshBands)
+      .map(b =>
+        s"SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM tr a JOIN ev b ON a.band$b = b.band$b")
+      .mkString("\n  UNION\n  ")
+    s"""WITH sig AS (SELECT vec_id, label,\n  $bands\nFROM embeddings),
+       |ev AS (SELECT * FROM sig WHERE label = 0),
+       |tr AS (SELECT * FROM sig WHERE label <> 0),
+       |cand AS (\n  $cands\n),
+       |v AS (
+       |  SELECT c.a_id, c.b_id, ${cosinePair(DuckDialect, "ea.embedding", "eb.embedding")} AS sim
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a_id
+       |  JOIN embeddings eb ON eb.vec_id = c.b_id)
+       |SELECT a_id AS train_id, b_id AS eval_id, round(sim, 6) AS sim FROM v
+       |WHERE sim >= $threshold ORDER BY train_id, eval_id""".stripMargin
+  }
+
   /** Persist the IVF index: embeddings written `partitionBy("bucket")`,
     * so a probe query's `filter(bucket === …)` becomes PARTITION PRUNING
     * at the file level — the at-scale layout where each executor reads

@@ -186,6 +186,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.find(r => r._1 == 1L && r._2 == 1L).map(_._3) === Some(0L))
   }
 
+  test("semanticDecontaminate: planted train copy of an eval vector is flagged; eval-eval pairs never are") {
+    val rnd = new scala.util.Random(21)
+    val evalVec = baseVec(rnd)
+    val leaked = perturb(evalVec, 0.96, rnd) // train-side near-copy
+    val rows =
+      Seq((0L, evalVec, 0), (1L, perturb(evalVec, 0.97, rnd), 0), (10L, leaked, 3)) ++
+        (11L until 40L).map(i => (i, baseVec(rnd), (i % 9 + 1).toInt))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("label", IntegerType, nullable = false)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, v, l) => org.apache.spark.sql.Row(id, v.toSeq, l) }, 4),
+      schema)
+    val flagged = Similarity.semanticDecontaminate(d, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the planted leak is caught against BOTH eval copies; the highly
+    // similar eval-eval pair (0,1) must NOT appear (same split)
+    assert(flagged.contains((10L, 0L)), s"planted leak missed: ${flagged.toSeq}")
+    assert(flagged.forall { case (t, _) => t >= 10L }, s"eval-side id on train side: ${flagged.toSeq}")
+  }
+
   test("quantizeAudit: codes in [0,255], constant dim codes to 0, known 2-vector fixture") {
     // dim0 spans [0,1]; dim1 constant -> 0; dim2 spans [-2,2]; the
     // all-zero/all-one tail dims span [0,1]. vec2 sits mid-range on

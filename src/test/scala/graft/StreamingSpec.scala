@@ -102,6 +102,15 @@ class StreamingSpec extends AnyFunSuite {
       s"late windows leaked through the watermark: $minEmitted < ~$medianSec")
   }
 
+  test("stateless streaming quality projection == batch quality (sf0.001)") {
+    val streamed = StreamingViews.runQualityAvailableNow(spark, Sf001).collect()
+    val batch = graft.operators.TextAnalysis
+      .qualityScore(graft.sources.Tables.load(spark, Sf001, "documents"))
+      .collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("materializeViews MERGE-upserts: second run rewrites only touched metric partitions") {
     val tmp = Files.createTempDirectory("graft-mat").toFile.getAbsolutePath
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
