@@ -59,8 +59,22 @@ object SpanDedup {
   /** The unordered maximal-span frame — shared by [[duplicatedSpans]]
     * and [[spanStats]] (SparkEntry caches it per (session, sf) so the
     * gram explode+window runs once, not once per consumer).
+    *
+    * `maxOccurrences` is the hot-gram skew guard for the 100 TB run: a
+    * gram occurring more often than the cap (a boilerplate line shared
+    * by millions of docs — exactly what would pile one window partition
+    * onto one task) is EXCLUDED from span formation. The count rides
+    * the SAME WindowExec as the min/max, so the cap costs nothing
+    * extra; the default (MaxValue) disables it, and the driver-gate
+    * entry runs uncapped so the oracle semantics stay exact. Capping
+    * only suppresses spans of ultra-hot boilerplate; a capped gram
+    * inside a longer rare span splits or edge-trims that span at the
+    * hot gram's positions.
     */
-  def spanFrame(docs: DataFrame, gramLen: Int = GramLen): DataFrame = {
+  def spanFrame(
+      docs: DataFrame,
+      gramLen: Int = GramLen,
+      maxOccurrences: Long = Long.MaxValue): DataFrame = {
     val grams = docs
       .filter(length(col("text")) >= gramLen)
       .select(
@@ -75,7 +89,8 @@ object SpanDedup {
     val hits = grams
       .withColumn("mn", min(col("doc_id")).over(perGram))
       .withColumn("mx", max(col("doc_id")).over(perGram))
-      .filter(col("mn") =!= col("mx"))
+      .withColumn("occ", count(lit(1)).over(perGram))
+      .filter(col("mn") =!= col("mx") && col("occ") <= maxOccurrences)
       .select(col("doc_id"), col("pos"))
     val perDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits

@@ -64,6 +64,24 @@ class SpanMixClassifySpec extends AnyFunSuite {
     assert(SpanDedup.duplicatedSpans(d, gramLen = 20).count() === 0L)
   }
 
+  test("spanFrame maxOccurrences drops only grams hotter than the cap") {
+    val hot  = "HHHHHHHHHHIIIIIIIIII" // 20 chars, planted in 4 docs
+    val rare = "JJJJJJJJJJKKKKKKKKKK" // 20 chars, planted in 2 docs
+    val d = docs(
+      0L -> (hot + noise('a', 30)),
+      1L -> (hot + noise('b', 30)),
+      2L -> (hot + noise('c', 30)),
+      3L -> (hot + noise('d', 30) + rare),
+      4L -> (rare + noise('e', 30)))
+    // uncapped: both planted grams form spans (docs 0-4 all appear)
+    val all = SpanDedup.spanFrame(d, gramLen = 20).collect().map(_.getLong(0)).toSet
+    assert(all === Set(0L, 1L, 2L, 3L, 4L))
+    // cap 3: the hot gram (4 occurrences) is dropped, the rare one stays
+    val capped = SpanDedup.spanFrame(d, gramLen = 20, maxOccurrences = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped === Set((3L, 51L, 20L), (4L, 1L, 20L)))
+  }
+
   test("mixtureResample: thresholds hit targets, binding stratum kept whole") {
     val corpus = graft.sources.Tables.load(spark, Sf001, "documents")
     val audit = Sampling.mixtureResample(corpus).collect()
