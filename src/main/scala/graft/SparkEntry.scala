@@ -447,7 +447,8 @@ object SparkEntry {
     // embedding-space decontamination: cross-set LSH join (train × eval
     // split), the semantic counterpart of n-gram decontaminate
     "semantic_decontaminate" -> ((s, d) =>
-      Similarity.semanticDecontaminate(Tables.load(s, d, "embeddings"), 0.35)),
+      Similarity.semanticDecontaminateFromSig(
+        lshSig(s, d), Tables.load(s, d, "embeddings"), 0.35)),
     // semantic dedup composed end-to-end: sign-LSH near-dup pairs feed
     // the same connected-components clustering as the text dedup family
     "semantic_clusters" -> ((s, d) => Dedup.clusters(lshPairs(s, d))),
@@ -699,13 +700,13 @@ object SparkEntry {
     // fixed-width value histogram; bounds broadcast, identical IEEE
     // bin arithmetic on both engines
     "value_histogram" -> ((s, d) => Profiling.valueHistogram(Tables.load(s, d, "events"))),
-    // stateful streaming dedup under AvailableNow == batch Dedup.exact
-    // (same oracle): arrival-order-independent survivor rule
     // stateless streaming projection: the quality filter under
     // incremental execution (append mode, zero state) — the shape of
     // every streaming curation filter; same oracle as batch
     "streaming_quality" -> ((s, d) =>
       graft.streaming.StreamingViews.runQualityAvailableNow(s, d)),
+    // stateful streaming dedup under AvailableNow == batch Dedup.exact
+    // (same oracle): arrival-order-independent survivor rule
     "streaming_dedup" -> ((s, d) =>
       graft.streaming.StreamingViews.runDedupAvailableNow(s, d)),
     // train/eval n-gram decontamination: distinct eval grams equi-joined

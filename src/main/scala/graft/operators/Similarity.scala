@@ -494,8 +494,18 @@ object Similarity {
     * frame is the broadcast side), then exact-verify candidates. One
     * output row per flagged (train, eval) pair.
     */
-  def semanticDecontaminate(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val banded = lshBanded(embeddings)
+  def semanticDecontaminate(embeddings: DataFrame, threshold: Double): DataFrame =
+    semanticDecontaminateFromSig(lshBanded(embeddings), embeddings, threshold)
+
+  /** [[semanticDecontaminate]] over a precomputed (session-cached)
+    * signature frame, so the 64 sign-plane sums are not re-derived for
+    * each side of the cross-set join.
+    */
+  def semanticDecontaminateFromSig(
+      sig: DataFrame,
+      embeddings: DataFrame,
+      threshold: Double): DataFrame = {
+    val banded = sig
       .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
       .select(
         col("vec_id"), col("label"),
@@ -661,11 +671,15 @@ object Similarity {
       .select(col("vec_id"), lit(1L).as("a"))
     exact
       .join(approx, Seq("vec_id"), "full_outer")
+      // outer coalesce: sum over an EMPTY input is NULL — an empty (or
+      // all-zero-norm) corpus must report 0/0/0 and certified=false,
+      // never a NULL row
       .agg(
-        sum(coalesce(col("e"), lit(0L))).as("n_exact"),
-        sum(coalesce(col("a"), lit(0L))).as("n_approx"),
-        sum(when(col("e").isNotNull && col("a").isNotNull, 1L).otherwise(0L))
-          .as("n_overlap"))
+        coalesce(sum(coalesce(col("e"), lit(0L))), lit(0L)).as("n_exact"),
+        coalesce(sum(coalesce(col("a"), lit(0L))), lit(0L)).as("n_approx"),
+        coalesce(
+          sum(when(col("e").isNotNull && col("a").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_overlap"))
       .withColumn("k", lit(k.toLong))
       // denominator = |exact top-k|, not the literal k: on a corpus with
       // fewer than k vectors the approximate ranking can still be
@@ -686,10 +700,10 @@ object Similarity {
     s"""WITH exact AS (SELECT vec_id, 1 AS e FROM (${topKSql(k)})),
        |approx AS (SELECT vec_id, 1 AS a FROM (${ivfTopKProbedSql(k, nprobe)})),
        |f AS (SELECT e, a FROM exact FULL JOIN approx USING (vec_id)),
-       |c AS (SELECT CAST(sum(coalesce(e, 0)) AS BIGINT) AS n_exact,
-       |             CAST(sum(coalesce(a, 0)) AS BIGINT) AS n_approx,
-       |             CAST(sum(CASE WHEN e IS NOT NULL AND a IS NOT NULL
-       |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+       |c AS (SELECT CAST(coalesce(sum(coalesce(e, 0)), 0) AS BIGINT) AS n_exact,
+       |             CAST(coalesce(sum(coalesce(a, 0)), 0) AS BIGINT) AS n_approx,
+       |             CAST(coalesce(sum(CASE WHEN e IS NOT NULL AND a IS NOT NULL
+       |                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_overlap
        |      FROM f)
        |SELECT CAST($k AS BIGINT) AS k, n_exact, n_approx, n_overlap,
        |  n_overlap * 1000 // greatest(n_exact, 1) AS recall_permille,

@@ -36,11 +36,12 @@ import org.apache.spark.sql.functions._
   * span_start+span_len)` row. At 100 TB the gram explode is the
   * dominant term (≈ corpus chars rows); a hot gram (a boilerplate line
   * shared by millions of docs) puts ALL its occurrence rows in one
-  * window partition on one task — the skew remedy is a pre-pass that
-  * caps or drops grams above a document-frequency ceiling (the
-  * stop-shingle cap documented for [[Dedup.ngramJaccardPairsFrom]]):
-  * a gram that hot is boilerplate by definition, and capping it only
-  * widens the reported span boundaries by < L chars at the run edges.
+  * window partition on one task — the skew remedy is the
+  * `maxOccurrences` OCCURRENCE ceiling on [[spanFrame]] (occurrence
+  * rows, not distinct docs, are what a window partition holds, so
+  * occurrences are the metric that matters for skew): a gram that hot
+  * is boilerplate by definition, and dropping it removes or splits
+  * only the spans made of it.
   */
 object SpanDedup {
 
@@ -61,15 +62,16 @@ object SpanDedup {
     * gram explode+window runs once, not once per consumer).
     *
     * `maxOccurrences` is the hot-gram skew guard for the 100 TB run: a
-    * gram occurring more often than the cap (a boilerplate line shared
-    * by millions of docs — exactly what would pile one window partition
-    * onto one task) is EXCLUDED from span formation. The count rides
-    * the SAME WindowExec as the min/max, so the cap costs nothing
-    * extra; the default (MaxValue) disables it, and the driver-gate
-    * entry runs uncapped so the oracle semantics stay exact. Capping
-    * only suppresses spans of ultra-hot boilerplate; a capped gram
-    * inside a longer rare span splits or edge-trims that span at the
-    * hot gram's positions.
+    * gram with more OCCURRENCE ROWS than the cap (occurrences, not
+    * distinct docs — a window partition holds one row per occurrence,
+    * so intra-doc repeats count too) is EXCLUDED from span formation.
+    * The count rides the SAME WindowExec as the min/max, so the cap
+    * costs nothing extra; the default (MaxValue) disables it, and the
+    * driver-gate entry runs uncapped so the oracle semantics stay
+    * exact. A capped gram inside a longer rare span splits or
+    * edge-trims that span at the hot gram's positions; a span whose
+    * every gram is that hot disappears — by construction it is
+    * boilerplate.
     */
   def spanFrame(
       docs: DataFrame,

@@ -126,6 +126,32 @@ object StreamingViews {
     spark.table(name)
   }
 
+  /** Shared runner for document-stream entries: AvailableNow over the
+    * documents parquet (schema captured from a batch read — streaming
+    * reads require an explicit schema), `transform` applied
+    * incrementally, results collected in a memory sink. One definition
+    * of the glob/schema/trigger handling for every such entry.
+    */
+  private def runDocStreamAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      kind: String,
+      outputMode: String)(transform: DataFrame => DataFrame): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val name = s"stream_${kind}_${sinkId.incrementAndGet()}"
+    val q = spark.readStream.schema(schema)
+      .parquet(s"$sfDir/{documents.parquet}")
+      .transform(transform)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming exact deduplication: the stateful groupBy on the content
     * hash runs under INCREMENTAL execution (AvailableNow) and must equal
     * the batch [[graft.operators.Dedup.exact]] output — the arrival-order-
@@ -135,23 +161,13 @@ object StreamingViews {
     * never document text; with a watermarked ingest timestamp the same
     * plan bounds state via `dropDuplicatesWithinWatermark` semantics.
     */
-  def runDedupAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val name = s"stream_dedup_${sinkId.incrementAndGet()}"
-    val q = spark.readStream.schema(schema)
-      .parquet(s"$sfDir/{documents.parquet}")
-      .select(md5(col("text")).as("h"), col("doc_id"))
-      .groupBy(col("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).select(col("doc_id")).orderBy(col("doc_id"))
-  }
+  def runDedupAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    runDocStreamAvailableNow(spark, sfDir, "dedup", "complete") { docs =>
+      docs
+        .select(md5(col("text")).as("h"), col("doc_id"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+    }.select(col("doc_id")).orderBy(col("doc_id"))
 
   /** Stateless streaming transform: the quality-score projection run
     * under incremental execution in APPEND mode — no state store, no
@@ -161,21 +177,10 @@ object StreamingViews {
     * stateless projection, and this entry pins that in the driver gate
     * against the same DuckDB oracle as the batch `quality_score`.
     */
-  def runQualityAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val name = s"stream_quality_${sinkId.incrementAndGet()}"
-    val q = spark.readStream.schema(schema)
-      .parquet(s"$sfDir/{documents.parquet}")
-      .transform(TextAnalysis.qualityScoreUnordered)
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy(col("doc_id"))
-  }
+  def runQualityAvailableNow(spark: SparkSession, sfDir: String): DataFrame =
+    runDocStreamAvailableNow(spark, sfDir, "quality", "append")(
+      TextAnalysis.qualityScoreUnordered)
+      .orderBy(col("doc_id"))
 
   /** Production-shaped sink (S5): an UPDATE-mode MERGE upsert keyed on
     * (metric, geo, ts) into a parquet view table partitioned by metric.
