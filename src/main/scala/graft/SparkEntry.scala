@@ -391,6 +391,11 @@ object SparkEntry {
         .select(col("doc_id") +: (0 until 8).map(i => col(s"s$i")): _*)
         .orderBy(col("doc_id"))),
     "dedup_simhash16" -> ((s, d) => Dedup.simhash16(Tables.load(s, d, "documents"))),
+    // incremental batch-vs-corpus near-dedup: the verified pair relation
+    // restricted to (incoming split × base) — the daily-crawl shape
+    "dedup_incremental" -> ((s, d) =>
+      Dedup.incrementalFrom(
+        ngramPairs(s, d), Tables.load(s, d, "documents"), Seq("src8", "src9"))),
     "dedup_ngram_pairs" -> ((s, d) =>
       // prefix-filtered variant: identical results (PipelineOpsSpec),
       // bounded hot-shingle fan-out at scale; cached for reuse by
@@ -809,6 +814,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> Dedup.minhashLshPairsMd5Sql(3, 16, 4, 0.5),
     "dedup_simhash16" -> Dedup.simhash16Sql,
     "dedup_ngram_pairs" -> Dedup.ngramJaccardSql(3, 0.8),
+    "dedup_incremental" -> Dedup.incrementalSql(3, 0.8, Seq("src8", "src9")),
     "dedup_clusters" -> Dedup.clustersSql(Dedup.ngramJaccardSql(3, 0.8)),
     "corpus_curation" ->
       s"""WITH q AS (SELECT doc_id FROM (${TextAnalysis.QualityScoreSql}) WHERE quality >= 0.7),

@@ -566,4 +566,52 @@ object Dedup {
        |s AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id)
        |SELECT doc_id, $packed AS simhash FROM s ORDER BY doc_id""".stripMargin
   }
+
+  // ---- incremental (batch-vs-corpus) dedup ---------------------------
+
+  /** Incremental near-dedup: pairs joining an INCOMING batch (split by
+    * `source`) to the BASE corpus — the daily-crawl shape ("which of
+    * today's docs already exist, fuzzily, in what we have?"). Here it is
+    * the restriction of the verified corpus-wide pair relation to
+    * cross-split pairs, which costs one broadcast-sized join against
+    * the cached pair frame; at 100 TB the same result comes from
+    * shingle-joining ONLY the incoming batch against the corpus shingle
+    * index (the cross-set join shape of
+    * [[Similarity.semanticDecontaminate]]) — the incoming side is the
+    * small side, the corpus is never self-joined.
+    *
+    * Output: `(new_id, base_id, jac)` — one row per incoming doc ×
+    * matched base doc.
+    */
+  def incrementalFrom(
+      pairs: DataFrame,
+      docs: DataFrame,
+      newSources: Seq[String]): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    def isNew(c: org.apache.spark.sql.Column) = c.isin(newSources.map(x => x: Any): _*)
+    pairs
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .filter(isNew(col("sa")) =!= isNew(col("sb")))
+      .select(
+        when(isNew(col("sa")), col("a_id")).otherwise(col("b_id")).as("new_id"),
+        when(isNew(col("sa")), col("b_id")).otherwise(col("a_id")).as("base_id"),
+        col("jac"))
+      .orderBy(col("new_id"), col("base_id"))
+  }
+
+  /** DuckDB twin: the same restriction over the replayed pair relation. */
+  def incrementalSql(n: Int, threshold: Double, newSources: Seq[String]): String = {
+    val list = newSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH p AS (${ngramJaccardSql(n, threshold)}),
+       |s AS (SELECT doc_id, source FROM documents)
+       |SELECT CASE WHEN sa.source IN ($list) THEN p.a_id ELSE p.b_id END AS new_id,
+       |       CASE WHEN sa.source IN ($list) THEN p.b_id ELSE p.a_id END AS base_id,
+       |       p.jac
+       |FROM p
+       |JOIN s sa ON sa.doc_id = p.a_id
+       |JOIN s sb ON sb.doc_id = p.b_id
+       |WHERE (sa.source IN ($list)) <> (sb.source IN ($list))
+       |ORDER BY new_id, base_id""".stripMargin
+  }
 }
