@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, ViewBuilder}
+import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, ViewBuilder}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -391,6 +391,11 @@ object SparkEntry {
         .select(col("doc_id") +: (0 until 8).map(i => col(s"s$i")): _*)
         .orderBy(col("doc_id"))),
     "dedup_simhash16" -> ((s, d) => Dedup.simhash16(Tables.load(s, d, "documents"))),
+    // distributed BPE merge induction over the word-frequency table
+    // (vocab-sized working set; one argmax row per round reaches the
+    // driver). Oracle: independent pure-Scala BpeRef via oracleSqlFor.
+    "bpe_merges" -> ((s, d) =>
+      Bpe.learnMerges(Tables.load(s, d, "documents"))),
     // incremental batch-vs-corpus near-dedup: the verified pair relation
     // restricted to (incoming split × base) — the daily-crawl shape
     "dedup_incremental" -> ((s, d) =>
@@ -1014,6 +1019,22 @@ object SparkEntry {
            |       CAST(j AS DOUBLE) AS jac
            |FROM expected ORDER BY a_id, b_id""".stripMargin
       }
-    oracleSql + ("dedup_minhash_lsh" -> lshSql)
+    val bpe = graft.operators.BpeRef.merges(docs.map(_._2), graft.operators.Bpe.Rounds)
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val bpeSql =
+      if (bpe.isEmpty)
+        """SELECT CAST(NULL AS BIGINT) AS round, CAST(NULL AS VARCHAR) AS lhs,
+          | CAST(NULL AS VARCHAR) AS rhs, CAST(NULL AS BIGINT) AS pair_freq
+          | WHERE false""".stripMargin
+      else {
+        val rows = bpe
+          .map { case (n, l, r, c) => s"($n, ${q(l)}, ${q(r)}, $c)" }
+          .mkString(", ")
+        s"""WITH expected(round, lhs, rhs, pair_freq) AS (SELECT * FROM (VALUES $rows))
+           |SELECT CAST(round AS BIGINT) AS round, lhs, rhs,
+           |       CAST(pair_freq AS BIGINT) AS pair_freq
+           |FROM expected ORDER BY round""".stripMargin
+      }
+    oracleSql + ("dedup_minhash_lsh" -> lshSql) + ("bpe_merges" -> bpeSql)
   }
 }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed BPE merge induction (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units", arXiv:1508.07909) —
+  * learning the tokenizer vocabulary FROM the corpus, the step upstream
+  * of every token-counting / packing operator in this library.
+  *
+  * The classic formulation operates on the WORD-FREQUENCY table, and so
+  * does this one — which is exactly what makes it scale: after one
+  * corpus-sized whitespace tokenize + hash aggregation, the working set
+  * is vocab-sized (distinct words × symbol arrays), orders of magnitude
+  * below corpus chars. Each merge round is then:
+  *
+  *   1. adjacent-pair counts: one narrow per-word `transform` + explode
+  *      + hash aggregation with map-side combine (pair space is tiny);
+  *   2. argmax pair (count DESC, then lexicographic) — a `limit(1)`
+  *      collect; only ONE row ever reaches the driver per round;
+  *   3. greedy left-to-right merge of the winning pair inside every
+  *      word's symbol array — a pure higher-order `aggregate` fold with
+  *      the pair as plan-time literals: NARROW, no shuffle, codegen'd.
+  *
+  * Each round's vocab frame is persisted and the previous unpersisted,
+  * so lineage stays one round deep. The oracle is an INDEPENDENT
+  * pure-Scala reference ([[BpeRef]], same greedy semantics written from
+  * the paper, no Spark code) emitted as VALUES literals by
+  * `SparkEntry.oracleSqlFor` — the same technique as the xxhash64 LSH
+  * oracle. Tie-breaks are (count DESC, left ASC, right ASC) in binary
+  * string order in both implementations, so the learned table is
+  * deterministic.
+  */
+object Bpe {
+
+  val Rounds = 8
+
+  private val OutSchema = StructType(Seq(
+    StructField("round", LongType, nullable = false),
+    StructField("lhs", StringType, nullable = false),
+    StructField("rhs", StringType, nullable = false),
+    StructField("pair_freq", LongType, nullable = false)))
+
+  /** Escape a symbol for embedding in a single-quoted SQL literal
+    * inside `expr(...)` (backslashes first, then quotes).
+    */
+  private def lit1(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** `(syms, freq)` — the distinct-word symbol table, each word split
+    * into single-character symbols.
+    */
+  private def vocab(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(expr(Dedup.TokensExpr)).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .select(expr("filter(split(w, ''), x -> x != '')").as("syms"), col("freq"))
+
+  /** Adjacent-pair frequencies over the current symbol table. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .filter(size(col("syms")) >= 2)
+      .select(
+        explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> named_struct('l', syms[i-1], 'r', syms[i]))"))
+          .as("p"),
+        col("freq"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Greedy left-to-right merge of (l, r) — the fold keeps one pending
+    * symbol of state; a merged symbol never re-merges within the round.
+    */
+  private def mergeExpr(l: String, r: String): String = {
+    val (ll, rr, lr) = (lit1(l), lit1(r), lit1(l + r))
+    s"""aggregate(
+       |  syms,
+       |  named_struct('res', CAST(array() AS array<string>), 'prev', CAST(NULL AS string)),
+       |  (st, x) -> CASE
+       |    WHEN st.prev = $ll AND x = $rr
+       |      THEN named_struct('res', concat(st.res, array($lr)), 'prev', CAST(NULL AS string))
+       |    WHEN st.prev IS NOT NULL
+       |      THEN named_struct('res', concat(st.res, array(st.prev)), 'prev', x)
+       |    ELSE named_struct('res', st.res, 'prev', x) END,
+       |  st -> CASE WHEN st.prev IS NOT NULL
+       |             THEN concat(st.res, array(st.prev)) ELSE st.res END)""".stripMargin
+  }
+
+  /** Learn `rounds` merges; returns `(round, lhs, rhs, pair_freq)`. */
+  def learnMerges(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val spark = docs.sparkSession
+    var words = vocab(docs).persist()
+    words.count()
+    val merges = Seq.newBuilder[Row]
+    var done = false
+    var round = 1
+    while (round <= rounds && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Row(round.toLong, l, r, cnt)
+        val next = words
+          .withColumn("syms", expr(mergeExpr(l, r)))
+          .persist()
+        next.count()
+        words.unpersist()
+        words = next
+        round += 1
+      }
+    }
+    words.unpersist()
+    spark
+      .createDataFrame(spark.sparkContext.parallelize(merges.result(), 1), OutSchema)
+      .orderBy(col("round"))
+  }
+}
+
+/** Independent in-memory BPE reference for the oracle — written from the
+  * published algorithm, shares no code with [[Bpe]]. Runs at correctness
+  * scale (sf0.01 corpus in driver memory), like [[MinHashRef]].
+  */
+object BpeRef {
+
+  private def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var prev: String = null
+    for (x <- syms) {
+      if (prev != null && prev == l && x == r) { out += (l + r); prev = null }
+      else { if (prev != null) out += prev; prev = x }
+    }
+    if (prev != null) out += prev
+    out.result()
+  }
+
+  def merges(texts: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity)
+      .map { case (w, occ) => w.map(_.toString).toVector -> occ.size.toLong }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val counts = words.toSeq
+        .flatMap { case (syms, f) =>
+          if (syms.length < 2) Seq.empty
+          else syms.sliding(2).map(p => (p(0), p(1)) -> f).toSeq
+        }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((round.toLong, l, r, cnt))
+        words = words.toSeq
+          .map { case (syms, f) => applyMerge(syms, l, r) -> f }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        round += 1
+      }
+    }
+    out.result()
+  }
+}
