@@ -28,9 +28,19 @@ import org.apache.spark.sql.types._
   * pure-Scala reference ([[BpeRef]], same greedy semantics written from
   * the paper, no Spark code) emitted as VALUES literals by
   * `SparkEntry.oracleSqlFor` — the same technique as the xxhash64 LSH
-  * oracle. Tie-breaks are (count DESC, left ASC, right ASC) in binary
-  * string order in both implementations, so the learned table is
+  * oracle. Tie-breaks are (count DESC, left ASC, right ASC); for BMP
+  * text the engines' orders coincide (UTF-8 byte order == UTF-16 code
+  * unit order == code point order), so the learned table is
   * deterministic.
+  *
+  * Corpus contract: BMP text only. Supplementary-plane characters
+  * (emoji etc.) split differently in the two string models — Spark's
+  * UTF8String works in code points while the JVM reference splits per
+  * UTF-16 code unit (lone surrogates), and the two collations also
+  * disagree above U+FFFF — so such input must be filtered or
+  * NFC-sanitized upstream (the corpus here is BMP; a production corpus
+  * gets the usual pre-tokenizer byte-level fallback, which sidesteps
+  * the issue entirely by operating on bytes).
   */
 object Bpe {
 
@@ -51,7 +61,7 @@ object Bpe {
   /** `(syms, freq)` — the distinct-word symbol table, each word split
     * into single-character symbols.
     */
-  private def vocab(docs: DataFrame): DataFrame =
+  private[graft] def vocab(docs: DataFrame): DataFrame =
     docs
       .select(explode(expr(Dedup.TokensExpr)).as("w"))
       .groupBy(col("w"))
@@ -59,7 +69,7 @@ object Bpe {
       .select(expr("filter(split(w, ''), x -> x != '')").as("syms"), col("freq"))
 
   /** Adjacent-pair frequencies over the current symbol table. */
-  private def pairCounts(words: DataFrame): DataFrame =
+  private[graft] def pairCounts(words: DataFrame): DataFrame =
     words
       .filter(size(col("syms")) >= 2)
       .select(
@@ -73,7 +83,7 @@ object Bpe {
   /** Greedy left-to-right merge of (l, r) — the fold keeps one pending
     * symbol of state; a merged symbol never re-merges within the round.
     */
-  private def mergeExpr(l: String, r: String): String = {
+  private[graft] def mergeExpr(l: String, r: String): String = {
     val (ll, rr, lr) = (lit1(l), lit1(r), lit1(l + r))
     s"""aggregate(
        |  syms,

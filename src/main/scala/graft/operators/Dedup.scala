@@ -602,7 +602,8 @@ object Dedup {
 
   /** DuckDB twin: the same restriction over the replayed pair relation. */
   def incrementalSql(n: Int, threshold: Double, newSources: Seq[String]): String = {
-    val list = newSources.map(s => s"'$s'").mkString(", ")
+    // '' doubling: a source label containing a quote must not break the SQL
+    val list = newSources.map(s => s"'${s.replace("'", "''")}'").mkString(", ")
     s"""WITH p AS (${ngramJaccardSql(n, threshold)}),
        |s AS (SELECT doc_id, source FROM documents)
        |SELECT CASE WHEN sa.source IN ($list) THEN p.a_id ELSE p.b_id END AS new_id,

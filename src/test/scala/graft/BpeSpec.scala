@@ -32,7 +32,7 @@ class BpeSpec extends AnyFunSuite {
     assert(want.map(m => (m._2, m._3)).contains(("a", "a")))
   }
 
-  test("distributed learner == reference on the sf0.001 corpus, all rounds") {
+  test("distributed learner == reference on the sf0.01 corpus, all rounds") {
     val corpus = graft.sources.Tables.load(spark, Sf001, "documents")
     val got = Bpe.learnMerges(corpus).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
