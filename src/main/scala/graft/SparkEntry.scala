@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, ViewBuilder}
+import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, UnitDedup, ViewBuilder, Winnowing}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -187,6 +187,15 @@ object SparkEntry {
       SpanDedup.spanFrame(Tables.load(s, dir, "documents"))
     }
 
+  /** Learned BPE merge table — the driver-coordinated merge rounds run
+    * ONCE per (session, sf); `bpe_merges` returns the table and
+    * `bpe_encode` folds it over the corpus.
+    */
+  private def bpeMergesCached(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "bpe_merges", Bpe.Rounds.toString) {
+      Bpe.learnMerges(Tables.load(s, dir, "documents"))
+    }
+
   /** The shared-cache build list. Bench materializes these eagerly as an
     * explicit, per-build-timed-and-error-handled setup phase, so
     * one-time shared builds (views, shingles, signatures, LSH pairs, IVF
@@ -211,7 +220,8 @@ object SparkEntry {
       "lsh_cands" -> (() => lshCands(s, dir)),
       "lsh_pairs" -> (() => lshPairs(s, dir)),
       "ivf_assign" -> (() => ivfAssigned(s, dir)),
-      "span_frame" -> (() => spanFrame(s, dir)))
+      "span_frame" -> (() => spanFrame(s, dir)),
+      "bpe_merges" -> (() => bpeMergesCached(s, dir)))
 
   /** View presentation row (FIXTURES.md §A2) with the shared conventions. */
   private def presentView(v: DataFrame): DataFrame =
@@ -394,8 +404,16 @@ object SparkEntry {
     // distributed BPE merge induction over the word-frequency table
     // (vocab-sized working set; one argmax row per round reaches the
     // driver). Oracle: independent pure-Scala BpeRef via oracleSqlFor.
-    "bpe_merges" -> ((s, d) =>
-      Bpe.learnMerges(Tables.load(s, d, "documents"))),
+    "bpe_merges" -> ((s, d) => bpeMergesCached(s, d)),
+    // the APPLY side of the tokenizer: fold the learned merges (vocab-
+    // sized narrow HOF chain) and roll token counts onto (lang, source)
+    // — the data-mixture budgeting shape. Oracle: BpeRef.encodeStats
+    // VALUES via oracleSqlFor.
+    "bpe_encode" -> ((s, d) => {
+      val ms = bpeMergesCached(s, d).orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeStatsWith(Tables.load(s, d, "documents"), ms)
+    }),
     // incremental batch-vs-corpus near-dedup: the verified pair relation
     // restricted to (incoming split × base) — the daily-crawl shape
     "dedup_incremental" -> ((s, d) =>
@@ -723,6 +741,19 @@ object SparkEntry {
     // against per-doc train grams — dedup-join shape, never all-pairs
     "decontaminate" -> ((s, d) =>
       Decontamination.contaminated(Tables.load(s, d, "documents"))),
+    // C4-style unit-level dedup: fixed 8-token blocks removed when they
+    // occur verbatim in another document (min!=max over digest window);
+    // survivors re-joined in block order and digested per doc
+    "unit_dedup" -> ((s, d) => UnitDedup.dedupUnits(Tables.load(s, d, "documents"))),
+    // MOSS winnowing fingerprints (SIGMOD 2003): window-min k-gram
+    // hashes with rightmost tie-break folded into one sortable key;
+    // per-doc fingerprint count + position-ordered digest
+    "winnow_stats" -> ((s, d) =>
+      Winnowing.fingerprintStats(Tables.load(s, d, "documents"))),
+    // per-source report card: docs/langs/exact-dup incidence/token
+    // volume/integer mean quality — the mixture planner's slice summary
+    "source_report" -> ((s, d) =>
+      CorpusSignals.sourceReport(Tables.load(s, d, "documents"))),
     // sequence packing via a two-level distributed prefix sum — no
     // global window, no UDFs; oracle is DuckDB's plain window cumsum
     "pack_assign" -> ((s, d) =>
@@ -966,6 +997,9 @@ object SparkEntry {
     "streaming_dedup" -> Dedup.ExactSql,
     "streaming_quality" -> TextAnalysis.QualityScoreSql,
     "decontaminate" -> Decontamination.contaminatedSql(),
+    "unit_dedup" -> UnitDedup.dedupUnitsSql(),
+    "winnow_stats" -> Winnowing.fingerprintStatsSql(),
+    "source_report" -> CorpusSignals.SourceReportSql,
     "semantic_clusters" -> Dedup.clustersSql(Similarity.lshNearDupSql(0.4)),
     "pack_assign" -> Packing.packAssignmentsSql(),
     "containment_pairs" -> Dedup.containmentSql(3, 0.8),
@@ -1002,11 +1036,12 @@ object SparkEntry {
     * scale (500 docs at sf0.01), not a query plan.
     */
   def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] = {
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
+    val docsFull = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
       .collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
       .toSeq
+    val docs = docsFull.map(t => (t._1, t._2))
     val pairs = graft.operators.MinHashRef.lshPairs(docs, 3, 16, 4, 0.5)
     val lshSql =
       if (pairs.isEmpty)
@@ -1035,6 +1070,22 @@ object SparkEntry {
            |       CAST(pair_freq AS BIGINT) AS pair_freq
            |FROM expected ORDER BY round""".stripMargin
       }
-    oracleSql + ("dedup_minhash_lsh" -> lshSql) + ("bpe_merges" -> bpeSql)
+    val enc = graft.operators.BpeRef.encodeStats(docsFull, graft.operators.Bpe.Rounds)
+    val encSql =
+      if (enc.isEmpty)
+        """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
+          | CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_words,
+          | CAST(NULL AS BIGINT) AS n_tokens WHERE false""".stripMargin
+      else {
+        val rows = enc
+          .map { case (l, s, d, w, t) => s"(${q(l)}, ${q(s)}, $d, $w, $t)" }
+          .mkString(", ")
+        s"""WITH expected(lang, source, n_docs, n_words, n_tokens) AS (SELECT * FROM (VALUES $rows))
+           |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+           |       CAST(n_words AS BIGINT) AS n_words, CAST(n_tokens AS BIGINT) AS n_tokens
+           |FROM expected ORDER BY lang, source""".stripMargin
+      }
+    oracleSql + ("dedup_minhash_lsh" -> lshSql) + ("bpe_merges" -> bpeSql) +
+      ("bpe_encode" -> encSql)
   }
 }

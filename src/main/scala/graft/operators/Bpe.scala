@@ -98,6 +98,53 @@ object Bpe {
        |             THEN concat(st.res, array(st.prev)) ELSE st.res END)""".stripMargin
   }
 
+  /** Tokenize the corpus with the learned merge table — the APPLY side
+    * of the tokenizer: fold every learned merge, in learning order,
+    * over each distinct word's symbol array, then roll the per-word
+    * token counts back onto the corpus. Returns one row per
+    * (lang, source): `(lang, source, n_docs, n_words, n_tokens)` — the
+    * shape a data-mixture planner budgets with ("how many training
+    * tokens does each slice contribute under THIS tokenizer?").
+    *
+    * Scale shape: the fold runs on the DISTINCT-WORD table (vocab-sized
+    * after one corpus hash-agg — the same reason learning scales), as a
+    * chain of `rounds` narrow higher-order `aggregate` folds with the
+    * pair literals baked into the plan; the corpus-sized side only
+    * explodes words and equi-joins the (word → n_tok) table back.
+    * That table is vocab-sized, so the join is broadcast at harness
+    * scale; at a 100 TB vocabulary (hundreds of millions of distinct
+    * words) the same plan degrades gracefully to a shuffle hash join on
+    * `w` — the ROWS never carry symbol arrays, just one int per word.
+    * Docs with zero tokens contribute to no group (nothing to count).
+    */
+  def encodeStats(docs: DataFrame, rounds: Int = Rounds): DataFrame =
+    encodeStatsWith(
+      docs,
+      learnMerges(docs, rounds).collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** [[encodeStats]] against an already-learned merge list (so a cached
+    * `bpe_merges` result is applied without re-running the rounds).
+    */
+  def encodeStatsWith(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words0 = docs
+      .select(explode(expr(Dedup.TokensExpr)).as("w"))
+      .distinct()
+      .withColumn("syms", expr("filter(split(w, ''), x -> x != '')"))
+    val folded = merges.foldLeft(words0) { case (df, (l, r)) =>
+      df.withColumn("syms", expr(mergeExpr(l, r)))
+    }
+    val wordTokens = folded.select(col("w"), size(col("syms")).cast("long").as("n_tok"))
+    docs
+      .select(col("lang"), col("source"), col("doc_id"), explode(expr(Dedup.TokensExpr)).as("w"))
+      .join(broadcast(wordTokens), "w")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Learn `rounds` merges; returns `(round, lhs, rhs, pair_freq)`. */
   def learnMerges(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
     val spark = docs.sparkSession
@@ -174,5 +221,37 @@ object BpeRef {
       }
     }
     out.result()
+  }
+
+  /** Reference twin of [[Bpe.encodeStats]]: learn with [[merges]], fold
+    * each merge over every distinct word, aggregate token counts per
+    * (lang, source). `docs` rows are (doc_id, text, lang, source).
+    */
+  def encodeStats(
+      docs: Seq[(Long, String, String, String)],
+      rounds: Int): Seq[(String, String, Long, Long, Long)] = {
+    val ms = merges(docs.map(_._2), rounds).map { case (_, l, r, _) => (l, r) }
+    val tokCount: Map[String, Long] = docs
+      .flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+      .distinct
+      .map { w =>
+        var syms = w.map(_.toString).toVector
+        for ((l, r) <- ms) syms = applyMerge(syms, l, r)
+        w -> syms.length.toLong
+      }
+      .toMap
+    docs
+      .flatMap { case (id, text, lang, source) =>
+        val ws = text.split("\\s+").filter(_.nonEmpty)
+        if (ws.isEmpty) Nil
+        else Seq((lang, source, id, ws.length.toLong, ws.map(tokCount).sum))
+      }
+      .groupBy(t => (t._1, t._2))
+      .toSeq
+      .map { case ((lang, source), rows) =>
+        (lang, source, rows.map(_._3).distinct.size.toLong,
+          rows.map(_._4).sum, rows.map(_._5).sum)
+      }
+      .sortBy(t => (t._1, t._2))
   }
 }

@@ -253,4 +253,73 @@ object CorpusSignals {
       |       round(quantile_cont(value, 0.5), 6) AS p50,
       |       TRUE AS p50_ok
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-source corpus report card — the slice-level summary a mixture
+    * planner reads before weighting sources: document/language counts,
+    * exact-duplicate incidence, token volume, and mean quality. One row
+    * per `source`.
+    *
+    *   - `n_dup_docs`  documents whose full text also occurs in ANOTHER
+    *     document anywhere in the corpus (cross-source too — a mirror
+    *     site inflates BOTH its sources' dup counts, which is the signal
+    *     wanted). Same min≠max-over-digest-window trick as [[SpanDedup]]:
+    *     one shuffle of (digest, doc) rows, no groupBy + join-back.
+    *   - `mean_q_permille`  the [[TextAnalysis.qualityScore]] formula in
+    *     INTEGER per-mille: q = least(nt,100)·10·(nt − nstop) DIV nt,
+    *     averaged as ΣQ DIV n_docs. All-BIGINT arithmetic, so both
+    *     engines agree exactly — averaging rounded doubles would leave
+    *     the oracle hostage to summation order at scale. Empty docs
+    *     contribute 0 (their q is NULL; the sum skips it, the
+    *     denominator keeps them — an all-empty source scores 0, not
+    *     NULL).
+    *
+    * Plan shape: one window over md5(text) (digest-width shuffle), then
+    * narrow per-doc token counts, then one hash agg keyed by `source` —
+    * group count = number of sources, trivially small at any scale.
+    */
+  def sourceReport(docs: DataFrame): DataFrame = {
+    val stopArr = TextAnalysis.StopWords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    graft.sources.Tables.fanOut(docs)
+      .withColumn("dup", count(lit(1)).over(Window.partitionBy(md5(col("text")))) > 1)
+      .withColumn("toks", expr(toks))
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .withColumn("nstop", size(expr(s"filter(toks, x -> array_contains($stopArr, x))")).cast("long"))
+      .withColumn(
+        "q_permille",
+        expr("least(nt, 100L) * 10L * (nt - nstop) div nullif(nt, 0L)"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        count(when(col("dup"), 1)).as("n_dup_docs"),
+        sum(col("nt")).as("n_words"),
+        coalesce(sum(col("q_permille")), lit(0L)).as("sum_q"))
+      .withColumn("mean_q_permille", expr("sum_q div n_docs"))
+      .select(
+        col("source"), col("n_docs"), col("n_langs"), col("n_dup_docs"),
+        col("n_words"), col("mean_q_permille"))
+      .orderBy(col("source"))
+  }
+
+  val SourceReportSql: String = {
+    val stopList = TextAnalysis.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source,
+       |         count(*) OVER (PARTITION BY md5(text)) > 1 AS dup,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, lang, source, dup,
+       |         CAST(len(toks) AS BIGINT) AS nt,
+       |         CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS BIGINT) AS nstop
+       |  FROM d)
+       |SELECT source,
+       |       count(*) AS n_docs,
+       |       count(DISTINCT lang) AS n_langs,
+       |       count(*) FILTER (WHERE dup) AS n_dup_docs,
+       |       CAST(sum(nt) AS BIGINT) AS n_words,
+       |       coalesce(CAST(sum(least(nt, 100) * 10 * (nt - nstop) // nullif(nt, 0)) AS BIGINT), 0)
+       |         // count(*) AS mean_q_permille
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+  * 2003) — the MOSS algorithm: hash every k-character gram, slide a
+  * window of `w` consecutive gram hashes over each document, and keep
+  * the minimum hash of each window (rightmost position on ties). The
+  * guarantee is positional: any shared substring of length ≥ k + w − 1
+  * between two documents yields at least one IDENTICAL selected
+  * fingerprint in both — so fingerprint-set overlap detects partial
+  * plagiarism/quotation that [[Dedup]]'s whole-document MinHash
+  * (which estimates global Jaccard) dilutes away, at a guaranteed
+  * density of ~2/(w+1) selections per position instead of
+  * [[SpanDedup]]'s one row per character.
+  *
+  * SQL-shaped selection: the hash is the md5 hex string (order on hex
+  * strings == order on the 128-bit values), and the rightmost-tie rule
+  * is folded into a single sortable key `h || lpad(10^12 − pos)` — the
+  * lexicographic min of that key over a window is (min hash, max
+  * position among ties), no argmin construct needed. A window START s
+  * selects `min(key)` over ROWS [s, s+w−1]; trailing short windows are
+  * excluded by requiring `count(*) == w` over the same frame (the
+  * paper's windows are exactly the full ones). A document with fewer
+  * than w grams (len < k+w−1) has no full window and is absent from
+  * the output, in both engines.
+  *
+  * Plan shape: the gram explode is NARROW (sequence+substring, codegen;
+  * dominated by ≈ corpus chars rows, like [[SpanDedup]]); ONE shuffle
+  * partitions by doc_id for the per-doc ordered window (min and count
+  * ride the same WindowExec); the distinct over selected keys and the
+  * final per-doc digest re-shuffle only the FINGERPRINT frame — already
+  * winnowed to ~2/(w+1) of positions, and each row is a digest + two
+  * longs, never text. Nothing global: every stage is per-doc state.
+  */
+object Winnowing {
+
+  /** Gram length k and window width w. Matches with length
+    * ≥ k + w − 1 = 11 chars are guaranteed a shared fingerprint.
+    */
+  val GramLen = 8
+  val WindowGrams = 4
+
+  /** Position encoding width for the tie-break key: pos is embedded as
+    * `10^12 − pos` zero-padded to 12 digits, so lexicographic min picks
+    * the LARGEST position among equal hashes.
+    */
+  private val PosPad = 12
+  private val PosBase = 1000000000000L
+
+  /** `(doc_id, pos, fp)` — the selected fingerprints themselves (1-based
+    * gram position, 32-hex gram hash): what a matcher indexes as
+    * (fp → doc) postings. [[fingerprintStats]] digests this per doc for
+    * the fixed-width gate row.
+    */
+  def fingerprints(
+      docs: DataFrame,
+      gramLen: Int = GramLen,
+      windowGrams: Int = WindowGrams): DataFrame = {
+    require(gramLen > 0 && windowGrams > 0, s"k=$gramLen w=$windowGrams must be positive")
+    val grams = graft.sources.Tables.fanOut(docs)
+      .filter(length(col("text")) >= gramLen)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - gramLen + 1)).as("pos"),
+        col("text"))
+      .select(
+        col("doc_id"),
+        concat(
+          md5(expr(s"substring(text, pos, $gramLen)")),
+          lpad((lit(PosBase) - col("pos")).cast("string"), PosPad, "0")).as("key"))
+      // the sort key must be a REAL column: ordering by the substring
+      // EXPRESSION gives the min and count windows different extracted
+      // key exprIds, CollapseWindow can't merge them, and the plan runs
+      // two Sort+Window passes instead of one (observed)
+      .withColumn("sk", expr(s"substring(key, 33, $PosPad)"))
+    val frame = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("sk")) // encoded-pos suffix: ASC in encoding == DESC in pos
+      .rowsBetween(Window.currentRow, windowGrams - 1)
+    // ordering by the encoded-position suffix is ordering by pos DESC;
+    // direction is irrelevant to "every full window of w consecutive
+    // grams" as long as both engines slide the same way — the DuckDB
+    // twin orders identically.
+    grams
+      .withColumn("mk", min(col("key")).over(frame))
+      .withColumn("nw", count(lit(1)).over(frame))
+      .filter(col("nw") === windowGrams)
+      .select(col("doc_id"), col("mk"))
+      .distinct()
+      .select(
+        col("doc_id"),
+        (lit(PosBase) - expr(s"CAST(substring(mk, 33, $PosPad) AS BIGINT)")).as("pos"),
+        expr("substring(mk, 1, 32)").as("fp"))
+  }
+
+  /** `(doc_id, n_fp, fp_md5)` per document: fingerprint count and a
+    * digest of the `pos:hash` fingerprint sequence in position order.
+    */
+  def fingerprintStats(
+      docs: DataFrame,
+      gramLen: Int = GramLen,
+      windowGrams: Int = WindowGrams): DataFrame =
+    fingerprints(docs, gramLen, windowGrams)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fp"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("fp")))),
+            x => concat(x.getField("pos").cast("string"), lit(":"), x.getField("fp"))),
+          " ")).as("fp_md5"))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB twin: same key encoding, same window frame, same digest. */
+  def fingerprintStatsSql(
+      gramLen: Int = GramLen,
+      windowGrams: Int = WindowGrams): String =
+    s"""WITH grams AS (
+       |  SELECT doc_id,
+       |         md5(substr(text, pos, $gramLen)) ||
+       |           lpad(CAST($PosBase - pos AS VARCHAR), $PosPad, '0') AS key
+       |  FROM (SELECT doc_id, text,
+       |               unnest(generate_series(1, length(text) - ${gramLen - 1})) AS pos
+       |        FROM documents WHERE length(text) >= $gramLen)),
+       |w AS (
+       |  SELECT doc_id,
+       |         min(key) OVER (PARTITION BY doc_id ORDER BY substr(key, 33, $PosPad)
+       |                        ROWS BETWEEN CURRENT ROW AND ${windowGrams - 1} FOLLOWING) AS mk,
+       |         count(*) OVER (PARTITION BY doc_id ORDER BY substr(key, 33, $PosPad)
+       |                        ROWS BETWEEN CURRENT ROW AND ${windowGrams - 1} FOLLOWING) AS nw
+       |  FROM grams),
+       |sel AS (SELECT DISTINCT doc_id, mk FROM w WHERE nw = $windowGrams),
+       |fp AS (
+       |  SELECT doc_id,
+       |         $PosBase - CAST(substr(mk, 33, $PosPad) AS BIGINT) AS pos,
+       |         substr(mk, 1, 32) AS fp
+       |  FROM sel)
+       |SELECT doc_id, count(*) AS n_fp,
+       |       md5(string_agg(CAST(pos AS VARCHAR) || ':' || fp, ' ' ORDER BY pos)) AS fp_md5
+       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,205 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bpe, BpeRef, CorpusSignals, UnitDedup, Winnowing}
+
+/** Semantic checks for the unit-level dedup, winnowing fingerprints,
+  * BPE encode, and per-source report operators — the oracle gate proves
+  * engine parity; these prove the SEMANTICS on crafted inputs (including
+  * an independent in-spec winnowing reference).
+  */
+class FineDedupSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // ---- unit dedup ----------------------------------------------------
+
+  // 8 words exactly — one full unit
+  private val Shared = "alpha beta gamma delta epsilon zeta eta theta"
+
+  test("unitDedup removes cross-doc blocks, keeps within-doc repeats and unique blocks") {
+    val uniq1 = "one two three four five six seven eight"
+    val uniq2 = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val d = docs(
+      0L -> s"$Shared $uniq1", // unit0 shared with doc 1, unit1 unique
+      1L -> s"$uniq2 $Shared", // unit1 shared with doc 0
+      2L -> s"$uniq1 $uniq1") // within-doc repeat: NOT cross-doc... but see doc 0!
+    // careful: uniq1 appears in doc 0 AND twice in doc 2 -> cross-doc, removed everywhere
+    val r = UnitDedup.dedupUnits(d).collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(r(0L).getAs[Long]("n_units") === 2)
+    assert(r(0L).getAs[Long]("n_removed") === 2) // both units cross-doc
+    assert(r(0L).getAs[String]("kept_md5") === md5hex(""))
+
+    assert(r(1L).getAs[Long]("n_units") === 2)
+    assert(r(1L).getAs[Long]("n_removed") === 1) // uniq2 survives
+    assert(r(1L).getAs[String]("kept_md5") === md5hex(uniq2))
+
+    assert(r(2L).getAs[Long]("n_units") === 2)
+    assert(r(2L).getAs[Long]("n_removed") === 2) // uniq1 is in doc 0 too
+  }
+
+  test("unitDedup: within-doc-only repeat is not removed; partial tail unit handled") {
+    val d = docs(
+      0L -> s"$Shared $Shared tail", // two identical units + 1-word tail
+      1L -> "totally different words here completely unrelated block text")
+    val r = UnitDedup.dedupUnits(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(r(0L).getAs[Long]("n_units") === 3)
+    assert(r(0L).getAs[Long]("n_removed") === 0) // repeat is within-doc only
+    assert(r(0L).getAs[String]("kept_md5") === md5hex(s"$Shared $Shared tail"))
+    assert(r(1L).getAs[Long]("n_removed") === 0)
+  }
+
+  test("unitDedup maxOccurrences cap excludes boilerplate blocks from removal") {
+    val d = docs(
+      0L -> Shared, 1L -> Shared, 2L -> Shared, 3L -> Shared,
+      4L -> "unique words in this one document only eight")
+    val uncapped = UnitDedup.dedupUnits(d).collect()
+    assert(uncapped.count(_.getAs[Long]("n_removed") > 0) === 4)
+    // cap=3: the shared unit has 4 occurrences -> too hot, kept everywhere
+    val capped = UnitDedup.dedupUnits(d, maxOccurrences = 3).collect()
+    assert(capped.forall(_.getAs[Long]("n_removed") === 0))
+  }
+
+  test("unitDedup drops zero-token docs from output") {
+    val d = docs(0L -> "   ", 1L -> "some words")
+    val ids = UnitDedup.dedupUnits(d).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L))
+  }
+
+  // ---- winnowing -----------------------------------------------------
+
+  /** Independent in-spec winnowing reference: every full window of w
+    * consecutive k-gram hashes selects its min hash, rightmost position
+    * on ties; selections dedup to (pos, hash).
+    */
+  private def winnowRef(text: String, k: Int, w: Int): Set[(Long, String)] = {
+    val n = text.length - k + 1
+    if (n < w) Set.empty
+    else {
+      val hs = (1 to n).map(p => p.toLong -> md5hex(text.substring(p - 1, p - 1 + k)))
+      (0 to n - w).flatMap { s =>
+        val win = hs.slice(s, s + w)
+        val minH = win.map(_._2).min
+        Seq(win.filter(_._2 == minH).maxBy(_._1)) // rightmost min
+      }.toSet.map((t: (Long, String)) => (t._1, t._2))
+    }
+  }
+
+  test("fingerprints match an independent reference (incl. rightmost tie-break)") {
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      1L -> "aaaaaaaaaaaaaaaaaaaa", // all grams identical: pure tie-break test
+      2L -> "abcabcabcabcabcabcabc", // period-3 repeats: heavy ties
+      3L -> "short") // < k: no grams at all
+    val got = Winnowing.fingerprints(docs(texts: _*))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getLong(1), r.getString(2))).toSet }
+    for ((id, text) <- texts) {
+      val want = winnowRef(text, Winnowing.GramLen, Winnowing.WindowGrams)
+      assert(got.getOrElse(id, Set.empty) === want, s"doc $id")
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a substring of length >= k+w-1 share a fingerprint") {
+    val common = "xqzjvwkpyhbndg" // 14 chars >= k+w-1 = 11, improbable elsewhere
+    val d = docs(
+      0L -> s"left context padding $common right padding words",
+      1L -> s"completely different beginning $common and a different end")
+    val fps = Winnowing.fingerprints(d).collect().groupBy(_.getLong(0))
+    val h0 = fps(0L).map(_.getString(2)).toSet
+    val h1 = fps(1L).map(_.getString(2)).toSet
+    assert((h0 & h1).nonEmpty)
+  }
+
+  test("fingerprintStats digests agree with the fingerprint frame") {
+    val d = docs(0L -> "the quick brown fox jumps over the lazy dog")
+    val fp = Winnowing.fingerprints(d).collect()
+      .map(r => (r.getLong(1), r.getString(2))).sortBy(_._1)
+    val stats = Winnowing.fingerprintStats(d).collect().head
+    assert(stats.getAs[Long]("n_fp") === fp.length.toLong)
+    assert(stats.getAs[String]("fp_md5") ===
+      md5hex(fp.map { case (p, h) => s"$p:$h" }.mkString(" ")))
+  }
+
+  // ---- BPE encode ----------------------------------------------------
+
+  test("encodeStats with no merges counts characters; with learned merges counts contract") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "low low lower", "en", "web"),
+      (1L, "lowest low", "en", "book"))
+      .toDF("doc_id", "text", "lang", "source")
+    val zero = Bpe.encodeStatsWith(d, Nil).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // no merges: every word tokenizes to its char count
+    assert(zero(("en", "web")).getAs[Long]("n_tokens") === (3 + 3 + 5).toLong)
+    assert(zero(("en", "web")).getAs[Long]("n_words") === 3L)
+    assert(zero(("en", "book")).getAs[Long]("n_tokens") === (6 + 3).toLong)
+    assert(zero(("en", "book")).getAs[Long]("n_docs") === 1L)
+
+    // learned merges shrink (or preserve) token counts, never grow
+    val learned = Bpe.encodeStats(d, rounds = 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_tokens")).toMap
+    assert(learned(("en", "web")) < (3 + 3 + 5).toLong)
+    assert(learned(("en", "book")) <= (6 + 3).toLong)
+  }
+
+  test("encodeStats equals the independent BpeRef on a crafted corpus") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "ab ab abc", "en", "web"),
+      (1L, "abc abc cd", "en", "book"),
+      (2L, "cd cd cd ab", "fr", "web"),
+      (3L, "", "fr", "book")) // zero tokens: no group contribution
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+    val got = Bpe.encodeStats(d, rounds = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val want = BpeRef.encodeStats(rows, rounds = 3)
+    assert(got === want)
+  }
+
+  // ---- per-source report ---------------------------------------------
+
+  test("sourceReport computes dup incidence and integer quality per source") {
+    import spark.implicits._
+    val d = Seq(
+      // source "a": two identical docs (cross-dup) in two langs
+      (0L, "the quick brown fox", "en", "a"),
+      (1L, "the quick brown fox", "fr", "a"),
+      // source "b": one doc duplicated into source "a"? no — unique; plus an empty doc
+      (2L, "completely unique content here", "en", "b"),
+      (3L, "", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = CorpusSignals.sourceReport(d).collect().map(r => r.getString(0) -> r).toMap
+
+    val a = r("a")
+    assert(a.getAs[Long]("n_docs") === 2L)
+    assert(a.getAs[Long]("n_langs") === 2L)
+    assert(a.getAs[Long]("n_dup_docs") === 2L)
+    assert(a.getAs[Long]("n_words") === 8L)
+    // per doc: nt=4, nstop=1 ("the") -> q = least(4,100)*10*(4-1) div 4 = 30
+    assert(a.getAs[Long]("mean_q_permille") === 30L)
+
+    val b = r("b")
+    assert(b.getAs[Long]("n_docs") === 2L)
+    assert(b.getAs[Long]("n_dup_docs") === 0L)
+    // doc2: nt=4, nstop=0 -> 40; doc3 empty -> NULL q, contributes 0
+    // mean = 40 div 2 = 20
+    assert(b.getAs[Long]("mean_q_permille") === 20L)
+  }
+}
