@@ -196,6 +196,14 @@ object SparkEntry {
       Bpe.learnMerges(Tables.load(s, dir, "documents"))
     }
 
+  /** Winnowing fingerprint frame — the gram explode + selection window
+    * is the dominant cost, shared by winnow_stats and winnow_pairs.
+    */
+  private def winnowFp(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "winnow_fp", s"${Winnowing.GramLen}x${Winnowing.WindowGrams}") {
+      Winnowing.fingerprints(Tables.load(s, dir, "documents"))
+    }
+
   /** The shared-cache build list. Bench materializes these eagerly as an
     * explicit, per-build-timed-and-error-handled setup phase, so
     * one-time shared builds (views, shingles, signatures, LSH pairs, IVF
@@ -221,7 +229,8 @@ object SparkEntry {
       "lsh_pairs" -> (() => lshPairs(s, dir)),
       "ivf_assign" -> (() => ivfAssigned(s, dir)),
       "span_frame" -> (() => spanFrame(s, dir)),
-      "bpe_merges" -> (() => bpeMergesCached(s, dir)))
+      "bpe_merges" -> (() => bpeMergesCached(s, dir)),
+      "winnow_fp" -> (() => winnowFp(s, dir)))
 
   /** View presentation row (FIXTURES.md §A2) with the shared conventions. */
   private def presentView(v: DataFrame): DataFrame =
@@ -748,8 +757,11 @@ object SparkEntry {
     // MOSS winnowing fingerprints (SIGMOD 2003): window-min k-gram
     // hashes with rightmost tie-break folded into one sortable key;
     // per-doc fingerprint count + position-ordered digest
-    "winnow_stats" -> ((s, d) =>
-      Winnowing.fingerprintStats(Tables.load(s, d, "documents"))),
+    "winnow_stats" -> ((s, d) => Winnowing.fingerprintStatsFrom(winnowFp(s, d))),
+    // MOSS match step: doc pairs sharing >= 3 distinct fingerprints —
+    // posting self-equi-join on the fingerprint hash, never all-pairs
+    "winnow_pairs" -> ((s, d) =>
+      Winnowing.sharedFingerprintPairsFrom(winnowFp(s, d))),
     // per-source report card: docs/langs/exact-dup incidence/token
     // volume/integer mean quality — the mixture planner's slice summary
     "source_report" -> ((s, d) =>
@@ -999,6 +1011,7 @@ object SparkEntry {
     "decontaminate" -> Decontamination.contaminatedSql(),
     "unit_dedup" -> UnitDedup.dedupUnitsSql(),
     "winnow_stats" -> Winnowing.fingerprintStatsSql(),
+    "winnow_pairs" -> Winnowing.sharedFingerprintPairsSql(),
     "source_report" -> CorpusSignals.SourceReportSql,
     "semantic_clusters" -> Dedup.clustersSql(Similarity.lshNearDupSql(0.4)),
     "pack_assign" -> Packing.packAssignmentsSql(),

@@ -39,9 +39,14 @@ import org.apache.spark.sql.functions._
 object Winnowing {
 
   /** Gram length k and window width w. Matches with length
-    * ≥ k + w − 1 = 11 chars are guaranteed a shared fingerprint.
+    * ≥ k + w − 1 = 19 chars are guaranteed a shared fingerprint.
+    * k spans ~3 words of this corpus's short vocabulary — at k=8 a
+    * single common word pair collides across most documents and the
+    * pair join degrades toward all-pairs (measured: 98k of 125k
+    * possible pairs shared ≥3 fingerprints at sf0.01; at k=16 the
+    * planted near-dups score ≥150 shared while the noise p99 is ~5).
     */
-  val GramLen = 8
+  val GramLen = 16
   val WindowGrams = 4
 
   /** Position encoding width for the tie-break key: pos is embedded as
@@ -104,7 +109,13 @@ object Winnowing {
       docs: DataFrame,
       gramLen: Int = GramLen,
       windowGrams: Int = WindowGrams): DataFrame =
-    fingerprints(docs, gramLen, windowGrams)
+    fingerprintStatsFrom(fingerprints(docs, gramLen, windowGrams))
+
+  /** [[fingerprintStats]] from an existing fingerprint frame (so the
+    * cached frame is shared with [[sharedFingerprintPairsFrom]]).
+    */
+  def fingerprintStatsFrom(fp: DataFrame): DataFrame =
+    fp
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_fp"),
@@ -115,10 +126,61 @@ object Winnowing {
           " ")).as("fp_md5"))
       .orderBy(col("doc_id"))
 
-  /** DuckDB twin: same key encoding, same window frame, same digest. */
-  def fingerprintStatsSql(
+  /** MOSS's actual match step: document pairs sharing at least
+    * `minShared` distinct fingerprint hashes — the plagiarism/quotation
+    * candidate relation. The winnowing guarantee makes this an
+    * overlap-sensitive join: any common substring of length ≥ k+w−1
+    * contributes a shared fingerprint, so heavily-overlapping docs rank
+    * by `n_shared` (what MOSS displays as the match score).
+    *
+    * Plan shape: doc-level postings (distinct (fp, doc)) self-equi-join
+    * on the fingerprint hash — candidates only ever come from shared
+    * fingerprints, never all-pairs (same shape as the MinHash band
+    * join). Fan-out per fingerprint is its document frequency;
+    * `maxPostings` caps pathological boilerplate fingerprints (a fp
+    * that common identifies nothing — dropping it mirrors the
+    * [[SpanDedup]]/[[UnitDedup]] hot-key guard), and rides the posting
+    * aggregation that is already computed. The gate entry runs
+    * uncapped.
+    */
+  def sharedFingerprintPairs(
+      docs: DataFrame,
       gramLen: Int = GramLen,
-      windowGrams: Int = WindowGrams): String =
+      windowGrams: Int = WindowGrams,
+      minShared: Int = MinShared,
+      maxPostings: Long = Long.MaxValue): DataFrame =
+    sharedFingerprintPairsFrom(
+      fingerprints(docs, gramLen, windowGrams), minShared, maxPostings)
+
+  /** [[sharedFingerprintPairs]] from an existing fingerprint frame (so
+    * the cached frame is shared with [[fingerprintStats]]).
+    */
+  def sharedFingerprintPairsFrom(
+      fp: DataFrame,
+      minShared: Int = MinShared,
+      maxPostings: Long = Long.MaxValue): DataFrame = {
+    val post = fp
+      .groupBy(col("fp"), col("doc_id"))
+      .agg(lit(1).as("one"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("df") <= maxPostings)
+      .select(col("fp"), col("doc_id"))
+    post.as("a")
+      .join(post.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Minimum shared distinct fingerprints for a reported pair. */
+  val MinShared = 10
+
+  /** Shared CTE prefix: `fp` = the selected (doc_id, pos, fp)
+    * fingerprint frame, same key encoding and window frame as
+    * [[fingerprints]].
+    */
+  private def fpCte(gramLen: Int, windowGrams: Int): String =
     s"""WITH grams AS (
        |  SELECT doc_id,
        |         md5(substr(text, pos, $gramLen)) ||
@@ -138,8 +200,26 @@ object Winnowing {
        |  SELECT doc_id,
        |         $PosBase - CAST(substr(mk, 33, $PosPad) AS BIGINT) AS pos,
        |         substr(mk, 1, 32) AS fp
-       |  FROM sel)
+       |  FROM sel)""".stripMargin
+
+  /** DuckDB twin: same key encoding, same window frame, same digest. */
+  def fingerprintStatsSql(
+      gramLen: Int = GramLen,
+      windowGrams: Int = WindowGrams): String =
+    s"""${fpCte(gramLen, windowGrams)}
        |SELECT doc_id, count(*) AS n_fp,
        |       md5(string_agg(CAST(pos AS VARCHAR) || ':' || fp, ' ' ORDER BY pos)) AS fp_md5
        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of [[sharedFingerprintPairs]] (uncapped). */
+  def sharedFingerprintPairsSql(
+      gramLen: Int = GramLen,
+      windowGrams: Int = WindowGrams,
+      minShared: Int = MinShared): String =
+    s"""${fpCte(gramLen, windowGrams)},
+       |post AS (SELECT DISTINCT fp, doc_id FROM fp)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+       |FROM post a JOIN post b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY 1, 2""".stripMargin
 }

@@ -115,7 +115,7 @@ class FineDedupSpec extends AnyFunSuite {
   }
 
   test("winnowing guarantee: docs sharing a substring of length >= k+w-1 share a fingerprint") {
-    val common = "xqzjvwkpyhbndg" // 14 chars >= k+w-1 = 11, improbable elsewhere
+    val common = "xqzjvwkpyhbndgrtmcfu" // 20 chars >= k+w-1 = 19, improbable elsewhere
     val d = docs(
       0L -> s"left context padding $common right padding words",
       1L -> s"completely different beginning $common and a different end")
@@ -123,6 +123,34 @@ class FineDedupSpec extends AnyFunSuite {
     val h0 = fps(0L).map(_.getString(2)).toSet
     val h1 = fps(1L).map(_.getString(2)).toSet
     assert((h0 & h1).nonEmpty)
+  }
+
+  test("sharedFingerprintPairs matches brute-force shared-hash counting; cap removes hot fps") {
+    val shared = "a long enough shared passage that yields several fingerprints in both docs"
+    val d = docs(
+      0L -> s"first document prefix $shared and its own suffix material",
+      1L -> s"second one starts differently $shared then ends another way",
+      2L -> "entirely unrelated content with no common substrings at all here")
+    val texts = Map(
+      0L -> s"first document prefix $shared and its own suffix material",
+      1L -> s"second one starts differently $shared then ends another way",
+      2L -> "entirely unrelated content with no common substrings at all here")
+    // brute-force expected: distinct shared hashes per pair
+    val refFps = texts.map { case (id, t) =>
+      id -> winnowRef(t, Winnowing.GramLen, Winnowing.WindowGrams).map(_._2)
+    }
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      n = (refFps(a) & refFps(b)).size if n >= Winnowing.MinShared
+    } yield (a, b, n.toLong)).toSet
+    val got = Winnowing.sharedFingerprintPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.exists { case (a, b, _) => a == 0L && b == 1L }) // the planted overlap is found
+
+    // cap=1: every cross-doc fingerprint has 2 postings -> all dropped
+    val capped = Winnowing.sharedFingerprintPairs(d, maxPostings = 1).collect()
+    assert(capped.isEmpty)
   }
 
   test("fingerprintStats digests agree with the fingerprint frame") {
