@@ -145,11 +145,44 @@ object Bpe {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Vocab-size ceiling for the driver-side induction path. The merge
+    * rounds are inherently sequential, and each distributed round pays
+    * a fixed plan+codegen+job cost (~4 s cold — 31 s of the sf0.1 bench
+    * setup for 8 rounds) regardless of data size. Below this many
+    * distinct words the aggregated (syms, freq) table is collected and
+    * the SAME greedy induction runs in memory — the [[Dedup]] clusters
+    * adaptive-path precedent: the aggregation output is vocab-sized,
+    * orders of magnitude below the corpus, and 200k symbol arrays are
+    * a few MB on the driver. Above the ceiling the distributed rounds
+    * run unchanged (the 100 TB/billion-word-vocab path). Both paths are
+    * spec-asserted equal, and the driver gate checks either against the
+    * independent [[BpeRef]].
+    */
+  val DriverVocabLimit = 200000L
+
   /** Learn `rounds` merges; returns `(round, lhs, rhs, pair_freq)`. */
-  def learnMerges(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+  def learnMerges(
+      docs: DataFrame,
+      rounds: Int = Rounds,
+      driverVocabLimit: Long = DriverVocabLimit): DataFrame = {
     val spark = docs.sparkSession
-    var words = vocab(docs).persist()
-    words.count()
+    val words = vocab(docs).persist()
+    val n = words.count()
+    val merges: Seq[Row] =
+      if (n <= driverVocabLimit) {
+        val tbl = words.collect()
+          .map(r => (r.getSeq[String](0).toVector, r.getLong(1))).toSeq
+        words.unpersist()
+        localMerges(tbl, rounds).map { case (rd, l, rr, c) => Row(rd, l, rr, c) }
+      } else distributedMerges(words, rounds)
+    spark
+      .createDataFrame(spark.sparkContext.parallelize(merges, 1), OutSchema)
+      .orderBy(col("round"))
+  }
+
+  /** The distributed merge rounds (consumes and unpersists `words`). */
+  private def distributedMerges(words0: DataFrame, rounds: Int): Seq[Row] = {
+    var words = words0
     val merges = Seq.newBuilder[Row]
     var done = false
     var round = 1
@@ -172,9 +205,46 @@ object Bpe {
       }
     }
     words.unpersist()
-    spark
-      .createDataFrame(spark.sparkContext.parallelize(merges.result(), 1), OutSchema)
-      .orderBy(col("round"))
+    merges.result()
+  }
+
+  /** Driver-side induction over the collected word table — the same
+    * (count DESC, l ASC, r ASC) argmax and the same greedy no-remerge
+    * fold as [[mergeExpr]]. Deliberately NOT a call into [[BpeRef]]:
+    * the reference stays an independent implementation the gate can
+    * check both engine paths against.
+    */
+  private def localMerges(
+      tbl: Seq[(Vector[String], Long)],
+      rounds: Int): Seq[(Long, String, String, Long)] = {
+    var words = tbl.groupMapReduce(_._1)(_._2)(_ + _)
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words if syms.length >= 2; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((round.toLong, l, r, cnt))
+        words = words.toSeq.map { case (syms, f) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              merged += (l + r); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.result() -> f
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        round += 1
+      }
+    }
+    out.result()
   }
 }
 

@@ -24,6 +24,12 @@ class BpeSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     val want = BpeRef.merges(Seq("low lower lowest low low", "aaa aaa"), 3)
     assert(got.toSeq === want)
+    // the forced-distributed path must agree with the adaptive driver
+    // path (vocab here is far under the limit, so `got` took the
+    // driver path)
+    val dist = Bpe.learnMerges(d, rounds = 3, driverVocabLimit = 0L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(dist.toSeq === want)
     // round 1: (a,a) freq 4 — two non-overlapping merges per "aaa"
     // occurrence is wrong; greedy gives ONE "aa"+"a" per word, but the
     // PAIR COUNT before merging is what's recorded: "aaa" has 2 adjacent
@@ -34,7 +40,9 @@ class BpeSpec extends AnyFunSuite {
 
   test("distributed learner == reference on the sf0.01 corpus, all rounds") {
     val corpus = graft.sources.Tables.load(spark, Sf001, "documents")
-    val got = Bpe.learnMerges(corpus).collect()
+    // force the distributed rounds (the adaptive path would take the
+    // driver branch at this vocab size — the gate covers that one)
+    val got = Bpe.learnMerges(corpus, driverVocabLimit = 0L).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     val texts = corpus.select("text").collect().map(_.getString(0)).toSeq
     val want = BpeRef.merges(texts, Bpe.Rounds)
