@@ -21,6 +21,7 @@ HEADLINE = [
     "value_histogram", "decontaminate", "semantic_clusters",
     "dup_spans", "dup_span_stats", "mixture_resample", "quality_classify",
     "ann_recall", "embedding_quantize", "knn_join_lsh",
+    "unit_dedup", "winnow_stats", "winnow_pairs", "source_report",
 ]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
