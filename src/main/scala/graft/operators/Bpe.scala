@@ -134,9 +134,13 @@ object Bpe {
       df.withColumn("syms", expr(mergeExpr(l, r)))
     }
     val wordTokens = folded.select(col("w"), size(col("syms")).cast("long").as("n_tok"))
+    // no broadcast() hint: the hint would FORCE a broadcast even at a
+    // billion-word vocabulary. AQE sees the runtime size and broadcasts
+    // the vocab-sized table at harness scale anyway (plan-checked), and
+    // falls back to a shuffle hash join when it genuinely is huge.
     docs
       .select(col("lang"), col("source"), col("doc_id"), explode(expr(Dedup.TokensExpr)).as("w"))
-      .join(broadcast(wordTokens), "w")
+      .join(wordTokens, "w")
       .groupBy(col("lang"), col("source"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
