@@ -204,6 +204,15 @@ object SparkEntry {
       Winnowing.fingerprints(Tables.load(s, dir, "documents"))
     }
 
+  /** Doc-level posting frame for the pair join — cached because the
+    * self-join reads it twice (an unpersisted derivation would run the
+    * postings groupBy + df window once per join side).
+    */
+  private def winnowPost(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "winnow_post", "uncapped") {
+      Winnowing.postings(winnowFp(s, dir))
+    }
+
   /** The shared-cache build list. Bench materializes these eagerly as an
     * explicit, per-build-timed-and-error-handled setup phase, so
     * one-time shared builds (views, shingles, signatures, LSH pairs, IVF
@@ -230,7 +239,8 @@ object SparkEntry {
       "ivf_assign" -> (() => ivfAssigned(s, dir)),
       "span_frame" -> (() => spanFrame(s, dir)),
       "bpe_merges" -> (() => bpeMergesCached(s, dir)),
-      "winnow_fp" -> (() => winnowFp(s, dir)))
+      "winnow_fp" -> (() => winnowFp(s, dir)),
+      "winnow_post" -> (() => winnowPost(s, dir)))
 
   /** View presentation row (FIXTURES.md §A2) with the shared conventions. */
   private def presentView(v: DataFrame): DataFrame =
@@ -758,10 +768,11 @@ object SparkEntry {
     // hashes with rightmost tie-break folded into one sortable key;
     // per-doc fingerprint count + position-ordered digest
     "winnow_stats" -> ((s, d) => Winnowing.fingerprintStatsFrom(winnowFp(s, d))),
-    // MOSS match step: doc pairs sharing >= 3 distinct fingerprints —
-    // posting self-equi-join on the fingerprint hash, never all-pairs
+    // MOSS match step: doc pairs sharing >= MinShared (10) distinct
+    // fingerprints — posting self-equi-join on the fingerprint hash,
+    // never all-pairs; postings frame session-cached for the self-join
     "winnow_pairs" -> ((s, d) =>
-      Winnowing.sharedFingerprintPairsFrom(winnowFp(s, d))),
+      Winnowing.sharedFingerprintPairsFromPost(winnowPost(s, d))),
     // per-source report card: docs/langs/exact-dup incidence/token
     // volume/integer mean quality — the mixture planner's slice summary
     "source_report" -> ((s, d) =>
@@ -1048,57 +1059,75 @@ object SparkEntry {
     * path). Collecting the corpus is oracle generation at correctness
     * scale (500 docs at sf0.01), not a query plan.
     */
-  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] = {
-    val docsFull = Tables.load(spark, dir, "documents")
+  /** `only` restricts which DATA-DEPENDENT oracles are computed (a
+    * spot-check of one static query must not pay the MinHash XXH64
+    * pipeline and the BPE reference learning just to discard them);
+    * None = compute all.
+    */
+  def oracleSqlFor(
+      spark: SparkSession,
+      dir: String,
+      only: Option[Set[String]] = None): Map[String, String] = {
+    def sel(name: String) = only.forall(_.contains(name))
+    lazy val docsFull = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
       .toSeq
-    val docs = docsFull.map(t => (t._1, t._2))
-    val pairs = graft.operators.MinHashRef.lshPairs(docs, 3, 16, 4, 0.5)
-    val lshSql =
-      if (pairs.isEmpty)
-        """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,
-          | CAST(NULL AS DOUBLE) AS jac WHERE false""".stripMargin
-      else {
-        val rows = pairs.map { case (a, b, j) => s"($a, $b, $j)" }.mkString(", ")
-        s"""WITH expected(a, b, j) AS (SELECT * FROM (VALUES $rows))
-           |SELECT CAST(a AS BIGINT) AS a_id, CAST(b AS BIGINT) AS b_id,
-           |       CAST(j AS DOUBLE) AS jac
-           |FROM expected ORDER BY a_id, b_id""".stripMargin
-      }
-    val bpe = graft.operators.BpeRef.merges(docs.map(_._2), graft.operators.Bpe.Rounds)
     def q(s: String) = "'" + s.replace("'", "''") + "'"
-    val bpeSql =
-      if (bpe.isEmpty)
-        """SELECT CAST(NULL AS BIGINT) AS round, CAST(NULL AS VARCHAR) AS lhs,
-          | CAST(NULL AS VARCHAR) AS rhs, CAST(NULL AS BIGINT) AS pair_freq
-          | WHERE false""".stripMargin
-      else {
-        val rows = bpe
-          .map { case (n, l, r, c) => s"($n, ${q(l)}, ${q(r)}, $c)" }
-          .mkString(", ")
-        s"""WITH expected(round, lhs, rhs, pair_freq) AS (SELECT * FROM (VALUES $rows))
-           |SELECT CAST(round AS BIGINT) AS round, lhs, rhs,
-           |       CAST(pair_freq AS BIGINT) AS pair_freq
-           |FROM expected ORDER BY round""".stripMargin
-      }
-    val enc = graft.operators.BpeRef.encodeStats(docsFull, graft.operators.Bpe.Rounds)
-    val encSql =
-      if (enc.isEmpty)
-        """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
-          | CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_words,
-          | CAST(NULL AS BIGINT) AS n_tokens WHERE false""".stripMargin
-      else {
-        val rows = enc
-          .map { case (l, s, d, w, t) => s"(${q(l)}, ${q(s)}, $d, $w, $t)" }
-          .mkString(", ")
-        s"""WITH expected(lang, source, n_docs, n_words, n_tokens) AS (SELECT * FROM (VALUES $rows))
-           |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
-           |       CAST(n_words AS BIGINT) AS n_words, CAST(n_tokens AS BIGINT) AS n_tokens
-           |FROM expected ORDER BY lang, source""".stripMargin
-      }
-    oracleSql + ("dedup_minhash_lsh" -> lshSql) + ("bpe_merges" -> bpeSql) +
-      ("bpe_encode" -> encSql)
+    var out = oracleSql
+    if (sel("dedup_minhash_lsh")) {
+      val pairs = graft.operators.MinHashRef.lshPairs(docsFull.map(t => (t._1, t._2)), 3, 16, 4, 0.5)
+      val lshSql =
+        if (pairs.isEmpty)
+          """SELECT CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,
+            | CAST(NULL AS DOUBLE) AS jac WHERE false""".stripMargin
+        else {
+          val rows = pairs.map { case (a, b, j) => s"($a, $b, $j)" }.mkString(", ")
+          s"""WITH expected(a, b, j) AS (SELECT * FROM (VALUES $rows))
+             |SELECT CAST(a AS BIGINT) AS a_id, CAST(b AS BIGINT) AS b_id,
+             |       CAST(j AS DOUBLE) AS jac
+             |FROM expected ORDER BY a_id, b_id""".stripMargin
+        }
+      out += ("dedup_minhash_lsh" -> lshSql)
+    }
+    if (sel("bpe_merges") || sel("bpe_encode")) {
+      // ONE reference learning feeds both BPE oracles — two independent
+      // runs could silently diverge if one's rounds argument drifted
+      val bpe = graft.operators.BpeRef.merges(docsFull.map(_._2), graft.operators.Bpe.Rounds)
+      val bpeSql =
+        if (bpe.isEmpty)
+          """SELECT CAST(NULL AS BIGINT) AS round, CAST(NULL AS VARCHAR) AS lhs,
+            | CAST(NULL AS VARCHAR) AS rhs, CAST(NULL AS BIGINT) AS pair_freq
+            | WHERE false""".stripMargin
+        else {
+          val rows = bpe
+            .map { case (n, l, r, c) => s"($n, ${q(l)}, ${q(r)}, $c)" }
+            .mkString(", ")
+          s"""WITH expected(round, lhs, rhs, pair_freq) AS (SELECT * FROM (VALUES $rows))
+             |SELECT CAST(round AS BIGINT) AS round, lhs, rhs,
+             |       CAST(pair_freq AS BIGINT) AS pair_freq
+             |FROM expected ORDER BY round""".stripMargin
+        }
+      val enc = graft.operators.BpeRef.encodeStatsWith(
+        docsFull, bpe.map { case (_, l, r, _) => (l, r) })
+      val encSql =
+        if (enc.isEmpty)
+          """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
+            | CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_words,
+            | CAST(NULL AS BIGINT) AS n_tokens WHERE false""".stripMargin
+        else {
+          val rows = enc
+            .map { case (l, s, d, w, t) => s"(${q(l)}, ${q(s)}, $d, $w, $t)" }
+            .mkString(", ")
+          s"""WITH expected(lang, source, n_docs, n_words, n_tokens) AS (SELECT * FROM (VALUES $rows))
+             |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+             |       CAST(n_words AS BIGINT) AS n_words, CAST(n_tokens AS BIGINT) AS n_tokens
+             |FROM expected ORDER BY lang, source""".stripMargin
+        }
+      out += ("bpe_merges" -> bpeSql)
+      out += ("bpe_encode" -> encSql)
+    }
+    out
   }
 }

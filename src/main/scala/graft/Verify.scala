@@ -17,8 +17,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=a,b,c restricts the dump for local spot-checks of
     // new queries (same contract as Bench). The driver never sets it —
-    // a full-gate run dumps everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // a full-gate run dumps everything. A BLANK value is treated as
+    // unset (an exported-but-empty var would otherwise filter out every
+    // query and write a trivially-empty dump that looks green), and the
+    // restriction is announced so a partial dump is self-evident.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach(f =>
+      System.err.println(s"[verify] RESTRICTED run: ${f.toSeq.sorted.mkString(",")}"))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -41,8 +48,10 @@ object Verify {
       case c => c.toString
     } + "\""
     // oracleSqlFor = static SQL oracles + data-dependent VALUES oracles
-    // (dedup_minhash_lsh pairs precomputed via the pure-Scala XXH64 ref)
-    val json = SparkEntry.oracleSqlFor(spark, sfDir)
+    // (dedup_minhash_lsh pairs precomputed via the pure-Scala XXH64
+    // ref); `only` is passed through so a restricted run SKIPS the
+    // reference pipelines it would discard, not just their output
+    val json = SparkEntry.oracleSqlFor(spark, sfDir, only)
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -303,8 +303,16 @@ object BpeRef {
     */
   def encodeStats(
       docs: Seq[(Long, String, String, String)],
-      rounds: Int): Seq[(String, String, Long, Long, Long)] = {
-    val ms = merges(docs.map(_._2), rounds).map { case (_, l, r, _) => (l, r) }
+      rounds: Int): Seq[(String, String, Long, Long, Long)] =
+    encodeStatsWith(docs, merges(docs.map(_._2), rounds).map { case (_, l, r, _) => (l, r) })
+
+  /** [[encodeStats]] against an already-learned merge list — so a
+    * caller that also needs the merge table (Verify computes both the
+    * bpe_merges and bpe_encode oracles) runs the greedy induction once.
+    */
+  def encodeStatsWith(
+      docs: Seq[(Long, String, String, String)],
+      ms: Seq[(String, String)]): Seq[(String, String, Long, Long, Long)] = {
     val tokCount: Map[String, Long] = docs
       .flatMap(_._2.split("\\s+").filter(_.nonEmpty))
       .distinct

@@ -158,20 +158,32 @@ object Winnowing {
   def sharedFingerprintPairsFrom(
       fp: DataFrame,
       minShared: Int = MinShared,
-      maxPostings: Long = Long.MaxValue): DataFrame = {
-    val post = fp
+      maxPostings: Long = Long.MaxValue): DataFrame =
+    sharedFingerprintPairsFromPost(postings(fp, maxPostings), minShared)
+
+  /** The capped doc-level posting frame `(fp, doc_id)` — cache THIS
+    * before the pair join: the self-join reads it twice, so an
+    * unpersisted postings derivation would run its groupBy + df window
+    * once per join side.
+    */
+  def postings(fp: DataFrame, maxPostings: Long = Long.MaxValue): DataFrame =
+    fp
       .groupBy(col("fp"), col("doc_id"))
       .agg(lit(1).as("one"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("df") <= maxPostings)
       .select(col("fp"), col("doc_id"))
+
+  /** The pair join over an already-built (ideally cached) posting frame. */
+  def sharedFingerprintPairsFromPost(
+      post: DataFrame,
+      minShared: Int = MinShared): DataFrame =
     post.as("a")
       .join(post.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   /** Minimum shared distinct fingerprints for a reported pair. */
   val MinShared = 10

@@ -127,14 +127,12 @@ class FineDedupSpec extends AnyFunSuite {
 
   test("sharedFingerprintPairs matches brute-force shared-hash counting; cap removes hot fps") {
     val shared = "a long enough shared passage that yields several fingerprints in both docs"
-    val d = docs(
-      0L -> s"first document prefix $shared and its own suffix material",
-      1L -> s"second one starts differently $shared then ends another way",
-      2L -> "entirely unrelated content with no common substrings at all here")
+    // single source of truth for both the frame and the brute-force ref
     val texts = Map(
       0L -> s"first document prefix $shared and its own suffix material",
       1L -> s"second one starts differently $shared then ends another way",
       2L -> "entirely unrelated content with no common substrings at all here")
+    val d = docs(texts.toSeq: _*)
     // brute-force expected: distinct shared hashes per pair
     val refFps = texts.map { case (id, t) =>
       id -> winnowRef(t, Winnowing.GramLen, Winnowing.WindowGrams).map(_._2)
