@@ -729,6 +729,14 @@ object SparkEntry {
         ascii(substring(col("payload").cast("string"), 1, 1)).as("head"))
         .orderBy(col("id"))
     }),
+    // REAL pixel-level compute: synthesize valid 24-bit BMPs, then read
+    // channel means back from the PAYLOAD BYTES (headers parsed, HOF
+    // byte folds, no codec lib, no explode). The oracle recomputes the
+    // expected means from the closed-form pixel formula — two fully
+    // independent derivations of the same statistics.
+    "multimodal_pixels" -> ((s, d) =>
+      Multimodal.bmpPixelStats(
+        Multimodal.synthesizeBmpAssets(Tables.load(s, d, "documents")))),
     // ---- corpus-level quality signals (CorpusSignals) ----
     // Gopher/C4-style repetition filters: one explode, two hash aggs
     "repetition_stats" -> ((s, d) =>
@@ -1021,6 +1029,7 @@ object SparkEntry {
     "streaming_quality" -> TextAnalysis.QualityScoreSql,
     "decontaminate" -> Decontamination.contaminatedSql(),
     "unit_dedup" -> UnitDedup.dedupUnitsSql(),
+    "multimodal_pixels" -> Multimodal.BmpPixelStatsSql,
     "winnow_stats" -> Winnowing.fingerprintStatsSql(),
     "winnow_pairs" -> Winnowing.sharedFingerprintPairsSql(),
     "source_report" -> CorpusSignals.SourceReportSql,

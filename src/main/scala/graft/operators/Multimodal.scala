@@ -80,6 +80,15 @@ object Multimodal {
   private def isWav(p: Column): Column =
     hexEq(p, 1, "52494646") && hexEq(p, 9, "57415645") && hexEq(p, 13, "666D7420")
 
+  /** Uncompressed 24-bit BMP: "BM", BITMAPINFOHEADER (biSize 40),
+    * biBitCount 24, biCompression BI_RGB — the one mainstream image
+    * container whose PIXELS are raw bytes, which is what lets the
+    * pixel-level operators below be REAL without a codec library.
+    */
+  private def isBmp(p: Column): Column =
+    hexEq(p, 1, "424D") && le(p, 15, 4) === 40 &&
+      le(p, 29, 2) === 24 && le(p, 31, 4) === 0
+
   /** Metadata decode. PNG/GIF/WAV headers are parsed for real (see
     * object doc); any other payload takes the STUB branch (deterministic
     * crc-seeded pseudo-dimensions standing in for a full codec).
@@ -93,12 +102,14 @@ object Multimodal {
         "fmt",
         when(isPng(p), lit("image/png"))
           .when(isGif(p), lit("image/gif"))
+          .when(isBmp(p), lit("image/bmp"))
           .when(isWav(p), lit("audio/wav"))
           .otherwise(concat(col("modality"), lit("/raw"))))
       .withColumn(
         "width",
         when(isPng(p), be(p, 17, 4)) // IHDR width, bytes 16..19 (0-based)
           .when(isGif(p), le(p, 7, 2)) // logical screen width
+          .when(isBmp(p), le(p, 19, 4)) // biWidth (fixture contract: positive)
           .when(isWav(p), lit(null))
           // STUB branch (full codec would go here)
           .otherwise(crc32(p) % 1920)
@@ -107,6 +118,7 @@ object Multimodal {
         "height",
         when(isPng(p), be(p, 21, 4)) // IHDR height, bytes 20..23
           .when(isGif(p), le(p, 9, 2))
+          .when(isBmp(p), le(p, 23, 4)) // biHeight > 0 = bottom-up rows
           .when(isWav(p), lit(null))
           .otherwise(crc32(p) % 1080) // STUB branch
           .cast("int"))
@@ -169,6 +181,168 @@ object Multimodal {
       col("doc_id").as("id"),
       when(col("doc_id") % 2 === 0, lit("image")).otherwise(lit("audio")).as("modality"),
       when(col("doc_id") % 2 === 0, png).otherwise(wav).as("payload"))
+  }
+
+  // ---- REAL pixel-level operators over uncompressed 24-bit BMP ------
+  //
+  // BMP stores raw BGR bytes (bottom-up rows, 4-byte row padding), so
+  // synthesis, channel statistics and nearest-neighbor resize are all
+  // expressible as narrow codegen'd byte arithmetic — actual pixel
+  // compute, not a stub, with zero codec dependencies. Pixel (x, y) of
+  // image `id` carries channel values
+  //   B = (id·31 + x·7 + y·13) mod 256
+  //   G = (id·17 + x·5 + y·11) mod 256
+  //   R = (id·7 + x·3 + y·19) mod 256
+  // — a closed form BOTH engines can derive independently: Spark parses
+  // the actual payload bytes while the DuckDB oracle recomputes the
+  // expected statistics from the formula, so a single wrong byte
+  // anywhere in encode OR decode fails the hash gate.
+
+  /** Pixel-channel hex (2 chars) for the synthesis expressions. */
+  private def chanHex(idExpr: String, cb: (Int, Int, Int)): String =
+    s"lpad(hex(($idExpr * ${cb._1} + x * ${cb._2} + y * ${cb._3}) % 256), 2, '0')"
+
+  private val ChanB = (31, 7, 13)
+  private val ChanG = (17, 5, 11)
+  private val ChanR = (7, 3, 19)
+
+  /** Synthesize a VALID uncompressed 24-bit BMP per document:
+    * BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded BGR rows.
+    * Dimensions are small and id-derived (w = id%4+1, h = id%3+1);
+    * every byte of the pixel array follows the closed form above.
+    * Narrow per-row expression work only.
+    */
+  def synthesizeBmpAssets(docs: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("w", (col("doc_id") % 4 + 1).cast("long"))
+      .withColumn("h", (col("doc_id") % 3 + 1).cast("long"))
+      .withColumn("stride", expr("(w * 3 + 3) div 4 * 4"))
+    // bottom-up storage: logical row y is written at storage slot h-1-y
+    val rowsHex = expr(
+      "array_join(transform(sequence(h - 1, 0, -1), y -> concat(" +
+        "array_join(transform(sequence(0, w - 1), x -> concat(" +
+        s"${chanHex("doc_id", ChanB)}, ${chanHex("doc_id", ChanG)}, ${chanHex("doc_id", ChanR)}" +
+        ")), ''), repeat('00', cast(stride - w * 3 AS INT)))), '')")
+    d.select(
+      col("doc_id").as("id"),
+      lit("image").as("modality"),
+      concat(
+        unhex(lit("424D")), // "BM"
+        le32(lit(54) + col("stride") * col("h")), // file size
+        le32(lit(0)), // reserved
+        le32(lit(54)), // pixel data offset
+        le32(lit(40)), // biSize
+        le32(col("w")),
+        le32(col("h")), // positive: bottom-up
+        le16(lit(1)), // planes
+        le16(lit(24)), // bits per pixel
+        le32(lit(0)), // BI_RGB
+        le32(col("stride") * col("h")), // image size
+        le32(lit(2835)), le32(lit(2835)), // 72 DPI
+        le32(lit(0)), le32(lit(0)), // palette
+        unhex(rowsHex)).as("payload"))
+  }
+
+  /** REAL pixel statistics from the payload BYTES: per image, the mean
+    * of each channel in per-mille (sum·1000 div pixelCount — integer
+    * arithmetic, exact on both engines). Width/height/offset/stride are
+    * read from the headers; the three channel sums are higher-order
+    * `aggregate` folds over the pixel index — one narrow codegen'd
+    * projection, no explode, no shuffle; output is one fixed-width row
+    * per image regardless of dimensions.
+    */
+  def bmpPixelStats(assets: DataFrame): DataFrame = {
+    val p = col("payload")
+    def chanSum(c: Int) =
+      expr(
+        "aggregate(sequence(0, cast(w * h - 1 AS INT)), 0L, (acc, i) -> acc + " +
+          "CAST(conv(hex(substring(payload, CAST(off + (i div cast(w AS INT)) * stride + " +
+          s"(i % cast(w AS INT)) * 3 + $c + 1 AS INT), 1)), 16, 10) AS BIGINT))")
+    assets
+      .filter(isBmp(p))
+      .withColumn("w", le(p, 19, 4))
+      .withColumn("h", le(p, 23, 4))
+      .withColumn("off", le(p, 11, 4))
+      .withColumn("stride", expr("(w * 3 + 3) div 4 * 4"))
+      .withColumn("sum_b", chanSum(0))
+      .withColumn("sum_g", chanSum(1))
+      .withColumn("sum_r", chanSum(2))
+      .select(
+        col("id"),
+        col("w").cast("int").as("width"),
+        col("h").cast("int").as("height"),
+        expr("sum_b * 1000 div (w * h)").as("mean_b_permille"),
+        expr("sum_g * 1000 div (w * h)").as("mean_g_permille"),
+        expr("sum_r * 1000 div (w * h)").as("mean_r_permille"))
+      .orderBy(col("id"))
+  }
+
+  /** Closed-form DuckDB twin of synthesize→stats: the oracle never
+    * touches bytes — it recomputes the expected channel means straight
+    * from the pixel formula, independently certifying the whole
+    * byte-level encode/decode round trip.
+    */
+  val BmpPixelStatsSql: String = {
+    def mean(cb: (Int, Int, Int)) =
+      s"CAST(sum((doc_id * ${cb._1} + x * ${cb._2} + y * ${cb._3}) % 256) * 1000 // (w * h) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS w,
+       |         CAST(doc_id % 3 + 1 AS BIGINT) AS h
+       |  FROM documents),
+       |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+       |ys AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+       |SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |       ${mean(ChanB)} AS mean_b_permille,
+       |       ${mean(ChanG)} AS mean_g_permille,
+       |       ${mean(ChanR)} AS mean_r_permille
+       |FROM ys GROUP BY doc_id, w, h ORDER BY id""".stripMargin
+  }
+
+  /** REAL nearest-neighbor downsample: emits a VALID 24-bit BMP of
+    * ceil(w/f) × ceil(h/f) whose pixel (x', y') is source pixel
+    * (x'·f, y'·f) — three source bytes copied per output pixel, headers
+    * rebuilt for the new dimensions. Still a narrow codegen'd
+    * projection; composes with [[decodeMeta]]/[[bmpPixelStats]], which
+    * is what makes the pixel pipeline an operator CHAIN rather than a
+    * one-off.
+    */
+  def bmpResize(assets: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1 (got $factor)")
+    val p = col("payload")
+    // source byte position of output pixel (x', y') channel start:
+    // logical source y = y'·f, bottom-up storage row = h − 1 − y
+    val pixHex = expr(
+      "array_join(transform(sequence(nh - 1, 0, -1), y -> concat(" +
+        "array_join(transform(sequence(0, nw - 1), x -> " +
+        s"hex(substring(payload, CAST(off + (h - 1 - y * $factor) * stride + x * $factor * 3 + 1 AS INT), 3))" +
+        "), ''), repeat('00', cast(nstride - nw * 3 AS INT)))), '')")
+    assets
+      .filter(isBmp(p))
+      .withColumn("w", le(p, 19, 4))
+      .withColumn("h", le(p, 23, 4))
+      .withColumn("off", le(p, 11, 4))
+      .withColumn("stride", expr("(w * 3 + 3) div 4 * 4"))
+      .withColumn("nw", expr(s"(w + ${factor - 1}) div $factor"))
+      .withColumn("nh", expr(s"(h + ${factor - 1}) div $factor"))
+      .withColumn("nstride", expr("(nw * 3 + 3) div 4 * 4"))
+      .withColumn(
+        "payload",
+        concat(
+          unhex(lit("424D")),
+          le32(lit(54) + col("nstride") * col("nh")),
+          le32(lit(0)),
+          le32(lit(54)),
+          le32(lit(40)),
+          le32(col("nw")),
+          le32(col("nh")),
+          le16(lit(1)),
+          le16(lit(24)),
+          le32(lit(0)),
+          le32(col("nstride") * col("nh")),
+          le32(lit(2835)), le32(lit(2835)),
+          le32(lit(0)), le32(lit(0)),
+          unhex(pixHex)))
+      .select(col("id"), col("modality"), col("payload"))
   }
 
   /** STUB frame sampling: every `stride`-th byte of the payload as a

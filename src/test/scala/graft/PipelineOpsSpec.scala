@@ -207,6 +207,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP pixel path: ImageIO decodes the synthesized bytes; stats and resize match the formula") {
+    import SparkTestBase.spark.implicits._
+    def b(id: Long, x: Long, y: Long) = (id * 31 + x * 7 + y * 13) % 256
+    def g(id: Long, x: Long, y: Long) = (id * 17 + x * 5 + y * 11) % 256
+    def r(id: Long, x: Long, y: Long) = (id * 7 + x * 3 + y * 19) % 256
+    val ids = Seq(0L, 1L, 5L, 11L) // covers w 1..4 × h 1..3 corners
+    val assets = Multimodal.synthesizeBmpAssets(ids.map(i => (i, "")).toDF("doc_id", "text"))
+
+    // 1) a REAL third-party codec (the JDK's ImageIO BMP reader) must
+    //    decode the synthesized bytes to exactly the formula pixels
+    val payloads = assets.collect().map(r0 => r0.getLong(0) -> r0.getAs[Array[Byte]]("payload")).toMap
+    for (id <- ids) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payloads(id)))
+      assert(img != null, s"ImageIO failed to decode BMP for id=$id")
+      val (w, h) = (id % 4 + 1, id % 3 + 1)
+      assert(img.getWidth === w.toInt && img.getHeight === h.toInt)
+      for (x <- 0L until w; y <- 0L until h) {
+        val rgb = img.getRGB(x.toInt, y.toInt)
+        assert((rgb & 0xff) === b(id, x, y).toInt, s"B id=$id ($x,$y)")
+        assert(((rgb >> 8) & 0xff) === g(id, x, y).toInt, s"G id=$id ($x,$y)")
+        assert(((rgb >> 16) & 0xff) === r(id, x, y).toInt, s"R id=$id ($x,$y)")
+      }
+    }
+
+    // 2) byte-parsed channel means == formula means
+    val stats = Multimodal.bmpPixelStats(assets).collect().map(r0 => r0.getLong(0) -> r0).toMap
+    for (id <- ids) {
+      val (w, h) = (id % 4 + 1, id % 3 + 1)
+      val px = for (x <- 0L until w; y <- 0L until h) yield (x, y)
+      assert(stats(id).getAs[Int]("width") === w.toInt)
+      assert(stats(id).getAs[Long]("mean_b_permille") ===
+        px.map { case (x, y) => b(id, x, y) }.sum * 1000 / (w * h))
+      assert(stats(id).getAs[Long]("mean_r_permille") ===
+        px.map { case (x, y) => r(id, x, y) }.sum * 1000 / (w * h))
+    }
+
+    // 3) nearest-neighbor resize: valid BMP out, ceil dims, pixels are
+    //    the f-strided source samples (checked via the same stats path)
+    val resized = Multimodal.bmpResize(assets, 2)
+    val meta = Multimodal.decodeMeta(resized)
+      .select(col("id"), col("meta.fmt"), col("meta.width"), col("meta.height"))
+      .collect().map(r0 => r0.getLong(0) -> r0).toMap
+    val rstats = Multimodal.bmpPixelStats(resized).collect().map(r0 => r0.getLong(0) -> r0).toMap
+    for (id <- ids) {
+      val (w, h) = (id % 4 + 1, id % 3 + 1)
+      val (nw, nh) = ((w + 1) / 2, (h + 1) / 2)
+      assert(meta(id).getString(1) === "image/bmp")
+      assert(meta(id).getInt(2) === nw.toInt && meta(id).getInt(3) === nh.toInt)
+      val px = for (x <- 0L until nw; y <- 0L until nh) yield (x * 2, y * 2)
+      assert(rstats(id).getAs[Long]("mean_g_permille") ===
+        px.map { case (x, y) => g(id, x, y) }.sum * 1000 / (nw * nh))
+    }
+  }
+
   test("multimodal plumbing: schema, deterministic stub meta, bounded frame sample") {
     val a = Multimodal.assets(docs.limit(20))
     val m = Multimodal.decodeMeta(a)
