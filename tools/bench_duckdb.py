@@ -22,6 +22,7 @@ HEADLINE = [
     "dup_spans", "dup_span_stats", "mixture_resample", "quality_classify",
     "ann_recall", "embedding_quantize", "knn_join_lsh",
     "unit_dedup", "winnow_stats", "winnow_pairs", "source_report",
+    "multimodal_pixels",
 ]
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
