@@ -461,6 +461,13 @@ object SparkEntry {
     // duplicate clusters: connected components over the near-dup pairs,
     // each doc mapped to its canonical (minimal) id
     "dedup_clusters" -> ((s, d) => Dedup.clusters(ngramPairs(s, d))),
+    // canonical-doc selection: per duplicate cluster keep the highest-
+    // quality member (NULLS LAST, doc_id tiebreak) — the action step of
+    // the dedup pipeline; all frames bounded by duplicate count
+    "dedup_survivors" -> ((s, d) =>
+      Dedup.survivors(
+        Dedup.clusters(ngramPairs(s, d)),
+        TextAnalysis.qualityScore(Tables.load(s, d, "documents")))),
     // directed containment (quote/subset detection) off the same shared
     // shingle frame as the Jaccard family
     "containment_pairs" -> ((s, d) =>
@@ -883,6 +890,9 @@ object SparkEntry {
     "dedup_ngram_pairs" -> Dedup.ngramJaccardSql(3, 0.8),
     "dedup_incremental" -> Dedup.incrementalSql(3, 0.8, Seq("src8", "src9")),
     "dedup_clusters" -> Dedup.clustersSql(Dedup.ngramJaccardSql(3, 0.8)),
+    "dedup_survivors" -> Dedup.survivorsSql(
+      Dedup.clustersSql(Dedup.ngramJaccardSql(3, 0.8)),
+      TextAnalysis.QualityScoreSql),
     "corpus_curation" ->
       s"""WITH q AS (SELECT doc_id FROM (${TextAnalysis.QualityScoreSql}) WHERE quality >= 0.7),
          |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))

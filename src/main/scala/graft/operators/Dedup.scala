@@ -514,6 +514,51 @@ object Dedup {
        |SELECT node AS doc_id, min(r) AS canonical_id
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Canonical-document selection — the step AFTER clustering that
+    * dedup pipelines actually act on: per duplicate cluster, keep the
+    * highest-quality member (quality DESC, NULLS LAST — an empty doc
+    * never wins over a scored one — then doc_id ASC for determinism)
+    * and report what was dropped. `clusters` is (doc_id, canonical_id)
+    * from [[clusters]]; `quality` is any (doc_id, quality) frame —
+    * [[TextAnalysis.qualityScore]] in the gate entry.
+    *
+    * Scale: the cluster frame is dedup OUTPUT (pairs-sized, tiny next
+    * to the corpus), so the join, the per-cluster window and the final
+    * aggregation are all bounded by duplicate count, never corpus size.
+    */
+  def survivors(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_id"))
+      .orderBy(col("quality").desc_nulls_last, col("doc_id"))
+    clusters
+      .join(quality.select(col("doc_id"), col("quality")), "doc_id")
+      .withColumn("rk", row_number().over(byCluster))
+      .groupBy(col("canonical_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(when(col("rk") === 1, col("doc_id"))).as("survivor_id"),
+        min(when(col("rk") === 1, col("quality"))).as("survivor_quality"))
+      .orderBy(col("canonical_id"))
+  }
+
+  /** DuckDB twin: explicit NULLS LAST (DuckDB's DESC default is NULLS
+    * FIRST — the opposite of Spark's `desc`, which would elect an
+    * empty doc as survivor).
+    */
+  def survivorsSql(clustersSubquery: String, qualitySubquery: String): String =
+    s"""WITH c AS ($clustersSubquery),
+       |q AS ($qualitySubquery),
+       |j AS (SELECT c.doc_id, c.canonical_id, q.quality FROM c JOIN q USING (doc_id)),
+       |r AS (SELECT doc_id, canonical_id, quality,
+       |             row_number() OVER (PARTITION BY canonical_id
+       |               ORDER BY quality DESC NULLS LAST, doc_id) AS rk
+       |      FROM j)
+       |SELECT canonical_id,
+       |       count(*) AS n_members,
+       |       min(doc_id) FILTER (WHERE rk = 1) AS survivor_id,
+       |       min(quality) FILTER (WHERE rk = 1) AS survivor_quality
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- SimHash (16-bit, md5-based, oracle-checkable) -----------------
 
   /** Hex digits of a given nibble whose bit `bitInNibble` (3 = MSB) is

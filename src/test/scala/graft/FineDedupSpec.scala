@@ -199,6 +199,27 @@ class FineDedupSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  // ---- survivor selection --------------------------------------------
+
+  test("survivors picks highest quality, NULLS LAST, doc_id tiebreak") {
+    import SparkTestBase.spark.implicits._
+    import graft.operators.Dedup
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1: quality 0.2, 0.9, NULL
+      (5L, 5L), (6L, 5L)) // cluster 5: tied quality -> min doc_id wins
+      .toDF("doc_id", "canonical_id")
+    val quality = Seq(
+      (1L, Some(0.2)), (2L, Some(0.9)), (3L, None),
+      (5L, Some(0.7)), (6L, Some(0.7)))
+      .toDF("doc_id", "quality")
+    val r = Dedup.survivors(clusters, quality).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_members") === 3L)
+    assert(r(1L).getAs[Long]("survivor_id") === 2L) // 0.9 beats 0.2 and NULL
+    assert(r(1L).getAs[Double]("survivor_quality") === 0.9)
+    assert(r(5L).getAs[Long]("survivor_id") === 5L) // tie -> lower doc_id
+  }
+
   // ---- per-source report ---------------------------------------------
 
   test("sourceReport computes dup incidence and integer quality per source") {
