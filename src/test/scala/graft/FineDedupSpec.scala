@@ -220,6 +220,23 @@ class FineDedupSpec extends AnyFunSuite {
     assert(r(5L).getAs[Long]("survivor_id") === 5L) // tie -> lower doc_id
   }
 
+  test("all new operators handle an empty corpus without error") {
+    import SparkTestBase.spark.implicits._
+    import graft.operators.{Bpe, Dedup, Multimodal}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(UnitDedup.dedupUnits(empty).collect().isEmpty)
+    assert(Winnowing.fingerprintStats(empty).collect().isEmpty)
+    assert(Winnowing.sharedFingerprintPairs(empty).collect().isEmpty)
+    assert(Multimodal.bmpPixelStats(Multimodal.synthesizeBmpAssets(empty)).collect().isEmpty)
+    val emptyFull = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Bpe.encodeStats(emptyFull, rounds = 2).collect().isEmpty)
+    assert(CorpusSignals.sourceReport(emptyFull).collect().isEmpty)
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "canonical_id")
+    val noQuality = Seq.empty[(Long, Double)].toDF("doc_id", "quality")
+    assert(Dedup.survivors(noClusters, noQuality).collect().isEmpty)
+  }
+
   // ---- per-source report ---------------------------------------------
 
   test("sourceReport computes dup incidence and integer quality per source") {
