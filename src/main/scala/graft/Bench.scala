@@ -67,8 +67,12 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the run for local profiling of a
     // single query family (unset for driver runs: full suite). The
-    // filter is RECORDED in the output line — see `only` below.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // filter is RECORDED in the output line — see `only` below. A BLANK
+    // value is treated as unset (Set("") would filter out every query
+    // and emit a 0-timing line that reads as a fast green run).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 

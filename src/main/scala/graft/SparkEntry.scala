@@ -213,6 +213,15 @@ object SparkEntry {
       Winnowing.postings(winnowFp(s, dir))
     }
 
+  /** Duplicate clusters over the cached near-dup pairs — shared by
+    * dedup_clusters and dedup_survivors (each clusters() call re-runs
+    * the union-find/label propagation otherwise).
+    */
+  private def ngramClusters(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "ngram_clusters", "0.8") {
+      Dedup.clusters(ngramPairs(s, dir))
+    }
+
   /** The shared-cache build list. Bench materializes these eagerly as an
     * explicit, per-build-timed-and-error-handled setup phase, so
     * one-time shared builds (views, shingles, signatures, LSH pairs, IVF
@@ -240,7 +249,8 @@ object SparkEntry {
       "span_frame" -> (() => spanFrame(s, dir)),
       "bpe_merges" -> (() => bpeMergesCached(s, dir)),
       "winnow_fp" -> (() => winnowFp(s, dir)),
-      "winnow_post" -> (() => winnowPost(s, dir)))
+      "winnow_post" -> (() => winnowPost(s, dir)),
+      "ngram_clusters" -> (() => ngramClusters(s, dir)))
 
   /** View presentation row (FIXTURES.md §A2) with the shared conventions. */
   private def presentView(v: DataFrame): DataFrame =
@@ -460,13 +470,13 @@ object SparkEntry {
     }),
     // duplicate clusters: connected components over the near-dup pairs,
     // each doc mapped to its canonical (minimal) id
-    "dedup_clusters" -> ((s, d) => Dedup.clusters(ngramPairs(s, d))),
+    "dedup_clusters" -> ((s, d) => ngramClusters(s, d).orderBy(col("doc_id"))),
     // canonical-doc selection: per duplicate cluster keep the highest-
     // quality member (NULLS LAST, doc_id tiebreak) — the action step of
     // the dedup pipeline; all frames bounded by duplicate count
     "dedup_survivors" -> ((s, d) =>
       Dedup.survivors(
-        Dedup.clusters(ngramPairs(s, d)),
+        ngramClusters(s, d),
         TextAnalysis.qualityScore(Tables.load(s, d, "documents")))),
     // directed containment (quote/subset detection) off the same shared
     // shingle frame as the Jaccard family
@@ -1128,24 +1138,28 @@ object SparkEntry {
              |       CAST(pair_freq AS BIGINT) AS pair_freq
              |FROM expected ORDER BY round""".stripMargin
         }
-      val enc = graft.operators.BpeRef.encodeStatsWith(
-        docsFull, bpe.map { case (_, l, r, _) => (l, r) })
-      val encSql =
-        if (enc.isEmpty)
-          """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
-            | CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_words,
-            | CAST(NULL AS BIGINT) AS n_tokens WHERE false""".stripMargin
-        else {
-          val rows = enc
-            .map { case (l, s, d, w, t) => s"(${q(l)}, ${q(s)}, $d, $w, $t)" }
-            .mkString(", ")
-          s"""WITH expected(lang, source, n_docs, n_words, n_tokens) AS (SELECT * FROM (VALUES $rows))
-             |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
-             |       CAST(n_words AS BIGINT) AS n_words, CAST(n_tokens AS BIGINT) AS n_tokens
-             |FROM expected ORDER BY lang, source""".stripMargin
-        }
       out += ("bpe_merges" -> bpeSql)
-      out += ("bpe_encode" -> encSql)
+      if (sel("bpe_encode")) {
+        // the encode fold over every document is only paid when the
+        // bpe_encode oracle is actually wanted
+        val enc = graft.operators.BpeRef.encodeStatsWith(
+          docsFull, bpe.map { case (_, l, r, _) => (l, r) })
+        val encSql =
+          if (enc.isEmpty)
+            """SELECT CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
+              | CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_words,
+              | CAST(NULL AS BIGINT) AS n_tokens WHERE false""".stripMargin
+          else {
+            val rows = enc
+              .map { case (l, s, d, w, t) => s"(${q(l)}, ${q(s)}, $d, $w, $t)" }
+              .mkString(", ")
+            s"""WITH expected(lang, source, n_docs, n_words, n_tokens) AS (SELECT * FROM (VALUES $rows))
+               |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+               |       CAST(n_words AS BIGINT) AS n_words, CAST(n_tokens AS BIGINT) AS n_tokens
+               |FROM expected ORDER BY lang, source""".stripMargin
+          }
+        out += ("bpe_encode" -> encSql)
+      }
     }
     out
   }
