@@ -138,6 +138,7 @@ object Bench {
         s""""passes":$passes,"pass_totals":[${passTotals.map(num).mkString(",")}],""" +
         s"""$onlyField"n_queries":${selected.size},""" +
         s""""errors":${jerr(allErrors)},"n_errors":${allErrors.size},"sf":"${esc(sfDir)}"}""")
+    SparkEntry.clearCaches(spark) // release sf-sized MEMORY_AND_DISK frames
     spark.stop()
     if (errors.nonEmpty || setupErrors.nonEmpty) sys.exit(1)
   }

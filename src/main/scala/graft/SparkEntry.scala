@@ -1161,6 +1161,20 @@ object SparkEntry {
         out += ("bpe_encode" -> encSql)
       }
     }
-    out
+    // a restricted run returns ONLY the requested keys: bpe_merges is
+    // computed above as a byproduct of bpe_encode, and a future caller
+    // that doesn't re-filter (Verify does) must not emit an oracle the
+    // run never dumped (ADVICE round 5)
+    out.filter { case (k, _) => sel(k) }
+  }
+
+  /** Unpersist and drop every shared cached frame bound to `s` — for
+    * long-lived sessions (a real deployment, the bench harness) that
+    * would otherwise pin sf-sized MEMORY_AND_DISK frames forever. The
+    * next query transparently rebuilds what it needs.
+    */
+  def clearCaches(s: SparkSession): Unit = viewCaches.synchronized {
+    val m = viewCaches.remove(s)
+    if (m != null) m.values.foreach(_.unpersist(blocking = false))
   }
 }

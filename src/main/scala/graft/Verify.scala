@@ -26,6 +26,19 @@ object Verify {
       .filter(_.nonEmpty)
     only.foreach(f =>
       System.err.println(s"[verify] RESTRICTED run: ${f.toSeq.sorted.mkString(",")}"))
+    // A restricted run must not leave STALE parquet dumps of unselected
+    // queries from a prior full run in the same outDir — a later compare
+    // against that directory would silently mix rounds (ADVICE round 5).
+    only.foreach { f =>
+      SparkEntry.queries.keys.filterNot(f.contains).foreach { name =>
+        val d = Paths.get(outDir, name)
+        if (Files.exists(d)) {
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => Files.delete(p))
+          System.err.println(s"[verify] removed stale dump: $name")
+        }
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

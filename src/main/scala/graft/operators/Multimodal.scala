@@ -213,7 +213,12 @@ object Multimodal {
     * Narrow per-row expression work only.
     */
   def synthesizeBmpAssets(docs: DataFrame): DataFrame = {
+    // non-negative ids only (contract shared with BmpPixelStatsSql): a
+    // negative id would make w/h <= 0, where Spark's sequence(0, w-1)
+    // DESCENDS while DuckDB's generate_series is empty — silent engine
+    // divergence instead of an agreed-on empty result
     val d = docs
+      .filter(col("doc_id") >= 0)
       .withColumn("w", (col("doc_id") % 4 + 1).cast("long"))
       .withColumn("h", (col("doc_id") % 3 + 1).cast("long"))
       .withColumn("stride", expr("(w * 3 + 3) div 4 * 4"))
@@ -288,7 +293,7 @@ object Multimodal {
     s"""WITH d AS (
        |  SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS w,
        |         CAST(doc_id % 3 + 1 AS BIGINT) AS h
-       |  FROM documents),
+       |  FROM documents WHERE doc_id >= 0),
        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
        |ys AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
        |SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,

@@ -22,8 +22,10 @@ HEADLINE = [
     "dup_spans", "dup_span_stats", "mixture_resample", "quality_classify",
     "ann_recall", "embedding_quantize", "knn_join_lsh",
     "unit_dedup", "winnow_stats", "winnow_pairs", "source_report",
-    "multimodal_pixels",
+    "multimodal_pixels", "dedup_survivors",
 ]
+# intentionally absent: bpe_encode / dedup_minhash_lsh and the other
+# *_xx production twins use precomputed VALUES oracles, not real queries
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 con = duckdb.connect()
