@@ -187,6 +187,14 @@ object SparkEntry {
       SpanDedup.spanFrame(Tables.load(s, dir, "documents"))
     }
 
+  /** xxhash64 production twin of [[spanFrame]] (long gram digests —
+    * ¼ the shuffle width), shared by dup_spans_xx and dup_span_stats_xx.
+    */
+  private def spanFrameXx(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "spans_xx", SpanDedup.GramLen.toString) {
+      SpanDedup.spanFrameXx(Tables.load(s, dir, "documents"))
+    }
+
   /** Learned BPE merge table — the driver-coordinated merge rounds run
     * ONCE per (session, sf); `bpe_merges` returns the table and
     * `bpe_encode` folds it over the corpus.
@@ -211,6 +219,18 @@ object SparkEntry {
   private def winnowPost(s: SparkSession, dir: String): DataFrame =
     cachedView(s, dir, "winnow_post", "uncapped") {
       Winnowing.postings(winnowFp(s, dir))
+    }
+
+  /** xxhash64 production twin of [[winnowFp]] (long fingerprints). */
+  private def winnowFpXx(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "winnow_fp_xx", s"${Winnowing.GramLen}x${Winnowing.WindowGrams}") {
+      Winnowing.fingerprintsXx(Tables.load(s, dir, "documents"))
+    }
+
+  /** xx posting frame for the xx pair self-join. */
+  private def winnowPostXx(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "winnow_post_xx", "uncapped") {
+      Winnowing.postings(winnowFpXx(s, dir))
     }
 
   /** Duplicate clusters over the cached near-dup pairs — shared by
@@ -247,9 +267,12 @@ object SparkEntry {
       "lsh_pairs" -> (() => lshPairs(s, dir)),
       "ivf_assign" -> (() => ivfAssigned(s, dir)),
       "span_frame" -> (() => spanFrame(s, dir)),
+      "span_frame_xx" -> (() => spanFrameXx(s, dir)),
       "bpe_merges" -> (() => bpeMergesCached(s, dir)),
       "winnow_fp" -> (() => winnowFp(s, dir)),
       "winnow_post" -> (() => winnowPost(s, dir)),
+      "winnow_fp_xx" -> (() => winnowFpXx(s, dir)),
+      "winnow_post_xx" -> (() => winnowPostXx(s, dir)),
       "ngram_clusters" -> (() => ngramClusters(s, dir)))
 
   /** View presentation row (FIXTURES.md §A2) with the shared conventions. */
@@ -798,6 +821,19 @@ object SparkEntry {
     // never all-pairs; postings frame session-cached for the self-join
     "winnow_pairs" -> ((s, d) =>
       Winnowing.sharedFingerprintPairsFromPost(winnowPost(s, d))),
+    // xxhash64 production twins of the winnowing + span-dedup family:
+    // same selection/span algebra over codegen'd 64-bit hash longs
+    // instead of md5 hex (¼ the shuffle width, no digest+hex cost).
+    // Oracles: pure-Scala FineDedupRef via oracleSqlFor VALUES — the
+    // dedup_minhash_lsh technique; the md5 twins above stay the
+    // DuckDB-replayable anchors.
+    "winnow_stats_xx" -> ((s, d) => Winnowing.fingerprintStatsXxFrom(winnowFpXx(s, d))),
+    "winnow_pairs_xx" -> ((s, d) =>
+      Winnowing.sharedFingerprintPairsFromPost(winnowPostXx(s, d))),
+    "dup_spans_xx" -> ((s, d) =>
+      spanFrameXx(s, d).orderBy(col("doc_id"), col("span_start"))),
+    "dup_span_stats_xx" -> ((s, d) =>
+      SpanDedup.spanStatsFrom(spanFrameXx(s, d), Tables.load(s, d, "documents"))),
     // per-source report card: docs/langs/exact-dup incidence/token
     // volume/integer mean quality — the mixture planner's slice summary
     "source_report" -> ((s, d) =>
@@ -1159,6 +1195,60 @@ object SparkEntry {
                |FROM expected ORDER BY lang, source""".stripMargin
           }
         out += ("bpe_encode" -> encSql)
+      }
+    }
+    // xx fine-dedup twins: expected outputs from the pure-Scala
+    // FineDedupRef (XXH64 from the public spec, no Spark code), emitted
+    // as VALUES literals. One fingerprint/span computation feeds both
+    // consumers of its family.
+    def longRowsSql(rows: Seq[Product], cols: Seq[String], orderBy: String): String =
+      if (rows.isEmpty)
+        cols.map(c => s"CAST(NULL AS BIGINT) AS $c").mkString("SELECT ", ", ", " WHERE false")
+      else {
+        val vals = rows.map(_.productIterator.mkString("(", ", ", ")")).mkString(", ")
+        s"""WITH expected(${cols.mkString(", ")}) AS (SELECT * FROM (VALUES $vals))
+           |SELECT ${cols.map(c => s"CAST($c AS BIGINT) AS $c").mkString(", ")}
+           |FROM expected ORDER BY $orderBy""".stripMargin
+      }
+    if (sel("winnow_stats_xx") || sel("winnow_pairs_xx")) {
+      val wdocs = docsFull.map(t => (t._1, t._2))
+      if (sel("winnow_stats_xx"))
+        out += ("winnow_stats_xx" -> longRowsSql(
+          graft.operators.FineDedupRef.winnowStats(
+            wdocs, graft.operators.Winnowing.GramLen, graft.operators.Winnowing.WindowGrams),
+          Seq("doc_id", "n_fp", "fp_xor"), "doc_id"))
+      if (sel("winnow_pairs_xx"))
+        out += ("winnow_pairs_xx" -> longRowsSql(
+          graft.operators.FineDedupRef.winnowPairs(
+            wdocs, graft.operators.Winnowing.GramLen,
+            graft.operators.Winnowing.WindowGrams, graft.operators.Winnowing.MinShared),
+          Seq("a_id", "b_id", "n_shared"), "a_id, b_id"))
+    }
+    if (sel("dup_spans_xx") || sel("dup_span_stats_xx")) {
+      val sdocs = docsFull.map(t => (t._1, t._2))
+      if (sel("dup_spans_xx"))
+        out += ("dup_spans_xx" -> longRowsSql(
+          graft.operators.FineDedupRef.spans(sdocs, graft.operators.SpanDedup.GramLen),
+          Seq("doc_id", "span_start", "span_len"), "doc_id, span_start"))
+      if (sel("dup_span_stats_xx")) {
+        val st = graft.operators.FineDedupRef.spanStats(sdocs, graft.operators.SpanDedup.GramLen)
+        // the per-mille denominator comes from the REAL documents table,
+        // keeping the oracle partially independent of the ref's counts
+        val statsSql =
+          if (st.isEmpty)
+            """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_spans,
+              | CAST(NULL AS BIGINT) AS dup_chars, CAST(NULL AS BIGINT) AS dup_permille
+              | WHERE false""".stripMargin
+          else {
+            val vals = st.map(t => s"(${t._1}, ${t._2}, ${t._3})").mkString(", ")
+            s"""WITH expected(doc_id, n_spans, dup_chars) AS (SELECT * FROM (VALUES $vals))
+               |SELECT d.doc_id, CAST(e.n_spans AS BIGINT) AS n_spans,
+               |       CAST(e.dup_chars AS BIGINT) AS dup_chars,
+               |       CAST(e.dup_chars * 1000 // d.n_chars AS BIGINT) AS dup_permille
+               |FROM documents d JOIN expected e ON d.doc_id = e.doc_id
+               |ORDER BY d.doc_id""".stripMargin
+          }
+        out += ("dup_span_stats_xx" -> statsSql)
       }
     }
     // a restricted run returns ONLY the requested keys: bpe_merges is

@@ -123,4 +123,15 @@ object XxHash64Ref {
   /** == Spark `xxhash64(lit(b), m0, m1, …)` over long columns. */
   def sparkIntLongs(b: Int, ms: Seq[Long]): Long =
     ms.foldLeft(hashInt(b, SparkSeed))((h, m) => hashLong(m, h))
+
+  /** == Spark `xxhash64(c0, c1, …)` over long columns (seed 42, each
+    * column's hash seeding the next — same chaining as above without
+    * the leading int literal).
+    */
+  def sparkLongs(ms: Seq[Long]): Long =
+    ms.foldLeft(SparkSeed)((h, m) => hashLong(m, h))
+
+  /** == Spark `xxhash64(col)` over one string column. */
+  def sparkString(s: String): Long =
+    hashBytes(s.getBytes(StandardCharsets.UTF_8), SparkSeed)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,6 +51,13 @@ object SpanDedup {
     */
   val GramLen = 40
 
+  /** md5 hex prefix width for the md5 twin's gram digest: 64 bits, half
+    * the shuffle width of the full hex digest; both engines truncate
+    * identically so a collision cannot diverge them. The xxhash64 twin
+    * ([[spanFrameXx]]) carries a bare long instead.
+    */
+  val Md5Hex = 16
+
   /** `(doc_id, span_start, span_len)` of every maximal cross-document
     * duplicated span, 1-based character positions.
     */
@@ -76,7 +83,29 @@ object SpanDedup {
   def spanFrame(
       docs: DataFrame,
       gramLen: Int = GramLen,
-      maxOccurrences: Long = Long.MaxValue): DataFrame = {
+      maxOccurrences: Long = Long.MaxValue): DataFrame =
+    spanFrameWith(docs, gramLen, maxOccurrences,
+      g => substring(md5(g), 1, Md5Hex))
+
+  /** xxhash64 production twin of [[spanFrame]]: the gram digest is the
+    * codegen'd 64-bit hash long — ¼ the shuffle width of even the
+    * truncated hex digest and none of md5's per-gram digest+hex cost.
+    * Span formation only tests gram EQUALITY, so absent a 64-bit
+    * collision the output is IDENTICAL to the md5 twin's (spec-asserted
+    * on the planted corpus); the driver oracle is the pure-Scala
+    * [[FineDedupRef.spans]] via VALUES literals.
+    */
+  def spanFrameXx(
+      docs: DataFrame,
+      gramLen: Int = GramLen,
+      maxOccurrences: Long = Long.MaxValue): DataFrame =
+    spanFrameWith(docs, gramLen, maxOccurrences, g => xxhash64(g))
+
+  private def spanFrameWith(
+      docs: DataFrame,
+      gramLen: Int,
+      maxOccurrences: Long,
+      hash: Column => Column): DataFrame = {
     val grams = docs
       .filter(length(col("text")) >= gramLen)
       .select(
@@ -86,7 +115,7 @@ object SpanDedup {
       .select(
         col("doc_id"),
         col("pos").cast("long").as("pos"),
-        md5(expr(s"substring(text, pos, $gramLen)")).as("g"))
+        hash(expr(s"substring(text, pos, $gramLen)")).as("g"))
     val perGram = Window.partitionBy(col("g"))
     val hits = grams
       .withColumn("mn", min(col("doc_id")).over(perGram))
@@ -155,7 +184,7 @@ object SpanDedup {
   private def spansCte(gramLen: Int): String =
     s"""WITH grams AS (
        |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-       |         md5(substr(text, pos, $gramLen)) AS g
+       |         substr(md5(substr(text, pos, $gramLen)), 1, $Md5Hex) AS g
        |  FROM (SELECT doc_id, text,
        |               unnest(generate_series(1, length(text) - ${gramLen - 1})) AS pos
        |        FROM documents WHERE length(text) >= $gramLen)),

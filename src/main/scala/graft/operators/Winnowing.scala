@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,16 +17,27 @@ import org.apache.spark.sql.functions._
   * density of ~2/(w+1) selections per position instead of
   * [[SpanDedup]]'s one row per character.
   *
-  * SQL-shaped selection: the hash is the md5 hex string (order on hex
-  * strings == order on the 128-bit values), and the rightmost-tie rule
-  * is folded into a single sortable key `h || lpad(10^12 − pos)` — the
-  * lexicographic min of that key over a window is (min hash, max
-  * position among ties), no argmin construct needed. A window START s
-  * selects `min(key)` over ROWS [s, s+w−1]; trailing short windows are
-  * excluded by requiring `count(*) == w` over the same frame (the
-  * paper's windows are exactly the full ones). A document with fewer
-  * than w grams (len < k+w−1) has no full window and is absent from
-  * the output, in both engines.
+  * TWO hash families share one selection skeleton (the MinHash-LSH
+  * pattern from [[Dedup]]):
+  *   - '''md5 twin''' ([[fingerprints]]): gram hash = the first 16 hex
+  *     chars of md5 — replayable verbatim in DuckDB, which is what makes
+  *     the whole selection ORACLE-checkable end to end;
+  *   - '''xxhash64 production twin''' ([[fingerprintsXx]]): gram hash =
+  *     the codegen'd 64-bit `xxhash64` long — ~¼ the shuffle width and
+  *     none of md5's per-gram digest+hex cost; its oracle is the
+  *     pure-Scala [[FineDedupRef]] (VALUES literals via
+  *     `SparkEntry.oracleSqlFor`, the `dedup_minhash_lsh` technique).
+  *
+  * Selection key: the rightmost-tie rule is folded into a single
+  * orderable key `struct(h, ep)` with `ep = 10^12 − pos` — the struct
+  * min over a window is (min hash, max position among ties), no argmin
+  * construct needed, and the per-doc window ORDERS BY the bare long
+  * `ep` (a fixed-width sort key; the round-5 formulation sorted a
+  * 44-char concat string). A window START s selects `min(struct)` over
+  * ROWS [s, s+w−1]; trailing short windows are excluded by requiring
+  * `count(*) == w` over the same frame (the paper's windows are exactly
+  * the full ones). A document with fewer than w grams (len < k+w−1) has
+  * no full window and is absent from the output, in both engines.
   *
   * Plan shape: the gram explode is NARROW (sequence+substring, codegen;
   * dominated by ≈ corpus chars rows, like [[SpanDedup]]); ONE shuffle
@@ -49,22 +60,34 @@ object Winnowing {
   val GramLen = 16
   val WindowGrams = 4
 
-  /** Position encoding width for the tie-break key: pos is embedded as
-    * `10^12 − pos` zero-padded to 12 digits, so lexicographic min picks
-    * the LARGEST position among equal hashes.
+  /** md5 hex prefix width for the md5 twin's gram hash: 16 hex chars =
+    * 64 bits, same collision budget as the xxhash64 twin and half the
+    * shuffle width of the full digest. Both engines truncate
+    * identically, so even a collision (p ≈ 2⁻⁶⁴ per gram pair) cannot
+    * diverge them.
+    */
+  val Md5Hex = 16
+
+  /** Position encoding for the tie-break key: pos is embedded as
+    * `10^12 − pos`, so the struct min picks the LARGEST position among
+    * equal hashes ("rightmost" in the paper's terms).
     */
   private val PosPad = 12
   private val PosBase = 1000000000000L
 
-  /** `(doc_id, pos, fp)` — the selected fingerprints themselves (1-based
-    * gram position, 32-hex gram hash): what a matcher indexes as
-    * (fp → doc) postings. [[fingerprintStats]] digests this per doc for
-    * the fixed-width gate row.
+  /** Minimum shared distinct fingerprints for a reported pair. */
+  val MinShared = 10
+
+  /** Shared selection skeleton: explode 1-based gram positions, hash
+    * each gram with `hash` (md5-prefix string or xxhash64 long), pick
+    * each full window's `min(struct(h, ep))`, dedup per doc. Returns
+    * `(doc_id, pos, fp)` with `fp` typed by the hash family.
     */
-  def fingerprints(
+  private def selectedFingerprints(
       docs: DataFrame,
-      gramLen: Int = GramLen,
-      windowGrams: Int = WindowGrams): DataFrame = {
+      gramLen: Int,
+      windowGrams: Int,
+      hash: Column => Column): DataFrame = {
     require(gramLen > 0 && windowGrams > 0, s"k=$gramLen w=$windowGrams must be positive")
     val grams = graft.sources.Tables.fanOut(docs)
       .filter(length(col("text")) >= gramLen)
@@ -72,35 +95,55 @@ object Winnowing {
         col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - gramLen + 1)).as("pos"),
         col("text"))
+      // ep must be a REAL column: ordering the min and count windows by
+      // an expression gives them different extracted-key exprIds,
+      // CollapseWindow can't merge them, and the plan runs two
+      // Sort+Window passes instead of one (observed in round 5)
       .select(
         col("doc_id"),
-        concat(
-          md5(expr(s"substring(text, pos, $gramLen)")),
-          lpad((lit(PosBase) - col("pos")).cast("string"), PosPad, "0")).as("key"))
-      // the sort key must be a REAL column: ordering by the substring
-      // EXPRESSION gives the min and count windows different extracted
-      // key exprIds, CollapseWindow can't merge them, and the plan runs
-      // two Sort+Window passes instead of one (observed)
-      .withColumn("sk", expr(s"substring(key, 33, $PosPad)"))
+        (lit(PosBase) - col("pos")).cast("long").as("ep"),
+        hash(expr(s"substring(text, pos, $gramLen)")).as("h"))
     val frame = Window
       .partitionBy(col("doc_id"))
-      .orderBy(col("sk")) // encoded-pos suffix: ASC in encoding == DESC in pos
+      .orderBy(col("ep")) // encoded pos: ASC in encoding == DESC in pos
       .rowsBetween(Window.currentRow, windowGrams - 1)
-    // ordering by the encoded-position suffix is ordering by pos DESC;
+    // ordering by the encoded position is ordering by pos DESC;
     // direction is irrelevant to "every full window of w consecutive
     // grams" as long as both engines slide the same way — the DuckDB
-    // twin orders identically.
+    // twin and FineDedupRef order identically.
     grams
-      .withColumn("mk", min(col("key")).over(frame))
+      .withColumn("mk", min(struct(col("h"), col("ep"))).over(frame))
       .withColumn("nw", count(lit(1)).over(frame))
       .filter(col("nw") === windowGrams)
       .select(col("doc_id"), col("mk"))
       .distinct()
       .select(
         col("doc_id"),
-        (lit(PosBase) - expr(s"CAST(substring(mk, 33, $PosPad) AS BIGINT)")).as("pos"),
-        expr("substring(mk, 1, 32)").as("fp"))
+        (lit(PosBase) - col("mk.ep")).as("pos"),
+        col("mk.h").as("fp"))
   }
+
+  /** md5 twin: `(doc_id, pos, fp)` — the selected fingerprints (1-based
+    * gram position, [[Md5Hex]]-hex gram hash): what a matcher indexes as
+    * (fp → doc) postings. [[fingerprintStats]] digests this per doc for
+    * the fixed-width gate row.
+    */
+  def fingerprints(
+      docs: DataFrame,
+      gramLen: Int = GramLen,
+      windowGrams: Int = WindowGrams): DataFrame =
+    selectedFingerprints(docs, gramLen, windowGrams,
+      g => substring(md5(g), 1, Md5Hex))
+
+  /** xxhash64 production twin of [[fingerprints]]: `fp` is the 64-bit
+    * signed hash long. Selection ties break on the SIGNED long order —
+    * [[FineDedupRef.winnowFingerprints]] replicates exactly that.
+    */
+  def fingerprintsXx(
+      docs: DataFrame,
+      gramLen: Int = GramLen,
+      windowGrams: Int = WindowGrams): DataFrame =
+    selectedFingerprints(docs, gramLen, windowGrams, g => xxhash64(g))
 
   /** `(doc_id, n_fp, fp_md5)` per document: fingerprint count and a
     * digest of the `pos:hash` fingerprint sequence in position order.
@@ -124,6 +167,20 @@ object Winnowing {
             array_sort(collect_list(struct(col("pos"), col("fp")))),
             x => concat(x.getField("pos").cast("string"), lit(":"), x.getField("fp"))),
           " ")).as("fp_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Per-doc stats over an xxhash64 fingerprint frame: count plus an
+    * order-independent 64-bit checksum (`bit_xor` of `xxhash64(pos,
+    * fp)` — position-sensitive through the inner hash, so a fingerprint
+    * at the wrong position still breaks the value). Stays integer-only
+    * end to end; [[FineDedupRef.winnowStats]] recomputes it exactly.
+    */
+  def fingerprintStatsXxFrom(fp: DataFrame): DataFrame =
+    fp
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fp"),
+        expr("bit_xor(xxhash64(pos, fp))").as("fp_xor"))
       .orderBy(col("doc_id"))
 
   /** MOSS's actual match step: document pairs sharing at least
@@ -164,7 +221,7 @@ object Winnowing {
   /** The capped doc-level posting frame `(fp, doc_id)` — cache THIS
     * before the pair join: the self-join reads it twice, so an
     * unpersisted postings derivation would run its groupBy + df window
-    * once per join side.
+    * once per join side. Hash-family-agnostic (`fp` string or long).
     */
   def postings(fp: DataFrame, maxPostings: Long = Long.MaxValue): DataFrame =
     fp
@@ -185,33 +242,31 @@ object Winnowing {
       .filter(col("n_shared") >= minShared)
       .orderBy(col("a_id"), col("b_id"))
 
-  /** Minimum shared distinct fingerprints for a reported pair. */
-  val MinShared = 10
-
-  /** Shared CTE prefix: `fp` = the selected (doc_id, pos, fp)
-    * fingerprint frame, same key encoding and window frame as
-    * [[fingerprints]].
+  /** Shared CTE prefix for the md5 twin: `fp` = the selected (doc_id,
+    * pos, fp) fingerprint frame. The string key `h || lpad(ep)` is
+    * lexicographically identical to Spark's `struct(h, ep)` ordering —
+    * h is fixed-width hex, ep fixed-width zero-padded digits.
     */
   private def fpCte(gramLen: Int, windowGrams: Int): String =
     s"""WITH grams AS (
        |  SELECT doc_id,
-       |         md5(substr(text, pos, $gramLen)) ||
+       |         substr(md5(substr(text, pos, $gramLen)), 1, $Md5Hex) ||
        |           lpad(CAST($PosBase - pos AS VARCHAR), $PosPad, '0') AS key
        |  FROM (SELECT doc_id, text,
        |               unnest(generate_series(1, length(text) - ${gramLen - 1})) AS pos
        |        FROM documents WHERE length(text) >= $gramLen)),
        |w AS (
        |  SELECT doc_id,
-       |         min(key) OVER (PARTITION BY doc_id ORDER BY substr(key, 33, $PosPad)
+       |         min(key) OVER (PARTITION BY doc_id ORDER BY substr(key, ${Md5Hex + 1}, $PosPad)
        |                        ROWS BETWEEN CURRENT ROW AND ${windowGrams - 1} FOLLOWING) AS mk,
-       |         count(*) OVER (PARTITION BY doc_id ORDER BY substr(key, 33, $PosPad)
+       |         count(*) OVER (PARTITION BY doc_id ORDER BY substr(key, ${Md5Hex + 1}, $PosPad)
        |                        ROWS BETWEEN CURRENT ROW AND ${windowGrams - 1} FOLLOWING) AS nw
        |  FROM grams),
        |sel AS (SELECT DISTINCT doc_id, mk FROM w WHERE nw = $windowGrams),
        |fp AS (
        |  SELECT doc_id,
-       |         $PosBase - CAST(substr(mk, 33, $PosPad) AS BIGINT) AS pos,
-       |         substr(mk, 1, 32) AS fp
+       |         $PosBase - CAST(substr(mk, ${Md5Hex + 1}, $PosPad) AS BIGINT) AS pos,
+       |         substr(mk, 1, $Md5Hex) AS fp
        |  FROM sel)""".stripMargin
 
   /** DuckDB twin: same key encoding, same window frame, same digest. */

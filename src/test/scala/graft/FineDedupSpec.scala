@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bpe, BpeRef, CorpusSignals, UnitDedup, Winnowing}
+import graft.operators.{Bpe, BpeRef, CorpusSignals, FineDedupRef, SpanDedup, UnitDedup, Winnowing}
 
 /** Semantic checks for the unit-level dedup, winnowing fingerprints,
   * BPE encode, and per-source report operators — the oracle gate proves
@@ -89,7 +89,8 @@ class FineDedupSpec extends AnyFunSuite {
     val n = text.length - k + 1
     if (n < w) Set.empty
     else {
-      val hs = (1 to n).map(p => p.toLong -> md5hex(text.substring(p - 1, p - 1 + k)))
+      val hs = (1 to n).map(p =>
+        p.toLong -> md5hex(text.substring(p - 1, p - 1 + k)).substring(0, Winnowing.Md5Hex))
       (0 to n - w).flatMap { s =>
         val win = hs.slice(s, s + w)
         val minH = win.map(_._2).min
@@ -161,6 +162,73 @@ class FineDedupSpec extends AnyFunSuite {
       md5hex(fp.map { case (p, h) => s"$p:$h" }.mkString(" ")))
   }
 
+  // ---- xxhash64 production twins vs FineDedupRef ---------------------
+
+  private val XxTexts = Seq(
+    0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    1L -> "aaaaaaaaaaaaaaaaaaaa", // all grams identical: pure tie-break test
+    2L -> "abcabcabcabcabcabcabc", // period-3 repeats: heavy ties
+    3L -> "short", // < k: no grams at all
+    4L -> "the quick brown fox jumps over the lazy dog and keeps running far")
+
+  test("fingerprintsXx matches the pure-Scala FineDedupRef selection") {
+    val got = Winnowing.fingerprintsXx(docs(XxTexts: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = FineDedupRef
+      .winnowFingerprints(XxTexts, Winnowing.GramLen, Winnowing.WindowGrams).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("xx stats and pairs match FineDedupRef end to end") {
+    val shared = "a long enough shared passage that yields several fingerprints in both docs"
+    val texts = Seq(
+      0L -> s"first document prefix $shared and its own suffix material",
+      1L -> s"second one starts differently $shared then ends another way",
+      2L -> "entirely unrelated content with no common substrings at all here")
+    val d = docs(texts: _*)
+    val gotStats = Winnowing.fingerprintStatsXxFrom(Winnowing.fingerprintsXx(d))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotStats === FineDedupRef.winnowStats(texts, Winnowing.GramLen, Winnowing.WindowGrams))
+    val gotPairs = Winnowing
+      .sharedFingerprintPairsFrom(Winnowing.fingerprintsXx(d))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val wantPairs = FineDedupRef.winnowPairs(
+      texts, Winnowing.GramLen, Winnowing.WindowGrams, Winnowing.MinShared)
+    assert(gotPairs === wantPairs)
+    assert(gotPairs.exists { case (a, b, _) => a == 0L && b == 1L })
+  }
+
+  test("spanFrameXx equals the md5 span frame and the FineDedupRef spans") {
+    val boiler = "this exact forty-character boilerplate span!" // 44 chars >= GramLen
+    val texts = Seq(
+      0L -> s"unique leading content then $boiler trailing tail one",
+      1L -> s"other document with $boiler plus entirely different ending",
+      2L -> "no duplicated material in this document at all, fully unique text here")
+    val d = docs(texts: _*)
+    val md5Spans = SpanDedup.spanFrame(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val xxSpans = SpanDedup.spanFrameXx(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(xxSpans === md5Spans) // span algebra is hash-agnostic absent collisions
+    assert(xxSpans === FineDedupRef.spans(texts, SpanDedup.GramLen).toSet)
+    assert(xxSpans.map(_._1) === Set(0L, 1L))
+  }
+
+  test("FineDedupRef.spanStats unions overlapping islands like spanStatsFrom") {
+    val boiler = "this exact forty-character boilerplate span!"
+    val texts = Seq(
+      0L -> s"aa $boiler zz $boiler qq", // two islands in one doc
+      1L -> s"bb $boiler yy",
+      2L -> s"cc $boiler xx $boiler pp")
+    val d = texts.map { case (id, t) => (id, t, t.length.toLong) }
+    import SparkTestBase.spark.implicits._
+    val ddf = d.toDF("doc_id", "text", "n_chars")
+    val got = SpanDedup.spanStatsFrom(SpanDedup.spanFrameXx(ddf), ddf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === FineDedupRef.spanStats(texts, SpanDedup.GramLen))
+  }
+
   // ---- BPE encode ----------------------------------------------------
 
   test("encodeStats with no merges counts characters; with learned merges counts contract") {
@@ -227,6 +295,9 @@ class FineDedupSpec extends AnyFunSuite {
     assert(UnitDedup.dedupUnits(empty).collect().isEmpty)
     assert(Winnowing.fingerprintStats(empty).collect().isEmpty)
     assert(Winnowing.sharedFingerprintPairs(empty).collect().isEmpty)
+    assert(Winnowing.fingerprintStatsXxFrom(Winnowing.fingerprintsXx(empty)).collect().isEmpty)
+    assert(SpanDedup.spanFrameXx(empty).collect().isEmpty)
+    assert(FineDedupRef.winnowStats(Nil, 16, 4).isEmpty && FineDedupRef.spans(Nil, 40).isEmpty)
     assert(Multimodal.bmpPixelStats(Multimodal.synthesizeBmpAssets(empty)).collect().isEmpty)
     val emptyFull = Seq.empty[(Long, String, String, String)]
       .toDF("doc_id", "text", "lang", "source")
