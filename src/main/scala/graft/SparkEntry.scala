@@ -118,6 +118,15 @@ object SparkEntry {
       Dedup.shingleSets(Tables.load(s, dir, "documents"), 3)
     }
 
+  /** `(doc_id, source, shingles)` 5-gram frame — the shared input of
+    * the decontamination family (standalone entry + corpus_pipeline):
+    * tokenize once, split eval/train by a filter on the cached frame.
+    */
+  private def docGrams5(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "grams5", Decontamination.DefaultN.toString) {
+      Decontamination.gramSets(Tables.load(s, dir, "documents"))
+    }
+
   /** 16-permutation md5 MinHash signature, shared by dedup_minhash_sig
     * (first 8 columns) and dedup_minhash_pairs (all 16, banded).
     */
@@ -259,6 +268,7 @@ object SparkEntry {
       "view_gh_month" -> (() => ghView(s, dir, "month")),
       "view_quad_day" -> (() => quadView(s, dir, "day")),
       "doc_shingles" -> (() => docShingles(s, dir)),
+      "doc_grams5" -> (() => docGrams5(s, dir)),
       "md5_sig16" -> (() => mdSig16(s, dir)),
       "xx_sig16" -> (() => xxSig16(s, dir)),
       "ngram_pairs" -> (() => ngramPairs(s, dir)),
@@ -805,9 +815,10 @@ object SparkEntry {
     "streaming_dedup" -> ((s, d) =>
       graft.streaming.StreamingViews.runDedupAvailableNow(s, d)),
     // train/eval n-gram decontamination: distinct eval grams equi-joined
-    // against per-doc train grams — dedup-join shape, never all-pairs
+    // against per-doc train grams — dedup-join shape, never all-pairs;
+    // both splits derive from the ONE cached 5-gram frame
     "decontaminate" -> ((s, d) =>
-      Decontamination.contaminated(Tables.load(s, d, "documents"))),
+      Decontamination.contaminatedFrom(docGrams5(s, d))),
     // C4-style unit-level dedup: fixed 8-token blocks removed when they
     // occur verbatim in another document (min!=max over digest window);
     // survivors re-joined in block order and digested per doc
@@ -856,7 +867,7 @@ object SparkEntry {
       val varied = CorpusSignals.repetitionStats(docs)
         .filter(col("distinct_ratio") >= 0.35).select(col("doc_id"))
       val deduped = Dedup.exact(docs)
-      val dirty = Decontamination.contaminated(docs).select(col("doc_id"))
+      val dirty = Decontamination.contaminatedFrom(docGrams5(s, d)).select(col("doc_id"))
       val surv = docs
         .join(good, "doc_id")
         .join(varied, "doc_id")

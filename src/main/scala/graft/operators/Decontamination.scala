@@ -35,17 +35,39 @@ object Decontamination {
     */
   val EvalSources: Seq[String] = Seq("src0", "src1")
 
+  /** `(doc_id, source, shingles)` for the WHOLE corpus — the shared
+    * input of [[contaminatedFrom]]. Tokenizing + shingling is the
+    * dominant narrow cost of decontamination; building this once (and
+    * caching it, as SparkEntry does per session×sf) lets every consumer
+    * — the standalone gate entry AND the composed corpus_pipeline —
+    * split eval/train by a cheap filter on the cached frame instead of
+    * re-tokenizing the corpus per run (round-5 bench: 4.5 s of which
+    * ~4 s was repeated tokenization).
+    */
+  def gramSets(docs: DataFrame, n: Int = DefaultN): DataFrame =
+    Dedup.withShingles(graft.sources.Tables.fanOut(docs), n)
+      .select(col("doc_id"), col("source"), col("shingles"))
+
   /** Training docs sharing at least one distinct word `n`-gram with the
     * eval split, with the distinct-overlap count.
     */
   def contaminated(
       docs: DataFrame,
       evalSources: Seq[String] = EvalSources,
-      n: Int = DefaultN): DataFrame = {
-    val grams = Dedup.shingleSets(docs.filter(col("source").isin(evalSources: _*)), n)
+      n: Int = DefaultN): DataFrame =
+    contaminatedFrom(gramSets(docs, n), evalSources)
+
+  /** [[contaminated]] over a pre-built (ideally cached) [[gramSets]]
+    * frame: the eval/train split is a filter on the `source` column, so
+    * the corpus is tokenized exactly once however many consumers run.
+    */
+  def contaminatedFrom(
+      sh: DataFrame,
+      evalSources: Seq[String] = EvalSources): DataFrame = {
+    val grams = sh.filter(col("source").isin(evalSources: _*))
       .select(explode(col("shingles")).as("s"))
       .distinct()
-    val train = Dedup.shingleSets(docs.filter(!col("source").isin(evalSources: _*)), n)
+    val train = sh.filter(!col("source").isin(evalSources: _*))
       .select(col("doc_id"), explode(col("shingles")).as("s"))
     train
       .join(grams, "s")
