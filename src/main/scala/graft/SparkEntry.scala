@@ -787,6 +787,14 @@ object SparkEntry {
     "multimodal_pixels" -> ((s, d) =>
       Multimodal.bmpPixelStats(
         Multimodal.synthesizeBmpAssets(Tables.load(s, d, "documents")))),
+    // REAL compressed-format pixel decode: synthesize valid zlib-IDAT
+    // PNGs, then inflate + unfilter the actual bytes back (JDK-only
+    // codec in a typed map — no builtin can inflate). The oracle
+    // recomputes the channel means from the closed-form pixel formula,
+    // certifying the whole deflate→inflate→unfilter round trip.
+    "multimodal_png_pixels" -> ((s, d) =>
+      Multimodal.pngPixelStats(
+        Multimodal.synthesizePngAssets(Tables.load(s, d, "documents")))),
     // ---- corpus-level quality signals (CorpusSignals) ----
     // Gopher/C4-style repetition filters: one explode, two hash aggs
     "repetition_stats" -> ((s, d) =>
@@ -1097,6 +1105,7 @@ object SparkEntry {
     "decontaminate" -> Decontamination.contaminatedSql(),
     "unit_dedup" -> UnitDedup.dedupUnitsSql(),
     "multimodal_pixels" -> Multimodal.BmpPixelStatsSql,
+    "multimodal_png_pixels" -> Multimodal.PngPixelStatsSql,
     "winnow_stats" -> Winnowing.fingerprintStatsSql(),
     "winnow_pairs" -> Winnowing.sharedFingerprintPairsSql(),
     "source_report" -> CorpusSignals.SourceReportSql,

@@ -16,11 +16,21 @@ import org.apache.spark.sql.types._
   * descriptor, RIFF/WAVE fmt chunk). No codec library, no UDF — the
   * whole decode stays a narrow codegen'd projection.
   *
-  * PIXEL-level work (full decode, resize, frame extraction) remains
-  * STUBBED — this container has no image/audio libraries. The stubs are
-  * confined to the non-matching-format branch of `decodeMeta` and to
-  * `frameSample`/`resize` internals; swapping in a real decoder changes
-  * no schema or call site.
+  * PIXEL-level work is REAL for two container families, with zero codec
+  * dependencies:
+  *   - uncompressed 24-bit BMP — raw BGR bytes, so synthesis, channel
+  *     stats and nearest-neighbor resize are narrow codegen'd byte
+  *     arithmetic (see the BMP section);
+  *   - non-interlaced 8-bit RGB PNG — IDAT is zlib-deflated filtered
+  *     scanlines, which the JDK itself can round-trip
+  *     (`java.util.zip.Deflater`/`Inflater` + `CRC32`); the codec lives
+  *     in a typed map ([[pngPixelStats]]) because no Spark builtin can
+  *     inflate — the one justified departure from expression-only
+  *     scalar work in this codebase.
+  * An unknown payload format now decodes to NULL dimensions (no
+  * pseudo-value stub); the only remaining stubs are the labeled
+  * `frameSample`/`resize` byte-subsampling fallbacks below, which no
+  * `SparkEntry.queries` entry reaches.
   *
   * At 100 TB: payloads stay columnar in parquet (binary column, never
   * exploded), metadata extraction is a narrow map (no shuffle), and
@@ -89,9 +99,9 @@ object Multimodal {
     hexEq(p, 1, "424D") && le(p, 15, 4) === 40 &&
       le(p, 29, 2) === 24 && le(p, 31, 4) === 0
 
-  /** Metadata decode. PNG/GIF/WAV headers are parsed for real (see
-    * object doc); any other payload takes the STUB branch (deterministic
-    * crc-seeded pseudo-dimensions standing in for a full codec).
+  /** Metadata decode. PNG/GIF/BMP/WAV headers are parsed for real (see
+    * object doc); any other payload has honestly-NULL dimensions — a
+    * `<modality>/raw` payload simply has none.
     */
   def decodeMeta(assets: DataFrame): DataFrame = {
     val p = col("payload")
@@ -110,17 +120,14 @@ object Multimodal {
         when(isPng(p), be(p, 17, 4)) // IHDR width, bytes 16..19 (0-based)
           .when(isGif(p), le(p, 7, 2)) // logical screen width
           .when(isBmp(p), le(p, 19, 4)) // biWidth (fixture contract: positive)
-          .when(isWav(p), lit(null))
-          // STUB branch (full codec would go here)
-          .otherwise(crc32(p) % 1920)
+          .otherwise(lit(null)) // audio / raw: no dimensions
           .cast("int"))
       .withColumn(
         "height",
         when(isPng(p), be(p, 21, 4)) // IHDR height, bytes 20..23
           .when(isGif(p), le(p, 9, 2))
           .when(isBmp(p), le(p, 23, 4)) // biHeight > 0 = bottom-up rows
-          .when(isWav(p), lit(null))
-          .otherwise(crc32(p) % 1080) // STUB branch
+          .otherwise(lit(null))
           .cast("int"))
       .withColumn("sample_rate", when(isWav(p), le(p, 25, 4)).cast("int")) // fmt bytes 24..27
       .withColumn("channels", when(isWav(p), le(p, 23, 2)).cast("int")) // fmt bytes 22..23
@@ -348,6 +355,230 @@ object Multimodal {
           le32(lit(0)), le32(lit(0)),
           unhex(pixHex)))
       .select(col("id"), col("modality"), col("payload"))
+  }
+
+  // ---- REAL pixel-level codec for non-interlaced 8-bit RGB PNG ------
+  //
+  // PNG pixel data is zlib-deflated scanlines, each prefixed by a
+  // filter-type byte — everything needed to encode AND decode it ships
+  // in the JDK (`java.util.zip.Deflater`/`Inflater`, `CRC32`). The
+  // codec runs in a TYPED MAP, not an expression: no Spark builtin can
+  // inflate, so this is the sanctioned (c)-before-(d) fallback — still
+  // a narrow per-row map, no shuffle, payload never exploded, one
+  // fixed-width output row per image. Pixel (x, y) of image `id`
+  // carries the SAME closed-form channel values as the BMP family
+  // above, so the DuckDB oracle recomputes the expected statistics from
+  // the formula while Spark inflates and unfilters actual bytes — two
+  // fully independent derivations of the same numbers.
+
+  /** Synthesized PNG dimensions (id-derived; deliberately different
+    * moduli from the BMP fixture so the two entries don't share shapes).
+    */
+  private def pngW(id: Long): Int = (id % 5 + 1).toInt
+  private def pngH(id: Long): Int = (id % 4 + 1).toInt
+
+  private def chanVal(id: Long, x: Int, y: Int, cb: (Int, Int, Int)): Int =
+    ((id * cb._1 + x * cb._2 + y * cb._3) % 256).toInt
+
+  /** length + type + data + CRC32(type ++ data), per the PNG spec. */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val crc = new java.util.zip.CRC32
+    crc.update(t)
+    crc.update(data)
+    java.nio.ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+      .array()
+  }
+
+  /** One VALID non-interlaced 8-bit RGB PNG: signature, IHDR with real
+    * CRC, one zlib IDAT of filter-0 scanlines carrying the closed-form
+    * pixels, IEND. `javax.imageio` reads these back bit-exactly
+    * (spec-asserted).
+    */
+  private[graft] def pngBytes(id: Long): Array[Byte] = {
+    val w = pngW(id)
+    val h = pngH(id)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte) // bit depth
+      .put(2.toByte) // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var i = 0
+    var y = 0
+    while (y < h) {
+      raw(i) = 0 // filter type None
+      i += 1
+      var x = 0
+      while (x < w) {
+        raw(i) = chanVal(id, x, y, ChanR).toByte
+        raw(i + 1) = chanVal(id, x, y, ChanG).toByte
+        raw(i + 2) = chanVal(id, x, y, ChanB).toByte
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Synthesize one closed-form PNG per document (non-negative ids, the
+    * [[synthesizeBmpAssets]] contract).
+    */
+  def synthesizePngAssets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") >= 0).select(col("doc_id")).as[Long]
+      .map(id => (id, "image", pngBytes(id)))
+      .toDF("id", "modality", "payload")
+  }
+
+  /** Chunk-walk + inflate + unfilter one non-interlaced 8-bit RGB PNG:
+    * returns (width, height, sumR, sumG, sumB). Handles ALL five
+    * standard scanline filters (None/Sub/Up/Average/Paeth) and
+    * multi-IDAT streams — certified in-spec against `javax.imageio` on
+    * both our fixtures and ImageIO-written files; rejects other color
+    * types/depths/interlacing loudly rather than guessing.
+    */
+  private[graft] def decodePngRgb(p: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    require(
+      p.length > 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P'.toByte &&
+        p(2) == 'N'.toByte && p(3) == 'G'.toByte,
+      "not a PNG payload")
+    var off = 8
+    var w = 0
+    var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && off + 8 <= p.length) {
+      val len = java.nio.ByteBuffer.wrap(p, off, 4).getInt
+      val typ = new String(p, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      typ match {
+        case "IHDR" =>
+          val b = java.nio.ByteBuffer.wrap(p, off + 8, 13)
+          w = b.getInt
+          h = b.getInt
+          val bitDepth = b.get()
+          val colorType = b.get()
+          b.get() // compression (always 0)
+          b.get() // filter method (always 0)
+          val interlace = b.get()
+          require(
+            bitDepth == 8 && colorType == 2 && interlace == 0,
+            s"unsupported PNG: depth=$bitDepth colorType=$colorType interlace=$interlace " +
+              "(this decoder covers non-interlaced 8-bit RGB)")
+        case "IDAT" => idat.write(p, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks: skip
+      }
+      off += 12 + len
+    }
+    require(w > 0 && h > 0, "missing IHDR")
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      require(n > 0 || !inflater.needsInput(), "truncated IDAT stream")
+      got += n
+    }
+    inflater.end()
+    require(got == raw.length, s"short pixel data: $got of ${raw.length} bytes")
+    // per-scanline unfilter (PNG spec §9): a=left, b=up, c=up-left,
+    // reconstructed bytes feed the next pixel's predictors
+    val img = new Array[Int](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xFF
+      val rowOff = y * (1 + stride) + 1
+      var i = 0
+      while (i < stride) {
+        val xr = raw(rowOff + i) & 0xFF
+        val a = if (i >= 3) img(y * stride + i - 3) else 0
+        val b = if (y > 0) img((y - 1) * stride + i) else 0
+        val c = if (y > 0 && i >= 3) img((y - 1) * stride + i - 3) else 0
+        val rec = ft match {
+          case 0 => xr
+          case 1 => xr + a
+          case 2 => xr + b
+          case 3 => xr + (a + b) / 2
+          case 4 =>
+            val pr = a + b - c
+            val pa = math.abs(pr - a)
+            val pb = math.abs(pr - b)
+            val pc = math.abs(pr - c)
+            xr + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case other => throw new IllegalArgumentException(s"bad PNG filter type $other")
+        }
+        img(y * stride + i) = rec & 0xFF
+        i += 1
+      }
+      y += 1
+    }
+    var sr = 0L
+    var sg = 0L
+    var sb = 0L
+    var i = 0
+    while (i < img.length) {
+      sr += img(i)
+      sg += img(i + 1)
+      sb += img(i + 2)
+      i += 3
+    }
+    (w, h, sr, sg, sb)
+  }
+
+  /** REAL PNG pixel statistics — same output shape as
+    * [[bmpPixelStats]]: per image, each channel's mean in per-mille
+    * (integer floor, exact on both engines), dimensions read from IHDR,
+    * pixels actually inflated and unfiltered from the payload bytes.
+    */
+  def pngPixelStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val (w, h, sr, sg, sb) = decodePngRgb(p)
+        val n = w.toLong * h
+        (id, w, h, sb * 1000 / n, sg * 1000 / n, sr * 1000 / n)
+      }
+      .toDF("id", "width", "height", "mean_b_permille", "mean_g_permille", "mean_r_permille")
+      .orderBy(col("id"))
+  }
+
+  /** Closed-form DuckDB twin of PNG synthesize→stats (the
+    * [[BmpPixelStatsSql]] pattern with the PNG moduli): the oracle
+    * never touches bytes, so Spark's deflate → inflate → unfilter round
+    * trip is certified end to end by the hash gate.
+    */
+  val PngPixelStatsSql: String = {
+    def mean(cb: (Int, Int, Int)) =
+      s"CAST(sum((doc_id * ${cb._1} + x * ${cb._2} + y * ${cb._3}) % 256) * 1000 // (w * h) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(doc_id % 5 + 1 AS BIGINT) AS w,
+       |         CAST(doc_id % 4 + 1 AS BIGINT) AS h
+       |  FROM documents WHERE doc_id >= 0),
+       |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+       |ys AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+       |SELECT doc_id AS id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |       ${mean(ChanB)} AS mean_b_permille,
+       |       ${mean(ChanG)} AS mean_g_permille,
+       |       ${mean(ChanR)} AS mean_r_permille
+       |FROM ys GROUP BY doc_id, w, h ORDER BY id""".stripMargin
   }
 
   /** STUB frame sampling: every `stride`-th byte of the payload as a

@@ -261,6 +261,135 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG pixel path: synthesized files are valid (ImageIO), decode matches formula and ImageIO") {
+    import SparkTestBase.spark.implicits._
+    def bC(id: Long, x: Long, y: Long) = (id * 31 + x * 7 + y * 13) % 256
+    def gC(id: Long, x: Long, y: Long) = (id * 17 + x * 5 + y * 11) % 256
+    def rC(id: Long, x: Long, y: Long) = (id * 7 + x * 3 + y * 19) % 256
+    val ids = Seq(0L, 3L, 7L, 19L) // covers w 1..5 × h 1..4 corners
+    val assets = Multimodal.synthesizePngAssets(ids.map(i => (i, "")).toDF("doc_id", "text"))
+
+    // 1) a REAL third-party codec (ImageIO's PNG reader) decodes the
+    //    synthesized bytes to exactly the formula pixels — certifying
+    //    the Deflater/CRC encode side independently of our decoder
+    val payloads = assets.collect().map(r0 => r0.getLong(0) -> r0.getAs[Array[Byte]]("payload")).toMap
+    for (id <- ids) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payloads(id)))
+      assert(img != null, s"ImageIO failed to decode PNG for id=$id")
+      val (w, h) = (id % 5 + 1, id % 4 + 1)
+      assert(img.getWidth === w.toInt && img.getHeight === h.toInt)
+      for (x <- 0L until w; y <- 0L until h) {
+        val rgb = img.getRGB(x.toInt, y.toInt)
+        assert((rgb & 0xff) === bC(id, x, y).toInt, s"B id=$id ($x,$y)")
+        assert(((rgb >> 8) & 0xff) === gC(id, x, y).toInt, s"G id=$id ($x,$y)")
+        assert(((rgb >> 16) & 0xff) === rC(id, x, y).toInt, s"R id=$id ($x,$y)")
+      }
+      // header decode composes: decodeMeta sees a real PNG IHDR
+      val meta = Multimodal.decodeMeta(assets).filter(col("id") === id)
+        .select(col("meta.fmt"), col("meta.width"), col("meta.height")).collect().head
+      assert(meta.getString(0) === "image/png")
+      assert(meta.getInt(1) === w.toInt && meta.getInt(2) === h.toInt)
+    }
+
+    // 2) inflate+unfilter channel means == formula means
+    val stats = Multimodal.pngPixelStats(assets).collect().map(r0 => r0.getLong(0) -> r0).toMap
+    for (id <- ids) {
+      val (w, h) = (id % 5 + 1, id % 4 + 1)
+      val px = for (x <- 0L until w; y <- 0L until h) yield (x, y)
+      assert(stats(id).getAs[Int]("width") === w.toInt)
+      assert(stats(id).getAs[Int]("height") === h.toInt)
+      assert(stats(id).getAs[Long]("mean_b_permille") ===
+        px.map { case (x, y) => bC(id, x, y) }.sum * 1000 / (w * h))
+      assert(stats(id).getAs[Long]("mean_g_permille") ===
+        px.map { case (x, y) => gC(id, x, y) }.sum * 1000 / (w * h))
+      assert(stats(id).getAs[Long]("mean_r_permille") ===
+        px.map { case (x, y) => rC(id, x, y) }.sum * 1000 / (w * h))
+    }
+  }
+
+  test("PNG decoder handles ImageIO-written files (adaptive filters) and all 5 filter types") {
+    // 1) ImageIO WRITES a gradient image (its encoder picks per-row
+    //    filters adaptively — exercising Sub/Up/Average/Paeth in our
+    //    unfilter loop); our decoder must agree with the source pixels
+    val (w, h) = (23, 17)
+    val src = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      src.setRGB(x, y, ((x * 11 + y) % 256 << 16) | ((x + y * 7) % 256 << 8) | ((x * y + 3) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "png", bos))
+    val (dw, dh, sr, sg, sb) = Multimodal.decodePngRgb(bos.toByteArray)
+    assert(dw === w && dh === h)
+    val want = (for (x <- 0 until w; y <- 0 until h) yield {
+      val rgb = src.getRGB(x, y)
+      ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+    })
+    assert(sr === want.map(_._1.toLong).sum)
+    assert(sg === want.map(_._2.toLong).sum)
+    assert(sb === want.map(_._3.toLong).sum)
+
+    // 2) hand-built PNG with one row per filter type (0..4), filtered
+    //    bytes computed here from the spec's definitions — a decoder
+    //    that mishandles any filter or the predictor edge cases fails
+    val pw = 4
+    val rows = 5
+    val pix = Array.tabulate(rows, pw * 3)((y, i) => (y * 37 + i * 11) % 256)
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until rows) {
+      raw.write(y) // filter type = row index
+      for (i <- 0 until pw * 3) {
+        val x = pix(y)(i)
+        val a = if (i >= 3) pix(y)(i - 3) else 0
+        val b = if (y > 0) pix(y - 1)(i) else 0
+        val c = if (y > 0 && i >= 3) pix(y - 1)(i - 3) else 0
+        val f = y match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw.write(f & 0xff)
+      }
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) z.write(tmp, 0, defl.deflate(tmp))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(pw).putInt(rows).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    // split IDAT in two chunks: multi-IDAT streams must concatenate
+    val zb = z.toByteArray
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++
+      chunk("IDAT", zb.take(zb.length / 2)) ++
+      chunk("IDAT", zb.drop(zb.length / 2)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val (gw, gh, r2, g2, b2) = Multimodal.decodePngRgb(png)
+    assert(gw === pw && gh === rows)
+    val sums = (0 until rows).flatMap(y => (0 until pw * 3).map(i => (i % 3, pix(y)(i).toLong)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(r2 === sums(0) && g2 === sums(1) && b2 === sums(2))
+
+    // 3) unsupported shapes are rejected loudly, not silently mis-decoded
+    val gray = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val gbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "png", gbos)
+    val e = intercept[IllegalArgumentException](Multimodal.decodePngRgb(gbos.toByteArray))
+    assert(e.getMessage.contains("unsupported PNG"))
+  }
+
   test("multimodal plumbing: schema, deterministic stub meta, bounded frame sample") {
     val a = Multimodal.assets(docs.limit(20))
     val m = Multimodal.decodeMeta(a)
