@@ -94,11 +94,35 @@ object Similarity {
     * catching weak pairs cheaply is what the coarse 4-bit setting
     * pretended to do by brute-forcing 16 giant buckets.
     */
-  val Planes: Array[Array[Int]] = {
+  /** Deterministic prefix-stable plane generator: `planes(n)` draws n
+    * sign planes from ONE seeded stream, so `planes(m).take(n) ==
+    * planes(n)` for m ≥ n — widening the band geometry (more bits per
+    * band as the corpus grows, see [[bandCandidates]]) REUSES the
+    * production planes instead of reshuffling them.
+    */
+  private val planeCache = scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Int]]]
+  def planes(n: Int): Array[Array[Int]] = planeCache.getOrElseUpdate(n, {
     val rnd = new scala.util.Random(7)
-    Array.fill(64)(Array.fill(Dim)(rnd.nextInt(2) * 2 - 1))
-  }
+    Array.fill(n)(Array.fill(Dim)(rnd.nextInt(2) * 2 - 1))
+  })
+
+  val Planes: Array[Array[Int]] = planes(64)
   val LshBands = 8
+
+  /** Default band width. THE fixed-parameter LSH scale hazard lives
+    * here: expected candidate pairs ≈ bands · n²/2^bits — QUADRATIC in
+    * corpus size for any fixed width (measured in-container: 10× the
+    * embeddings took the band self-join 25× longer at 8 bits). The scale
+    * rule is bits ≈ log₂(n) + constant: every 2× corpus growth adds one
+    * bit to keep per-vector candidate counts flat, which
+    * [[lshBanded]]/[[bandCandidates]] support via their `rowsPerBand`
+    * parameter (same plane stream, prefix-stable), with recall on
+    * high-similarity pairs degrading only by the per-bit agreement
+    * factor (cos 0.9 → 0.856 per bit). [[bandCandidates]]' `maxBucket`
+    * occupancy cap is the complementary guard against degenerate
+    * buckets. The gate entries pin 8 bits so the DuckDB replay stays
+    * byte-stable at gate SF.
+    */
   val LshRowsPerBand = 8
 
   /** ||QueryVec|| with the same fold order as the generated sums. */
@@ -133,11 +157,11 @@ object Similarity {
   def cosineToQueryCol(c: Column): Column =
     dotConstCol(c, QueryVec) / nullif(sqrt(dotSelfCol(c)) * lit(QueryNorm), lit(0d))
 
-  /** Codegen band value ([[LshRowsPerBand]] sign bits) for [[lshBanded]]. */
-  private def bandCol(c: Column, band: Int): Column =
-    (0 until LshRowsPerBand).map { r =>
-      val plane = Planes(band * LshRowsPerBand + r).map(_.toDouble)
-      when(dotConstCol(c, plane) > 0, 1).otherwise(0) * (1 << (LshRowsPerBand - 1 - r))
+  /** Codegen band value (`rowsPerBand` sign bits) for [[lshBanded]]. */
+  private def bandCol(c: Column, band: Int, rowsPerBand: Int, nPlanes: Array[Array[Int]]): Column =
+    (0 until rowsPerBand).map { r =>
+      val plane = nPlanes(band * rowsPerBand + r).map(_.toDouble)
+      when(dotConstCol(c, plane) > 0, 1).otherwise(0) * (1 << (rowsPerBand - 1 - r))
     }.reduce(_ + _)
 
   /** cosine(a, b) — same zero-norm protection. */
@@ -352,12 +376,17 @@ object Similarity {
     * instead of re-deriving the sums on both join sides (round-2
     * bench: 8 re-evaluations of the subtree).
     */
-  def lshBanded(embeddings: DataFrame): DataFrame =
-    (0 until LshBands)
+  def lshBanded(
+      embeddings: DataFrame,
+      bands: Int = LshBands,
+      rowsPerBand: Int = LshRowsPerBand): DataFrame = {
+    val ps = planes(bands * rowsPerBand)
+    (0 until bands)
       .foldLeft(embeddings) { (df, b) =>
-        df.withColumn(s"band$b", bandCol(col("embedding"), b))
+        df.withColumn(s"band$b", bandCol(col("embedding"), b, rowsPerBand, ps))
       }
-      .select(col("vec_id") +: (0 until LshBands).map(b => col(s"band$b")): _*)
+      .select(col("vec_id") +: (0 until bands).map(b => col(s"band$b")): _*)
+  }
 
   /** Distinct candidate pairs (a_id < b_id) agreeing on ≥1 band: ONE
     * self-equi-join on (band_idx, band_value) over the posexploded
@@ -365,10 +394,32 @@ object Similarity {
     * (SparkEntry caches this frame — the self-join is the dominant
     * cost of both, and the pair list is two longs per row).
     */
-  def bandCandidates(sig: DataFrame): DataFrame = {
-    val banded = sig.select(
+  /** `maxBucket` is the occupancy guard for the 100 TB run: a
+    * (band_idx, band_value) bucket holding more vectors than the cap
+    * carries no discriminating information for them (its candidate
+    * contribution is occupancy² while the expected occupancy is
+    * n/2^bits), so it is EXCLUDED from candidate generation — the
+    * [[SpanDedup]]/Winnowing hot-key pattern applied to LSH buckets.
+    * The count rides one window over the frame the join already
+    * shuffles; the default (MaxValue) disables it and the gate entries
+    * run uncapped so the DuckDB replay stays exact.
+    */
+  def bandCandidates(
+      sig: DataFrame,
+      bands: Int = LshBands,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    val exploded = sig.select(
       col("vec_id"),
-      posexplode(array((0 until LshBands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "bk")))
+    val banded =
+      if (maxBucket == Long.MaxValue) exploded
+      else
+        exploded
+          .withColumn(
+            "occ",
+            count(lit(1)).over(Window.partitionBy(col("band_idx"), col("bk"))))
+          .filter(col("occ") <= maxBucket)
+          .drop("occ")
     banded.as("a")
       .join(
         banded.as("b"),

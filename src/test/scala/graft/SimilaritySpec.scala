@@ -95,6 +95,65 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("wider bands: prefix-stable planes, candidates shrink, planted recall survives") {
+    // plane stream is prefix-stable: widening the geometry reuses the
+    // production planes instead of reshuffling them
+    val p96 = Similarity.planes(96)
+    assert(Similarity.Planes.indices.forall(i => p96(i).sameElements(Similarity.Planes(i))))
+
+    val rnd = new scala.util.Random(43)
+    val planted = (0 until 60).flatMap { i =>
+      val v = baseVec(rnd)
+      Seq((2L * i, v), (2L * i + 1, perturb(v, 0.95, rnd)))
+    }
+    val noise = (0 until 400).map(i => (100000L + i, baseVec(rnd)))
+    val d = toDf(planted ++ noise)
+    val byId = (planted ++ noise).toMap
+    val truth = (0 until 60).map(i => (2L * i, 2L * i + 1))
+      .filter { case (a, b) => cosExact(byId(a), byId(b)) >= 0.9 }.toSet
+
+    val cands8 = Similarity.bandCandidates(Similarity.lshBanded(d)).count()
+    val sig12 = Similarity.lshBanded(d, rowsPerBand = 12)
+    val cands12Df = Similarity.bandCandidates(sig12)
+    val cands12 = cands12Df.count()
+    // 4 more bits per band ⇒ random collisions drop ~16x; high-sim
+    // pairs lose only (per-bit agreement)^4
+    assert(cands12 < cands8, s"wider bands must prune candidates ($cands12 >= $cands8)")
+    val found12 = Similarity.lshNearDupPairsFromCands(cands12Df, d, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall12 = truth.count(found12.contains).toDouble / truth.size
+    info(f"12-bit recall = $recall12%.3f, candidates $cands8 -> $cands12")
+    assert(recall12 >= 0.7, f"12-bit recall too low: $recall12%.3f")
+  }
+
+  test("maxBucket cap drops degenerate buckets, keeps planted pairs intact") {
+    val rnd = new scala.util.Random(44)
+    val planted = (0 until 40).flatMap { i =>
+      val v = baseVec(rnd)
+      Seq((2L * i, v), (2L * i + 1, perturb(v, 0.95, rnd)))
+    }
+    // a degenerate clump: many copies of ONE vector — its buckets blow
+    // past any sane occupancy and contribute occupancy² candidates
+    val clumpBase = baseVec(rnd)
+    val clump = (0 until 120).map(i => (200000L + i, clumpBase.clone()))
+    val d = toDf(planted ++ clump)
+    val sig = Similarity.lshBanded(d)
+    val uncapped = Similarity.bandCandidates(sig).count()
+    val capped = Similarity.bandCandidates(sig, maxBucket = 60L)
+    val cappedN = capped.count()
+    assert(cappedN < uncapped,
+      s"cap must remove the clump's candidate mass ($cappedN >= $uncapped)")
+    // every planted pair collides in SOME small bucket and survives
+    val byId = (planted ++ clump).toMap
+    val truth = (0 until 40).map(i => (2L * i, 2L * i + 1))
+      .filter { case (a, b) => cosExact(byId(a), byId(b)) >= 0.9 }.toSet
+    val found = Similarity.lshNearDupPairsFromCands(capped, d, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    info(f"capped recall = $recall%.3f, candidates $uncapped -> $cappedN")
+    assert(recall >= 0.85, f"cap destroyed planted recall: $recall%.3f")
+  }
+
   test("weak pairs (cos ~= 0.4) are mostly filtered by the bands") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 100).flatMap { i =>
