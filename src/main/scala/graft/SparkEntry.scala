@@ -787,6 +787,13 @@ object SparkEntry {
     "multimodal_pixels" -> ((s, d) =>
       Multimodal.bmpPixelStats(
         Multimodal.synthesizeBmpAssets(Tables.load(s, d, "documents")))),
+    // REAL sample-level audio compute: synthesize valid canonical PCM
+    // WAVs, read the signed int16 samples back from the payload bytes
+    // (expression-only — samples are raw bytes); oracle recomputes the
+    // stats from the closed-form sample formula
+    "wav_audio_stats" -> ((s, d) =>
+      Multimodal.wavAudioStats(
+        Multimodal.synthesizeWavAssets(Tables.load(s, d, "documents")))),
     // REAL compressed-format pixel decode: synthesize valid zlib-IDAT
     // PNGs, then inflate + unfilter the actual bytes back (JDK-only
     // codec in a typed map — no builtin can inflate). The oracle
@@ -1106,6 +1113,7 @@ object SparkEntry {
     "unit_dedup" -> UnitDedup.dedupUnitsSql(),
     "multimodal_pixels" -> Multimodal.BmpPixelStatsSql,
     "multimodal_png_pixels" -> Multimodal.PngPixelStatsSql,
+    "wav_audio_stats" -> Multimodal.WavAudioStatsSql,
     "winnow_stats" -> Winnowing.fingerprintStatsSql(),
     "winnow_pairs" -> Winnowing.sharedFingerprintPairsSql(),
     "source_report" -> CorpusSignals.SourceReportSql,

@@ -357,6 +357,121 @@ object Multimodal {
       .select(col("id"), col("modality"), col("payload"))
   }
 
+  // ---- REAL sample-level audio compute over canonical PCM WAV -------
+  //
+  // PCM WAV stores raw little-endian int16 samples, so the audio
+  // counterpart of the BMP pixel work is pure byte arithmetic too:
+  // synthesis emits a VALID canonical-layout WAV (RIFF → fmt → data,
+  // 16-bit) whose every sample follows the closed form
+  //   u(id, i) = (id·37 + i·97) mod 65536,  s = u − (u ≥ 2¹⁵ ? 2¹⁶ : 0)
+  // and the stats operator reads the samples BACK from the payload
+  // bytes — header-parsed offsets, signed LE-16 reads, higher-order
+  // folds; no explode, no shuffle, one fixed-width row per clip. The
+  // DuckDB oracle recomputes the stats from the formula alone.
+
+  /** Synthesized WAV shape (id-derived, both engines): frames, channels,
+    * and rate all vary with the id.
+    */
+  private def wavFrames(idc: Column): Column = (idc % 50 + 10).cast("long")
+  private def wavChannels(idc: Column): Column = (idc % 2 + 1).cast("long")
+
+  /** One valid canonical PCM WAV per document: RIFF header, 16-byte fmt
+    * chunk, data chunk of closed-form interleaved int16 LE samples.
+    */
+  def synthesizeWavAssets(docs: DataFrame): DataFrame = {
+    val d = docs
+      .filter(col("doc_id") >= 0) // the synthesizeBmpAssets id contract
+      .withColumn("ch", wavChannels(col("doc_id")))
+      .withColumn("nf", wavFrames(col("doc_id")))
+      .withColumn("ns", col("nf") * col("ch"))
+      .withColumn(
+        "rate",
+        element_at(
+          array(lit(8000), lit(16000), lit(22050), lit(44100)),
+          (col("doc_id") % 4 + 1).cast("int")))
+    // unsigned 16-bit sample value, hex, little-endian byte order
+    val samplesHex = expr(
+      "array_join(transform(sequence(0, cast(ns - 1 AS INT)), i -> concat(" +
+        "substring(lpad(hex(pmod(doc_id * 37 + i * 97, 65536)), 4, '0'), 3, 2), " +
+        "substring(lpad(hex(pmod(doc_id * 37 + i * 97, 65536)), 4, '0'), 1, 2))), '')")
+    d.select(
+      col("doc_id").as("id"),
+      lit("audio").as("modality"),
+      concat(
+        unhex(lit("52494646")), // "RIFF"
+        le32(lit(36) + col("ns") * 2), // riff size = 36 + data bytes
+        unhex(lit("57415645")), // "WAVE"
+        unhex(lit("666D7420")), // "fmt "
+        le32(lit(16)),
+        le16(lit(1)), // PCM
+        le16(col("ch")),
+        le32(col("rate")),
+        le32(col("rate") * col("ch") * 2), // byte rate
+        le16(col("ch") * 2), // block align
+        le16(lit(16)), // bits per sample
+        unhex(lit("64617461")), // "data"
+        le32(col("ns") * 2),
+        unhex(samplesHex)).as("payload"))
+  }
+
+  /** REAL sample statistics from the payload BYTES: per clip, the
+    * sample count, rate and channels from the headers plus Σ|s|,
+    * max|s| and Σs² over the actual signed int16 samples — all-integer
+    * output, exact on both engines. Contract: canonical-layout PCM WAV
+    * (fmt at 13, data at 37, 16-bit), asserted by the filter; the
+    * general chunk walk lives in the PNG-style typed-map tier if ever
+    * needed.
+    */
+  def wavAudioStats(assets: DataFrame): DataFrame = {
+    val p = col("payload")
+    // signed sample i: u = LE16 at 45 + 2i (1-based), s = u - 2^16 if u >= 2^15
+    val sExpr =
+      "(CAST(conv(concat(hex(substring(payload, CAST(45 + 2 * i + 1 AS INT), 1)), " +
+        "hex(substring(payload, CAST(45 + 2 * i AS INT), 1))), 16, 10) AS BIGINT))"
+    val signed = s"($sExpr - (CASE WHEN $sExpr >= 32768 THEN 65536 ELSE 0 END))"
+    def fold(body: String) =
+      expr(s"aggregate(sequence(0, cast(ns - 1 AS INT)), 0L, (acc, i) -> $body)")
+    assets
+      .filter(isWav(p) && hexEq(p, 37, "64617461") && le(p, 35, 2) === 16)
+      .withColumn("ns", (le(p, 41, 4) / 2).cast("long"))
+      .withColumn("sum_abs", fold(s"acc + abs($signed)"))
+      .withColumn("peak", fold(s"greatest(acc, abs($signed))"))
+      .withColumn("sum_sq", fold(s"acc + $signed * $signed"))
+      .select(
+        col("id"),
+        col("ns").as("n_samples"),
+        le(p, 25, 4).cast("int").as("sample_rate"),
+        le(p, 23, 2).cast("int").as("channels"),
+        col("sum_abs"),
+        col("peak"),
+        col("sum_sq"))
+      .orderBy(col("id"))
+  }
+
+  /** Closed-form DuckDB twin of WAV synthesize→stats: the oracle never
+    * touches bytes, certifying the byte-level encode/decode round trip
+    * (the [[BmpPixelStatsSql]] pattern for audio).
+    */
+  val WavAudioStatsSql: String = {
+    val s = "(u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END)"
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+       |         CAST(doc_id % 50 + 10 AS BIGINT) AS nf,
+       |         CAST(([8000,16000,22050,44100])[CAST(doc_id % 4 + 1 AS INT)] AS INT) AS rate
+       |  FROM documents WHERE doc_id >= 0),
+       |ss AS (
+       |  SELECT doc_id, ch, nf * ch AS ns, rate,
+       |         unnest(generate_series(0, nf * ch - 1)) AS i
+       |  FROM d),
+       |v AS (SELECT doc_id, ch, ns, rate, (doc_id * 37 + i * 97) % 65536 AS u FROM ss)
+       |SELECT doc_id AS id, ns AS n_samples, rate AS sample_rate,
+       |       CAST(ch AS INT) AS channels,
+       |       CAST(sum(abs($s)) AS BIGINT) AS sum_abs,
+       |       CAST(max(abs($s)) AS BIGINT) AS peak,
+       |       CAST(sum($s * $s) AS BIGINT) AS sum_sq
+       |FROM v GROUP BY doc_id, ns, rate, ch ORDER BY id""".stripMargin
+  }
+
   // ---- REAL pixel-level codec for non-interlaced 8-bit RGB PNG ------
   //
   // PNG pixel data is zlib-deflated scanlines, each prefixed by a

@@ -390,6 +390,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported PNG"))
   }
 
+  test("WAV sample path: JDK audio stack decodes the synthesized bytes; stats match the formula") {
+    import SparkTestBase.spark.implicits._
+    def u(id: Long, i: Long) = (id * 37 + i * 97) % 65536
+    def s(id: Long, i: Long) = { val x = u(id, i); if (x >= 32768) x - 65536 else x }
+    val ids = Seq(0L, 1L, 3L, 49L) // mono+stereo, all rates, min/max frame counts
+    val assets = Multimodal.synthesizeWavAssets(ids.map(i => (i, "")).toDF("doc_id", "text"))
+    val payloads = assets.collect().map(r0 => r0.getLong(0) -> r0.getAs[Array[Byte]]("payload")).toMap
+
+    // 1) javax.sound.sampled (a REAL third-party WAV parser) reads the
+    //    synthesized container: format fields and raw sample bytes agree
+    for (id <- ids) {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payloads(id)))
+      val fmt = in.getFormat
+      val (ch, nf) = ((id % 2 + 1).toInt, id % 50 + 10)
+      assert(fmt.getChannels === ch)
+      assert(fmt.getSampleSizeInBits === 16)
+      assert(fmt.getSampleRate.toInt === Seq(8000, 16000, 22050, 44100)((id % 4).toInt))
+      assert(in.getFrameLength === nf)
+      val data = in.readAllBytes()
+      assert(data.length === (nf * ch * 2).toInt)
+      for (i <- 0L until nf * ch) {
+        val lo = data(2 * i.toInt) & 0xff
+        val hi = data(2 * i.toInt + 1)
+        assert((hi.toLong << 8 | lo) === s(id, i), s"sample id=$id i=$i")
+      }
+    }
+
+    // 2) byte-parsed stats == formula stats
+    val stats = Multimodal.wavAudioStats(assets).collect().map(r0 => r0.getLong(0) -> r0).toMap
+    for (id <- ids) {
+      val ns = (id % 50 + 10) * (id % 2 + 1)
+      val ss = (0L until ns).map(i => s(id, i))
+      assert(stats(id).getAs[Long]("n_samples") === ns)
+      assert(stats(id).getAs[Int]("channels") === (id % 2 + 1).toInt)
+      assert(stats(id).getAs[Long]("sum_abs") === ss.map(math.abs).sum)
+      assert(stats(id).getAs[Long]("peak") === ss.map(math.abs).max)
+      assert(stats(id).getAs[Long]("sum_sq") === ss.map(x => x * x).sum)
+    }
+
+    // 3) non-canonical / non-16-bit payloads are filtered, not mis-read
+    assert(Multimodal.wavAudioStats(
+      Multimodal.assets(docs.limit(3), "audio")).collect().isEmpty)
+  }
+
   test("multimodal plumbing: schema, deterministic stub meta, bounded frame sample") {
     val a = Multimodal.assets(docs.limit(20))
     val m = Multimodal.decodeMeta(a)
