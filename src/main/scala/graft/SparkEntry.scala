@@ -802,6 +802,13 @@ object SparkEntry {
     "multimodal_png_pixels" -> ((s, d) =>
       Multimodal.pngPixelStats(
         Multimodal.synthesizePngAssets(Tables.load(s, d, "documents")))),
+    // REAL LZW decode: synthesize valid GIF87a files, decode the index
+    // stream back with a general LZW decoder (growing table, KwKwK,
+    // 12-bit cap) and map through the palette; same closed-form oracle
+    // pattern as the BMP/PNG pixel entries
+    "multimodal_gif_pixels" -> ((s, d) =>
+      graft.operators.GifPixels.gifPixelStats(
+        graft.operators.GifPixels.synthesizeGifAssets(Tables.load(s, d, "documents")))),
     // ---- corpus-level quality signals (CorpusSignals) ----
     // Gopher/C4-style repetition filters: one explode, two hash aggs
     "repetition_stats" -> ((s, d) =>
@@ -1114,6 +1121,7 @@ object SparkEntry {
     "multimodal_pixels" -> Multimodal.BmpPixelStatsSql,
     "multimodal_png_pixels" -> Multimodal.PngPixelStatsSql,
     "wav_audio_stats" -> Multimodal.WavAudioStatsSql,
+    "multimodal_gif_pixels" -> graft.operators.GifPixels.GifPixelStatsSql,
     "winnow_stats" -> Winnowing.fingerprintStatsSql(),
     "winnow_pairs" -> Winnowing.sharedFingerprintPairsSql(),
     "source_report" -> CorpusSignals.SourceReportSql,

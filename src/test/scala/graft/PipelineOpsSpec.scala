@@ -390,6 +390,75 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported PNG"))
   }
 
+  test("GIF pixel path: ImageIO reads the synthesized files; general LZW decode matches") {
+    import SparkTestBase.spark.implicits._
+    import graft.operators.GifPixels
+    def palR(j: Int) = j
+    def palG(j: Int) = (j * 3 + 17) % 256
+    def palB(j: Int) = (j * 7 + 29) % 256
+    def pix(id: Long, x: Int, y: Int) = ((id * 13 + x * 7 + y * 11) % 256).toInt
+    val ids = Seq(0L, 4L, 17L, 29L) // covers w 1..6 × h 1..5 corners
+    val assets = GifPixels.synthesizeGifAssets(ids.map(i => (i, "")).toDF("doc_id", "text"))
+    val payloads = assets.collect().map(r0 => r0.getLong(0) -> r0.getAs[Array[Byte]]("payload")).toMap
+
+    // 1) ImageIO (a REAL third-party GIF decoder) reads the synthesized
+    //    bytes to exactly the palette-mapped formula pixels
+    for (id <- ids) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payloads(id)))
+      assert(img != null, s"ImageIO failed to decode GIF for id=$id")
+      val (w, h) = ((id % 6 + 1).toInt, (id % 5 + 1).toInt)
+      assert(img.getWidth === w && img.getHeight === h)
+      for (x <- 0 until w; y <- 0 until h) {
+        val rgb = img.getRGB(x, y)
+        val j = pix(id, x, y)
+        assert(((rgb >> 16) & 0xff) === palR(j), s"R id=$id ($x,$y)")
+        assert(((rgb >> 8) & 0xff) === palG(j), s"G id=$id ($x,$y)")
+        assert((rgb & 0xff) === palB(j), s"B id=$id ($x,$y)")
+      }
+      // header decode composes with the existing GIF header reads
+      val meta = Multimodal.decodeMeta(assets).filter(col("id") === id)
+        .select(col("meta.fmt"), col("meta.width"), col("meta.height")).collect().head
+      assert(meta.getString(0) === "image/gif")
+      assert(meta.getInt(1) === w && meta.getInt(2) === h)
+    }
+
+    // 2) stats over the decoded pixels == formula means
+    val stats = GifPixels.gifPixelStats(assets).collect().map(r0 => r0.getLong(0) -> r0).toMap
+    for (id <- ids) {
+      val (w, h) = ((id % 6 + 1).toInt, (id % 5 + 1).toInt)
+      val js = for (x <- 0 until w; y <- 0 until h) yield pix(id, x, y)
+      assert(stats(id).getAs[Int]("width") === w)
+      assert(stats(id).getAs[Long]("mean_r_permille") === js.map(palR).map(_.toLong).sum * 1000 / (w * h))
+      assert(stats(id).getAs[Long]("mean_g_permille") === js.map(palG).map(_.toLong).sum * 1000 / (w * h))
+      assert(stats(id).getAs[Long]("mean_b_permille") === js.map(palB).map(_.toLong).sum * 1000 / (w * h))
+    }
+
+    // 3) an ImageIO-WRITTEN GIF uses genuine growing-table LZW — our
+    //    general decoder must agree with ImageIO's own re-read of it
+    val (w, h) = (61, 47)
+    val cmap = new java.awt.image.IndexColorModel(
+      8, 256,
+      Array.tabulate(256)(palR).map(_.toByte),
+      Array.tabulate(256)(palG).map(_.toByte),
+      Array.tabulate(256)(palB).map(_.toByte))
+    val src = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cmap)
+    for (x <- 0 until w; y <- 0 until h)
+      src.getRaster.setSample(x, y, 0, (x * x + y * 3 + x * y) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "gif", bos))
+    val (dw, dh, sr, sg, sb) = GifPixels.decodeGifRgb(bos.toByteArray)
+    assert(dw === w && dh === h)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    val want = (for (x <- 0 until w; y <- 0 until h) yield {
+      val rgb = back.getRGB(x, y)
+      (((rgb >> 16) & 0xff).toLong, ((rgb >> 8) & 0xff).toLong, (rgb & 0xff).toLong)
+    })
+    assert(sr === want.map(_._1).sum, "R sum vs ImageIO")
+    assert(sg === want.map(_._2).sum, "G sum vs ImageIO")
+    assert(sb === want.map(_._3).sum, "B sum vs ImageIO")
+  }
+
   test("WAV sample path: JDK audio stack decodes the synthesized bytes; stats match the formula") {
     import SparkTestBase.spark.implicits._
     def u(id: Long, i: Long) = (id * 37 + i * 97) % 65536
