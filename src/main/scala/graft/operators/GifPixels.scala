@@ -98,7 +98,8 @@ object GifPixels {
   def synthesizeGifAssets(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.filter(col("doc_id") >= 0).select(col("doc_id")).as[Long]
+    graft.sources.Tables.fanOut(docs) // single-file scan → spread tasks
+      .filter(col("doc_id") >= 0).select(col("doc_id")).as[Long]
       .map(id => (id, "image", gifBytes(id)))
       .toDF("id", "modality", "payload")
   }

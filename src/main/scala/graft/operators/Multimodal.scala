@@ -224,7 +224,9 @@ object Multimodal {
     // negative id would make w/h <= 0, where Spark's sequence(0, w-1)
     // DESCENDS while DuckDB's generate_series is empty — silent engine
     // divergence instead of an agreed-on empty result
-    val d = docs
+    // fanOut: the per-pixel byte synthesis below is the expensive stage,
+    // and the single-file test corpus would otherwise run it on ONE task
+    val d = graft.sources.Tables.fanOut(docs)
       .filter(col("doc_id") >= 0)
       .withColumn("w", (col("doc_id") % 4 + 1).cast("long"))
       .withColumn("h", (col("doc_id") % 3 + 1).cast("long"))
@@ -379,7 +381,7 @@ object Multimodal {
     * chunk, data chunk of closed-form interleaved int16 LE samples.
     */
   def synthesizeWavAssets(docs: DataFrame): DataFrame = {
-    val d = docs
+    val d = graft.sources.Tables.fanOut(docs) // single-file scan → spread tasks
       .filter(col("doc_id") >= 0) // the synthesizeBmpAssets id contract
       .withColumn("ch", wavChannels(col("doc_id")))
       .withColumn("nf", wavFrames(col("doc_id")))
@@ -563,7 +565,8 @@ object Multimodal {
   def synthesizePngAssets(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.filter(col("doc_id") >= 0).select(col("doc_id")).as[Long]
+    graft.sources.Tables.fanOut(docs) // single-file scan → spread tasks
+      .filter(col("doc_id") >= 0).select(col("doc_id")).as[Long]
       .map(id => (id, "image", pngBytes(id)))
       .toDF("id", "modality", "payload")
   }
