@@ -794,6 +794,17 @@ object SparkEntry {
     "wav_audio_stats" -> ((s, d) =>
       Multimodal.wavAudioStats(
         Multimodal.synthesizeWavAssets(Tables.load(s, d, "documents")))),
+    // the operator CHAINS certified in the gate, not just in specs:
+    // synthesize → resize/decimate → stats, every stage re-reading real
+    // container bytes; oracles recompute the strided closed forms
+    "multimodal_resize_stats" -> ((s, d) =>
+      Multimodal.bmpPixelStats(
+        Multimodal.bmpResize(
+          Multimodal.synthesizeBmpAssets(Tables.load(s, d, "documents")), 2))),
+    "wav_resample_stats" -> ((s, d) =>
+      Multimodal.wavAudioStats(
+        Multimodal.wavResample(
+          Multimodal.synthesizeWavAssets(Tables.load(s, d, "documents")), 3))),
     // REAL compressed-format pixel decode: synthesize valid zlib-IDAT
     // PNGs, then inflate + unfilter the actual bytes back (JDK-only
     // codec in a typed map — no builtin can inflate). The oracle
@@ -1122,6 +1133,8 @@ object SparkEntry {
     "multimodal_png_pixels" -> Multimodal.PngPixelStatsSql,
     "wav_audio_stats" -> Multimodal.WavAudioStatsSql,
     "multimodal_gif_pixels" -> graft.operators.GifPixels.GifPixelStatsSql,
+    "multimodal_resize_stats" -> Multimodal.bmpResizeStatsSql(2),
+    "wav_resample_stats" -> Multimodal.wavResampleStatsSql(3),
     "winnow_stats" -> Winnowing.fingerprintStatsSql(),
     "winnow_pairs" -> Winnowing.sharedFingerprintPairsSql(),
     "source_report" -> CorpusSignals.SourceReportSql,

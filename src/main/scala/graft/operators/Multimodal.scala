@@ -458,6 +458,94 @@ object Multimodal {
       .orderBy(col("id"))
   }
 
+  /** REAL audio frame decimation: keep every `factor`-th FRAME (all
+    * channels of it), emitting a VALID canonical PCM WAV with the
+    * headers rebuilt for the shorter data chunk — the audio analogue of
+    * [[bmpResize]], still expression-only byte arithmetic. Composes
+    * with [[wavAudioStats]]/[[decodeMeta]], which is what makes the
+    * audio path an operator CHAIN rather than a one-off (gate entry
+    * `wav_resample_stats` certifies the chain end to end).
+    */
+  def wavResample(assets: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1 (got $factor)")
+    val p = col("payload")
+    // source frame j*factor occupies ch*2 bytes at 45 + (j*factor)*ch*2
+    val frameHex = expr(
+      s"array_join(transform(sequence(0, cast(nf2 - 1 AS INT)), j -> " +
+        s"hex(substring(payload, CAST(45 + j * $factor * ch * 2 AS INT), CAST(ch * 2 AS INT)))), '')")
+    assets
+      .filter(isWav(p) && hexEq(p, 37, "64617461") && le(p, 35, 2) === 16)
+      .withColumn("ch", le(p, 23, 2))
+      .withColumn("rate", le(p, 25, 4))
+      .withColumn("dsize", le(p, 41, 4))
+      .withColumn("nf", expr("dsize div 2 div ch"))
+      .withColumn("nf2", expr(s"(nf + ${factor - 1}) div $factor"))
+      .withColumn(
+        "payload",
+        concat(
+          unhex(lit("52494646")),
+          le32(lit(36) + col("nf2") * col("ch") * 2),
+          unhex(lit("57415645")),
+          unhex(lit("666D7420")),
+          le32(lit(16)),
+          le16(lit(1)),
+          le16(col("ch")),
+          le32(col("rate")),
+          le32(col("rate") * col("ch") * 2),
+          le16(col("ch") * 2),
+          le16(lit(16)),
+          unhex(lit("64617461")),
+          le32(col("nf2") * col("ch") * 2),
+          unhex(frameHex)))
+      .select(col("id"), col("modality"), col("payload"))
+  }
+
+  /** Closed-form DuckDB twin of synthesize→[[wavResample]]→stats: the
+    * decimated clip's sample (j, c) is source sample (j·factor)·ch + c.
+    */
+  def wavResampleStatsSql(factor: Int): String = {
+    val s = "(u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END)"
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+       |         CAST(doc_id % 50 + 10 AS BIGINT) AS nf,
+       |         CAST(([8000,16000,22050,44100])[CAST(doc_id % 4 + 1 AS INT)] AS INT) AS rate
+       |  FROM documents WHERE doc_id >= 0),
+       |f AS (SELECT doc_id, ch, rate, (nf + ${factor - 1}) // $factor AS nf2 FROM d),
+       |js AS (SELECT doc_id, ch, rate, nf2,
+       |              unnest(generate_series(0, nf2 - 1)) AS j FROM f),
+       |cs AS (SELECT doc_id, ch, rate, nf2, j,
+       |              unnest(generate_series(0, ch - 1)) AS c FROM js),
+       |v AS (SELECT doc_id, ch, rate, nf2,
+       |             (doc_id * 37 + (j * $factor * ch + c) * 97) % 65536 AS u
+       |      FROM cs)
+       |SELECT doc_id AS id, nf2 * ch AS n_samples, rate AS sample_rate,
+       |       CAST(ch AS INT) AS channels,
+       |       CAST(sum(abs($s)) AS BIGINT) AS sum_abs,
+       |       CAST(max(abs($s)) AS BIGINT) AS peak,
+       |       CAST(sum($s * $s) AS BIGINT) AS sum_sq
+       |FROM v GROUP BY doc_id, nf2, ch, rate ORDER BY id""".stripMargin
+  }
+
+  /** Closed-form DuckDB twin of BMP synthesize→[[bmpResize]]→stats:
+    * output pixel (x', y') is source pixel (x'·factor, y'·factor).
+    */
+  def bmpResizeStatsSql(factor: Int): String = {
+    def mean(cb: (Int, Int, Int)) =
+      s"CAST(sum((doc_id * ${cb._1} + x * $factor * ${cb._2} + y * $factor * ${cb._3}) % 256) * 1000 // (nw * nh) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         (CAST(doc_id % 4 + 1 AS BIGINT) + ${factor - 1}) // $factor AS nw,
+       |         (CAST(doc_id % 3 + 1 AS BIGINT) + ${factor - 1}) // $factor AS nh
+       |  FROM documents WHERE doc_id >= 0),
+       |xs AS (SELECT doc_id, nw, nh, unnest(generate_series(0, nw - 1)) AS x FROM d),
+       |ys AS (SELECT doc_id, nw, nh, x, unnest(generate_series(0, nh - 1)) AS y FROM xs)
+       |SELECT doc_id AS id, CAST(nw AS INT) AS width, CAST(nh AS INT) AS height,
+       |       ${mean(ChanB)} AS mean_b_permille,
+       |       ${mean(ChanG)} AS mean_g_permille,
+       |       ${mean(ChanR)} AS mean_r_permille
+       |FROM ys GROUP BY doc_id, nw, nh ORDER BY id""".stripMargin
+  }
+
   /** Closed-form DuckDB twin of WAV synthesize→stats: the oracle never
     * touches bytes, certifying the byte-level encode/decode round trip
     * (the [[BmpPixelStatsSql]] pattern for audio).

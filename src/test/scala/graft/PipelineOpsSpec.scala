@@ -502,6 +502,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     // 3) non-canonical / non-16-bit payloads are filtered, not mis-read
     assert(Multimodal.wavAudioStats(
       Multimodal.assets(docs.limit(3), "audio")).collect().isEmpty)
+
+    // 4) frame decimation: a VALID shorter WAV whose samples are the
+    //    factor-strided source frames — javax.sound agrees on the new
+    //    frame count, and the stats chain matches the strided formula
+    val f = 3
+    val resampled = Multimodal.wavResample(assets, f)
+    val rp = resampled.collect().map(r0 => r0.getLong(0) -> r0.getAs[Array[Byte]]("payload")).toMap
+    for (id <- ids) {
+      val ch = (id % 2 + 1).toInt
+      val nf2 = (id % 50 + 10 + f - 1) / f
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(rp(id)))
+      assert(in.getFormat.getChannels === ch)
+      assert(in.getFrameLength === nf2)
+    }
+    val rstats = Multimodal.wavAudioStats(resampled).collect().map(r0 => r0.getLong(0) -> r0).toMap
+    for (id <- ids) {
+      val ch = id % 2 + 1
+      val nf2 = (id % 50 + 10 + f - 1) / f
+      val ss = for (j <- 0L until nf2; c <- 0L until ch) yield s(id, j * f * ch + c)
+      assert(rstats(id).getAs[Long]("n_samples") === nf2 * ch)
+      assert(rstats(id).getAs[Long]("sum_abs") === ss.map(math.abs).sum)
+      assert(rstats(id).getAs[Long]("peak") === ss.map(math.abs).max)
+      assert(rstats(id).getAs[Long]("sum_sq") === ss.map(x => x * x).sum)
+    }
   }
 
   test("multimodal plumbing: schema, deterministic stub meta, bounded frame sample") {
