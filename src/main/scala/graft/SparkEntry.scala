@@ -144,6 +144,14 @@ object SparkEntry {
       Dedup.xxSignature(docShingles(s, dir), 16)
     }
 
+  /** 64-bit SimHash signature frame (4×16-bit words) — the production
+    * width; feeds the Hamming near-dup pair join.
+    */
+  private def simhashSig64(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "simhash", "64") {
+      Dedup.simhash64(Tables.load(s, dir, "documents"))
+    }
+
   /** Near-dup pairs are an intermediate shared by dedup_ngram_pairs and
     * dedup_clusters — materialize once per (session, sf), like the views.
     */
@@ -269,6 +277,7 @@ object SparkEntry {
       "view_quad_day" -> (() => quadView(s, dir, "day")),
       "doc_shingles" -> (() => docShingles(s, dir)),
       "doc_grams5" -> (() => docGrams5(s, dir)),
+      "simhash_sig64" -> (() => simhashSig64(s, dir)),
       "md5_sig16" -> (() => mdSig16(s, dir)),
       "xx_sig16" -> (() => xxSig16(s, dir)),
       "ngram_pairs" -> (() => ngramPairs(s, dir)),
@@ -463,6 +472,13 @@ object SparkEntry {
         .select(col("doc_id") +: (0 until 8).map(i => col(s"s$i")): _*)
         .orderBy(col("doc_id"))),
     "dedup_simhash16" -> ((s, d) => Dedup.simhash16(Tables.load(s, d, "documents"))),
+    // production 64-bit signature (4×16-bit words)
+    "dedup_simhash64" -> ((s, d) => simhashSig64(s, d)),
+    // Manku WWW'07 Hamming near-dup search: pigeonhole over the four
+    // 16-bit words (≤3 differing bits ⇒ ≥1 word matches), per-word
+    // equi-join candidates, exact bit_count(xor) verify — never all-pairs
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDupPairsFrom(simhashSig64(s, d))),
     // distributed BPE merge induction over the word-frequency table
     // (vocab-sized working set; one argmax row per round reaches the
     // driver). Oracle: independent pure-Scala BpeRef via oracleSqlFor.
@@ -977,6 +993,8 @@ object SparkEntry {
     "dedup_minhash_sig" -> Dedup.minhashSignatureSql(3, 8),
     "dedup_minhash_pairs" -> Dedup.minhashLshPairsMd5Sql(3, 16, 4, 0.5),
     "dedup_simhash16" -> Dedup.simhash16Sql,
+    "dedup_simhash64" -> Dedup.simhash64Sql,
+    "dedup_simhash_pairs" -> Dedup.simhashNearDupSql(),
     "dedup_ngram_pairs" -> Dedup.ngramJaccardSql(3, 0.8),
     "dedup_incremental" -> Dedup.incrementalSql(3, 0.8, Seq("src8", "src9")),
     "dedup_clusters" -> Dedup.clustersSql(Dedup.ngramJaccardSql(3, 0.8)),

@@ -612,6 +612,108 @@ object Dedup {
        |SELECT doc_id, $packed AS simhash FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** PRODUCTION-width SimHash: 64 bits from md5's first 16 nibbles
+    * (the 16-bit [[simhash16]] is the oracle-friendly teaching size;
+    * at 16 bits a Hamming-≤2 search over 500 docs already flags 15% of
+    * ALL pairs — random collisions, a disguised all-pairs. At 64 bits
+    * the random Hamming-≤3 collision probability is ~2·10⁻¹⁵, so every
+    * reported pair is a genuine near-duplicate). Packed as FOUR 16-bit
+    * columns `sh0..sh3` — which are exactly Manku's (WWW'07,
+    * "Detecting Near-Duplicates for Web Crawling") block slices for
+    * maxHamming=3, and sidestep 64-bit sign/overflow differences
+    * between engines.
+    */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val tok = withTokens(graft.sources.Tables.fanOut(docs))
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tk"))
+      .withColumn("h", md5(col("tk")))
+    val sums = (0 until 64).map(b => sum(expr(bitContrib(b))).as(s"c$b"))
+    def packed(word: Int) =
+      (0 until 16)
+        .map(b => s"(CASE WHEN c${word * 16 + b} > 0 THEN ${1 << (15 - b)} ELSE 0 END)")
+        .mkString(" + ")
+    val agg = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    (0 until 4)
+      .foldLeft(agg)((df, wd) => df.withColumn(s"sh$wd", expr(packed(wd)).cast("long")))
+      .select(col("doc_id") +: (0 until 4).map(wd => col(s"sh$wd")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[simhash64]]. */
+  def simhash64Sql: String = {
+    val sums = (0 until 64).map(b => s"sum(${bitContrib(b)}) AS c$b").mkString(", ")
+    def packed(word: Int) =
+      (0 until 16)
+        .map(b => s"(CASE WHEN c${word * 16 + b} > 0 THEN ${1 << (15 - b)} ELSE 0 END)")
+        .mkString(" + ")
+    val words = (0 until 4).map(wd => s"CAST(${packed(wd)} AS BIGINT) AS sh$wd").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS tk
+       |  FROM documents),
+       |hashed AS (SELECT doc_id, md5(tk) AS h FROM tok),
+       |s AS (SELECT doc_id, $sums FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, $words FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-duplicate pairs over the 64-bit signature:
+    * `(a_id, b_id, hamming)` for pairs differing in ≤ `maxHamming` ≤ 3
+    * bits. Pigeonhole over the four 16-bit words: ≤3 differing bits
+    * touch ≤3 words, so ≥1 word matches exactly — candidates come ONLY
+    * from four per-word equi-joins (never all-pairs; expected random
+    * matches n²·4/2¹⁶ — the word width is the log₂(n) dial, same rule
+    * as the sign-LSH bands), verified by the exact summed
+    * `bit_count(xor)` per word. Expects the session-cached [[simhash64]]
+    * frame.
+    */
+  def simhashNearDupPairsFrom(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3, s"maxHamming=$maxHamming needs <= 3 with 4 words")
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(expr("array(sh0, sh1, sh2, sh3)")).as(Seq("band_idx", "bv")))
+    val cands = banded.as("a")
+      .join(
+        banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val ham = (0 until 4).map(wd => s"bit_count(int(a_sh$wd) ^ int(b_sh$wd))").mkString(" + ")
+    val aSide = sig.select(
+      col("doc_id").as("a_id") +: (0 until 4).map(wd => col(s"sh$wd").as(s"a_sh$wd")): _*)
+    val bSide = sig.select(
+      col("doc_id").as("b_id") +: (0 until 4).map(wd => col(s"sh$wd").as(s"b_sh$wd")): _*)
+    cands
+      .join(aSide, "a_id")
+      .join(bSide, "b_id")
+      .withColumn("hamming", expr(ham).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** DuckDB twin: same word joins, same verify. */
+  def simhashNearDupSql(maxHamming: Int = 3): String = {
+    val joins = (0 until 4)
+      .map(wd =>
+        s"SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sig a JOIN sig b " +
+          s"ON a.sh$wd = b.sh$wd AND a.doc_id < b.doc_id")
+      .mkString("\n  UNION\n  ")
+    val ham = (0 until 4)
+      .map(wd => s"bit_count(xor(sa.sh$wd, sb.sh$wd))")
+      .mkString(" + ")
+    s"""WITH sig AS (${simhash64Sql.replace("ORDER BY doc_id", "")}),
+       |cand AS (
+       |  $joins
+       |)
+       |SELECT c.a_id, c.b_id, CAST($ham AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.a_id
+       |JOIN sig sb ON sb.doc_id = c.b_id
+       |WHERE $ham <= $maxHamming
+       |ORDER BY c.a_id, c.b_id""".stripMargin
+  }
+
   // ---- incremental (batch-vs-corpus) dedup ---------------------------
 
   /** Incremental near-dedup: pairs joining an INCOMING batch (split by

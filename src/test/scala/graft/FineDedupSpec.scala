@@ -229,6 +229,43 @@ class FineDedupSpec extends AnyFunSuite {
     assert(got === FineDedupRef.spanStats(texts, SpanDedup.GramLen))
   }
 
+  // ---- 64-bit SimHash Hamming near-dup -------------------------------
+
+  test("simhash64: word 0 equals simhash16; pairs == brute-force Hamming filter (exact)") {
+    import SparkTestBase.spark.implicits._
+    import graft.operators.Dedup
+    // long docs: simhash's near-dup property needs many features per
+    // signature bit, so the fixture uses 300-token documents
+    val base = (1 to 300).map(i => s"tok$i").mkString(" ")
+    val texts = Seq(
+      0L -> base,
+      1L -> base, // byte-identical: Hamming 0, guaranteed pair
+      2L -> base.replace("tok42 ", "zzz42 "), // near-identical (one token swap)
+      3L -> (1 to 300).map(i => s"other$i").mkString(" ")) // disjoint vocabulary
+    val d = texts.toDF("doc_id", "text")
+    val sig64 = Dedup.simhash64(d)
+    val sig16 = Dedup.simhash16(d).collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    // the first 16 bits of the 64-bit signature ARE the 16-bit signature
+    val rows = sig64.collect()
+    rows.foreach(r => assert(r.getLong(1) === sig16(r.getLong(0)), s"doc ${r.getLong(0)}"))
+
+    // EXACT spec: reported pairs == { (a,b) : bruteHamming(a,b) <= 3 },
+    // with the reported distances matching the brute recount — both the
+    // pigeonhole candidate completeness and the verify step, no slack
+    val words = rows.map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    def brute(a: Long, b: Long): Long =
+      words(a).zip(words(b)).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum.toLong
+    val expected = (for {
+      a <- texts.map(_._1); b <- texts.map(_._1) if a < b
+      h = brute(a, b) if h <= 3
+    } yield (a, b) -> h).toMap
+    val got = Dedup.simhashNearDupPairsFrom(sig64, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === expected)
+    assert(got.get((0L, 1L)).contains(0L), "identical docs must pair at Hamming 0")
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L }, "disjoint doc flagged")
+  }
+
   // ---- BPE encode ----------------------------------------------------
 
   test("encodeStats with no merges counts characters; with learned merges counts contract") {
