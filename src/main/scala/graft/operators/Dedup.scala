@@ -666,11 +666,34 @@ object Dedup {
     * `bit_count(xor)` per word. Expects the session-cached [[simhash64]]
     * frame.
     */
+  /** Contiguous word groups forming the maxHamming+1 pigeonhole slices:
+    * k=3 → four 16-bit slices, k=1 → two 32-bit slices. This is the
+    * scale dial at a FIXED 64-bit signature: expected random candidates
+    * are Σ n²/2^(16·groupWords), so halving the allowed Hamming doubles
+    * the slice width and squares down the collision rate — the log₂(n)
+    * rule that governs the sign-LSH bands applies here as slice width.
+    */
+  private def simhashSlices(maxHamming: Int): Seq[Seq[Int]] = {
+    val n = maxHamming + 1
+    val base = 4 / n
+    val extra = 4 % n
+    val sizes = Seq.tabulate(n)(i => base + (if (i < extra) 1 else 0))
+    sizes.scanLeft(0)(_ + _).zip(sizes).map { case (off, sz) => (off until off + sz) }
+  }
+
+  /** Combined slice value: words are 16-bit, so a group packs into one
+    * long via base-2¹⁶ positional arithmetic (dialect-shared shape).
+    */
+  private def sliceExpr(words: Seq[Int]): String =
+    words.map(wd => s"sh$wd * ${math.pow(65536.0, words.size - 1 - words.indexOf(wd)).toLong}")
+      .mkString("(", " + ", ")")
+
   def simhashNearDupPairsFrom(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3, s"maxHamming=$maxHamming needs <= 3 with 4 words")
+    val bandArr = simhashSlices(maxHamming).map(sliceExpr).mkString("array(", ", ", ")")
     val banded = sig.select(
       col("doc_id"),
-      posexplode(expr("array(sh0, sh1, sh2, sh3)")).as(Seq("band_idx", "bv")))
+      posexplode(expr(bandArr)).as(Seq("band_idx", "bv")))
     val cands = banded.as("a")
       .join(
         banded.as("b"),
@@ -692,12 +715,16 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** DuckDB twin: same word joins, same verify. */
+  /** DuckDB twin: same slices, same verify. */
   def simhashNearDupSql(maxHamming: Int = 3): String = {
-    val joins = (0 until 4)
-      .map(wd =>
+    val joins = simhashSlices(maxHamming)
+      .map { words =>
+        val e = sliceExpr(words)
+        val eb = e.replace("sh", "b.sh")
+        val ea = e.replace("sh", "a.sh")
         s"SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sig a JOIN sig b " +
-          s"ON a.sh$wd = b.sh$wd AND a.doc_id < b.doc_id")
+          s"ON $ea = $eb AND a.doc_id < b.doc_id"
+      }
       .mkString("\n  UNION\n  ")
     val ham = (0 until 4)
       .map(wd => s"bit_count(xor(sa.sh$wd, sb.sh$wd))")

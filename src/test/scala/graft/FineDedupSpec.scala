@@ -264,6 +264,13 @@ class FineDedupSpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.get((0L, 1L)).contains(0L), "identical docs must pair at Hamming 0")
     assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L }, "disjoint doc flagged")
+
+    // the scale dial: maxHamming=1 uses two 32-bit slices — exact
+    // against brute force too (pigeonhole with wider slices)
+    val expected1 = expected.filter(_._2 <= 1L)
+    val got1 = Dedup.simhashNearDupPairsFrom(sig64, maxHamming = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got1 === expected1)
   }
 
   // ---- BPE encode ----------------------------------------------------
