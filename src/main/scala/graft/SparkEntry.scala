@@ -812,15 +812,25 @@ object SparkEntry {
         Multimodal.synthesizeWavAssets(Tables.load(s, d, "documents")))),
     // the operator CHAINS certified in the gate, not just in specs:
     // synthesize → resize/decimate → stats, every stage re-reading real
-    // container bytes; oracles recompute the strided closed forms
+    // container bytes; oracles recompute the strided closed forms.
+    // Multimodal.materialize between stages is load-bearing: without
+    // the object boundary CollapseProject merges the projections (and
+    // pushes them through repartitions), so every payload reference in
+    // a downstream stage re-evaluates the entire upstream
+    // container-building expression per row — measured 37 s vs ~2 s at
+    // sf0.1 for this chain.
     "multimodal_resize_stats" -> ((s, d) =>
       Multimodal.bmpPixelStats(
-        Multimodal.bmpResize(
-          Multimodal.synthesizeBmpAssets(Tables.load(s, d, "documents")), 2))),
+        Multimodal.materialize(
+          Multimodal.bmpResize(
+            Multimodal.materialize(
+              Multimodal.synthesizeBmpAssets(Tables.load(s, d, "documents"))), 2)))),
     "wav_resample_stats" -> ((s, d) =>
       Multimodal.wavAudioStats(
-        Multimodal.wavResample(
-          Multimodal.synthesizeWavAssets(Tables.load(s, d, "documents")), 3))),
+        Multimodal.materialize(
+          Multimodal.wavResample(
+            Multimodal.materialize(
+              Multimodal.synthesizeWavAssets(Tables.load(s, d, "documents"))), 3)))),
     // REAL compressed-format pixel decode: synthesize valid zlib-IDAT
     // PNGs, then inflate + unfilter the actual bytes back (JDK-only
     // codec in a typed map — no builtin can inflate). The oracle

@@ -61,6 +61,22 @@ object Multimodal {
       lit(modality).as("modality"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** Materialization barrier for operator CHAINS built from expression
+    * synthesizers: an identity typed map forces rows through an object
+    * boundary, so a downstream stage's many payload references read the
+    * materialized BYTES instead of re-evaluating the whole upstream
+    * container-building expression tree per reference (CollapseProject
+    * merges adjacent projections and pushes them through repartitions —
+    * measured 37 s vs ~2 s at sf0.1 for synthesize→resize→stats without
+    * a barrier). The plan-level equivalent of a pipeline stage writing
+    * its output to storage; no shuffle, no caching.
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val _ = spark
+    df.map(r => r)(org.apache.spark.sql.Encoders.row(df.schema))
+  }
+
   // ---- byte-arithmetic readers (1-based positions, like substring) ---
 
   /** Big-endian unsigned int read: hex of the byte slice is already

@@ -23,7 +23,8 @@ HEADLINE = [
     "ann_recall", "embedding_quantize", "knn_join_lsh",
     "unit_dedup", "winnow_stats", "winnow_pairs", "source_report",
     "multimodal_pixels", "dedup_survivors", "multimodal_png_pixels",
-    "multimodal_gif_pixels", "wav_audio_stats",
+    "multimodal_gif_pixels", "wav_audio_stats", "dedup_simhash_pairs",
+    "multimodal_resize_stats", "wav_resample_stats",
 ]
 # intentionally absent: bpe_encode / dedup_minhash_lsh and the other
 # *_xx production twins use precomputed VALUES oracles, not real queries
