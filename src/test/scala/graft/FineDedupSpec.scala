@@ -342,6 +342,12 @@ class FineDedupSpec extends AnyFunSuite {
     assert(Winnowing.fingerprintStatsXxFrom(Winnowing.fingerprintsXx(empty)).collect().isEmpty)
     assert(SpanDedup.spanFrameXx(empty).collect().isEmpty)
     assert(FineDedupRef.winnowStats(Nil, 16, 4).isEmpty && FineDedupRef.spans(Nil, 40).isEmpty)
+    assert(Dedup.simhashNearDupPairsFrom(Dedup.simhash64(empty)).collect().isEmpty)
+    assert(Multimodal.pngPixelStats(Multimodal.synthesizePngAssets(empty)).collect().isEmpty)
+    assert(graft.operators.GifPixels.gifPixelStats(
+      graft.operators.GifPixels.synthesizeGifAssets(empty)).collect().isEmpty)
+    assert(Multimodal.wavAudioStats(
+      Multimodal.wavResample(Multimodal.synthesizeWavAssets(empty), 3)).collect().isEmpty)
     assert(Multimodal.bmpPixelStats(Multimodal.synthesizeBmpAssets(empty)).collect().isEmpty)
     val emptyFull = Seq.empty[(Long, String, String, String)]
       .toDF("doc_id", "text", "lang", "source")
