@@ -76,7 +76,7 @@ object UnitDedup {
     // learned the same lesson)
     val perUnit = Window.partitionBy(col("uh"))
     val flagged = units
-      .withColumn("uh", md5(col("unit")))
+      .withColumn("uh", substring(md5(col("unit")), 1, 16)) // 64-bit digest: half the shuffle width, both engines truncate identically
       .withColumn("mn", min(col("doc_id")).over(perUnit))
       .withColumn("mx", max(col("doc_id")).over(perUnit))
       .withColumn("occ", count(lit(1)).over(perUnit))
@@ -116,8 +116,8 @@ object UnitDedup {
        |  FROM u),
        |f AS (
        |  SELECT doc_id, unit_idx, unit,
-       |         min(doc_id) OVER (PARTITION BY md5(unit))
-       |           <> max(doc_id) OVER (PARTITION BY md5(unit)) AS dup
+       |         min(doc_id) OVER (PARTITION BY substr(md5(unit), 1, 16))
+       |           <> max(doc_id) OVER (PARTITION BY substr(md5(unit), 1, 16)) AS dup
        |  FROM units)
        |SELECT doc_id,
        |       count(*) AS n_units,
