@@ -33,8 +33,10 @@ object Verify {
       SparkEntry.queries.keys.filterNot(f.contains).foreach { name =>
         val d = Paths.get(outDir, name)
         if (Files.exists(d)) {
-          Files.walk(d).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => Files.delete(p))
+          scala.util.Using.resource(Files.walk(d)) { walk =>
+            walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => Files.delete(p))
+          }
           System.err.println(s"[verify] removed stale dump: $name")
         }
       }

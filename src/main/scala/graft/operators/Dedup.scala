@@ -689,7 +689,12 @@ object Dedup {
       .mkString("(", " + ", ")")
 
   def simhashNearDupPairsFrom(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3, s"maxHamming=$maxHamming needs <= 3 with 4 words")
+    // maxHamming=0 is NOT a pigeonhole search — it is exact signature
+    // equality (join on all four words directly); the single 4-word
+    // slice it would imply also overflows base-2¹⁶ packing in a signed
+    // long. Rejected here and in the SQL twin.
+    require(maxHamming >= 1 && maxHamming <= 3,
+      s"maxHamming=$maxHamming out of [1,3]; 0 = exact signature equality, use a plain groupBy")
     val bandArr = simhashSlices(maxHamming).map(sliceExpr).mkString("array(", ", ", ")")
     val banded = sig.select(
       col("doc_id"),
@@ -717,6 +722,8 @@ object Dedup {
 
   /** DuckDB twin: same slices, same verify. */
   def simhashNearDupSql(maxHamming: Int = 3): String = {
+    require(maxHamming >= 1 && maxHamming <= 3,
+      s"maxHamming=$maxHamming out of [1,3] (see simhashNearDupPairsFrom)")
     val joins = simhashSlices(maxHamming)
       .map { words =>
         val e = sliceExpr(words)

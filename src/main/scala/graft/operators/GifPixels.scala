@@ -95,14 +95,8 @@ object GifPixels {
   }
 
   /** Synthesize one closed-form GIF per document (non-negative ids). */
-  def synthesizeGifAssets(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    graft.sources.Tables.fanOut(docs) // single-file scan → spread tasks
-      .filter(col("doc_id") >= 0).select(col("doc_id")).as[Long]
-      .map(id => (id, "image", gifBytes(id)))
-      .toDF("id", "modality", "payload")
-  }
+  def synthesizeGifAssets(docs: DataFrame): DataFrame =
+    Multimodal.synthesizedWith(docs, "image")(gifBytes)
 
   /** GENERAL GIF LZW decode of the first image: returns (width, height,
     * sumR, sumG, sumB) over the palette-mapped pixels. Rejects
@@ -241,18 +235,8 @@ object GifPixels {
     * per image, each channel's mean in per-mille over the LZW-decoded,
     * palette-mapped pixels.
     */
-  def gifPixelStats(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
-    import spark.implicits._
-    assets.select(col("id"), col("payload")).as[(Long, Array[Byte])]
-      .map { case (id, p) =>
-        val (w, h, sr, sg, sb) = decodeGifRgb(p)
-        val n = w.toLong * h
-        (id, w, h, sb * 1000 / n, sg * 1000 / n, sr * 1000 / n)
-      }
-      .toDF("id", "width", "height", "mean_b_permille", "mean_g_permille", "mean_r_permille")
-      .orderBy(col("id"))
-  }
+  def gifPixelStats(assets: DataFrame): DataFrame =
+    Multimodal.pixelStatsWith(assets)(decodeGifRgb)
 
   /** Closed-form DuckDB twin of GIF synthesize→stats. */
   val GifPixelStatsSql: String = {

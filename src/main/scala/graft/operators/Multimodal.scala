@@ -71,10 +71,40 @@ object Multimodal {
     * a barrier). The plan-level equivalent of a pipeline stage writing
     * its output to storage; no shuffle, no caching.
     */
-  def materialize(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val _ = spark
+  def materialize(df: DataFrame): DataFrame =
     df.map(r => r)(org.apache.spark.sql.Encoders.row(df.schema))
+
+  // ---- shared typed-map harnesses for the byte-codec tiers ----------
+  // (PNG below, GIF in GifPixels — one place owns the fanOut/id
+  // contract and the per-mille stats row shape)
+
+  /** Synthesize one container per non-negative doc_id via `make`. */
+  private[operators] def synthesizedWith(
+      docs: DataFrame,
+      modality: String)(make: Long => Array[Byte]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.sources.Tables.fanOut(docs) // single-file scan → spread tasks
+      .filter(col("doc_id") >= 0).select(col("doc_id")).as[Long]
+      .map(id => (id, modality, make(id)))
+      .toDF("id", "modality", "payload")
+  }
+
+  /** Per-image channel stats with the fixed per-mille row shape, from a
+    * decoder returning (width, height, sumR, sumG, sumB).
+    */
+  private[operators] def pixelStatsWith(
+      assets: DataFrame)(decode: Array[Byte] => (Int, Int, Long, Long, Long)): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val (w, h, sr, sg, sb) = decode(p)
+        val n = w.toLong * h
+        (id, w, h, sb * 1000 / n, sg * 1000 / n, sr * 1000 / n)
+      }
+      .toDF("id", "width", "height", "mean_b_permille", "mean_g_permille", "mean_r_permille")
+      .orderBy(col("id"))
   }
 
   // ---- byte-arithmetic readers (1-based positions, like substring) ---
@@ -455,6 +485,12 @@ object Multimodal {
     assets
       .filter(isWav(p) && hexEq(p, 37, "64617461") && le(p, 35, 2) === 16)
       .withColumn("ns", (le(p, 41, 4) / 2).cast("long"))
+      // ns must be positive BEFORE sequence(0, ns-1): Spark's sequence
+      // DESCENDS for an empty data chunk (sequence(0,-1) = [0,-1]) and
+      // would read header bytes as "samples" — the synthesizeBmpAssets
+      // negative-id hazard in sample form. Zero-sample clips are
+      // excluded, matching the non-canonical-payload contract.
+      .filter(col("ns") > 0)
       .withColumn(
         "samples",
         expr(
@@ -495,6 +531,7 @@ object Multimodal {
       .withColumn("rate", le(p, 25, 4))
       .withColumn("dsize", le(p, 41, 4))
       .withColumn("nf", expr("dsize div 2 div ch"))
+      .filter(col("nf") > 0) // same descending-sequence guard as wavAudioStats
       .withColumn("nf2", expr(s"(nf + ${factor - 1}) div $factor"))
       .withColumn(
         "payload",
@@ -666,14 +703,8 @@ object Multimodal {
   /** Synthesize one closed-form PNG per document (non-negative ids, the
     * [[synthesizeBmpAssets]] contract).
     */
-  def synthesizePngAssets(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    graft.sources.Tables.fanOut(docs) // single-file scan → spread tasks
-      .filter(col("doc_id") >= 0).select(col("doc_id")).as[Long]
-      .map(id => (id, "image", pngBytes(id)))
-      .toDF("id", "modality", "payload")
-  }
+  def synthesizePngAssets(docs: DataFrame): DataFrame =
+    synthesizedWith(docs, "image")(pngBytes)
 
   /** Chunk-walk + inflate + unfilter one non-interlaced 8-bit RGB PNG:
     * returns (width, height, sumR, sumG, sumB). Handles ALL five
@@ -777,18 +808,8 @@ object Multimodal {
     * (integer floor, exact on both engines), dimensions read from IHDR,
     * pixels actually inflated and unfiltered from the payload bytes.
     */
-  def pngPixelStats(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
-    import spark.implicits._
-    assets.select(col("id"), col("payload")).as[(Long, Array[Byte])]
-      .map { case (id, p) =>
-        val (w, h, sr, sg, sb) = decodePngRgb(p)
-        val n = w.toLong * h
-        (id, w, h, sb * 1000 / n, sg * 1000 / n, sr * 1000 / n)
-      }
-      .toDF("id", "width", "height", "mean_b_permille", "mean_g_permille", "mean_r_permille")
-      .orderBy(col("id"))
-  }
+  def pngPixelStats(assets: DataFrame): DataFrame =
+    pixelStatsWith(assets)(decodePngRgb)
 
   /** Closed-form DuckDB twin of PNG synthesize→stats (the
     * [[BmpPixelStatsSql]] pattern with the PNG moduli): the oracle

@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+  /** Rotated alphabet covers lowercase AND digits so numeric grams
+    * perturb too — a digits-only 40-char span left identical across
+    * replicas would re-introduce exactly the cross-replica quadratic
+    * growth the perturbation exists to remove. (The synthetic corpus is
+    * lowercase+digits; extend the alphabet if a corpus carries more.)
+    */
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -56,7 +62,8 @@ object ScaleUp {
     val dStride = stride(docs, "doc_id")
     write(
       (0 until factor).map { r =>
-        val rot = Alpha.drop(r % 26) + Alpha.take(r % 26)
+        val k = r % Alpha.length
+        val rot = Alpha.drop(k) + Alpha.take(k)
         docs.select(
           (col("doc_id") + lit(r * dStride)).as("doc_id"),
           (if (r == 0) col("text") else translate(col("text"), Alpha, rot)).as("text"),
