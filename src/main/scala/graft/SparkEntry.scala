@@ -1288,27 +1288,29 @@ object SparkEntry {
            |FROM expected ORDER BY $orderBy""".stripMargin
       }
     if (sel("winnow_stats_xx") || sel("winnow_pairs_xx")) {
-      val wdocs = docsFull.map(t => (t._1, t._2))
+      // ONE O(corpus chars) reference hashing pass feeds both consumers
+      val fps = graft.operators.FineDedupRef.winnowFingerprints(
+        docsFull.map(t => (t._1, t._2)),
+        graft.operators.Winnowing.GramLen, graft.operators.Winnowing.WindowGrams)
       if (sel("winnow_stats_xx"))
         out += ("winnow_stats_xx" -> longRowsSql(
-          graft.operators.FineDedupRef.winnowStats(
-            wdocs, graft.operators.Winnowing.GramLen, graft.operators.Winnowing.WindowGrams),
+          graft.operators.FineDedupRef.winnowStatsFrom(fps),
           Seq("doc_id", "n_fp", "fp_xor"), "doc_id"))
       if (sel("winnow_pairs_xx"))
         out += ("winnow_pairs_xx" -> longRowsSql(
-          graft.operators.FineDedupRef.winnowPairs(
-            wdocs, graft.operators.Winnowing.GramLen,
-            graft.operators.Winnowing.WindowGrams, graft.operators.Winnowing.MinShared),
+          graft.operators.FineDedupRef.winnowPairsFrom(
+            fps, graft.operators.Winnowing.MinShared),
           Seq("a_id", "b_id", "n_shared"), "a_id, b_id"))
     }
     if (sel("dup_spans_xx") || sel("dup_span_stats_xx")) {
-      val sdocs = docsFull.map(t => (t._1, t._2))
+      val refSpans = graft.operators.FineDedupRef.spans(
+        docsFull.map(t => (t._1, t._2)), graft.operators.SpanDedup.GramLen)
       if (sel("dup_spans_xx"))
         out += ("dup_spans_xx" -> longRowsSql(
-          graft.operators.FineDedupRef.spans(sdocs, graft.operators.SpanDedup.GramLen),
+          refSpans,
           Seq("doc_id", "span_start", "span_len"), "doc_id, span_start"))
       if (sel("dup_span_stats_xx")) {
-        val st = graft.operators.FineDedupRef.spanStats(sdocs, graft.operators.SpanDedup.GramLen)
+        val st = graft.operators.FineDedupRef.spanStatsFrom(refSpans)
         // the per-mille denominator comes from the REAL documents table,
         // keeping the oracle partially independent of the ref's counts
         val statsSql =

@@ -17,12 +17,31 @@ import graft.functions.XxHash64Ref
   *
   * Gram hashing matches Spark's `xxhash64(substring(text, pos, L))`
   * exactly: XXH64 with seed 42 over the gram's UTF-8 bytes, compared as
-  * SIGNED 64-bit longs (Spark's LongType ordering).
+  * SIGNED 64-bit longs (Spark's LongType ordering). Positions and
+  * lengths count Unicode CODE POINTS, like Spark's `substring`/`length`
+  * — a plain `String.substring` would count UTF-16 units and silently
+  * diverge on any document carrying an astral character.
   */
 object FineDedupRef {
 
-  private def gramHash(text: String, pos1: Int, len: Int): Long =
-    XxHash64Ref.sparkString(text.substring(pos1 - 1, pos1 - 1 + len))
+  /** Char offset of each code point, plus the end offset. */
+  private def cpOffsets(text: String): Array[Int] = {
+    val buf = new mutable.ArrayBuffer[Int](text.length + 1)
+    var i = 0
+    while (i < text.length) {
+      buf += i
+      i += Character.charCount(text.codePointAt(i))
+    }
+    buf += text.length
+    buf.toArray
+  }
+
+  /** Code-point length (== Spark `length(text)`). */
+  private def cpLen(cp: Array[Int]): Int = cp.length - 1
+
+  /** XXH64 of the L-code-point gram at 1-based code-point `pos1`. */
+  private def gramHash(text: String, cp: Array[Int], pos1: Int, len: Int): Long =
+    XxHash64Ref.sparkString(text.substring(cp(pos1 - 1), cp(pos1 - 1 + len)))
 
   // ---- winnowing ----------------------------------------------------
 
@@ -37,13 +56,14 @@ object FineDedupRef {
       k: Int,
       w: Int): Seq[(Long, Long, Long)] =
     docs.flatMap { case (id, text) =>
-      val n = text.length - k + 1
+      val cp = cpOffsets(text)
+      val n = cpLen(cp) - k + 1
       if (n < w) Nil
       else {
         // scan order j = 0.. maps to pos = n − j (pos DESC); within a
         // window, smaller j == larger pos == smaller encoded position,
         // so keeping the FIRST strict minimum breaks ties rightmost
-        val hs = Array.tabulate(n)(j => gramHash(text, n - j, k))
+        val hs = Array.tabulate(n)(j => gramHash(text, cp, n - j, k))
         val sel = mutable.LinkedHashSet.empty[(Long, Long)]
         var j = 0
         while (j <= n - w) {
@@ -68,7 +88,13 @@ object FineDedupRef {
       docs: Seq[(Long, String)],
       k: Int,
       w: Int): Seq[(Long, Long, Long)] =
-    winnowFingerprints(docs, k, w)
+    winnowStatsFrom(winnowFingerprints(docs, k, w))
+
+  /** [[winnowStats]] over precomputed fingerprints — the one O(corpus
+    * chars) hashing pass feeds both family consumers in `oracleSqlFor`.
+    */
+  def winnowStatsFrom(fps: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    fps
       .groupBy(_._1)
       .toSeq
       .map { case (id, fps) =>
@@ -85,9 +111,15 @@ object FineDedupRef {
       docs: Seq[(Long, String)],
       k: Int,
       w: Int,
+      minShared: Int): Seq[(Long, Long, Long)] =
+    winnowPairsFrom(winnowFingerprints(docs, k, w), minShared)
+
+  /** [[winnowPairs]] over precomputed fingerprints. */
+  def winnowPairsFrom(
+      fps: Seq[(Long, Long, Long)],
       minShared: Int): Seq[(Long, Long, Long)] = {
     val postings = mutable.HashMap.empty[Long, mutable.SortedSet[Long]]
-    winnowFingerprints(docs, k, w).foreach { case (id, _, fp) =>
+    fps.foreach { case (id, _, fp) =>
       postings.getOrElseUpdate(fp, mutable.SortedSet.empty[Long]) += id
     }
     val counts = mutable.HashMap.empty[(Long, Long), Long]
@@ -118,12 +150,13 @@ object FineDedupRef {
     * length (maxPos − minPos + L). Sorted by (doc_id, span_start).
     */
   def spans(docs: Seq[(Long, String)], gramLen: Int): Seq[(Long, Long, Long)] = {
+    val cps = docs.map { case (id, text) => (id, text, cpOffsets(text)) }
     // gram hash → (first doc seen, cross-doc?)
     val seen = mutable.HashMap.empty[Long, (Long, Boolean)]
-    docs.foreach { case (id, text) =>
+    cps.foreach { case (id, text, cp) =>
       var pos = 1
-      while (pos <= text.length - gramLen + 1) {
-        val h = gramHash(text, pos, gramLen)
+      while (pos <= cpLen(cp) - gramLen + 1) {
+        val h = gramHash(text, cp, pos, gramLen)
         seen.get(h) match {
           case None => seen(h) = (id, false)
           case Some((d, cross)) => if (!cross && d != id) seen(h) = (d, true)
@@ -131,7 +164,7 @@ object FineDedupRef {
         pos += 1
       }
     }
-    docs.flatMap { case (id, text) =>
+    cps.flatMap { case (id, text, cp) =>
       val out = mutable.ArrayBuffer.empty[(Long, Long, Long)]
       var runStart = -1
       var prev = -2
@@ -139,8 +172,8 @@ object FineDedupRef {
         if (runStart > 0)
           out += ((id, runStart.toLong, (lastPos - runStart + gramLen).toLong))
       var pos = 1
-      while (pos <= text.length - gramLen + 1) {
-        if (seen(gramHash(text, pos, gramLen))._2) {
+      while (pos <= cpLen(cp) - gramLen + 1) {
+        if (seen(gramHash(text, cp, pos, gramLen))._2) {
           if (pos != prev + 1) { close(prev); runStart = pos }
           prev = pos
         }
@@ -159,7 +192,11 @@ object FineDedupRef {
     * n_chars column). Sorted by doc_id.
     */
   def spanStats(docs: Seq[(Long, String)], gramLen: Int): Seq[(Long, Long, Long)] =
-    spans(docs, gramLen)
+    spanStatsFrom(spans(docs, gramLen))
+
+  /** [[spanStats]] over a precomputed span frame. */
+  def spanStatsFrom(sp: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    sp
       .groupBy(_._1)
       .toSeq
       .map { case (id, ss) =>

@@ -125,6 +125,7 @@ object GifPixels {
     require(u(off) == 0x2C, f"expected image descriptor, got 0x${u(off)}%02X")
     val w = le16At(off + 5)
     val h = le16At(off + 7)
+    require(w > 0 && h > 0, s"empty GIF dimensions ${w}x$h") // ÷0 guard in the stats shape
     val iflags = u(off + 9)
     off += 10
     // interlace (0x40, and ImageIO's writer emits it by default) only

@@ -754,11 +754,20 @@ object Multimodal {
     var got = 0
     while (got < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, got, raw.length - got)
+      // needsDictionary would otherwise make inflate return 0 forever
+      // (needsInput stays false) — an infinite loop, not a loud reject
+      require(!inflater.needsDictionary(), "unsupported PNG: preset-dictionary zlib stream")
       require(n > 0 || !inflater.needsInput(), "truncated IDAT stream")
       got += n
     }
-    inflater.end()
     require(got == raw.length, s"short pixel data: $got of ${raw.length} bytes")
+    // a stream inflating BEYOND the expected pixel bytes is a corrupt or
+    // wrong-IHDR file — reject rather than silently decode a prefix
+    // (one extra inflate call also consumes the stream-end marker)
+    val scratch = new Array[Byte](1)
+    val surplus = if (inflater.finished()) 0 else inflater.inflate(scratch, 0, 1)
+    inflater.end()
+    require(surplus == 0, "IDAT inflates beyond the expected pixel data")
     // per-scanline unfilter (PNG spec §9): a=left, b=up, c=up-left,
     // reconstructed bytes feed the next pixel's predictors
     val img = new Array[Int](h * stride)

@@ -40,6 +40,11 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/root/repo/target/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // a factor beyond the alphabet would REUSE rotations (replica 36 ==
+    // replica 0 byte-identical), silently reintroducing the cross-replica
+    // collisions the perturbation exists to remove
+    require(factor >= 1 && factor <= Alpha.length,
+      s"factor=$factor out of [1, ${Alpha.length}]: rotations would repeat")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -169,7 +169,10 @@ class FineDedupSpec extends AnyFunSuite {
     1L -> "aaaaaaaaaaaaaaaaaaaa", // all grams identical: pure tie-break test
     2L -> "abcabcabcabcabcabcabc", // period-3 repeats: heavy ties
     3L -> "short", // < k: no grams at all
-    4L -> "the quick brown fox jumps over the lazy dog and keeps running far")
+    4L -> "the quick brown fox jumps over the lazy dog and keeps running far",
+    // astral char (2 UTF-16 units, ONE code point): Spark substring/
+    // length count code points, so the pure-Scala reference must too
+    5L -> "emoji 🌍 gram positions count code points not utf16 units here")
 
   test("fingerprintsXx matches the pure-Scala FineDedupRef selection") {
     val got = Winnowing.fingerprintsXx(docs(XxTexts: _*)).collect()

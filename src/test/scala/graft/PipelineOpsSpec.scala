@@ -388,6 +388,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     javax.imageio.ImageIO.write(gray, "png", gbos)
     val e = intercept[IllegalArgumentException](Multimodal.decodePngRgb(gbos.toByteArray))
     assert(e.getMessage.contains("unsupported PNG"))
+
+    // 4) an IDAT inflating beyond the declared pixel data is rejected,
+    //    not silently prefix-decoded: shrink the IHDR height by one
+    val big = Multimodal.pngBytes(19L) // w=5, h=4
+    val shrunk = big.clone()
+    shrunk(8 + 8 + 7) = 3 // IHDR height LSB (sig 8 + len/type 8 + 4 w + 3)
+    // fix the IHDR CRC so the chunk walk still accepts it
+    val crc = new java.util.zip.CRC32
+    crc.update(shrunk, 12, 4 + 13) // type + data
+    val cv = crc.getValue.toInt
+    shrunk(29) = (cv >> 24).toByte; shrunk(30) = (cv >> 16).toByte
+    shrunk(31) = (cv >> 8).toByte; shrunk(32) = cv.toByte
+    val e2 = intercept[IllegalArgumentException](Multimodal.decodePngRgb(shrunk))
+    assert(e2.getMessage.contains("beyond the expected"))
+  }
+
+  test("GIF decoder rejects zero-dimension image descriptors loudly") {
+    import graft.operators.GifPixels
+    val g = GifPixels.gifBytes(0L).clone()
+    // image descriptor at 6 (sig) + 7 (LSD) + 768 (GCT) = 781; w at +5,+6
+    g(781 + 5) = 0
+    g(781 + 6) = 0
+    val e = intercept[IllegalArgumentException](GifPixels.decodeGifRgb(g))
+    assert(e.getMessage.contains("empty GIF dimensions"))
   }
 
   test("GIF pixel path: ImageIO reads the synthesized files; general LZW decode matches") {
