@@ -846,6 +846,27 @@ object SparkEntry {
     "multimodal_gif_pixels" -> ((s, d) =>
       graft.operators.GifPixels.gifPixelStats(
         graft.operators.GifPixels.synthesizeGifAssets(Tables.load(s, d, "documents")))),
+    // the mixed-format corpus summary: ALL four real container families
+    // plus raw payloads in one frame, decodeMeta dispatching per format,
+    // rolled up per fmt — the dataset-report shape over a heterogeneous
+    // multimodal lake; oracle recomputes every field from the closed
+    // forms per format
+    "multimodal_report" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val all = Multimodal.synthesizeBmpAssets(docs)
+        .unionByName(Multimodal.synthesizePngAssets(docs))
+        .unionByName(graft.operators.GifPixels.synthesizeGifAssets(docs))
+        .unionByName(Multimodal.synthesizeWavAssets(docs))
+        .unionByName(Multimodal.assets(docs))
+      Multimodal.decodeMeta(all)
+        .groupBy(col("meta.fmt").as("fmt"))
+        .agg(
+          count(lit(1)).as("n_assets"),
+          sum(coalesce(col("meta.width"), lit(0))).as("sum_width"),
+          sum(coalesce(col("meta.height"), lit(0))).as("sum_height"),
+          sum(coalesce(col("meta.sample_rate"), lit(0))).as("sum_rate"))
+        .orderBy(col("fmt"))
+    }),
     // ---- corpus-level quality signals (CorpusSignals) ----
     // Gopher/C4-style repetition filters: one explode, two hash aggs
     "repetition_stats" -> ((s, d) =>
@@ -1161,6 +1182,24 @@ object SparkEntry {
     "multimodal_png_pixels" -> Multimodal.PngPixelStatsSql,
     "wav_audio_stats" -> Multimodal.WavAudioStatsSql,
     "multimodal_gif_pixels" -> graft.operators.GifPixels.GifPixelStatsSql,
+    "multimodal_report" ->
+      """WITH nn AS (SELECT doc_id FROM documents WHERE doc_id >= 0)
+        |SELECT 'audio/wav' AS fmt, count(*) AS n_assets,
+        |       CAST(0 AS BIGINT) AS sum_width, CAST(0 AS BIGINT) AS sum_height,
+        |       CAST(sum(([8000,16000,22050,44100])[CAST(doc_id % 4 + 1 AS INT)]) AS BIGINT) AS sum_rate
+        |FROM nn
+        |UNION ALL
+        |SELECT 'image/bmp', count(*), CAST(sum(doc_id % 4 + 1) AS BIGINT),
+        |       CAST(sum(doc_id % 3 + 1) AS BIGINT), 0 FROM nn
+        |UNION ALL
+        |SELECT 'image/gif', count(*), CAST(sum(doc_id % 6 + 1) AS BIGINT),
+        |       CAST(sum(doc_id % 5 + 1) AS BIGINT), 0 FROM nn
+        |UNION ALL
+        |SELECT 'image/png', count(*), CAST(sum(doc_id % 5 + 1) AS BIGINT),
+        |       CAST(sum(doc_id % 4 + 1) AS BIGINT), 0 FROM nn
+        |UNION ALL
+        |SELECT 'text/raw', count(*), 0, 0, 0 FROM documents
+        |ORDER BY fmt""".stripMargin,
     "multimodal_resize_stats" -> Multimodal.bmpResizeStatsSql(2),
     "wav_resample_stats" -> Multimodal.wavResampleStatsSql(3),
     "winnow_stats" -> Winnowing.fingerprintStatsSql(),

@@ -55,4 +55,19 @@ class PlanAuditSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
+
+  test("multimodal chain entries keep their materialization barriers (object boundaries)") {
+    // without the identity-typed-map barrier CollapseProject merges the
+    // synthesize/resize/stats projections and every downstream payload
+    // reference re-evaluates the whole upstream container expression
+    // per row (37 s vs ~1 s at sf0.1 — PERF.md round 6). The barrier
+    // shows up as MapElements/DeserializeToObject in the physical plan;
+    // this locks it against an optimizer-cleanup regression.
+    for (entry <- Seq("multimodal_resize_stats", "wav_resample_stats")) {
+      val plan = SparkEntry.queries(entry)(spark, Sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("MapElements") || plan.contains("DeserializeToObject"),
+        s"$entry lost its materialization barrier:\n${plan.linesIterator.take(5).mkString("\n")}")
+    }
+  }
 }
