@@ -635,6 +635,25 @@ object SparkEntry {
         .select(col("user_id"), col("rk"), col("event_id"), col("value"))
         .orderBy(col("user_id"), col("rk"))
     }),
+    // weekly cohort retention matrix: cohort = the user's first active
+    // week, week_k = whole weeks since it; two hash aggs + one
+    // user-keyed equi-join (the user dimension is the small side at any
+    // scale — broadcast or bucket it), never a self-join on events
+    "cohort_retention" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val firstW = ev
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("week", col("ts"))).as("cw"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      active.join(firstW, "user_id")
+        .groupBy(
+          col("cw").cast("long").as("cohort_s"),
+          ((col("w").cast("long") - col("cw").cast("long")) / 604800).cast("long").as("week_k"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_s"), col("week_k"))
+    }),
     "power_users_intersect" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
       def topBy(metric: String) = ev
@@ -1092,6 +1111,16 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
         |  FROM events)
         |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    "cohort_retention" ->
+      """WITH fw AS (
+        |  SELECT user_id, min(date_trunc('week', ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT epoch_ns(cw) // 1000000000 AS cohort_s,
+        |       (epoch_ns(w) // 1000000000 - epoch_ns(cw) // 1000000000) // 604800 AS week_k,
+        |       count(DISTINCT a.user_id) AS n_active
+        |FROM act a JOIN fw USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "power_users_intersect" ->
       """SELECT user_id FROM (
         |  SELECT user_id FROM events WHERE event_type = 'click'
