@@ -635,6 +635,27 @@ object SparkEntry {
         .select(col("user_id"), col("rk"), col("event_id"), col("value"))
         .orderBy(col("user_id"), col("rk"))
     }),
+    // STRICT ordered funnel (view → click → purchase): each step counts
+    // users whose first qualifying event is AFTER their previous step's
+    // first occurrence — three conditional-min aggregations chained by
+    // user-keyed equi-joins (each join's right side shrinks to the
+    // surviving users), never a per-user event self-join
+    "funnel_counts" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("t"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("t") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("t") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t3"))
+      def cnt(df: DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(label).as("step"), col("n_users"))
+      cnt(s1, "1_view").unionByName(cnt(s2, "2_click")).unionByName(cnt(s3, "3_purchase"))
+        .orderBy(col("step"))
+    }),
     // weekly cohort retention matrix: cohort = the user's first active
     // week, week_k = whole weeks since it; two hash aggs + one
     // user-keyed equi-join (the user dimension is the small side at any
@@ -1111,6 +1132,17 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
         |  FROM events)
         |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    "funnel_counts" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t2 GROUP BY 1)
+        |SELECT '1_view' AS step, count(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_click', count(*) FROM s2
+        |UNION ALL SELECT '3_purchase', count(*) FROM s3
+        |ORDER BY step""".stripMargin,
     "cohort_retention" ->
       """WITH fw AS (
         |  SELECT user_id, min(date_trunc('week', ts)) AS cw
