@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, UnitDedup, ViewBuilder, Winnowing}
+import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, LanguageModel, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, UnitDedup, ViewBuilder, Winnowing}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -919,6 +919,27 @@ object SparkEntry {
     // drift outside the 5% bound the 100 TB path relies on
     "sketch_certify" -> ((s, d) =>
       CorpusSignals.sketchCertify(Tables.load(s, d, "events"))),
+    // ---- corpus language-model statistics (LanguageModel) ----
+    // CCNet-shape unigram LM scoring: vocab agg + token-keyed lookup
+    // join + per-doc mean — the perplexity-filter plan with a
+    // corpus-learned unigram model standing in for KenLM
+    "unigram_logprob" -> ((s, d) =>
+      LanguageModel.unigramLogprob(Tables.load(s, d, "documents"))),
+    // top-20 adjacent-pair collocations with PMI (phrase-mining stat)
+    "bigram_pmi" -> ((s, d) =>
+      LanguageModel.bigramPmi(Tables.load(s, d, "documents"))),
+    // Gopher rule filters: five named per-doc quality rules + pass flag,
+    // all integer counting in one narrow codegen stage
+    "gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.load(s, d, "documents"))),
+    // deterministic md5-keyed train/val/test split report: documents
+    // never move across splits as the corpus grows
+    "train_split" -> ((s, d) =>
+      Sampling.trainSplit(Tables.load(s, d, "documents"))),
+    // per-metric z-score outliers: one stats agg broadcast back over
+    // the stream, filter runs inside the scan's codegen
+    "value_anomalies" -> ((s, d) =>
+      Profiling.valueAnomalies(Tables.load(s, d, "events"))),
     // ---- dataset profiling (Profiling) ----
     // per-column null/distinct/range stats in ONE multi-agg pass
     "data_profile" -> ((s, d) => Profiling.dataProfile(Tables.load(s, d, "events"))),
@@ -1232,6 +1253,11 @@ object SparkEntry {
         |FROM documents ORDER BY id""".stripMargin,
     "repetition_stats" -> CorpusSignals.RepetitionStatsSql,
     "tfidf_top3" -> CorpusSignals.tfidfTopTermsSql(),
+    "unigram_logprob" -> LanguageModel.UnigramLogprobSql,
+    "bigram_pmi" -> LanguageModel.bigramPmiSql(),
+    "gopher_rules" -> TextAnalysis.GopherRulesSql,
+    "train_split" -> Sampling.TrainSplitSql,
+    "value_anomalies" -> Profiling.valueAnomaliesSql(),
     "sketch_certify" -> CorpusSignals.SketchCertifySql,
     "data_profile" -> Profiling.DataProfileSql,
     "value_histogram" -> Profiling.valueHistogramSql(),

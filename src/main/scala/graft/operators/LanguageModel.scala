@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-derived language-model statistics for training-data curation:
+  * unigram log-probability document scoring (the shape of CCNet's
+  * KenLM-perplexity filter, arXiv:1911.00359 — docs whose tokens are
+  * improbable under a corpus LM are flagged as noise) and pointwise
+  * mutual information over adjacent token pairs (Church & Hanks 1990 —
+  * the standard collocation statistic).
+  *
+  * Scale shape (both operators):
+  *   - one explode of the tokenized corpus (narrow, no pre-shuffle),
+  *   - token/pair counts via hash aggregation (shuffle bounded by
+  *     VOCABULARY size, orders of magnitude below corpus size),
+  *   - count lookups rejoin on the token — broadcastable while the
+  *     vocabulary fits (~10M words ≈ 100 MB), a plain shuffle join on
+  *     the already-aggregated tables beyond that,
+  *   - corpus totals arrive as broadcast one-row aggregates on a
+  *     non-foldable constant key (never a driver-side `.count()`, and
+  *     never a BroadcastNestedLoopJoin — see [[CorpusSignals.one]]).
+  *
+  * Numeric parity with the DuckDB oracle: every count is an exact
+  * integer through the shuffle; the only floating-point steps are the
+  * final `ln` / division / mean, written identically on both sides and
+  * rounded to 6 dp.
+  */
+object LanguageModel {
+
+  private val toks = Dedup.TokensExpr
+  private def one(c: org.apache.spark.sql.Column) = CorpusSignals.one(c)
+
+  /** Per-document mean negative unigram log-probability (a.k.a. the
+    * document's unigram cross-entropy in nats): for each token `t` with
+    * corpus count `c(t)` and corpus token total `N`,
+    * `score = avg over tokens of ln(N) - ln(c(t))`. Low = fluent under
+    * the corpus distribution; high = rare/garbled tokens (CCNet keeps
+    * the low-perplexity head and tail-filters the rest).
+    *
+    * No smoothing term: the vocabulary is learned from the same corpus
+    * being scored, so every token has `c(t) >= 1`. A held-out-model
+    * variant joins a precomputed `(token, c)` table instead — identical
+    * plan, the vocabulary side just arrives from disk.
+    *
+    * Empty documents contribute no token rows and are absent from the
+    * output (consistent with the oracle's inner join).
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val fan = graft.sources.Tables.fanOut(docs)
+    val tokens = fan.select(col("doc_id"), explode(expr(toks)).as("token"))
+    val vocab = tokens.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = vocab
+      .agg(sum(col("c")).as("n_total"))
+      .withColumn("one", one(col("n_total")))
+    tokens
+      .join(vocab, "token")
+      .withColumn("one", one(col("c")))
+      .join(broadcast(total), "one")
+      .drop("one")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(
+          avg(log(col("n_total").cast("double")) - log(col("c").cast("double"))),
+          6).as("avg_neg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val UnigramLogprobSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |v AS (SELECT token, count(*) AS c FROM u GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM v)
+      |SELECT u.doc_id, count(*) AS n_tokens,
+      |       round(avg(ln(CAST(n.n_total AS DOUBLE)) - ln(CAST(v.c AS DOUBLE))), 6)
+      |         AS avg_neg_logprob
+      |FROM u JOIN v USING (token) CROSS JOIN n
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** How many top collocations [[bigramPmi]] reports. */
+  val PmiTopK = 20
+
+  /** Top-k adjacent-token bigrams by corpus count, with their pointwise
+    * mutual information `pmi = ln(p(xy) / (p(x)·p(y)))` where
+    * `p(xy) = c(xy)/N_bigrams`, `p(x) = c(x)/N_tokens`. High-PMI pairs
+    * are collocations (phrases that co-occur far above chance) — the
+    * statistic behind phrase-mining a tokenizer's merge candidates.
+    *
+    * Ranking is by raw pair count (descending, then lexicographic), not
+    * by PMI: rare pairs have inflated PMI and ranking by it would
+    * surface hapax noise — counts first, PMI as the reported statistic,
+    * is the standard presentation.
+    *
+    * The final top-k is a global `ORDER BY … LIMIT k` — Spark plans it
+    * as TakeOrderedAndProject (per-partition top-k, k·partitions rows
+    * to the driver), never a global sort.
+    */
+  def bigramPmi(docs: DataFrame, k: Int = PmiTopK): DataFrame = {
+    val fan = graft.sources.Tables.fanOut(docs)
+    val withToks = fan.withColumn("toks", expr(toks))
+    val tokens = withToks.select(explode(col("toks")).as("token"))
+    val unigram = tokens.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    // adjacent pairs via a 1-indexed sequence transform; docs with < 2
+    // tokens short-circuit (sequence(1, 0) would DESCEND — same guard
+    // as CorpusSignals.GramsExpr)
+    val pairs = withToks
+      .filter(size(col("toks")) >= 2)
+      .select(
+        explode(
+          expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val totals = unigram
+      .agg(sum(col("c")).as("n_tok"))
+      .withColumn("one", one(col("n_tok")))
+      .join(
+        pairs.agg(sum(col("n_pair")).as("n_bg")).withColumn("one", one(col("n_bg"))),
+        "one")
+    val u1 = unigram.select(col("token").as("w1"), col("c").as("c1"))
+    val u2 = unigram.select(col("token").as("w2"), col("c").as("c2"))
+    pairs
+      .join(broadcast(u1), "w1")
+      .join(broadcast(u2), "w2")
+      .withColumn("one", one(col("n_pair")))
+      .join(broadcast(totals), "one")
+      .withColumn(
+        "pmi",
+        round(
+          log(
+            (col("n_pair").cast("double") / col("n_bg").cast("double")) /
+              ((col("c1").cast("double") / col("n_tok").cast("double")) *
+                (col("c2").cast("double") / col("n_tok").cast("double")))),
+          6))
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def bigramPmiSql(k: Int = PmiTopK): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |u AS (SELECT unnest(toks) AS token FROM d),
+       |uni AS (SELECT token, count(*) AS c FROM u GROUP BY 1),
+       |bg AS (
+       |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM d, unnest(range(1, len(toks))) AS r(i)
+       |  WHERE len(toks) >= 2),
+       |pairs AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST((SELECT sum(c) FROM uni) AS BIGINT) AS n_tok,
+       |         CAST((SELECT sum(n_pair) FROM pairs) AS BIGINT) AS n_bg)
+       |SELECT w1, w2, n_pair,
+       |       round(ln((CAST(n_pair AS DOUBLE) / CAST(n_bg AS DOUBLE)) /
+       |                ((CAST(c1.c AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
+       |                 (CAST(c2.c AS DOUBLE) / CAST(n_tok AS DOUBLE)))), 6) AS pmi
+       |FROM pairs
+       |JOIN uni c1 ON pairs.w1 = c1.token
+       |JOIN uni c2 ON pairs.w2 = c2.token
+       |CROSS JOIN tot
+       |ORDER BY n_pair DESC, w1, w2 LIMIT $k""".stripMargin
+}

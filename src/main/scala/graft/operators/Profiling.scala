@@ -131,4 +131,50 @@ object Profiling {
        |       count(*) AS cnt
        |FROM events CROSS JOIN b
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** |z| threshold for [[valueAnomalies]]. */
+  val AnomalyZ = 2.5
+
+  /** Per-metric z-score outlier detection over `events`: readings whose
+    * value sits more than [[AnomalyZ]] sample standard deviations from
+    * their metric's mean. The data-quality sweep a pipeline runs before
+    * trusting a new batch — sensor spikes, unit mix-ups, stuck values.
+    *
+    * Plan shape: ONE hash aggregation computes per-metric (mean, stddev)
+    * — the metric dimension is tiny at any corpus size, so the stats
+    * frame broadcast-joins back onto the stream and the filter runs
+    * inside the scan's codegen stage. Never a self-join, never a window
+    * over the full table; at 100 TB this is scan + broadcast + scan cost.
+    *
+    * Single-member metrics (stddev undefined, NULL) and zero-variance
+    * metrics (sigma = 0) produce no outliers in either engine: NULL and
+    * div-by-zero-NULL comparisons are false under ANSI Spark and DuckDB
+    * alike (DuckDB x/0.0 = inf for x>0, but value-mu = 0 there, and
+    * 0/0.0 is NaN which fails the > comparison — same net no-row).
+    */
+  def valueAnomalies(events: DataFrame, zThreshold: Double = AnomalyZ): DataFrame = {
+    val stats = events
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    events
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mu")) / nullif(col("sigma"), lit(0.0)))
+      .filter(abs(col("z")) > lit(zThreshold))
+      .select(
+        col("event_id"),
+        col("event_type"),
+        round(col("value"), 6).as("value"),
+        round(col("z"), 6).as("z"))
+      .orderBy(col("event_id"))
+  }
+
+  def valueAnomaliesSql(zThreshold: Double = AnomalyZ): String =
+    s"""WITH s AS (
+       |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+       |  FROM events GROUP BY 1)
+       |SELECT event_id, events.event_type, round(value, 6) AS value,
+       |       round((value - mu) / nullif(sigma, 0.0), 6) AS z
+       |FROM events JOIN s USING (event_type)
+       |WHERE abs((value - mu) / nullif(sigma, 0.0)) > $zThreshold
+       |ORDER BY event_id""".stripMargin
 }

@@ -238,4 +238,37 @@ object Sampling {
        |FROM documents d JOIN thr ON d.lang = thr.lang
        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   }
+
+  // ---- deterministic train/val/test split -----------------------------
+
+  /** Deterministic content-keyed train/val/test assignment, reported as
+    * per-(source, split) counts. The split key is the first hex digit
+    * of `md5(doc_id)`: digits 0-b → train (12/16 = 75%), c-d → val
+    * (12.5%), e-f → test (12.5%).
+    *
+    * Hash-keyed (not random) splitting is the production-correct shape:
+    * re-running the pipeline, adding documents, or re-partitioning NEVER
+    * moves an existing document across splits — the eval set stays
+    * frozen as the corpus grows, with no seed-state to carry. The whole
+    * operator is a narrow projection + one vocabulary-small hash agg.
+    */
+  def trainSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("d", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn(
+        "split",
+        when(col("d") < "c", "train").when(col("d") < "e", "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+
+  val TrainSplitSql: String =
+    """WITH a AS (
+      |  SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS d
+      |  FROM documents)
+      |SELECT source,
+      |       CASE WHEN d < 'c' THEN 'train' WHEN d < 'e' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n_docs
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

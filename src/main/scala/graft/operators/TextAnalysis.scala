@@ -207,4 +207,107 @@ object TextAnalysis {
        |c AS (SELECT token, count(*) AS cnt FROM u GROUP BY 1),
        |r AS (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c)
        |SELECT rank, token, cnt FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+
+  // ---- Gopher-style rule filters (arXiv:2112.11446 §A1.1) -------------
+
+  /** Gopher rule thresholds (word-count window relaxed to the synthetic
+    * corpus's short documents; the published [50, 100000] is a config
+    * swap — the plan is threshold-independent).
+    */
+  val GopherMinWords = 20
+  val GopherMaxWords = 100000
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaRatio = 0.8
+  val GopherMinStopwords = 2
+
+  /** Per-document evaluation of the Gopher quality rules — the
+    * rule-based pre-filter that runs BEFORE any model-based scoring in
+    * a Gopher/MassiveText-style pipeline:
+    *
+    *   - `r_words`  word count within [[GopherMinWords]]..[[GopherMaxWords]]
+    *   - `r_len`    mean word length within [3, 10]
+    *   - `r_sym`    symbol-to-word ratio ('#' or '...') ≤ 0.1
+    *   - `r_alpha`  ≥ 80% of words contain an alphabetic character
+    *   - `r_stop`   ≥ 2 DISTINCT stop words present
+    *   - `pass`     conjunction of all five
+    *
+    * Flags are INTs (0/1), not booleans, so the driver's hash compare
+    * sees identical physical values from both engines. Every metric is
+    * integer counting + one exact IEEE division — bit-stable under any
+    * partitioning. The whole operator is a narrow per-row projection
+    * (no shuffle before the presentation sort): at 100 TB it pipelines
+    * inside one WholeStageCodegen over the scan.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val stopArr = StopWords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    docs
+      .withColumn("toks", expr(toks))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("nd", expr("nullif(n_words, 0)").cast("double"))
+      .withColumn(
+        "mean_w_len",
+        round(expr("aggregate(toks, 0, (a, x) -> a + length(x))").cast("double") / col("nd"), 6))
+      .withColumn(
+        "symbol_ratio",
+        round(expr("regexp_count(text, '#|\\\\.\\\\.\\\\.')").cast("double") / col("nd"), 6))
+      .withColumn(
+        "alpha_ratio",
+        round(
+          expr("size(filter(toks, x -> x rlike '[A-Za-z]'))").cast("double") / col("nd"),
+          6))
+      .withColumn(
+        "n_stop",
+        size(expr(s"array_distinct(filter(toks, x -> array_contains($stopArr, x)))")))
+      .withColumn(
+        "r_words",
+        (col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords).cast("int"))
+      .withColumn(
+        "r_len",
+        (col("mean_w_len") >= GopherMinMeanLen && col("mean_w_len") <= GopherMaxMeanLen)
+          .cast("int"))
+      .withColumn("r_sym", (col("symbol_ratio") <= GopherMaxSymbolRatio).cast("int"))
+      .withColumn("r_alpha", (col("alpha_ratio") >= GopherMinAlphaRatio).cast("int"))
+      .withColumn("r_stop", (col("n_stop") >= GopherMinStopwords).cast("int"))
+      .withColumn(
+        "pass",
+        (col("r_words") === 1 && col("r_len") === 1 && col("r_sym") === 1 &&
+          col("r_alpha") === 1 && col("r_stop") === 1).cast("int"))
+      .select(
+        col("doc_id"), col("n_words"), col("mean_w_len"), col("symbol_ratio"),
+        col("alpha_ratio"), col("n_stop"), col("r_words"), col("r_len"), col("r_sym"),
+        col("r_alpha"), col("r_stop"), col("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  val GopherRulesSql: String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(toks) AS n_words,
+       |         round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |               / CAST(nullif(len(toks), 0) AS DOUBLE), 6) AS mean_w_len,
+       |         round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+       |               / CAST(nullif(len(toks), 0) AS DOUBLE), 6) AS symbol_ratio,
+       |         round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+       |               / CAST(nullif(len(toks), 0) AS DOUBLE), 6) AS alpha_ratio,
+       |         len(list_distinct(list_filter(toks, x -> list_contains($stopList, x)))) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_words, mean_w_len, symbol_ratio, alpha_ratio, n_stop,
+       |       CAST(n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS INT) AS r_words,
+       |       CAST(mean_w_len >= $GopherMinMeanLen AND mean_w_len <= $GopherMaxMeanLen AS INT) AS r_len,
+       |       CAST(symbol_ratio <= $GopherMaxSymbolRatio AS INT) AS r_sym,
+       |       CAST(alpha_ratio >= $GopherMinAlphaRatio AS INT) AS r_alpha,
+       |       CAST(n_stop >= $GopherMinStopwords AS INT) AS r_stop,
+       |       CAST(n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+       |            AND mean_w_len >= $GopherMinMeanLen AND mean_w_len <= $GopherMaxMeanLen
+       |            AND symbol_ratio <= $GopherMaxSymbolRatio
+       |            AND alpha_ratio >= $GopherMinAlphaRatio
+       |            AND n_stop >= $GopherMinStopwords AS INT) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,153 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{LanguageModel, Profiling, Sampling, TextAnalysis}
+
+/** Semantic checks for the LM-statistics, Gopher-rule, split, and
+  * anomaly operators on crafted inputs with hand-computed expectations
+  * — the oracle gate proves engine parity; these prove the math.
+  */
+class CorpusModelSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", s"src${id % 3}") }
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  // ---- unigram log-probability ---------------------------------------
+
+  test("unigramLogprob matches the closed form on a 2-doc corpus") {
+    // counts: a=2, b=2, c=1; N=5
+    val r = LanguageModel.unigramLogprob(docs(1L -> "a a b", 2L -> "b c"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_tokens") === 3)
+    // doc 1: all tokens have c=2 -> avg = ln(5/2)
+    assert(r(1L).getAs[Double]("avg_neg_logprob") ===
+      BigDecimal(math.log(2.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 2: (ln(5/2) + ln(5/1)) / 2
+    assert(r(2L).getAs[Double]("avg_neg_logprob") ===
+      BigDecimal((math.log(2.5) + math.log(5.0)) / 2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("unigramLogprob ranks rare-token docs above common-token docs") {
+    val r = LanguageModel.unigramLogprob(docs(
+      1L -> "x x x x x x x x",
+      2L -> "x x x x hapax1 hapax2 hapax3 hapax4"))
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("avg_neg_logprob")).toMap
+    assert(r(2L) > r(1L)) // the hapax-heavy doc scores as less probable
+  }
+
+  // ---- bigram PMI -----------------------------------------------------
+
+  test("bigramPmi computes the Church-Hanks statistic on a tiny corpus") {
+    // "a b a b": pairs (a,b)x2, (b,a)x1; unigrams a=2, b=2, Ntok=4, Nbg=3
+    val rows = LanguageModel.bigramPmi(docs(1L -> "a b a b")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("w1") === "a" && rows(0).getAs[String]("w2") === "b")
+    assert(rows(0).getAs[Long]("n_pair") === 2)
+    val expected = math.log((2.0 / 3.0) / ((2.0 / 4.0) * (2.0 / 4.0)))
+    assert(math.abs(rows(0).getAs[Double]("pmi") - expected) < 1e-6)
+    assert(rows(1).getAs[Long]("n_pair") === 1) // (b, a)
+  }
+
+  test("bigramPmi keeps only the top-k by pair count") {
+    val many = docs(1L -> "p q p q p q p q", 2L -> "r s", 3L -> "t u")
+    val rows = LanguageModel.bigramPmi(many, k = 2).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("n_pair") >= rows(1).getAs[Long]("n_pair"))
+  }
+
+  // ---- Gopher rules ---------------------------------------------------
+
+  test("gopherRules evaluates each named rule independently") {
+    val stops = "the a and row value" // 5 distinct stop words
+    val good = (1 to 4).map(_ => stops).mkString(" ") // 20 words, all alpha
+    val short = "tiny doc" // fails r_words
+    val symbols = (1 to 20).map(_ => "### ...").mkString(" ") // symbol-heavy, non-alpha
+    val r = TextAnalysis.gopherRules(docs(1L -> good, 2L -> short, 3L -> symbols))
+      .collect().map(x => x.getLong(0) -> x).toMap
+
+    assert(r(1L).getAs[Int]("r_words") === 1 && r(1L).getAs[Int]("r_stop") === 1)
+    assert(r(1L).getAs[Int]("r_alpha") === 1 && r(1L).getAs[Int]("pass") === 1)
+
+    assert(r(2L).getAs[Int]("r_words") === 0) // 2 < 20 words
+    assert(r(2L).getAs[Int]("pass") === 0)
+
+    assert(r(3L).getAs[Int]("r_sym") === 0) // 40 symbols / 40 words > 0.1
+    assert(r(3L).getAs[Int]("r_alpha") === 0) // zero alphabetic words
+    assert(r(3L).getAs[Int]("pass") === 0)
+  }
+
+  test("gopherRules mean word length window") {
+    val longWords = (1 to 25).map(_ => "incomprehensibility").mkString(" ") // mean 19
+    val r = TextAnalysis.gopherRules(docs(1L -> longWords)).collect().head
+    assert(r.getAs[Double]("mean_w_len") === 19.0)
+    assert(r.getAs[Int]("r_len") === 0)
+  }
+
+  // ---- train/val/test split ------------------------------------------
+
+  test("trainSplit is deterministic, total-preserving, and hash-stable under growth") {
+    val base = docs((0L until 200L).map(i => i -> s"doc number $i"): _*)
+    val r1 = Sampling.trainSplit(base).collect()
+    val r2 = Sampling.trainSplit(base).collect()
+    assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq)
+    assert(r1.map(_.getAs[Long]("n_docs")).sum === 200L)
+    assert(r1.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    // growing the corpus never moves an existing doc across splits:
+    // per-source train counts can only grow
+    val grown = docs((0L until 400L).map(i => i -> s"doc number $i"): _*)
+    val g = Sampling.trainSplit(grown).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("n_docs")).toMap
+    r1.foreach { x =>
+      val k = (x.getString(0), x.getString(1))
+      assert(g.getOrElse(k, 0L) >= x.getAs[Long]("n_docs"))
+    }
+  }
+
+  // ---- value anomalies ------------------------------------------------
+
+  private def events(rows: (Long, String, Double)*) = {
+    import spark.implicits._
+    rows.map { case (id, et, v) =>
+      (id, Timestamp.valueOf("2024-01-01 00:00:00"), id % 7, et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("valueAnomalies flags only the outlier, per metric") {
+    // metric m: 20 values at ~10 plus one at 1000 -> only that one has |z| > 2.5
+    val normal = (1L to 20L).map(i => (i, "m", 10.0 + (i % 5) * 0.1))
+    val r = Profiling.valueAnomalies(events(normal :+ ((99L, "m", 1000.0)): _*)).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("event_id") === 99L)
+    assert(r.head.getAs[Double]("z") > 2.5)
+  }
+
+  test("valueAnomalies: single-member and zero-variance metrics yield no rows") {
+    val r = Profiling.valueAnomalies(events(
+      (1L, "solo", 42.0),
+      (2L, "flat", 7.0), (3L, "flat", 7.0), (4L, "flat", 7.0))).collect()
+    assert(r.isEmpty)
+  }
+
+  // ---- robustness -----------------------------------------------------
+
+  test("all corpus-model operators handle an empty input without error") {
+    import SparkTestBase.spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val emptyEvents = Seq.empty[(Long, Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(LanguageModel.unigramLogprob(emptyDocs).collect().isEmpty)
+    assert(LanguageModel.bigramPmi(emptyDocs).collect().isEmpty)
+    assert(TextAnalysis.gopherRules(emptyDocs).collect().isEmpty)
+    assert(Sampling.trainSplit(emptyDocs).collect().isEmpty)
+    assert(Profiling.valueAnomalies(emptyEvents).collect().isEmpty)
+  }
+}
