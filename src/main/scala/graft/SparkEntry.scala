@@ -940,6 +940,14 @@ object SparkEntry {
     // the stream, filter runs inside the scan's codegen
     "value_anomalies" -> ((s, d) =>
       Profiling.valueAnomalies(Tables.load(s, d, "events"))),
+    // NTILE-free quartile bucketing: percentile agg + broadcast CASE —
+    // no per-metric WindowExec sort at any scale
+    "value_quartiles" -> ((s, d) =>
+      Profiling.valueQuartiles(Tables.load(s, d, "events"))),
+    // per-label centroid cohesion: one explode into a labels×dims agg,
+    // then a narrow left-fold cosine against the broadcast centroid
+    "label_centroid_cos" -> ((s, d) =>
+      Similarity.labelCentroidCos(Tables.load(s, d, "embeddings"))),
     // ---- dataset profiling (Profiling) ----
     // per-column null/distinct/range stats in ONE multi-agg pass
     "data_profile" -> ((s, d) => Profiling.dataProfile(Tables.load(s, d, "events"))),
@@ -1258,6 +1266,8 @@ object SparkEntry {
     "gopher_rules" -> TextAnalysis.GopherRulesSql,
     "train_split" -> Sampling.TrainSplitSql,
     "value_anomalies" -> Profiling.valueAnomaliesSql(),
+    "value_quartiles" -> Profiling.ValueQuartilesSql,
+    "label_centroid_cos" -> Similarity.LabelCentroidCosSql,
     "sketch_certify" -> CorpusSignals.SketchCertifySql,
     "data_profile" -> Profiling.DataProfileSql,
     "value_histogram" -> Profiling.valueHistogramSql(),

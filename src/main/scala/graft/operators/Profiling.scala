@@ -168,6 +168,55 @@ object Profiling {
       .orderBy(col("event_id"))
   }
 
+  /** Quartile-bucket report per metric: the interpolated p25/p50/p75
+    * thresholds (rounded to the output precision BEFORE bucketing, so
+    * both engines compare against identical boundaries), then each
+    * reading bucketed 1-4 by threshold comparison and summarized.
+    *
+    * This is the scale-correct formulation of NTILE-style bucketing:
+    * a per-metric `ntile(4)` window would sort every reading of a
+    * metric inside ONE partition (the whole table for a hot metric);
+    * here the thresholds come from a percentile AGGREGATE (map-side
+    * combinable) and the bucket assignment is a broadcast join + CASE
+    * inside the scan's codegen — no WindowExec anywhere.
+    */
+  def valueQuartiles(events: DataFrame): DataFrame = {
+    val thr = events
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("q1"),
+        round(expr("percentile(value, 0.5)"), 6).as("q2"),
+        round(expr("percentile(value, 0.75)"), 6).as("q3"))
+    events
+      .join(broadcast(thr), "event_type")
+      .withColumn(
+        "bucket",
+        when(col("value") <= col("q1"), 1)
+          .when(col("value") <= col("q2"), 2)
+          .when(col("value") <= col("q3"), 3)
+          .otherwise(4))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(min(col("value")), 6).as("lo"),
+        round(max(col("value")), 6).as("hi"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val ValueQuartilesSql: String =
+    """WITH thr AS (
+      |  SELECT event_type,
+      |         round(quantile_cont(value, 0.25), 6) AS q1,
+      |         round(quantile_cont(value, 0.5), 6) AS q2,
+      |         round(quantile_cont(value, 0.75), 6) AS q3
+      |  FROM events GROUP BY 1)
+      |SELECT events.event_type,
+      |       CASE WHEN value <= q1 THEN 1 WHEN value <= q2 THEN 2
+      |            WHEN value <= q3 THEN 3 ELSE 4 END AS bucket,
+      |       count(*) AS cnt, round(min(value), 6) AS lo, round(max(value), 6) AS hi
+      |FROM events JOIN thr USING (event_type)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def valueAnomaliesSql(zThreshold: Double = AnomalyZ): String =
     s"""WITH s AS (
        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma

@@ -834,4 +834,49 @@ object Similarity {
       |       CAST(sum(c) AS BIGINT) AS code_sum,
       |       min(c) AS code_min, max(c) AS code_max
       |FROM codes GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- per-label centroid cohesion ------------------------------------
+
+  /** Cluster-cohesion report per label: the label's centroid (dimension-
+    * wise mean) and each member's cosine to it, reported as the label's
+    * mean member-to-centroid cosine. The quality check run after any
+    * clustering/labeling step — a label whose members don't point at
+    * their own centroid is noise, not a cluster.
+    *
+    * Plan shape: the centroid build is the ONLY explode (64·n rows into
+    * a labels×dims hash agg — map-side combinable, output tiny); the
+    * per-member cosine is then a NARROW per-row fold against the
+    * label's centroid array, joined back by label (broadcast — the
+    * centroid table is labels-sized at any corpus scale). Association
+    * order of the fold is the shared left-fold [[Dialect]] contract, so
+    * both engines chain the same IEEE ops; the centroid values
+    * themselves are cross-row averages (order-dependent at ~1e-15),
+    * absorbed by the 6 dp rounding.
+    */
+  def labelCentroidCos(emb: DataFrame): DataFrame = {
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x").cast("double")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("cent"))
+    emb
+      .join(broadcast(cent), "label")
+      .withColumn("cos", expr(cosinePair(SparkDialect, "embedding", "cent")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("cos")), 6).as("avg_cos"))
+      .orderBy(col("label"))
+  }
+
+  val LabelCentroidCosSql: String =
+    s"""WITH e AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |cd AS (SELECT label, dim, avg(x) AS c FROM e GROUP BY 1, 2),
+       |ct AS (SELECT label, list(c ORDER BY dim) AS cent FROM cd GROUP BY 1)
+       |SELECT emb.label, count(*) AS n_vecs,
+       |       round(avg(${cosinePair(DuckDialect, "embedding", "cent")}), 6) AS avg_cos
+       |FROM embeddings emb JOIN ct USING (label)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

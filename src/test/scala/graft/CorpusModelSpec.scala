@@ -129,6 +129,16 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(r.head.getAs[Double]("z") > 2.5)
   }
 
+  test("valueQuartiles buckets by interpolated thresholds, never a window") {
+    // 8 values 1..8: p25 = 2.75, p50 = 4.5, p75 = 6.25 -> buckets 2/2/2/2
+    val r = Profiling.valueQuartiles(events((1L to 8L).map(i => (i, "m", i.toDouble)): _*))
+    assert(!r.queryExecution.executedPlan.toString.contains("Window"))
+    val rows = r.collect()
+    assert(rows.map(_.getAs[Long]("cnt")).toSeq === Seq(2L, 2L, 2L, 2L))
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq === Seq(1, 2, 3, 4))
+    assert(rows.head.getAs[Double]("lo") === 1.0 && rows.last.getAs[Double]("hi") === 8.0)
+  }
+
   test("valueAnomalies: single-member and zero-variance metrics yield no rows") {
     val r = Profiling.valueAnomalies(events(
       (1L, "solo", 42.0),

@@ -286,4 +286,21 @@ class SimilaritySpec extends AnyFunSuite {
     // vec2: only dim2 is nonzero-coded, at exactly mid-range
     assert(rows(2L) === ((Dim.toLong, 128L, 0L, 128L)))
   }
+
+  test("labelCentroidCos: tight labels score ~1, antipodal members score 0") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // label 0: two identical vectors -> centroid == them -> avg_cos = 1
+    // label 1: v and -v -> centroid = 0-vector -> cosines NULL -> avg NULL
+    val v = Array.tabulate(Dim)(i => (0.1f * ((i % 7) + 1)))
+    val neg = v.map(x => -x)
+    val d = toDf(Seq(0L -> v, 1L -> v, 2L -> v, 3L -> neg))
+      .withColumn("label", (col("vec_id") < 2L).cast("int"))
+      .select(col("vec_id"), col("embedding"), (lit(1) - col("label")).as("label"))
+    val r = Similarity.labelCentroidCos(d).collect()
+      .map(x => x.getInt(0) -> x).toMap
+    assert(r(0).getAs[Long]("n_vecs") === 2)
+    assert(math.abs(r(0).getAs[Double]("avg_cos") - 1.0) < 1e-9)
+    assert(r(1).getAs[Long]("n_vecs") === 2)
+    assert(r(1).isNullAt(r(1).fieldIndex("avg_cos"))) // zero centroid -> NULL
+  }
 }

@@ -25,6 +25,8 @@ HEADLINE = [
     "multimodal_pixels", "dedup_survivors", "multimodal_png_pixels",
     "multimodal_gif_pixels", "wav_audio_stats", "dedup_simhash_pairs",
     "multimodal_resize_stats", "wav_resample_stats",
+    "unigram_logprob", "bigram_pmi", "gopher_rules", "train_split",
+    "value_anomalies", "value_quartiles", "label_centroid_cos",
 ]
 # intentionally absent: bpe_encode / dedup_minhash_lsh and the other
 # *_xx production twins use precomputed VALUES oracles, not real queries
