@@ -944,6 +944,18 @@ object SparkEntry {
     // no per-metric WindowExec sort at any scale
     "value_quartiles" -> ((s, d) =>
       Profiling.valueQuartiles(Tables.load(s, d, "events"))),
+    // per-source JS divergence from the corpus token distribution
+    // (mixture-skew report; absent-token tail folded to closed form)
+    "source_js_divergence" -> ((s, d) =>
+      LanguageModel.sourceJsDivergence(Tables.load(s, d, "documents"))),
+    // one-row corpus information profile: unigram + conditional bigram
+    // entropy from exact integer counts
+    "corpus_entropy" -> ((s, d) =>
+      LanguageModel.corpusEntropy(Tables.load(s, d, "documents"))),
+    // stream-static enrichment: batch stats broadcast into an
+    // incremental stream; must equal batch value_anomalies (same oracle)
+    "streaming_anomalies" -> ((s, d) =>
+      graft.streaming.StreamingViews.runAnomaliesAvailableNow(s, d)),
     // per-label centroid cohesion: one explode into a labels×dims agg,
     // then a narrow left-fold cosine against the broadcast centroid
     "label_centroid_cos" -> ((s, d) =>
@@ -1268,6 +1280,9 @@ object SparkEntry {
     "value_anomalies" -> Profiling.valueAnomaliesSql(),
     "value_quartiles" -> Profiling.ValueQuartilesSql,
     "label_centroid_cos" -> Similarity.LabelCentroidCosSql,
+    "source_js_divergence" -> LanguageModel.SourceJsDivergenceSql,
+    "corpus_entropy" -> LanguageModel.CorpusEntropySql,
+    "streaming_anomalies" -> Profiling.valueAnomaliesSql(),
     "sketch_certify" -> CorpusSignals.SketchCertifySql,
     "data_profile" -> Profiling.DataProfileSql,
     "value_histogram" -> Profiling.valueHistogramSql(),

@@ -166,4 +166,159 @@ object LanguageModel {
        |JOIN uni c2 ON pairs.w2 = c2.token
        |CROSS JOIN tot
        |ORDER BY n_pair DESC, w1, w2 LIMIT $k""".stripMargin
+
+  /** Per-source Jensen-Shannon divergence of the source's token
+    * distribution from the whole-corpus distribution — the mixture-skew
+    * report: a source whose JS is near ln 2 contributes vocabulary the
+    * rest of the corpus doesn't have; near 0, it's redundant with the
+    * mixture. The statistic behind re-weighting decisions in
+    * multi-source training mixes.
+    *
+    * Decomposed so the plan never materializes sources × vocabulary:
+    * with M = (P_s + P)/2,
+    *   JS = ½·Σ_{t∈S} p_s·ln(p_s/m) + ½·Σ_{t∈S} p·ln(p/m)
+    *      + ½·ln 2·(1 − Σ_{t∈S} p)
+    * — every sum ranges over tokens PRESENT in the source (the absent-
+    * token tail of KL(P‖M) collapses to the closed-form ln 2 correction,
+    * since m = p/2 there). One token explode, two vocabulary-bounded
+    * hash aggs, a token-keyed lookup join, and a sources-sized result.
+    */
+  def sourceJsDivergence(docs: DataFrame): DataFrame = {
+    val fan = graft.sources.Tables.fanOut(docs)
+    val st = fan
+      .select(col("source"), explode(expr(toks)).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_st"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val vocab = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val total = vocab
+      .agg(sum(col("c_t")).as("n"))
+      .withColumn("one", one(col("n")))
+    st
+      .join(vocab, "token")
+      .join(broadcast(srcTot), "source")
+      .withColumn("one", one(col("c_st")))
+      .join(broadcast(total), "one")
+      .drop("one")
+      .withColumn("ps", col("c_st").cast("double") / col("n_s").cast("double"))
+      .withColumn("p", col("c_t").cast("double") / col("n").cast("double"))
+      .withColumn("m", (col("ps") + col("p")) / lit(2.0))
+      .groupBy(col("source"), col("n_s"))
+      .agg(
+        sum(col("ps") * log(col("ps") / col("m"))).as("kl_s"),
+        sum(col("p") * log(col("p") / col("m"))).as("kl_p"),
+        sum(col("p")).as("p_mass"))
+      .select(
+        col("source"),
+        col("n_s").as("n_tokens"),
+        round(
+          (col("kl_s") + col("kl_p") + log(lit(2.0)) * (lit(1.0) - col("p_mass"))) / 2.0,
+          6).as("js_divergence"))
+      .orderBy(col("source"))
+  }
+
+  val SourceJsDivergenceSql: String =
+    """WITH u AS (
+      |  SELECT source,
+      |         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |st AS (SELECT source, token, count(*) AS c_st FROM u GROUP BY 1, 2),
+      |s AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      |v AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM v),
+      |terms AS (
+      |  SELECT st.source, s.n_s,
+      |         CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE) AS ps,
+      |         CAST(c_t AS DOUBLE) / CAST(n.n AS DOUBLE) AS p
+      |  FROM st JOIN v USING (token) JOIN s USING (source) CROSS JOIN n)
+      |SELECT source, n_s AS n_tokens,
+      |       round((sum(ps * ln(ps / ((ps + p) / 2.0)))
+      |              + sum(p * ln(p / ((ps + p) / 2.0)))
+      |              + ln(2.0) * (1.0 - sum(p))) / 2.0, 6) AS js_divergence
+      |FROM terms GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** One-row corpus information profile from exact integer counts:
+    * token total, vocabulary size, unigram entropy
+    * `H₁ = ln N − (Σ c·ln c)/N` (nats), bigram total, and conditional
+    * bigram entropy `H(next|prev) = (Σ c_xy·ln c_x· − Σ c_xy·ln c_xy)/N_bg`
+    * with `c_x·` the first-position marginal. H(next|prev) ≪ H₁ means
+    * the corpus is locally predictable (templated/repetitive) — the
+    * corpus-level twin of the per-document repetition filters.
+    *
+    * Every ln argument is an exact integer carried through the shuffles;
+    * the plan is the bigram/unigram hash aggs plus ONE-ROW reductions.
+    */
+  def corpusEntropy(docs: DataFrame): DataFrame = {
+    val fan = graft.sources.Tables.fanOut(docs)
+    val withToks = fan.withColumn("toks", expr(toks))
+    val uni = withToks
+      .select(explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("c"))
+    val uniRow = uni
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("sclc"))
+      .withColumn(
+        "unigram_entropy",
+        round(
+          log(col("n_tokens").cast("double")) - col("sclc") / col("n_tokens").cast("double"),
+          6))
+      .withColumn("one", one(col("n_tokens")))
+    val pairs = withToks
+      .filter(size(col("toks")) >= 2)
+      .select(
+        explode(
+          expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+    val marg = pairs.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+    val bgRow = pairs
+      .join(marg, "w1")
+      .agg(
+        sum(col("c_xy")).as("n_bigrams"),
+        sum(col("c_xy").cast("double") * log(col("c_x").cast("double"))).as("sxlx"),
+        sum(col("c_xy").cast("double") * log(col("c_xy").cast("double"))).as("sxlxy"))
+      .withColumn(
+        "cond_bigram_entropy",
+        round((col("sxlx") - col("sxlxy")) / col("n_bigrams").cast("double"), 6))
+      .withColumn("one", one(col("n_bigrams")))
+    uniRow
+      .join(broadcast(bgRow), "one")
+      .select(
+        col("n_tokens"), col("vocab_size"), col("unigram_entropy"),
+        col("n_bigrams"), col("cond_bigram_entropy"))
+  }
+
+  val CorpusEntropySql: String =
+    """WITH d AS (
+      |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |u AS (SELECT unnest(toks) AS token FROM d),
+      |uni AS (SELECT token, count(*) AS c FROM u GROUP BY 1),
+      |urow AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         count(*) AS vocab_size,
+      |         round(ln(CAST(sum(c) AS DOUBLE))
+      |               - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+      |                 / CAST(sum(c) AS DOUBLE), 6) AS unigram_entropy
+      |  FROM uni),
+      |bg AS (
+      |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM d, unnest(range(1, len(toks))) AS r(i)
+      |  WHERE len(toks) >= 2),
+      |pairs AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+      |marg AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM pairs GROUP BY 1),
+      |brow AS (
+      |  SELECT CAST(sum(c_xy) AS BIGINT) AS n_bigrams,
+      |         round((sum(CAST(c_xy AS DOUBLE) * ln(CAST(c_x AS DOUBLE)))
+      |                - sum(CAST(c_xy AS DOUBLE) * ln(CAST(c_xy AS DOUBLE))))
+      |               / CAST(sum(c_xy) AS DOUBLE), 6) AS cond_bigram_entropy
+      |  FROM pairs JOIN marg USING (w1))
+      |SELECT n_tokens, vocab_size, unigram_entropy, n_bigrams, cond_bigram_entropy
+      |FROM urow CROSS JOIN brow""".stripMargin
 }

@@ -152,10 +152,28 @@ object Profiling {
     * alike (DuckDB x/0.0 = inf for x>0, but value-mu = 0 there, and
     * 0/0.0 is NaN which fails the > comparison — same net no-row).
     */
-  def valueAnomalies(events: DataFrame, zThreshold: Double = AnomalyZ): DataFrame = {
-    val stats = events
+  def valueAnomalies(events: DataFrame, zThreshold: Double = AnomalyZ): DataFrame =
+    valueAnomaliesAgainst(events, metricStats(events), zThreshold)
+      .orderBy(col("event_id"))
+
+  /** Per-metric (mean, sample stddev) — the reference-distribution table
+    * the anomaly filter scores against.
+    */
+  def metricStats(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"))
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+
+  /** [[valueAnomalies]] scored against an EXTERNAL stats table, without
+    * the presentation sort — a pure stateless projection + broadcast
+    * join, legal on a STREAMING events frame (append mode, no state):
+    * the production shape where yesterday's batch stats score today's
+    * stream.
+    */
+  def valueAnomaliesAgainst(
+      events: DataFrame,
+      stats: DataFrame,
+      zThreshold: Double = AnomalyZ): DataFrame =
     events
       .join(broadcast(stats), "event_type")
       .withColumn("z", (col("value") - col("mu")) / nullif(col("sigma"), lit(0.0)))
@@ -165,8 +183,6 @@ object Profiling {
         col("event_type"),
         round(col("value"), 6).as("value"),
         round(col("z"), 6).as("z"))
-      .orderBy(col("event_id"))
-  }
 
   /** Quartile-bucket report per metric: the interpolated p25/p50/p75
     * thresholds (rounded to the output precision BEFORE bucketing, so

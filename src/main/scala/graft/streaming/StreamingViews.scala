@@ -182,6 +182,36 @@ object StreamingViews {
       TextAnalysis.qualityScoreUnordered)
       .orderBy(col("doc_id"))
 
+  /** Stream-static enrichment: the per-metric anomaly filter run under
+    * incremental execution. The (mu, sigma) reference table is computed
+    * from a BATCH read and broadcast into every micro-batch — the
+    * production shape where yesterday's batch statistics score today's
+    * stream. Stateless (append mode, no watermark, no state store): the
+    * static side is planned once, each batch pays only its own scan +
+    * broadcast probe. Must equal batch `value_anomalies` row-for-row
+    * (same DuckDB oracle) — the stream/batch parity certificate for
+    * stream-static joins.
+    */
+  def runAnomaliesAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = graft.operators.Profiling.metricStats(
+      graft.sources.Tables.load(spark, sfDir, "events"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val name = s"stream_anom_${sinkId.incrementAndGet()}"
+    val q = spark.readStream.schema(schema)
+      .parquet(s"$sfDir/{events.parquet}")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(ev => graft.operators.Profiling.valueAnomaliesAgainst(ev, stats))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("event_id"))
+  }
+
   /** Production-shaped sink (S5): an UPDATE-mode MERGE upsert keyed on
     * (metric, geo, ts) into a parquet view table partitioned by metric.
     *

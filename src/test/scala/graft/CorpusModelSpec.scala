@@ -146,6 +146,63 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(r.isEmpty)
   }
 
+  // ---- source JS divergence -------------------------------------------
+
+  test("sourceJsDivergence: redundant source ~0, disjoint-vocab source -> ln 2 share") {
+    import spark.implicits._
+    // src A and B have IDENTICAL token multisets; src C is disjoint vocab
+    val d = Seq(
+      (1L, "w w z", "en", "A"), (2L, "w w z", "en", "B"),
+      (3L, "q q r", "en", "C"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = LanguageModel.sourceJsDivergence(d).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("js_divergence")).toMap
+    // A == B: each is half the corpus mass of its tokens; C is the only
+    // holder of q/r. JS(C, corpus) must far exceed JS(A, corpus), and
+    // both stay within [0, ln 2]
+    assert(r("A") === r("B"))
+    assert(r("C") > r("A") * 2)
+    r.values.foreach(v => assert(v >= 0.0 && v <= math.log(2.0) + 1e-9))
+  }
+
+  test("sourceJsDivergence: single-source corpus diverges zero from itself") {
+    import spark.implicits._
+    val d = Seq((1L, "only one source here", "en", "S"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = LanguageModel.sourceJsDivergence(d).collect()
+    assert(r.length === 1 && r.head.getAs[Double]("js_divergence") === 0.0)
+  }
+
+  // ---- corpus entropy -------------------------------------------------
+
+  test("corpusEntropy: hand-computed on a deterministic-transition corpus") {
+    // "a b a b": H1 = ln 4 - (2ln2 + 2ln2)/4 = ln 2; every bigram
+    // transition is deterministic (a->b, b->a) -> conditional entropy 0
+    val r = LanguageModel.corpusEntropy(docs(1L -> "a b a b")).collect().head
+    assert(r.getAs[Long]("n_tokens") === 4 && r.getAs[Long]("vocab_size") === 2)
+    assert(r.getAs[Double]("unigram_entropy") ===
+      BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Long]("n_bigrams") === 3)
+    assert(r.getAs[Double]("cond_bigram_entropy") === 0.0)
+  }
+
+  test("corpusEntropy: uniform independent tokens reach the ln(vocab) ceiling") {
+    val r = LanguageModel.corpusEntropy(docs(1L -> "a b c d")).collect().head
+    assert(r.getAs[Double]("unigram_entropy") ===
+      BigDecimal(math.log(4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  // ---- streaming anomaly twin ----------------------------------------
+
+  test("streaming anomalies (stream-static join) == batch value_anomalies") {
+    val batch = Profiling.valueAnomalies(
+      graft.sources.Tables.load(spark, Sf0001, "events")).collect()
+    val stream = graft.streaming.StreamingViews
+      .runAnomaliesAvailableNow(spark, Sf0001).collect()
+    assert(stream.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+    assert(batch.nonEmpty)
+  }
+
   // ---- robustness -----------------------------------------------------
 
   test("all corpus-model operators handle an empty input without error") {
@@ -159,5 +216,8 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(TextAnalysis.gopherRules(emptyDocs).collect().isEmpty)
     assert(Sampling.trainSplit(emptyDocs).collect().isEmpty)
     assert(Profiling.valueAnomalies(emptyEvents).collect().isEmpty)
+    assert(Profiling.valueQuartiles(emptyEvents).collect().isEmpty)
+    assert(LanguageModel.sourceJsDivergence(emptyDocs).collect().isEmpty)
+    assert(LanguageModel.corpusEntropy(emptyDocs).collect().length === 1) // one all-NULL row
   }
 }

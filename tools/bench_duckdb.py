@@ -27,6 +27,9 @@ HEADLINE = [
     "multimodal_resize_stats", "wav_resample_stats",
     "unigram_logprob", "bigram_pmi", "gopher_rules", "train_split",
     "value_anomalies", "value_quartiles", "label_centroid_cos",
+    "source_js_divergence", "corpus_entropy",
+    # streaming_anomalies intentionally absent: its oracle IS the
+    # value_anomalies SQL (stream==batch certificate), already anchored
 ]
 # intentionally absent: bpe_encode / dedup_minhash_lsh and the other
 # *_xx production twins use precomputed VALUES oracles, not real queries
