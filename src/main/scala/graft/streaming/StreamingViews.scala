@@ -30,6 +30,18 @@ object StreamingViews {
 
   private val sinkId = new AtomicInteger(0)
 
+  /** Normalize the events `ts` column to a timestamp on a STREAMING
+    * frame: the driver's testdata parquet carries nanos (read as LONG
+    * under `nanosAsLong`), while derived fixtures (e.g. the ScaleUp 10×
+    * set) are re-written by Spark with proper timestamp-micros — the
+    * same schema-conditional conversion [[graft.sources.Tables.load]]
+    * applies on the batch side.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+
   /** Streaming readings from a parquet events path (file source).
     * `maxFilesPerTrigger` is a SOURCE rate limit (respected by
     * Trigger.AvailableNow, which splits the backlog into micro-batches).
@@ -47,8 +59,7 @@ object StreamingViews {
     val raw = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .parquet(s"$sfDir/{events.parquet}")
-    raw
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(raw)
       .withColumn("cell", (col("user_id") % SensorGrid.NumCells).cast("int"))
       .join(broadcast(SensorGrid.sensorTable(spark)), "cell")
       .select(
@@ -200,7 +211,7 @@ object StreamingViews {
     val name = s"stream_anom_${sinkId.incrementAndGet()}"
     val q = spark.readStream.schema(schema)
       .parquet(s"$sfDir/{events.parquet}")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(normalizeTs)
       .transform(ev => graft.operators.Profiling.valueAnomaliesAgainst(ev, stats))
       .writeStream
       .format("memory")
