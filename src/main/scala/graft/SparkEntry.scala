@@ -956,6 +956,17 @@ object SparkEntry {
     // incremental stream; must equal batch value_anomalies (same oracle)
     "streaming_anomalies" -> ((s, d) =>
       graft.streaming.StreamingViews.runAnomaliesAvailableNow(s, d)),
+    // per-minute event-rate spike detection (counts stay integer
+    // through both aggs; stats broadcast back)
+    "rate_anomalies" -> ((s, d) =>
+      Profiling.rateAnomalies(Tables.load(s, d, "events"))),
+    // token-length histogram in 64-token bins (packing diagnostic)
+    "doc_length_histogram" -> ((s, d) =>
+      TextAnalysis.lengthHistogram(Tables.load(s, d, "documents"))),
+    // cross-source duplicate leakage: near-dup pairs bucketed by
+    // unordered source pair, over the CACHED pair frame
+    "cross_source_dups" -> ((s, d) =>
+      Dedup.crossSourceDups(ngramPairs(s, d), Tables.load(s, d, "documents"))),
     // per-label centroid cohesion: one explode into a labels×dims agg,
     // then a narrow left-fold cosine against the broadcast centroid
     "label_centroid_cos" -> ((s, d) =>
@@ -1283,6 +1294,9 @@ object SparkEntry {
     "source_js_divergence" -> LanguageModel.SourceJsDivergenceSql,
     "corpus_entropy" -> LanguageModel.CorpusEntropySql,
     "streaming_anomalies" -> Profiling.valueAnomaliesSql(),
+    "rate_anomalies" -> Profiling.rateAnomaliesSql(),
+    "doc_length_histogram" -> TextAnalysis.LengthHistogramSql,
+    "cross_source_dups" -> Dedup.crossSourceDupsSql(Dedup.ngramJaccardSql(3, 0.8)),
     "sketch_certify" -> CorpusSignals.SketchCertifySql,
     "data_profile" -> Profiling.DataProfileSql,
     "value_histogram" -> Profiling.valueHistogramSql(),

@@ -796,4 +796,41 @@ object Dedup {
        |WHERE (sa.source IN ($list)) <> (sb.source IN ($list))
        |ORDER BY new_id, base_id""".stripMargin
   }
+
+  // ---- cross-source duplicate leakage ---------------------------------
+
+  /** Duplicate-pair counts aggregated by UNORDERED source pair — the
+    * leakage audit over any near-dup pair frame: `source_1 == source_2`
+    * rows are within-source redundancy (dial that source's sampling
+    * weight down); `source_1 != source_2` rows are cross-source leakage
+    * (the same content arriving via two feeds — the pairs a
+    * train/eval-split-by-source silently shares). Consumes the CACHED
+    * pair frame, so the audit costs two doc_id-keyed joins on a
+    * pairs-sized input plus a sources²-bounded aggregation — the
+    * expensive candidate generation is paid once, shared with the
+    * dedup/cluster/survivor family.
+    */
+  def crossSourceDups(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("src_a")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("src_b")), "b_id")
+      .select(
+        least(col("src_a"), col("src_b")).as("source_1"),
+        greatest(col("src_a"), col("src_b")).as("source_2"))
+      .groupBy(col("source_1"), col("source_2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_1"), col("source_2"))
+  }
+
+  def crossSourceDupsSql(pairsSubquery: String): String =
+    s"""WITH p AS ($pairsSubquery),
+       |s AS (SELECT doc_id, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS source_1,
+       |       greatest(sa.source, sb.source) AS source_2,
+       |       count(*) AS n_pairs
+       |FROM p
+       |JOIN s sa ON sa.doc_id = p.a_id
+       |JOIN s sb ON sb.doc_id = p.b_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

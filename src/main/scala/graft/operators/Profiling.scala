@@ -233,6 +233,53 @@ object Profiling {
       |FROM events JOIN thr USING (event_type)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** |z| threshold for [[rateAnomalies]] (rate spikes are judged against
+    * a stricter bound than value outliers — minute counts are discrete
+    * and Poisson-ish, so 3σ is the conventional spike line).
+    */
+  val RateZ = 3.0
+
+  /** Per-minute event-RATE spike detection: minutes whose event count
+    * sits more than [[RateZ]] sample standard deviations from that
+    * metric's per-minute mean — the traffic-anomaly sweep (ingest gaps,
+    * replay storms, runaway producers) next to [[valueAnomalies]]'
+    * value-level sweep.
+    *
+    * Plan: one (metric, minute) hash agg over the stream (map-side
+    * combinable; minutes-per-metric-sized output), one metric-sized
+    * stats agg, broadcast back, filter. Counts stay integer through
+    * both aggregations.
+    */
+  def rateAnomalies(events: DataFrame, zThreshold: Double = RateZ): DataFrame = {
+    val perMin = events
+      .groupBy(
+        col("event_type"),
+        date_trunc("minute", col("ts")).cast("long").as("minute_s"))
+      .agg(count(lit(1)).as("c"))
+    val stats = perMin
+      .groupBy(col("event_type"))
+      .agg(avg(col("c")).as("mu"), stddev_samp(col("c")).as("sigma"))
+    perMin
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", (col("c").cast("double") - col("mu")) / nullif(col("sigma"), lit(0.0)))
+      .filter(abs(col("z")) > lit(zThreshold))
+      .select(col("event_type"), col("minute_s"), col("c").as("n_events"), round(col("z"), 6).as("z"))
+      .orderBy(col("event_type"), col("minute_s"))
+  }
+
+  def rateAnomaliesSql(zThreshold: Double = RateZ): String =
+    s"""WITH pm AS (
+       |  SELECT event_type, epoch_ns(date_trunc('minute', ts)) // 1000000000 AS minute_s,
+       |         count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |s AS (SELECT event_type, avg(c) AS mu, stddev_samp(c) AS sigma
+       |      FROM pm GROUP BY 1)
+       |SELECT pm.event_type, minute_s, c AS n_events,
+       |       round((CAST(c AS DOUBLE) - mu) / nullif(sigma, 0.0), 6) AS z
+       |FROM pm JOIN s USING (event_type)
+       |WHERE abs((CAST(c AS DOUBLE) - mu) / nullif(sigma, 0.0)) > $zThreshold
+       |ORDER BY 1, 2""".stripMargin
+
   def valueAnomaliesSql(zThreshold: Double = AnomalyZ): String =
     s"""WITH s AS (
        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma

@@ -208,6 +208,37 @@ object TextAnalysis {
        |r AS (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c)
        |SELECT rank, token, cnt FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
 
+  // ---- sequence-length histogram (packing diagnostic) -----------------
+
+  /** Histogram bin width in tokens. */
+  val LengthBinTokens = 64
+
+  /** Token-length histogram in fixed [[LengthBinTokens]]-wide bins —
+    * the pre-packing diagnostic: the bin profile decides the packing
+    * context length and predicts the padding waste (`sum_tokens` per
+    * bin vs bin capacity). Narrow per-row tokenize + one tiny hash agg.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("nt", size(expr(toks)))
+      .withColumn("bin", expr(s"nt div $LengthBinTokens"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("sum_tokens"),
+        min(col("nt")).as("min_tokens"),
+        max(col("nt")).as("max_tokens"))
+      .orderBy(col("bin"))
+
+  val LengthHistogramSql: String =
+    s"""WITH t AS (
+       |  SELECT len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nt
+       |  FROM documents)
+       |SELECT nt // $LengthBinTokens AS bin, count(*) AS n_docs,
+       |       CAST(sum(nt) AS BIGINT) AS sum_tokens,
+       |       min(nt) AS min_tokens, max(nt) AS max_tokens
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- Gopher-style rule filters (arXiv:2112.11446 §A1.1) -------------
 
   /** Gopher rule thresholds (word-count window relaxed to the synthetic

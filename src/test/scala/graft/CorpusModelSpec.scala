@@ -203,6 +203,45 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  // ---- cross-source duplicate leakage --------------------------------
+
+  test("crossSourceDups buckets pairs by unordered source pair") {
+    import spark.implicits._
+    val d = Seq((1L, "x", "en", "A"), (2L, "x", "en", "B"), (3L, "x", "en", "A"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0))
+      .toDF("a_id", "b_id", "jac")
+    val r = graft.operators.Dedup.crossSourceDups(pairs, d).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("n_pairs")).toMap
+    assert(r === Map(("A", "A") -> 1L, ("A", "B") -> 2L))
+  }
+
+  // ---- length histogram ----------------------------------------------
+
+  test("lengthHistogram bins by 64-token width with exact token sums") {
+    val short = (1 to 3).map(_ => "w").mkString(" ") // 3 tokens -> bin 0
+    val long = (1 to 70).map(_ => "w").mkString(" ") // 70 tokens -> bin 1
+    val r = TextAnalysis.lengthHistogram(docs(1L -> short, 2L -> short, 3L -> long))
+      .collect().map(x => x.getAs[Long]("bin") -> x).toMap
+    assert(r(0L).getAs[Long]("n_docs") === 2 && r(0L).getAs[Long]("sum_tokens") === 6)
+    assert(r(1L).getAs[Long]("n_docs") === 1 && r(1L).getAs[Long]("min_tokens") === 70)
+  }
+
+  // ---- rate anomalies -------------------------------------------------
+
+  test("rateAnomalies flags only the spiking minute") {
+    import spark.implicits._
+    // 20 calm minutes at 5 events + one minute at 50 -> only it spikes
+    val rows = (0 until 20).flatMap { m =>
+      (0 until 5).map(i => (m * 5L + i, new Timestamp(1700000000000L + m * 60000L), 1L, "m", 1.0, "{}"))
+    } ++ (0 until 50).map(i => (900L + i, new Timestamp(1700000000000L + 20 * 60000L), 1L, "m", 1.0, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Profiling.rateAnomalies(ev).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_events") === 50)
+    assert(r.head.getAs[Double]("z") > 3.0)
+  }
+
   // ---- robustness -----------------------------------------------------
 
   test("all corpus-model operators handle an empty input without error") {
@@ -219,5 +258,7 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(Profiling.valueQuartiles(emptyEvents).collect().isEmpty)
     assert(LanguageModel.sourceJsDivergence(emptyDocs).collect().isEmpty)
     assert(LanguageModel.corpusEntropy(emptyDocs).collect().length === 1) // one all-NULL row
+    assert(Profiling.rateAnomalies(emptyEvents).collect().isEmpty)
+    assert(TextAnalysis.lengthHistogram(emptyDocs).collect().isEmpty)
   }
 }

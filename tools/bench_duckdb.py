@@ -28,6 +28,7 @@ HEADLINE = [
     "unigram_logprob", "bigram_pmi", "gopher_rules", "train_split",
     "value_anomalies", "value_quartiles", "label_centroid_cos",
     "source_js_divergence", "corpus_entropy",
+    "rate_anomalies", "doc_length_histogram", "cross_source_dups",
     # streaming_anomalies intentionally absent: its oracle IS the
     # value_anomalies SQL (stream==batch certificate), already anchored
 ]
