@@ -127,6 +127,24 @@ object SparkEntry {
       Decontamination.gramSets(Tables.load(s, dir, "documents"))
     }
 
+  /** `(doc_id, source, token)` exploded token stream — the shared input
+    * of the LM-statistics family (unigram_logprob, bigram_pmi,
+    * source_js_divergence, corpus_entropy): tokenize + explode once per
+    * (session, sf), aggregate many ways.
+    */
+  private def docTokensCached(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "doc_tokens", "ws") {
+      LanguageModel.docTokens(Tables.load(s, dir, "documents"))
+    }
+
+  /** `(w1, w2, c_xy)` adjacent-pair counts — shared by bigram_pmi and
+    * corpus_entropy's conditional term.
+    */
+  private def bigramCountsCached(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "bigram_counts", "2") {
+      LanguageModel.bigramCounts(Tables.load(s, dir, "documents"))
+    }
+
   /** 16-permutation md5 MinHash signature, shared by dedup_minhash_sig
     * (first 8 columns) and dedup_minhash_pairs (all 16, banded).
     */
@@ -277,6 +295,8 @@ object SparkEntry {
       "view_quad_day" -> (() => quadView(s, dir, "day")),
       "doc_shingles" -> (() => docShingles(s, dir)),
       "doc_grams5" -> (() => docGrams5(s, dir)),
+      "doc_tokens" -> (() => docTokensCached(s, dir)),
+      "bigram_counts" -> (() => bigramCountsCached(s, dir)),
       "simhash_sig64" -> (() => simhashSig64(s, dir)),
       "md5_sig16" -> (() => mdSig16(s, dir)),
       "xx_sig16" -> (() => xxSig16(s, dir)),
@@ -924,10 +944,10 @@ object SparkEntry {
     // join + per-doc mean — the perplexity-filter plan with a
     // corpus-learned unigram model standing in for KenLM
     "unigram_logprob" -> ((s, d) =>
-      LanguageModel.unigramLogprob(Tables.load(s, d, "documents"))),
+      LanguageModel.unigramLogprobFrom(docTokensCached(s, d))),
     // top-20 adjacent-pair collocations with PMI (phrase-mining stat)
     "bigram_pmi" -> ((s, d) =>
-      LanguageModel.bigramPmi(Tables.load(s, d, "documents"))),
+      LanguageModel.bigramPmiFrom(docTokensCached(s, d), bigramCountsCached(s, d))),
     // Gopher rule filters: five named per-doc quality rules + pass flag,
     // all integer counting in one narrow codegen stage
     "gopher_rules" -> ((s, d) =>
@@ -947,11 +967,11 @@ object SparkEntry {
     // per-source JS divergence from the corpus token distribution
     // (mixture-skew report; absent-token tail folded to closed form)
     "source_js_divergence" -> ((s, d) =>
-      LanguageModel.sourceJsDivergence(Tables.load(s, d, "documents"))),
+      LanguageModel.sourceJsDivergenceFrom(docTokensCached(s, d))),
     // one-row corpus information profile: unigram + conditional bigram
     // entropy from exact integer counts
     "corpus_entropy" -> ((s, d) =>
-      LanguageModel.corpusEntropy(Tables.load(s, d, "documents"))),
+      LanguageModel.corpusEntropyFrom(docTokensCached(s, d), bigramCountsCached(s, d))),
     // stream-static enrichment: batch stats broadcast into an
     // incremental stream; must equal batch value_anomalies (same oracle)
     "streaming_anomalies" -> ((s, d) =>

@@ -31,6 +31,33 @@ object LanguageModel {
   private val toks = Dedup.TokensExpr
   private def one(c: org.apache.spark.sql.Column) = CorpusSignals.one(c)
 
+  // ---- shared input frames -------------------------------------------
+  // The whole family consumes these two; SparkEntry caches them once per
+  // (session, sf) like doc_shingles, so no LM query re-tokenizes the
+  // corpus (the dominant narrow cost at any scale).
+
+  /** `(doc_id, source, token)` — the exploded token stream. */
+  def docTokens(docs: DataFrame): DataFrame =
+    graft.sources.Tables.fanOut(docs)
+      .select(col("doc_id"), col("source"), explode(expr(toks)).as("token"))
+
+  /** `(w1, w2, c_xy)` — adjacent-pair counts (observed-bigram-bounded).
+    * Docs with < 2 tokens short-circuit (Spark's `sequence(1, 0)`
+    * DESCENDS — same guard as CorpusSignals.GramsExpr).
+    */
+  def bigramCounts(docs: DataFrame): DataFrame =
+    graft.sources.Tables.fanOut(docs)
+      .withColumn("toks", expr(toks))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        explode(
+          expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+
   /** Per-document mean negative unigram log-probability (a.k.a. the
     * document's unigram cross-entropy in nats): for each token `t` with
     * corpus count `c(t)` and corpus token total `N`,
@@ -46,9 +73,11 @@ object LanguageModel {
     * Empty documents contribute no token rows and are absent from the
     * output (consistent with the oracle's inner join).
     */
-  def unigramLogprob(docs: DataFrame): DataFrame = {
-    val fan = graft.sources.Tables.fanOut(docs)
-    val tokens = fan.select(col("doc_id"), explode(expr(toks)).as("token"))
+  def unigramLogprob(docs: DataFrame): DataFrame =
+    unigramLogprobFrom(docTokens(docs))
+
+  /** [[unigramLogprob]] over a pre-exploded (cached) token frame. */
+  def unigramLogprobFrom(tokens: DataFrame): DataFrame = {
     val vocab = tokens.groupBy(col("token")).agg(count(lit(1)).as("c"))
     val total = vocab
       .agg(sum(col("c")).as("n_total"))
@@ -98,24 +127,13 @@ object LanguageModel {
     * as TakeOrderedAndProject (per-partition top-k, k·partitions rows
     * to the driver), never a global sort.
     */
-  def bigramPmi(docs: DataFrame, k: Int = PmiTopK): DataFrame = {
-    val fan = graft.sources.Tables.fanOut(docs)
-    val withToks = fan.withColumn("toks", expr(toks))
-    val tokens = withToks.select(explode(col("toks")).as("token"))
+  def bigramPmi(docs: DataFrame, k: Int = PmiTopK): DataFrame =
+    bigramPmiFrom(docTokens(docs), bigramCounts(docs), k)
+
+  /** [[bigramPmi]] over pre-built (cached) token and pair frames. */
+  def bigramPmiFrom(tokens: DataFrame, pairCounts: DataFrame, k: Int = PmiTopK): DataFrame = {
     val unigram = tokens.groupBy(col("token")).agg(count(lit(1)).as("c"))
-    // adjacent pairs via a 1-indexed sequence transform; docs with < 2
-    // tokens short-circuit (sequence(1, 0) would DESCEND — same guard
-    // as CorpusSignals.GramsExpr)
-    val pairs = withToks
-      .filter(size(col("toks")) >= 2)
-      .select(
-        explode(
-          expr(
-            "transform(sequence(1, size(toks) - 1), " +
-              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"))
-      .select(col("bg.w1"), col("bg.w2"))
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n_pair"))
+    val pairs = pairCounts.withColumnRenamed("c_xy", "n_pair")
     val totals = unigram
       .agg(sum(col("c")).as("n_tok"))
       .withColumn("one", one(col("n_tok")))
@@ -183,10 +201,12 @@ object LanguageModel {
     * since m = p/2 there). One token explode, two vocabulary-bounded
     * hash aggs, a token-keyed lookup join, and a sources-sized result.
     */
-  def sourceJsDivergence(docs: DataFrame): DataFrame = {
-    val fan = graft.sources.Tables.fanOut(docs)
-    val st = fan
-      .select(col("source"), explode(expr(toks)).as("token"))
+  def sourceJsDivergence(docs: DataFrame): DataFrame =
+    sourceJsDivergenceFrom(docTokens(docs))
+
+  /** [[sourceJsDivergence]] over a pre-exploded (cached) token frame. */
+  def sourceJsDivergenceFrom(tokens: DataFrame): DataFrame = {
+    val st = tokens
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("c_st"))
     val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
@@ -248,11 +268,12 @@ object LanguageModel {
     * Every ln argument is an exact integer carried through the shuffles;
     * the plan is the bigram/unigram hash aggs plus ONE-ROW reductions.
     */
-  def corpusEntropy(docs: DataFrame): DataFrame = {
-    val fan = graft.sources.Tables.fanOut(docs)
-    val withToks = fan.withColumn("toks", expr(toks))
-    val uni = withToks
-      .select(explode(col("toks")).as("token"))
+  def corpusEntropy(docs: DataFrame): DataFrame =
+    corpusEntropyFrom(docTokens(docs), bigramCounts(docs))
+
+  /** [[corpusEntropy]] over pre-built (cached) token and pair frames. */
+  def corpusEntropyFrom(tokens: DataFrame, pairCounts: DataFrame): DataFrame = {
+    val uni = tokens
       .groupBy(col("token"))
       .agg(count(lit(1)).as("c"))
     val uniRow = uni
@@ -266,16 +287,7 @@ object LanguageModel {
           log(col("n_tokens").cast("double")) - col("sclc") / col("n_tokens").cast("double"),
           6))
       .withColumn("one", one(col("n_tokens")))
-    val pairs = withToks
-      .filter(size(col("toks")) >= 2)
-      .select(
-        explode(
-          expr(
-            "transform(sequence(1, size(toks) - 1), " +
-              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"))
-      .select(col("bg.w1"), col("bg.w2"))
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c_xy"))
+    val pairs = pairCounts
     val marg = pairs.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
     val bgRow = pairs
       .join(marg, "w1")
