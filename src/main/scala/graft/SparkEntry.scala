@@ -145,6 +145,15 @@ object SparkEntry {
       LanguageModel.bigramCounts(Tables.load(s, dir, "documents"))
     }
 
+  /** `(token, c)` corpus vocabulary — shared by unigram_logprob,
+    * bigram_pmi, source_js_divergence and corpus_entropy (each would
+    * otherwise rescan the corpus-sized token stream to rebuild it).
+    */
+  private def vocabCached(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "vocab", "ws") {
+      LanguageModel.vocabFrom(docTokensCached(s, dir))
+    }
+
   /** 16-permutation md5 MinHash signature, shared by dedup_minhash_sig
     * (first 8 columns) and dedup_minhash_pairs (all 16, banded).
     */
@@ -297,6 +306,7 @@ object SparkEntry {
       "doc_grams5" -> (() => docGrams5(s, dir)),
       "doc_tokens" -> (() => docTokensCached(s, dir)),
       "bigram_counts" -> (() => bigramCountsCached(s, dir)),
+      "vocab" -> (() => vocabCached(s, dir)),
       "simhash_sig64" -> (() => simhashSig64(s, dir)),
       "md5_sig16" -> (() => mdSig16(s, dir)),
       "xx_sig16" -> (() => xxSig16(s, dir)),
@@ -944,10 +954,10 @@ object SparkEntry {
     // join + per-doc mean — the perplexity-filter plan with a
     // corpus-learned unigram model standing in for KenLM
     "unigram_logprob" -> ((s, d) =>
-      LanguageModel.unigramLogprobFrom(docTokensCached(s, d))),
+      LanguageModel.unigramLogprobFrom(docTokensCached(s, d), vocabCached(s, d))),
     // top-20 adjacent-pair collocations with PMI (phrase-mining stat)
     "bigram_pmi" -> ((s, d) =>
-      LanguageModel.bigramPmiFrom(docTokensCached(s, d), bigramCountsCached(s, d))),
+      LanguageModel.bigramPmiFrom(vocabCached(s, d), bigramCountsCached(s, d))),
     // Gopher rule filters: five named per-doc quality rules + pass flag,
     // all integer counting in one narrow codegen stage
     "gopher_rules" -> ((s, d) =>
@@ -967,11 +977,11 @@ object SparkEntry {
     // per-source JS divergence from the corpus token distribution
     // (mixture-skew report; absent-token tail folded to closed form)
     "source_js_divergence" -> ((s, d) =>
-      LanguageModel.sourceJsDivergenceFrom(docTokensCached(s, d))),
+      LanguageModel.sourceJsDivergenceFrom(docTokensCached(s, d), vocabCached(s, d))),
     // one-row corpus information profile: unigram + conditional bigram
     // entropy from exact integer counts
     "corpus_entropy" -> ((s, d) =>
-      LanguageModel.corpusEntropyFrom(docTokensCached(s, d), bigramCountsCached(s, d))),
+      LanguageModel.corpusEntropyFrom(vocabCached(s, d), bigramCountsCached(s, d))),
     // stream-static enrichment: batch stats broadcast into an
     // incremental stream; must equal batch value_anomalies (same oracle)
     "streaming_anomalies" -> ((s, d) =>

@@ -41,6 +41,14 @@ object LanguageModel {
     graft.sources.Tables.fanOut(docs)
       .select(col("doc_id"), col("source"), explode(expr(toks)).as("token"))
 
+  /** `(token, c)` — the corpus vocabulary with counts, derived from
+    * [[docTokens]]; cached separately so the three consumers that need
+    * it don't each rescan the (corpus-sized) token stream to rebuild an
+    * identical table.
+    */
+  def vocabFrom(tokens: DataFrame): DataFrame =
+    tokens.groupBy(col("token")).agg(count(lit(1)).as("c"))
+
   /** `(w1, w2, c_xy)` — adjacent-pair counts (observed-bigram-bounded).
     * Docs with < 2 tokens short-circuit (Spark's `sequence(1, 0)`
     * DESCENDS — same guard as CorpusSignals.GramsExpr).
@@ -73,12 +81,17 @@ object LanguageModel {
     * Empty documents contribute no token rows and are absent from the
     * output (consistent with the oracle's inner join).
     */
-  def unigramLogprob(docs: DataFrame): DataFrame =
-    unigramLogprobFrom(docTokens(docs))
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tokens = docTokens(docs)
+    unigramLogprobFrom(tokens, vocabFrom(tokens))
+  }
 
-  /** [[unigramLogprob]] over a pre-exploded (cached) token frame. */
-  def unigramLogprobFrom(tokens: DataFrame): DataFrame = {
-    val vocab = tokens.groupBy(col("token")).agg(count(lit(1)).as("c"))
+  /** [[unigramLogprob]] over pre-built (cached) token + vocab frames.
+    * The vocab join is UNHINTED: broadcastable while the vocabulary
+    * fits, a plain shuffle join on the token beyond that — Spark/AQE
+    * picks per run.
+    */
+  def unigramLogprobFrom(tokens: DataFrame, vocab: DataFrame): DataFrame = {
     val total = vocab
       .agg(sum(col("c")).as("n_total"))
       .withColumn("one", one(col("n_total")))
@@ -127,24 +140,28 @@ object LanguageModel {
     * as TakeOrderedAndProject (per-partition top-k, k·partitions rows
     * to the driver), never a global sort.
     */
-  def bigramPmi(docs: DataFrame, k: Int = PmiTopK): DataFrame =
-    bigramPmiFrom(docTokens(docs), bigramCounts(docs), k)
+  def bigramPmi(docs: DataFrame, k: Int = PmiTopK): DataFrame = {
+    val tokens = docTokens(docs)
+    bigramPmiFrom(vocabFrom(tokens), bigramCounts(docs), k)
+  }
 
-  /** [[bigramPmi]] over pre-built (cached) token and pair frames. */
-  def bigramPmiFrom(tokens: DataFrame, pairCounts: DataFrame, k: Int = PmiTopK): DataFrame = {
-    val unigram = tokens.groupBy(col("token")).agg(count(lit(1)).as("c"))
+  /** [[bigramPmi]] over pre-built (cached) vocab and pair frames. The
+    * vocabulary lookup joins are UNHINTED (see [[unigramLogprobFrom]]);
+    * only the one-row totals frame is force-broadcast.
+    */
+  def bigramPmiFrom(vocab: DataFrame, pairCounts: DataFrame, k: Int = PmiTopK): DataFrame = {
     val pairs = pairCounts.withColumnRenamed("c_xy", "n_pair")
-    val totals = unigram
+    val totals = vocab
       .agg(sum(col("c")).as("n_tok"))
       .withColumn("one", one(col("n_tok")))
       .join(
         pairs.agg(sum(col("n_pair")).as("n_bg")).withColumn("one", one(col("n_bg"))),
         "one")
-    val u1 = unigram.select(col("token").as("w1"), col("c").as("c1"))
-    val u2 = unigram.select(col("token").as("w2"), col("c").as("c2"))
+    val u1 = vocab.select(col("token").as("w1"), col("c").as("c1"))
+    val u2 = vocab.select(col("token").as("w2"), col("c").as("c2"))
     pairs
-      .join(broadcast(u1), "w1")
-      .join(broadcast(u2), "w2")
+      .join(u1, "w1")
+      .join(u2, "w2")
       .withColumn("one", one(col("n_pair")))
       .join(broadcast(totals), "one")
       .withColumn(
@@ -201,16 +218,21 @@ object LanguageModel {
     * since m = p/2 there). One token explode, two vocabulary-bounded
     * hash aggs, a token-keyed lookup join, and a sources-sized result.
     */
-  def sourceJsDivergence(docs: DataFrame): DataFrame =
-    sourceJsDivergenceFrom(docTokens(docs))
+  def sourceJsDivergence(docs: DataFrame): DataFrame = {
+    val tokens = docTokens(docs)
+    sourceJsDivergenceFrom(tokens, vocabFrom(tokens))
+  }
 
-  /** [[sourceJsDivergence]] over a pre-exploded (cached) token frame. */
-  def sourceJsDivergenceFrom(tokens: DataFrame): DataFrame = {
+  /** [[sourceJsDivergence]] over pre-built (cached) token + vocab
+    * frames (the shared vocab stands in for the per-query corpus-count
+    * re-aggregation; `c` is renamed to the corpus-side `c_t`).
+    */
+  def sourceJsDivergenceFrom(tokens: DataFrame, vocabFrame: DataFrame): DataFrame = {
     val st = tokens
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("c_st"))
     val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
-    val vocab = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val vocab = vocabFrame.select(col("token"), col("c").as("c_t"))
     val total = vocab
       .agg(sum(col("c_t")).as("n"))
       .withColumn("one", one(col("n")))
@@ -269,14 +291,11 @@ object LanguageModel {
     * the plan is the bigram/unigram hash aggs plus ONE-ROW reductions.
     */
   def corpusEntropy(docs: DataFrame): DataFrame =
-    corpusEntropyFrom(docTokens(docs), bigramCounts(docs))
+    corpusEntropyFrom(vocabFrom(docTokens(docs)), bigramCounts(docs))
 
-  /** [[corpusEntropy]] over pre-built (cached) token and pair frames. */
-  def corpusEntropyFrom(tokens: DataFrame, pairCounts: DataFrame): DataFrame = {
-    val uni = tokens
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("c"))
-    val uniRow = uni
+  /** [[corpusEntropy]] over pre-built (cached) vocab and pair frames. */
+  def corpusEntropyFrom(vocab: DataFrame, pairCounts: DataFrame): DataFrame = {
+    val uniRow = vocab
       .agg(
         sum(col("c")).as("n_tokens"),
         count(lit(1)).as("vocab_size"),

@@ -189,12 +189,20 @@ object Profiling {
     * both engines compare against identical boundaries), then each
     * reading bucketed 1-4 by threshold comparison and summarized.
     *
-    * This is the scale-correct formulation of NTILE-style bucketing:
+    * This is the shuffle-correct formulation of NTILE-style bucketing:
     * a per-metric `ntile(4)` window would sort every reading of a
     * metric inside ONE partition (the whole table for a hot metric);
-    * here the thresholds come from a percentile AGGREGATE (map-side
-    * combinable) and the bucket assignment is a broadcast join + CASE
-    * inside the scan's codegen — no WindowExec anywhere.
+    * here the thresholds come from a percentile aggregate and the
+    * bucket assignment is a broadcast join + CASE inside the scan's
+    * codegen — no WindowExec anywhere.
+    *
+    * Memory caveat at extreme scale: Spark's EXACT `percentile` buffers
+    * each metric's distinct values in its aggregation buffer — fine for
+    * bounded-cardinality sensor values, but a continuous-valued hot
+    * metric at 100 TB wants `approx_percentile` here (same plan shape;
+    * `sketch_certify` certifies that sketch's error bound against the
+    * exact answer). The gate pins the exact form because the DuckDB
+    * oracle's `quantile_cont` is exact.
     */
   def valueQuartiles(events: DataFrame): DataFrame = {
     val thr = events

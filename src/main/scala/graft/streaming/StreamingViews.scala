@@ -46,20 +46,32 @@ object StreamingViews {
     * `maxFilesPerTrigger` is a SOURCE rate limit (respected by
     * Trigger.AvailableNow, which splits the backlog into micro-batches).
     */
-  def readingsStream(
+  /** Streaming read of the events parquet with a normalized `ts` — the
+    * shared source-construction preamble (nanosAsLong conf, batch-read
+    * schema capture, brace-glob basePath, schema-conditional ts) for
+    * every events-stream entry, carried ONCE. The brace-glob matters:
+    * the file source requires a directory basePath, and the events
+    * table may be a single parquet file; `{name}` globs keep the
+    * basePath at sfDir while matching exactly that file (or dir).
+    */
+  private def eventsStream(
       spark: SparkSession,
       sfDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // brace-glob: the file source requires a directory basePath, and the
-    // events table may be a single parquet file; {name} globs keep the
-    // basePath at sfDir while matching exactly that file (or dir).
     val reader = spark.readStream.schema(schema)
     val raw = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .parquet(s"$sfDir/{events.parquet}")
     normalizeTs(raw)
+  }
+
+  def readingsStream(
+      spark: SparkSession,
+      sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    eventsStream(spark, sfDir, maxFilesPerTrigger)
       .withColumn("cell", (col("user_id") % SensorGrid.NumCells).cast("int"))
       .join(broadcast(SensorGrid.sensorTable(spark)), "cell")
       .select(
@@ -206,12 +218,8 @@ object StreamingViews {
   def runAnomaliesAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
     val stats = graft.operators.Profiling.metricStats(
       graft.sources.Tables.load(spark, sfDir, "events"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val name = s"stream_anom_${sinkId.incrementAndGet()}"
-    val q = spark.readStream.schema(schema)
-      .parquet(s"$sfDir/{events.parquet}")
-      .transform(normalizeTs)
+    val q = eventsStream(spark, sfDir)
       .transform(ev => graft.operators.Profiling.valueAnomaliesAgainst(ev, stats))
       .writeStream
       .format("memory")
