@@ -997,6 +997,8 @@ object SparkEntry {
     // unordered source pair, over the CACHED pair frame
     "cross_source_dups" -> ((s, d) =>
       Dedup.crossSourceDups(ngramPairs(s, d), Tables.load(s, d, "documents"))),
+    // per-doc novelty (df==1 shingle fraction) over the CACHED shingles
+    "doc_novelty" -> ((s, d) => Dedup.docNovelty(docShingles(s, d))),
     // per-label centroid cohesion: one explode into a labels×dims agg,
     // then a narrow left-fold cosine against the broadcast centroid
     "label_centroid_cos" -> ((s, d) =>
@@ -1327,6 +1329,7 @@ object SparkEntry {
     "rate_anomalies" -> Profiling.rateAnomaliesSql(),
     "doc_length_histogram" -> TextAnalysis.LengthHistogramSql,
     "cross_source_dups" -> Dedup.crossSourceDupsSql(Dedup.ngramJaccardSql(3, 0.8)),
+    "doc_novelty" -> Dedup.docNoveltySql(3),
     "sketch_certify" -> CorpusSignals.SketchCertifySql,
     "data_profile" -> Profiling.DataProfileSql,
     "value_histogram" -> Profiling.valueHistogramSql(),

@@ -823,6 +823,51 @@ object Dedup {
       .orderBy(col("source_1"), col("source_2"))
   }
 
+  /** Per-document novelty: the fraction of the doc's distinct shingles
+    * that appear in NO other document (document frequency 1) — the
+    * inverse of the duplication signals, and the positive selection
+    * criterion a curation pipeline uses to up-weight genuinely new
+    * content instead of merely dropping duplicates.
+    *
+    * Consumes the CACHED shingle frame (the same one the whole dedup
+    * family shares), so the cost is one explode + a shingle-df hash agg
+    * + the lookup join back — all keys bounded by shingle df exactly
+    * like the pair candidates. Docs shorter than the shingle width are
+    * absent (no shingles), consistent with the oracle.
+    */
+  def docNovelty(sh: DataFrame): DataFrame = {
+    val ex = explodeShingles(sh)
+    val df = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    ex
+      .join(df, "s")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("df") === 1, lit(1))).as("n_unique"))
+      .withColumn(
+        "novelty",
+        round(col("n_unique").cast("double") / col("n_shingles").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  def docNoveltySql(n: Int): String = {
+    val grams = (1 to n).map(j => s"t[i+$j]").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(0, len(t) - ${n - 1}),
+       |    i -> concat_ws(' ', $grams))) AS shingles
+       |  FROM toks WHERE len(t) >= $n),
+       |u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |d AS (SELECT s, count(*) AS df FROM u GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |       count(*) FILTER (df = 1) AS n_unique,
+       |       round(CAST(count(*) FILTER (df = 1) AS DOUBLE) / count(*), 6) AS novelty
+       |FROM u JOIN d USING (s)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def crossSourceDupsSql(pairsSubquery: String): String =
     s"""WITH p AS ($pairsSubquery),
        |s AS (SELECT doc_id, source FROM documents)

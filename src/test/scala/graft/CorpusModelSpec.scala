@@ -216,6 +216,21 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(r === Map(("A", "A") -> 1L, ("A", "B") -> 2L))
   }
 
+  // ---- novelty --------------------------------------------------------
+
+  test("docNovelty: df==1 shingle fraction with hand-computed expectations") {
+    // doc1 "a b c d": shingles {abc, bcd}; doc2 "a b c e": {abc, bce}
+    // abc has df 2 -> doc1 novelty 1/2 (bcd unique), doc2 1/2 (bce)
+    val sh = graft.operators.Dedup.shingleSets(
+      docs(1L -> "a b c d", 2L -> "a b c e", 3L -> "a b"), 3)
+    val r = graft.operators.Dedup.docNovelty(sh).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(1L, 2L)) // doc 3 too short for 3-shingles
+    assert(r(1L).getAs[Long]("n_shingles") === 2 && r(1L).getAs[Long]("n_unique") === 1)
+    assert(r(1L).getAs[Double]("novelty") === 0.5)
+    assert(r(2L).getAs[Double]("novelty") === 0.5)
+  }
+
   // ---- length histogram ----------------------------------------------
 
   test("lengthHistogram bins by 64-token width with exact token sums") {
