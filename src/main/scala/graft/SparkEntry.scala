@@ -999,10 +999,37 @@ object SparkEntry {
       Dedup.crossSourceDups(ngramPairs(s, d), Tables.load(s, d, "documents"))),
     // per-doc novelty (df==1 shingle fraction) over the CACHED shingles
     "doc_novelty" -> ((s, d) => Dedup.docNovelty(docShingles(s, d))),
+    // capstone per-source curation report: Gopher pass rate + mean
+    // novelty + mean LM score in ONE plan, every per-doc input read
+    // from the session caches (docs scanned once, joined on doc_id;
+    // short docs missing novelty/LM rows stay counted via left joins)
+    "source_curation_report" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("source"))
+      val pass = TextAnalysis.gopherRules(Tables.load(s, d, "documents"))
+        .select(col("doc_id"), col("pass"))
+      val nov = Dedup.docNovelty(docShingles(s, d)).select(col("doc_id"), col("novelty"))
+      val lm = LanguageModel
+        .unigramLogprobFrom(docTokensCached(s, d), vocabCached(s, d))
+        .select(col("doc_id"), col("avg_neg_logprob"))
+      docs
+        .join(pass, Seq("doc_id"), "left")
+        .join(nov, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("pass").cast("double")), 6).as("pass_rate"),
+          round(avg(col("novelty")), 6).as("avg_novelty"),
+          round(avg(col("avg_neg_logprob")), 6).as("avg_lm_score"))
+        .orderBy(col("source"))
+    }),
     // per-label centroid cohesion: one explode into a labels×dims agg,
     // then a narrow left-fold cosine against the broadcast centroid
     "label_centroid_cos" -> ((s, d) =>
       Similarity.labelCentroidCos(Tables.load(s, d, "embeddings"))),
+    // per-dimension embedding drift audit (Dim-sized output at any SF)
+    "embedding_dim_stats" -> ((s, d) =>
+      Similarity.embeddingDimStats(Tables.load(s, d, "embeddings"))),
     // ---- dataset profiling (Profiling) ----
     // per-column null/distinct/range stats in ONE multi-agg pass
     "data_profile" -> ((s, d) => Profiling.dataProfile(Tables.load(s, d, "events"))),
@@ -1323,6 +1350,7 @@ object SparkEntry {
     "value_anomalies" -> Profiling.valueAnomaliesSql(),
     "value_quartiles" -> Profiling.ValueQuartilesSql,
     "label_centroid_cos" -> Similarity.LabelCentroidCosSql,
+    "embedding_dim_stats" -> Similarity.EmbeddingDimStatsSql,
     "source_js_divergence" -> LanguageModel.SourceJsDivergenceSql,
     "corpus_entropy" -> LanguageModel.CorpusEntropySql,
     "streaming_anomalies" -> Profiling.valueAnomaliesSql(),
@@ -1330,6 +1358,19 @@ object SparkEntry {
     "doc_length_histogram" -> TextAnalysis.LengthHistogramSql,
     "cross_source_dups" -> Dedup.crossSourceDupsSql(Dedup.ngramJaccardSql(3, 0.8)),
     "doc_novelty" -> Dedup.docNoveltySql(3),
+    "source_curation_report" ->
+      s"""WITH g AS (${TextAnalysis.GopherRulesSql}),
+         |nv AS (${Dedup.docNoveltySql(3)}),
+         |lm AS (${LanguageModel.UnigramLogprobSql})
+         |SELECT d.source, count(*) AS n_docs,
+         |       round(avg(CAST(g.pass AS DOUBLE)), 6) AS pass_rate,
+         |       round(avg(nv.novelty), 6) AS avg_novelty,
+         |       round(avg(lm.avg_neg_logprob), 6) AS avg_lm_score
+         |FROM documents d
+         |LEFT JOIN g USING (doc_id)
+         |LEFT JOIN nv USING (doc_id)
+         |LEFT JOIN lm USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sketch_certify" -> CorpusSignals.SketchCertifySql,
     "data_profile" -> Profiling.DataProfileSql,
     "value_histogram" -> Profiling.valueHistogramSql(),

@@ -835,6 +835,40 @@ object Similarity {
       |       min(c) AS code_min, max(c) AS code_max
       |FROM codes GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- per-dimension distribution audit -------------------------------
+
+  /** Per-dimension distribution audit over the embedding column: count,
+    * mean, sample stddev, min, max for each of the [[Dim]] dimensions —
+    * the drift check run when a new embedding batch arrives (a dimension
+    * whose mean/σ shifts against the index's training distribution
+    * invalidates the IVF centroids and the LSH planes). One explode into
+    * a Dim-sized hash agg; map-side combinable, output is [[Dim]] rows
+    * at any corpus size.
+    */
+  def embeddingDimStats(emb: DataFrame): DataFrame =
+    emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xd", col("x").cast("double"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("xd")), 6).as("mean"),
+        round(stddev_samp(col("xd")), 6).as("std"),
+        round(min(col("xd")), 6).as("lo"),
+        round(max(col("xd")), 6).as("hi"))
+      .orderBy(col("dim"))
+
+  /** DuckDB twin — generate_subscripts is 1-based, posexplode 0-based. */
+  val EmbeddingDimStatsSql: String =
+    """WITH e AS (
+      |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)
+      |SELECT dim, count(*) AS n, round(avg(x), 6) AS mean,
+      |       round(stddev_samp(x), 6) AS std,
+      |       round(min(x), 6) AS lo, round(max(x), 6) AS hi
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- per-label centroid cohesion ------------------------------------
 
   /** Cluster-cohesion report per label: the label's centroid (dimension-

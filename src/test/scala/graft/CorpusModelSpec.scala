@@ -257,6 +257,21 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(r.head.getAs[Double]("z") > 3.0)
   }
 
+  // ---- capstone curation report ---------------------------------------
+
+  test("source_curation_report: totals preserved, rates bounded (sf0.001)") {
+    val total = graft.sources.Tables.load(spark, Sf0001, "documents").count()
+    val r = SparkEntry.queries("source_curation_report")(spark, Sf0001).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === total) // left joins drop no docs
+    r.foreach { x =>
+      val pr = x.getAs[Double]("pass_rate")
+      assert(pr >= 0.0 && pr <= 1.0)
+      val nv = x.getAs[Double]("avg_novelty")
+      assert(nv >= 0.0 && nv <= 1.0)
+      assert(x.getAs[Double]("avg_lm_score") > 0.0)
+    }
+  }
+
   // ---- robustness -----------------------------------------------------
 
   test("all corpus-model operators handle an empty input without error") {

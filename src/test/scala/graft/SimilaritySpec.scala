@@ -287,6 +287,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(2L) === ((Dim.toLong, 128L, 0L, 128L)))
   }
 
+  test("embeddingDimStats: hand-computed per-dim moments") {
+    // dim0: values 0 and 2 -> mean 1, std sqrt(2), lo 0, hi 2
+    val d = toDf(Seq(
+      0L -> (Array(0f) ++ Array.fill(Dim - 1)(1f)),
+      1L -> (Array(2f) ++ Array.fill(Dim - 1)(1f))))
+    val r = Similarity.embeddingDimStats(d).collect()
+    assert(r.length === Dim)
+    val d0 = r.head
+    assert(d0.getAs[Int]("dim") === 0 && d0.getAs[Long]("n") === 2)
+    assert(d0.getAs[Double]("mean") === 1.0)
+    assert(d0.getAs[Double]("std") ===
+      BigDecimal(math.sqrt(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(d0.getAs[Double]("lo") === 0.0 && d0.getAs[Double]("hi") === 2.0)
+    // constant dims: std 0
+    assert(r(1).getAs[Double]("std") === 0.0)
+  }
+
   test("labelCentroidCos: tight labels score ~1, antipodal members score 0") {
     import org.apache.spark.sql.functions.{col, lit}
     // label 0: two identical vectors -> centroid == them -> avg_cos = 1

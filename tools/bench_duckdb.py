@@ -29,7 +29,7 @@ HEADLINE = [
     "value_anomalies", "value_quartiles", "label_centroid_cos",
     "source_js_divergence", "corpus_entropy",
     "rate_anomalies", "doc_length_histogram", "cross_source_dups",
-    "doc_novelty",
+    "doc_novelty", "source_curation_report", "embedding_dim_stats",
     # streaming_anomalies intentionally absent: its oracle IS the
     # value_anomalies SQL (stream==batch certificate), already anchored
 ]
