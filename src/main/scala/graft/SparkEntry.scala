@@ -424,6 +424,22 @@ object SparkEntry {
     "view_day" -> ((s, d) => presentView(ghView(s, d, "day"))),
     "view_month" -> ((s, d) => presentView(ghView(s, d, "month"))),
     "view_quad_day" -> ((s, d) => presentView(quadView(s, d, "day"))),
+    // A3's min/hour/day fan-out in ONE aggregation pass (single
+    // Exchange) via GROUPING SETS — vs one shuffle per resolution in
+    // buildAll and one repartition topic per branch in the reference
+    "view_multires" -> ((s, d) =>
+      ViewBuilder.buildMultiRes(
+        SensorGrid.readings(s, d),
+        substring(col("gh12"), 1, GhViewPrecision))
+        .select(
+          col("res"),
+          col("metric"),
+          col("geo"),
+          col("ts").cast("long").as("ts_s"),
+          col("cnt"),
+          round(col("sum_val"), 6).as("sum_val"),
+          round(col("avg_val"), 6).as("avg_val"))
+        .orderBy(col("res"), col("metric"), col("geo"), col("ts_s"))),
     // history (A5, §3.2) per aggregate
     "history_avg" -> ((s, d) => historyQ("min", "click", "avg", HistFrom, HistTo)(s, d)),
     "history_sum" -> ((s, d) => historyQ("hour", "view", "sum", HistFrom, HistTo)(s, d)),
@@ -656,6 +672,27 @@ object SparkEntry {
         .rollup(col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 6).as("sum_val"))
         .orderBy(col("event_type").asc_nulls_first)),
+    // two-phase salted aggregation for hot grouping keys (SkewTools):
+    // phase 1 spreads each key over 8 salt partitions, phase 2 merges
+    // the partials — must equal the plain groupBy exactly (same oracle)
+    "salted_rollup" -> ((s, d) =>
+      graft.operators.SkewTools
+        .saltedSummary(Tables.load(s, d, "events"), Seq("event_type"), "value", 8)
+        .select(
+          col("event_type"),
+          col("cnt"),
+          round(col("sum_val"), 6).as("sum_val"),
+          round(col("avg_val"), 6).as("avg_val"))
+        .orderBy(col("event_type"))),
+    // forward-fill resample of the sparse minute view onto each cell's
+    // dense minute grid (grid generated per key from its own bounds)
+    "ts_gap_fill" -> ((s, d) =>
+      graft.operators.TimeSeries.gapFillMinutes(
+        ghView(s, d, "min"),
+        "click",
+        HistoryGeos,
+        HistFrom.getEpochSecond,
+        HistTo.getEpochSecond)),
     "user_top3_events" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
@@ -718,6 +755,11 @@ object SparkEntry {
     // ---- sessionization (gap rule; window lag + running sum) ----
     "user_sessions" -> ((s, d) =>
       Sessionize.userStats(Tables.load(s, d, "events"), gapSeconds = 1800)),
+    // engine-native sessionization: session_window builtin under
+    // incremental execution (per-session rows; second-granular event
+    // time so the gap rule is exactly the oracle's `>= gap` break)
+    "streaming_sessions" -> ((s, d) =>
+      graft.streaming.StreamingViews.runSessionsAvailableNow(s, d, 1800L)),
     // ---- language-ID (char n-gram profiles; narrow map, no shuffle) ----
     "lang_id" -> ((s, d) => LanguageId.predict(Tables.load(s, d, "documents"))),
     // ---- BPE-ish token counting (regex word/number/punct pieces) ----
@@ -1111,6 +1153,54 @@ object SparkEntry {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "view_multires" -> Seq("min", "hour", "day")
+      .map(r =>
+        s"""SELECT '$r' AS res, metric, $Gh6Expr AS geo, ${truncS(r)} AS ts_s,
+           | count(*) AS cnt, round(sum(value), 6) AS sum_val,
+           | round(sum(value) / count(*), 6) AS avg_val
+           |FROM readings GROUP BY 2, 3, 4""".stripMargin)
+      .mkString(s"$Cte ", " UNION ALL ", " ORDER BY 1, 2, 3, 4"),
+    "salted_rollup" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 6) AS sum_val,
+        | round(sum(value) / count(*), 6) AS avg_val
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_gap_fill" ->
+      s"""$Cte, v AS (
+         |  SELECT $Gh6Expr AS geo, ${truncS("min")} AS ts_s,
+         |         sum(value) / count(*) AS avg_val
+         |  FROM readings
+         |  WHERE metric = 'click' AND $Gh6Expr IN (${sqlList(HistoryGeos)})
+         |  GROUP BY 1, 2),
+         |vv AS (SELECT * FROM v
+         |       WHERE ts_s >= ${HistFrom.getEpochSecond} AND ts_s < ${HistTo.getEpochSecond}),
+         |b AS (SELECT geo, min(ts_s) AS mn, max(ts_s) AS mx FROM vv GROUP BY 1),
+         |g AS (SELECT geo, unnest(generate_series(mn, mx, 60)) AS ts_s FROM b)
+         |SELECT g.geo, g.ts_s,
+         |  round(last_value(vv.avg_val IGNORE NULLS) OVER (
+         |    PARTITION BY g.geo ORDER BY g.ts_s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled,
+         |  CASE WHEN vv.avg_val IS NOT NULL THEN 1 ELSE 0 END AS observed
+         |FROM g LEFT JOIN vv ON g.geo = vv.geo AND g.ts_s = vv.ts_s
+         |ORDER BY 1, 2""".stripMargin,
+    // session_window semantics: window end is EXCLUSIVE, so a new
+    // session starts when the gap is >= 1800 (user_sessions' lag rule
+    // breaks only on > — different operator, different rule)
+    "streaming_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, ts_s, value,
+        |         CASE WHEN lag(ts_s) OVER w IS NULL
+        |                OR ts_s - lag(ts_s) OVER w >= 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_s, value,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM l)
+        |SELECT user_id, min(ts_s) AS sess_start_s, count(*) AS n_events,
+        |       round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
     "view_min" -> viewSql(Gh6Expr, "min"),
     "view_hour" -> viewSql(Gh6Expr, "hour"),
     "view_day" -> viewSql(Gh6Expr, "day"),

@@ -90,4 +90,46 @@ object ViewBuilder {
       .agg(sum(col("cnt")).as("cnt"), sum(col("sum_val")).as("sum_val"))
       .withColumn("avg_val", col("sum_val") / col("cnt"))
   }
+
+  /** The A3 fan-out's minute/hour/day resolutions in ONE aggregation
+    * pass via GROUPING SETS: the reference pays one repartition topic
+    * per (metric, precision, resolution) branch
+    * (ingestion/IngestStream.java:302-397) and [[buildAll]] pays one
+    * shuffle per resolution — this pays a single Exchange for all three
+    * nested resolutions. Catalyst plans it as one Expand (×3 grouping
+    * sets) feeding one partial+final HashAggregate, so the shuffle
+    * carries map-side-combined cells, not ×3 raw rows. Output adds a
+    * `res` discriminator (derived from `grouping_id`, not from data)
+    * and `ts` is the truncation of the row's own level.
+    */
+  def buildMultiRes(readings: DataFrame, geo: Column): DataFrame = {
+    val base = readings.select(
+      col("metric"),
+      geo.as("geo"),
+      date_trunc("day", col("ts")).as("ts_day"),
+      date_trunc("hour", col("ts")).as("ts_hour"),
+      date_trunc("minute", col("ts")).as("ts_min"),
+      col("value"))
+    base
+      .groupingSets(
+        Seq(
+          Seq(col("metric"), col("geo"), col("ts_day")),
+          Seq(col("metric"), col("geo"), col("ts_day"), col("ts_hour")),
+          Seq(col("metric"), col("geo"), col("ts_day"), col("ts_hour"), col("ts_min"))),
+        col("metric"),
+        col("geo"),
+        col("ts_day"),
+        col("ts_hour"),
+        col("ts_min"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(col("value")).as("sum_val"))
+      .withColumn(
+        "res",
+        when(col("gid") === 0, "min").when(col("gid") === 1, "hour").otherwise("day"))
+      .withColumn("ts", coalesce(col("ts_min"), col("ts_hour"), col("ts_day")))
+      .withColumn("avg_val", col("sum_val") / col("cnt"))
+      .select(col("res"), col("metric"), col("geo"), col("ts"), col("cnt"), col("sum_val"), col("avg_val"))
+  }
 }

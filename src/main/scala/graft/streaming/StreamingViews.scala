@@ -231,6 +231,48 @@ object StreamingViews {
     spark.table(name).orderBy(col("event_id"))
   }
 
+  /** Gap-based sessionization via the `session_window` BUILTIN under
+    * incremental execution — the engine-native counterpart of the
+    * custom-state [[graft.operators.Sessionize.streamingUserStats]]
+    * (flatMapGroupsWithState). Spark's session state store merges
+    * overlapping [ts, ts+gap) windows per user; a new session starts
+    * when the gap is >= `gapSeconds` (window end is EXCLUSIVE — the
+    * oracle must use `>=`, where the lag-based batch rule in
+    * Sessionize.userStats breaks only on `>`). Complete mode, no
+    * watermark: the parity surface over a finite source; production
+    * adds `withWatermark` and append mode to emit closed sessions and
+    * expire their state.
+    *
+    * Output: one row per session (user_id, sess_start_s, n_events,
+    * sum_value) — per-session granularity, not the per-user totals of
+    * `user_sessions`.
+    */
+  def runSessionsAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      gapSeconds: Long): DataFrame = {
+    val name = s"stream_sessions_${sinkId.incrementAndGet()}"
+    val q = eventsStream(spark, sfDir)
+      .groupBy(
+        col("user_id"),
+        session_window(timestamp_seconds(col("ts").cast("long")), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(
+        col("user_id"),
+        col("session_window.start").cast("long").as("sess_start_s"),
+        col("n_events"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .orderBy(col("user_id"), col("sess_start_s"))
+  }
+
   /** Production-shaped sink (S5): an UPDATE-mode MERGE upsert keyed on
     * (metric, geo, ts) into a parquet view table partitioned by metric.
     *
