@@ -693,6 +693,10 @@ object SparkEntry {
         HistoryGeos,
         HistFrom.getEpochSecond,
         HistTo.getEpochSecond)),
+    // trailing 1-hour moving average over the sparse minute series
+    // (RANGE frame on epoch seconds; Σsum/Σcnt — the mergeable algebra)
+    "ts_moving_avg" -> ((s, d) =>
+      graft.operators.TimeSeries.movingAvgMinutes(ghView(s, d, "min"), "view", HistoryGeos)),
     "user_top3_events" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
@@ -760,6 +764,14 @@ object SparkEntry {
     // time so the gap rule is exactly the oracle's `>= gap` break)
     "streaming_sessions" -> ((s, d) =>
       graft.streaming.StreamingViews.runSessionsAvailableNow(s, d, 1800L)),
+    // stream-stream inner join: same-user click→purchase attribution
+    // within 1 hour, state keyed on the user equi-condition
+    "streaming_join" -> ((s, d) =>
+      graft.streaming.StreamingViews.runStreamStreamJoinAvailableNow(s, d, 3600L)),
+    // per-source percentile calibration of the quality score (filter on
+    // within-source percentile, not the raw cross-source threshold)
+    "quality_calibration" -> ((s, d) =>
+      TextAnalysis.qualityCalibration(Tables.load(s, d, "documents"))),
     // ---- language-ID (char n-gram profiles; narrow map, no shuffle) ----
     "lang_id" -> ((s, d) => LanguageId.predict(Tables.load(s, d, "documents"))),
     // ---- BPE-ish token counting (regex word/number/punct pieces) ----
@@ -1182,6 +1194,31 @@ object SparkEntry {
          |  CASE WHEN vv.avg_val IS NOT NULL THEN 1 ELSE 0 END AS observed
          |FROM g LEFT JOIN vv ON g.geo = vv.geo AND g.ts_s = vv.ts_s
          |ORDER BY 1, 2""".stripMargin,
+    "ts_moving_avg" ->
+      s"""$Cte, v AS (
+         |  SELECT $Gh6Expr AS geo, ${truncS("min")} AS ts_s,
+         |         count(*) AS cnt, sum(value) AS sum_val
+         |  FROM readings
+         |  WHERE metric = 'view' AND $Gh6Expr IN (${sqlList(HistoryGeos)})
+         |  GROUP BY 1, 2)
+         |SELECT geo, ts_s, cnt, round(sum_val, 6) AS sum_val,
+         |       round(sum(sum_val) OVER w / sum(cnt) OVER w, 6) AS ma
+         |FROM v WINDOW w AS (
+         |  PARTITION BY geo ORDER BY ts_s
+         |  RANGE BETWEEN 3540 PRECEDING AND CURRENT ROW)
+         |ORDER BY 1, 2""".stripMargin,
+    "streaming_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000000000 AS ts_s FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       p.ts_s - c.ts_s AS lag_s
+        |FROM e c JOIN e p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts_s >= c.ts_s AND p.ts_s < c.ts_s + 3600
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "quality_calibration" -> TextAnalysis.QualityCalibrationSql,
     // session_window semantics: window end is EXCLUSIVE, so a new
     // session starts when the gap is >= 1800 (user_sessions' lag rule
     // breaks only on > — different operator, different rule)

@@ -77,7 +77,14 @@ object TextAnalysis {
     * projection, legal on a STREAMING DataFrame (append mode, no state
     * store); the streaming entry runs exactly this and sorts the sink.
     */
-  def qualityScoreUnordered(docs: DataFrame): DataFrame = {
+  def qualityScoreUnordered(docs: DataFrame): DataFrame =
+    qualityScored(docs)
+      .select(col("doc_id"), col("nt").as("n_tokens"), col("stop_ratio"), col("quality"))
+
+  /** The scoring transform with the input columns retained — shared by
+    * [[qualityScoreUnordered]] and [[qualityCalibration]].
+    */
+  private def qualityScored(docs: DataFrame): DataFrame = {
     val stopArr = StopWords.map(w => s"'$w'").mkString("array(", ", ", ")")
     docs
       .withColumn("toks", expr(toks))
@@ -92,7 +99,6 @@ object TextAnalysis {
           least(col("nt"), lit(100)).cast("double") / 100.0 *
             (lit(1.0) - col("nstop").cast("double") / col("ntd")),
           6))
-      .select(col("doc_id"), col("nt").as("n_tokens"), col("stop_ratio"), col("quality"))
   }
 
   val QualityScoreSql: String = {
@@ -109,6 +115,49 @@ object TextAnalysis {
        |       round(CAST(least(nt, 100) AS DOUBLE) / 100.0 *
        |             (1.0 - CAST(nstop AS DOUBLE) / nullif(nt, 0)), 6) AS quality
        |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-source percentile calibration of the quality score: a raw
+    * score threshold filters sources unevenly (each source has its own
+    * score distribution), so curation pipelines filter on the
+    * WITHIN-SOURCE percentile instead. `percent_rank` over
+    * (source | quality, doc_id) — the doc_id tie-break makes ranks
+    * deterministic, and ranking happens on the ROUNDED score so both
+    * engines order identically. One shuffle on source; each source's
+    * window sorts independently (at 100 TB: the per-source sort is the
+    * cost, and sources are the natural partition — no global sort).
+    * Empty docs (NULL score) are excluded — they cannot be ranked.
+    */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").asc, col("doc_id").asc)
+    qualityScored(docs)
+      .filter(col("quality").isNotNull)
+      .withColumn("pctl", round(percent_rank().over(w), 6))
+      .select(col("doc_id"), col("source"), col("quality"), col("pctl"))
+      .orderBy(col("doc_id"))
+  }
+
+  val QualityCalibrationSql: String = {
+    val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, source, len(toks) AS nt,
+       |         len(list_filter(toks, x -> list_contains($stopList, x))) AS nstop
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, source,
+       |         round(CAST(least(nt, 100) AS DOUBLE) / 100.0 *
+       |               (1.0 - CAST(nstop AS DOUBLE) / nullif(nt, 0)), 6) AS quality
+       |  FROM s)
+       |SELECT doc_id, source, quality,
+       |       round(percent_rank() OVER (
+       |         PARTITION BY source ORDER BY quality ASC, doc_id ASC), 6) AS pctl
+       |FROM q WHERE quality IS NOT NULL ORDER BY doc_id""".stripMargin
   }
 
   /** Hashed-feature linear classifier SERVING plan — the shape of a

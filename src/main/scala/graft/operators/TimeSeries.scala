@@ -53,4 +53,31 @@ object TimeSeries {
       .select(col("geo"), col("ts_s"), col("filled"), col("observed"))
       .orderBy(col("geo"), col("ts_s"))
   }
+
+  /** Trailing moving average over the minute view via a RANGE frame on
+    * epoch seconds: each row averages the last `windowSec` of REAL
+    * readings — Σsum/Σcnt over the frame (the mergeable-summary
+    * algebra again: never an average of the per-minute averages, which
+    * would weight sparse minutes equally with dense ones). A RANGE
+    * frame (not ROWS) is what makes this correct on a sparse series —
+    * gaps shrink the frame instead of stretching it over old data.
+    * One WindowExec per key; both frame aggregates share it.
+    */
+  def movingAvgMinutes(
+      minuteView: DataFrame,
+      metric: String,
+      geos: Seq[String],
+      windowSec: Long = 3600L): DataFrame = {
+    val obs = minuteView
+      .filter(col("metric") === metric && col("geo").isin(geos: _*))
+      .select(col("geo"), col("ts").cast("long").as("ts_s"), col("cnt"), col("sum_val"))
+    val w = Window
+      .partitionBy(col("geo"))
+      .orderBy(col("ts_s"))
+      .rangeBetween(-(windowSec - 60), 0)
+    obs
+      .withColumn("ma", round(sum(col("sum_val")).over(w) / sum(col("cnt")).over(w), 6))
+      .select(col("geo"), col("ts_s"), col("cnt"), round(col("sum_val"), 6).as("sum_val"), col("ma"))
+      .orderBy(col("geo"), col("ts_s"))
+  }
 }

@@ -273,6 +273,53 @@ object StreamingViews {
       .orderBy(col("user_id"), col("sess_start_s"))
   }
 
+  /** Stream-stream INNER join under incremental execution — the last
+    * streaming operator class (beyond aggregation, dedup, stateless
+    * filters, stream-static joins, and sessionization): click events
+    * joined to the same user's purchase events within `windowSec`
+    * after the click. The join key is the user equi-condition (state is
+    * hash-partitioned on it; the time bound is a post-filter on the
+    * matched pair), so each side's state store holds its rows keyed by
+    * user and matches arrive as either side's row turns up — inner-join
+    * matches emit immediately, no watermark needed for correctness.
+    * Production bounds state by watermarking BOTH sides and keeping the
+    * time-range condition, letting Spark evict rows that can no longer
+    * match; over a finite AvailableNow source the unwatermarked plan is
+    * the batch-parity surface (oracle: the plain self-join SQL).
+    * Event times compare at second granularity on both engines.
+    */
+  def runStreamStreamJoinAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      windowSec: Long): DataFrame = {
+    val clicks = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").cast("long").as("c_ts"))
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        col("ts").cast("long").as("p_ts"))
+    val name = s"stream_join_${sinkId.incrementAndGet()}"
+    val q = clicks
+      .join(
+        purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") && col("p_ts") < col("c_ts") + windowSec,
+        "inner")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("click_id"), col("purchase_id"), (col("p_ts") - col("c_ts")).as("lag_s"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Production-shaped sink (S5): an UPDATE-mode MERGE upsert keyed on
     * (metric, geo, ts) into a parquet view table partitioned by metric.
     *

@@ -75,6 +75,55 @@ class MultiResFillSessionsSpec extends AnyFunSuite {
     joined.unpersist(); filled.unpersist()
   }
 
+  test("movingAvgMinutes: RANGE frame == per-row brute-force over the trailing hour") {
+    val view = ViewBuilder.build(readings, substring(col("gh12"), 1, 6), "min")
+    val geos = SensorGrid.cellGeo.map(_._2.substring(0, 6)).distinct.sorted.take(3)
+    val ma = graft.operators.TimeSeries.movingAvgMinutes(view, "view", geos).collect()
+    assert(ma.nonEmpty)
+    val obs = view
+      .filter(col("metric") === "view" && col("geo").isin(geos: _*))
+      .select(col("geo"), col("ts").cast("long"), col("cnt"), col("sum_val"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ma.foreach { r =>
+      val (geo, ts) = (r.getString(0), r.getLong(1))
+      val frame = obs.filter(o => o._1 == geo && o._2 >= ts - 3540 && o._2 <= ts)
+      val expect = frame.map(_._4).sum / frame.map(_._3).sum
+      assert(math.abs(r.getDouble(4) - expect) < 1e-6, s"($geo, $ts)")
+    }
+  }
+
+  test("qualityCalibration: within-source percentile ranks, deterministic and monotone") {
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val cal = graft.operators.TextAnalysis.qualityCalibration(docs).collect()
+    assert(cal.nonEmpty)
+    cal.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(r => (r.getDouble(2), r.getLong(0)))
+      // percent_rank: 0 for the first, (i)/(n-1) thereafter, monotone
+      assert(sorted.head.getDouble(3) === 0.0, src)
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p(0) <= p(1)), src)
+      if (rows.length > 1)
+        assert(math.abs(sorted.last.getDouble(3) - 1.0) < 1e-9, src)
+    }
+  }
+
+  test("stream-stream join == batch self-join (same-user purchase within window)") {
+    val streamed = graft.streaming.StreamingViews
+      .runStreamStreamJoinAvailableNow(spark, Sf0001, 3600L)
+    val e = Tables.load(spark, Sf0001, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts").cast("long").as("t"))
+    val batch = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("t").as("ct"))
+      .join(
+        e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("t").as("pt")),
+        col("user_id") === col("pu") && col("pt") >= col("ct") && col("pt") < col("ct") + 3600L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"), (col("pt") - col("ct")).as("lag_s"))
+    val key = (df: DataFrame) => df.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(streamed.count() > 0)
+    assert(key(streamed).sameElements(key(batch)))
+  }
+
   test("streaming session_window == batch lag rule with the >= gap break") {
     val sessions = graft.streaming.StreamingViews
       .runSessionsAvailableNow(spark, Sf0001, 1800L).cache()

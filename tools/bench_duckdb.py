@@ -30,6 +30,8 @@ HEADLINE = [
     "source_js_divergence", "corpus_entropy",
     "rate_anomalies", "doc_length_histogram", "cross_source_dups",
     "doc_novelty", "source_curation_report", "embedding_dim_stats",
+    "view_multires", "salted_rollup", "ts_gap_fill", "ts_moving_avg",
+    "quality_calibration", "streaming_sessions", "streaming_join",
     # streaming_anomalies intentionally absent: its oracle IS the
     # value_anomalies SQL (stream==batch certificate), already anchored
 ]
