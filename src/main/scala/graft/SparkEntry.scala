@@ -761,7 +761,7 @@ object SparkEntry {
       Sessionize.userStats(Tables.load(s, d, "events"), gapSeconds = 1800)),
     // engine-native sessionization: session_window builtin under
     // incremental execution (per-session rows; second-granular event
-    // time so the gap rule is exactly the oracle's `>= gap` break)
+    // time so the `> gap` break is exactly the oracle's rule)
     "streaming_sessions" -> ((s, d) =>
       graft.streaming.StreamingViews.runSessionsAvailableNow(s, d, 1800L)),
     // stream-stream inner join: same-user click→purchase attribution
@@ -1219,16 +1219,17 @@ object SparkEntry {
         | AND p.ts_s >= c.ts_s AND p.ts_s < c.ts_s + 3600
         |ORDER BY 1, 2, 3""".stripMargin,
     "quality_calibration" -> TextAnalysis.QualityCalibrationSql,
-    // session_window semantics: window end is EXCLUSIVE, so a new
-    // session starts when the gap is >= 1800 (user_sessions' lag rule
-    // breaks only on > — different operator, different rule)
+    // session_window semantics: events merge when the gap is <= the
+    // window duration (boundary INCLUSIVE — verified on the one
+    // exact-1800 s gap at sf0.1), so a new session starts only on
+    // gap > 1800: the SAME break rule as user_sessions' lag formulation
     "streaming_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000000000 AS ts_s FROM events),
         |l AS (
         |  SELECT user_id, event_id, ts_s, value,
         |         CASE WHEN lag(ts_s) OVER w IS NULL
-        |                OR ts_s - lag(ts_s) OVER w >= 1800 THEN 1 ELSE 0 END AS ns
+        |                OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS ns
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
         |s AS (
         |  SELECT user_id, ts_s, value,

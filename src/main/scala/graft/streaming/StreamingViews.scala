@@ -235,10 +235,11 @@ object StreamingViews {
     * incremental execution — the engine-native counterpart of the
     * custom-state [[graft.operators.Sessionize.streamingUserStats]]
     * (flatMapGroupsWithState). Spark's session state store merges
-    * overlapping [ts, ts+gap) windows per user; a new session starts
-    * when the gap is >= `gapSeconds` (window end is EXCLUSIVE — the
-    * oracle must use `>=`, where the lag-based batch rule in
-    * Sessionize.userStats breaks only on `>`). Complete mode, no
+    * windows per user when the inter-event gap is <= `gapSeconds`
+    * (boundary INCLUSIVE — verified against the one exact-gap pair at
+    * sf0.1), so a new session starts only on gap > `gapSeconds`: the
+    * SAME break rule as the lag-based batch Sessionize.userStats.
+    * Complete mode, no
     * watermark: the parity surface over a finite source; production
     * adds `withWatermark` and append mode to emit closed sessions and
     * expire their state.

@@ -124,7 +124,7 @@ class MultiResFillSessionsSpec extends AnyFunSuite {
     assert(key(streamed).sameElements(key(batch)))
   }
 
-  test("streaming session_window == batch lag rule with the >= gap break") {
+  test("streaming session_window == batch lag rule with the > gap break") {
     val sessions = graft.streaming.StreamingViews
       .runSessionsAvailableNow(spark, Sf0001, 1800L).cache()
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
@@ -132,7 +132,7 @@ class MultiResFillSessionsSpec extends AnyFunSuite {
       .select(col("user_id"), col("event_id"), col("value"), col("ts").cast("long").as("ts_s"))
       .withColumn("prev", lag(col("ts_s"), 1).over(w))
       .withColumn("ns",
-        when(col("prev").isNull || col("ts_s") - col("prev") >= 1800, 1).otherwise(0))
+        when(col("prev").isNull || col("ts_s") - col("prev") > 1800, 1).otherwise(0))
       .withColumn("sid",
         sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sid"))
