@@ -293,10 +293,14 @@ object StreamingViews {
       spark: SparkSession,
       sfDir: String,
       windowSec: Long): DataFrame = {
-    val clicks = eventsStream(spark, sfDir)
+    // SELF-join of one stream: both sides derive from a single
+    // readStream (one source, one scan per micro-batch) — Spark plans
+    // the two filtered branches as separate join legs
+    val ev = eventsStream(spark, sfDir)
+    val clicks = ev
       .filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").cast("long").as("c_ts"))
-    val purchases = eventsStream(spark, sfDir)
+    val purchases = ev
       .filter(col("event_type") === "purchase")
       .select(
         col("user_id").as("p_user"),
