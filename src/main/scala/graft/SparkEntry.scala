@@ -1134,6 +1134,10 @@ object SparkEntry {
     // volume/integer mean quality — the mixture planner's slice summary
     "source_report" -> ((s, d) =>
       CorpusSignals.sourceReport(Tables.load(s, d, "documents"))),
+    // lang × source chi-square contingency audit (mixture drift): the
+    // marginal windows run over the aggregated cell table, never rows
+    "lang_source_chi2" -> ((s, d) =>
+      CorpusSignals.langSourceChi2(Tables.load(s, d, "documents"))),
     // sequence packing via a two-level distributed prefix sum — no
     // global window, no UDFs; oracle is DuckDB's plain window cumsum
     "pack_assign" -> ((s, d) =>
@@ -1533,6 +1537,7 @@ object SparkEntry {
     "winnow_stats" -> Winnowing.fingerprintStatsSql(),
     "winnow_pairs" -> Winnowing.sharedFingerprintPairsSql(),
     "source_report" -> CorpusSignals.SourceReportSql,
+    "lang_source_chi2" -> CorpusSignals.LangSourceChi2Sql,
     "semantic_clusters" -> Dedup.clustersSql(Similarity.lshNearDupSql(0.4)),
     "pack_assign" -> Packing.packAssignmentsSql(),
     "containment_pairs" -> Dedup.containmentSql(3, 0.8),

@@ -322,4 +322,44 @@ object CorpusSignals {
        |         // count(*) AS mean_q_permille
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** Lang × source chi-square contingency audit: per-cell observed vs
+    * expected-under-independence counts and the χ² contribution — the
+    * mixture-drift detector ("did source X stop delivering language
+    * Y?") run over the aggregated contingency TABLE, not the corpus:
+    * one corpus-sized groupBy produces |langs|×|sources| cells, and the
+    * marginal/total windows run over that provably-tiny frame (the
+    * global window is over cells, never rows — safe at any corpus
+    * size). Both engines compute expected = rowΣ·colΣ/N with identical
+    * double association.
+    */
+  def langSourceChi2(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("obs"))
+    val ex =
+      sum(col("obs")).over(Window.partitionBy(col("lang"))).cast("double") *
+        sum(col("obs")).over(Window.partitionBy(col("source"))) /
+        sum(col("obs")).over(Window.partitionBy())
+    cells
+      .withColumn("ex", ex)
+      .withColumn("d", col("obs").cast("double") - col("ex"))
+      .select(
+        col("lang"),
+        col("source"),
+        col("obs"),
+        round(col("ex"), 6).as("expected"),
+        round(col("d") * col("d") / col("ex"), 6).as("contrib"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val LangSourceChi2Sql: String =
+    """WITH c AS (SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+      |e AS (
+      |  SELECT lang, source, obs,
+      |         CAST(sum(obs) OVER (PARTITION BY lang) AS DOUBLE) *
+      |           sum(obs) OVER (PARTITION BY source) /
+      |           sum(obs) OVER () AS ex
+      |  FROM c)
+      |SELECT lang, source, obs, round(ex, 6) AS expected,
+      |       round((CAST(obs AS DOUBLE) - ex) * (CAST(obs AS DOUBLE) - ex) / ex, 6) AS contrib
+      |FROM e ORDER BY 1, 2""".stripMargin
 }

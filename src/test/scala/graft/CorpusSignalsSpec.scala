@@ -182,4 +182,29 @@ class CorpusSignalsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("langSourceChi2 matches the closed form on a crafted 2x2 table") {
+    import spark.implicits._
+    // 2x2 contingency: en/srcA 30, en/srcB 10, de/srcA 10, de/srcB 30
+    // marginals: en 40, de 40, srcA 40, srcB 40, N 80 -> expected 20
+    // each; contribution (obs-20)^2/20 = 5.0 in every cell
+    val rows =
+      Seq.fill(30)(("en", "srcA")) ++ Seq.fill(10)(("en", "srcB")) ++
+        Seq.fill(10)(("de", "srcA")) ++ Seq.fill(30)(("de", "srcB"))
+    val d = rows.zipWithIndex
+      .map { case ((l, s), i) => (i.toLong, l, s) }
+      .toDF("doc_id", "lang", "source")
+    val out = CorpusSignals.langSourceChi2(d).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getAs[Double]("expected") === 20.0, r.toString)
+      assert(r.getAs[Double]("contrib") === 5.0, r.toString)
+    }
+    // uniform table: every contribution 0 (independence)
+    val uni = Seq.fill(10)(("en", "srcA")) ++ Seq.fill(10)(("en", "srcB")) ++
+      Seq.fill(10)(("de", "srcA")) ++ Seq.fill(10)(("de", "srcB"))
+    val u = uni.zipWithIndex.map { case ((l, s), i) => (i.toLong, l, s) }
+      .toDF("doc_id", "lang", "source")
+    assert(CorpusSignals.langSourceChi2(u).collect().forall(_.getAs[Double]("contrib") === 0.0))
+  }
 }
