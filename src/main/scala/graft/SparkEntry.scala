@@ -652,6 +652,10 @@ object SparkEntry {
         .groupBy(date_trunc("day", col("ts")).cast("long").as("day_s"))
         .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n_events"))
         .orderBy(col("day_s"))),
+    // rolling 7-day distinct actives: window frames can't COUNT
+    // DISTINCT — bounded ×7 day-explode + semi-join, never a range join
+    "rolling_active_users" -> ((s, d) =>
+      graft.operators.Profiling.rollingActiveUsers(Tables.load(s, d, "events"))),
     "value_percentiles" -> ((s, d) =>
       Tables.load(s, d, "events")
         .groupBy(col("event_type"))
@@ -1350,6 +1354,7 @@ object SparkEntry {
       """SELECT epoch_ns(date_trunc('day', ts)) // 1000000000 AS day_s,
         | count(DISTINCT user_id) AS dau, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rolling_active_users" -> graft.operators.Profiling.rollingActiveUsersSql(),
     "value_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.9), 6) AS p90,

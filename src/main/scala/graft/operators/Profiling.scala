@@ -297,4 +297,51 @@ object Profiling {
        |FROM events JOIN s USING (event_type)
        |WHERE abs((value - mu) / nullif(sigma, 0.0)) > $zThreshold
        |ORDER BY event_id""".stripMargin
+
+  /** Trailing-window distinct actives (DAU + rolling `windowDays`-day
+    * WAU) per day. SQL window frames cannot COUNT(DISTINCT) — the
+    * scale-correct plan is a BOUNDED fan-out instead: dedup to
+    * (user, day) pairs, explode each pair into the `windowDays` window
+    * ends it contributes to (×windowDays rows, a constant factor —
+    * never a day×user range join), and count distinct users per window
+    * end. Phantom window ends past the last active day are dropped by a
+    * broadcast semi-join against the real day list.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1 (got $windowDays)")
+    val du = events
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("long").as("d"))
+      .distinct()
+    val days = du.select(col("d").as("real_d")).distinct()
+    val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(
+        col("user_id"),
+        explode(sequence(col("d"), col("d") + lit(86400L * (windowDays - 1)), lit(86400L)))
+          .as("wd"))
+      .join(broadcast(days), col("wd") === col("real_d"), "left_semi")
+      .groupBy(col("wd"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau
+      .join(wau, col("d") === col("wd"))
+      .select(col("d").as("day_s"), col("dau"), col("wau"))
+      .orderBy(col("day_s"))
+  }
+
+  def rollingActiveUsersSql(windowDays: Int = 7): String = {
+    val spanS = 86400L * (windowDays - 1)
+    s"""WITH du AS (
+       |  SELECT DISTINCT user_id,
+       |         epoch_ns(date_trunc('day', ts)) // 1000000000 AS d
+       |  FROM events),
+       |days AS (SELECT DISTINCT d FROM du),
+       |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY 1),
+       |wau AS (
+       |  SELECT days.d, count(DISTINCT du.user_id) AS wau
+       |  FROM days JOIN du ON du.d >= days.d - $spanS AND du.d <= days.d
+       |  GROUP BY 1)
+       |SELECT days.d AS day_s, dau.dau, wau.wau
+       |FROM days JOIN dau ON days.d = dau.d JOIN wau ON days.d = wau.d
+       |ORDER BY 1""".stripMargin
+  }
 }

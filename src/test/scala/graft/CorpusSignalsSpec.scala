@@ -183,6 +183,22 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("rollingActiveUsers: window of 1 day == DAU; 7-day == brute force") {
+    val events = Tables.load(spark, Sf0001, "events")
+    val one = Profiling.rollingActiveUsers(events, windowDays = 1).collect()
+    assert(one.nonEmpty)
+    one.foreach(r => assert(r.getLong(1) === r.getLong(2), s"day ${r.getLong(0)}"))
+    val seven = Profiling.rollingActiveUsers(events, windowDays = 7).collect()
+    val du = events
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    seven.foreach { r =>
+      val day = r.getLong(0)
+      val expect = du.filter(p => p._2 >= day - 6 * 86400L && p._2 <= day).map(_._1).distinct.length
+      assert(r.getLong(2) === expect, s"day $day")
+    }
+  }
+
   test("langSourceChi2 matches the closed form on a crafted 2x2 table") {
     import spark.implicits._
     // 2x2 contingency: en/srcA 30, en/srcB 10, de/srcA 10, de/srcB 30

@@ -32,7 +32,7 @@ HEADLINE = [
     "doc_novelty", "source_curation_report", "embedding_dim_stats",
     "view_multires", "salted_rollup", "ts_gap_fill", "ts_moving_avg",
     "quality_calibration", "streaming_sessions", "streaming_join",
-    "lang_source_chi2",
+    "lang_source_chi2", "rolling_active_users",
     # streaming_anomalies intentionally absent: its oracle IS the
     # value_anomalies SQL (stream==batch certificate), already anchored
 ]
