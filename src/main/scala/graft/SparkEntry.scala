@@ -573,6 +573,13 @@ object SparkEntry {
       Dedup.survivors(
         ngramClusters(s, d),
         TextAnalysis.qualityScore(Tables.load(s, d, "documents")))),
+    // the dedup REMAP TABLE: every clustered doc -> its cluster's kept
+    // survivor; what a pipeline joins against the corpus to rewrite
+    // references to deduplicated documents
+    "dedup_canonical_map" -> ((s, d) =>
+      Dedup.canonicalMap(
+        ngramClusters(s, d),
+        TextAnalysis.qualityScore(Tables.load(s, d, "documents")))),
     // directed containment (quote/subset detection) off the same shared
     // shingle frame as the Jaccard family
     "containment_pairs" -> ((s, d) =>
@@ -1317,6 +1324,9 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incrementalSql(3, 0.8, Seq("src8", "src9")),
     "dedup_clusters" -> Dedup.clustersSql(Dedup.ngramJaccardSql(3, 0.8)),
     "dedup_survivors" -> Dedup.survivorsSql(
+      Dedup.clustersSql(Dedup.ngramJaccardSql(3, 0.8)),
+      TextAnalysis.QualityScoreSql),
+    "dedup_canonical_map" -> Dedup.canonicalMapSql(
       Dedup.clustersSql(Dedup.ngramJaccardSql(3, 0.8)),
       TextAnalysis.QualityScoreSql),
     "corpus_curation" ->

@@ -559,6 +559,38 @@ object Dedup {
        |       min(quality) FILTER (WHERE rk = 1) AS survivor_quality
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The dedup REMAP TABLE: every clustered doc mapped to its cluster's
+    * kept survivor (doc_id → survivor_id, with an is_survivor marker) —
+    * the artifact a pipeline joins against the corpus to rewrite
+    * references to deduplicated documents. Composes [[clusters]] and
+    * [[survivors]]; every frame is bounded by duplicate count.
+    */
+  def canonicalMap(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val surv = survivors(clusters, quality)
+      .select(col("canonical_id"), col("survivor_id"))
+    clusters
+      .join(surv, "canonical_id")
+      .select(
+        col("doc_id"),
+        col("survivor_id"),
+        when(col("doc_id") === col("survivor_id"), lit(1)).otherwise(lit(0)).as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  def canonicalMapSql(clustersSubquery: String, qualitySubquery: String): String =
+    s"""WITH c AS ($clustersSubquery),
+       |q AS ($qualitySubquery),
+       |j AS (SELECT c.doc_id, c.canonical_id, q.quality FROM c JOIN q USING (doc_id)),
+       |r AS (SELECT doc_id, canonical_id,
+       |             row_number() OVER (PARTITION BY canonical_id
+       |               ORDER BY quality DESC NULLS LAST, doc_id) AS rk
+       |      FROM j),
+       |s AS (SELECT canonical_id, min(doc_id) FILTER (WHERE rk = 1) AS survivor_id
+       |      FROM r GROUP BY 1)
+       |SELECT c.doc_id, s.survivor_id,
+       |       CASE WHEN c.doc_id = s.survivor_id THEN 1 ELSE 0 END AS is_survivor
+       |FROM c JOIN s USING (canonical_id) ORDER BY 1""".stripMargin
+
   // ---- SimHash (16-bit, md5-based, oracle-checkable) -----------------
 
   /** Hex digits of a given nibble whose bit `bitInNibble` (3 = MSB) is

@@ -333,6 +333,16 @@ class FineDedupSpec extends AnyFunSuite {
     assert(r(1L).getAs[Long]("survivor_id") === 2L) // 0.9 beats 0.2 and NULL
     assert(r(1L).getAs[Double]("survivor_quality") === 0.9)
     assert(r(5L).getAs[Long]("survivor_id") === 5L) // tie -> lower doc_id
+
+    // remap table: every member maps to its cluster's survivor; exactly
+    // one is_survivor row per cluster and it is a self-map
+    val m = Dedup.canonicalMap(clusters, quality).collect()
+    assert(m.length === 5)
+    val byDoc = m.map(x => x.getLong(0) -> x).toMap
+    Seq(1L, 2L, 3L).foreach(d => assert(byDoc(d).getLong(1) === 2L))
+    Seq(5L, 6L).foreach(d => assert(byDoc(d).getLong(1) === 5L))
+    assert(m.count(_.getInt(2) == 1) === 2)
+    m.filter(_.getInt(2) == 1).foreach(x => assert(x.getLong(0) === x.getLong(1)))
   }
 
   test("all new operators handle an empty corpus without error") {

@@ -32,7 +32,7 @@ HEADLINE = [
     "doc_novelty", "source_curation_report", "embedding_dim_stats",
     "view_multires", "salted_rollup", "ts_gap_fill", "ts_moving_avg",
     "quality_calibration", "streaming_sessions", "streaming_join",
-    "lang_source_chi2", "rolling_active_users",
+    "lang_source_chi2", "rolling_active_users", "dedup_canonical_map",
     # streaming_anomalies intentionally absent: its oracle IS the
     # value_anomalies SQL (stream==batch certificate), already anchored
 ]
