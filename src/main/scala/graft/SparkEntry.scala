@@ -767,6 +767,28 @@ object SparkEntry {
         .select(col("user_id"))
       topBy("click").intersect(topBy("view")).orderBy(col("user_id"))
     }),
+    // EXCEPT set op (completes INTERSECT above): week-1 buyers who did
+    // not buy again in week 2 (every user has SOME event weekly, so the
+    // churn question is only non-trivial per event class)
+    "churned_users_except" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("long").as("t"))
+      def buyersIn(fromS: Long, toS: Long) =
+        e.filter(col("t") >= fromS && col("t") < toS).select(col("user_id")).distinct()
+      val w1 = Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+      val w2 = Instant.parse("2024-01-08T00:00:00Z").getEpochSecond
+      val w3 = Instant.parse("2024-01-15T00:00:00Z").getEpochSecond
+      buyersIn(w1, w2).except(buyersIn(w2, w3)).orderBy(col("user_id"))
+    }),
+    // CUBE (completes ROLLUP + GROUPING SETS): event_type × day with
+    // both marginals and the grand total in one pass
+    "events_cube" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .select(col("event_type"), date_trunc("day", col("ts")).cast("long").as("day_s"))
+        .cube(col("event_type"), col("day_s"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type").asc_nulls_first, col("day_s").asc_nulls_first)),
     // ---- sessionization (gap rule; window lag + running sum) ----
     "user_sessions" -> ((s, d) =>
       Sessionize.userStats(Tables.load(s, d, "events"), gapSeconds = 1800)),
@@ -1419,6 +1441,26 @@ object SparkEntry {
         |  SELECT user_id FROM events WHERE event_type = 'view'
         |  GROUP BY 1 HAVING count(*) >= 10)
         |ORDER BY user_id""".stripMargin,
+    "churned_users_except" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ns(ts) // 1000000000 AS t FROM events
+         |  WHERE event_type = 'purchase')
+         |SELECT user_id FROM (
+         |  SELECT DISTINCT user_id FROM e
+         |  WHERE t >= ${Instant.parse("2024-01-01T00:00:00Z").getEpochSecond}
+         |    AND t < ${Instant.parse("2024-01-08T00:00:00Z").getEpochSecond}
+         |  EXCEPT
+         |  SELECT DISTINCT user_id FROM e
+         |  WHERE t >= ${Instant.parse("2024-01-08T00:00:00Z").getEpochSecond}
+         |    AND t < ${Instant.parse("2024-01-15T00:00:00Z").getEpochSecond})
+         |ORDER BY user_id""".stripMargin,
+    "events_cube" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(date_trunc('day', ts)) // 1000000000 AS day_s
+        |  FROM events)
+        |SELECT event_type, day_s, count(*) AS cnt
+        |FROM e GROUP BY CUBE (event_type, day_s)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "user_sessions" -> Sessionize.userStatsSql(1800),
     "lang_id" -> LanguageId.predictSql,
     "token_count_bpe" ->
