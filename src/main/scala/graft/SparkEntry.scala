@@ -44,6 +44,16 @@ object SparkEntry {
   private[graft] val GhPrefixCover: Seq[String] =
     GeoHash.coverBoundingBox(Bbox._1, Bbox._2, Bbox._3, Bbox._4, 4)
 
+  /** Arbitrary-region probe: a triangle over the northern half of the
+    * Antwerp bbox, covered at the view precision by the point-in-polygon
+    * kernel (GeoHash.coverPolygon). The cover is a driver-side literal
+    * shared with the oracle — the kernel itself is spec-verified.
+    */
+  private[graft] val ProbePolygon: Seq[(Double, Double)] =
+    Seq((51.31, 4.31), (51.31, 4.50), (51.17, 4.405))
+  private[graft] val PolygonCover: Seq[String] =
+    GeoHash.coverPolygon(ProbePolygon, GhViewPrecision)
+
   private val HistFrom = Instant.parse("2024-01-10T00:00:00Z")
   private val HistTo = Instant.parse("2024-01-12T00:00:00Z")
   private val MonthFrom = Instant.parse("2024-01-01T00:00:00Z")
@@ -460,6 +470,16 @@ object SparkEntry {
         SnapQuadTs,
         "day",
         "avg")),
+    // polygon-region snapshot: exact-precision cell IN-list from the
+    // point-in-polygon cover (no bbox over-selection)
+    "snapshot_polygon_sum" -> ((s, d) =>
+      ExploraQueries.snapshot(
+        ghView(s, d, "hour"),
+        "view",
+        ExploraQueries.cellsPredicate(PolygonCover),
+        SnapGhTs,
+        "hour",
+        "sum")),
     "snapshot_gh_sum" -> ((s, d) =>
       ExploraQueries.snapshot(
         ghView(s, d, "hour"),
@@ -1301,6 +1321,12 @@ object SparkEntry {
       s"""$Cte SELECT $Gh6Expr AS geo, round(sum(value), 6) AS sum_val
          |FROM readings
          |WHERE metric = 'click' AND substr(gh12, 1, 4) IN (${sqlList(GhPrefixCover)})
+         |  AND ${truncS("hour")} = ${ExploraQueries.truncateTs(SnapGhTs, "hour").getEpochSecond}
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "snapshot_polygon_sum" ->
+      s"""$Cte SELECT $Gh6Expr AS geo, round(sum(value), 6) AS sum_val
+         |FROM readings
+         |WHERE metric = 'view' AND $Gh6Expr IN (${sqlList(PolygonCover)})
          |  AND ${truncS("hour")} = ${ExploraQueries.truncateTs(SnapGhTs, "hour").getEpochSecond}
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "raw_readings" ->

@@ -145,6 +145,29 @@ object GeoHash {
     */
   val DefaultMaxCoverCells: Int = 65536
 
+  /** Geohashes at `precision` whose CELL CENTER lies inside the polygon
+    * — the arbitrary-region analogue of [[coverBoundingBox]] (the
+    * reference's history API takes a client-provided geohash list,
+    * QueryingService.java:46-114; this computes that list from a real
+    * region boundary instead of a hand-picked set). Center rule:
+    * boundary cells whose center falls outside are excluded — buffer
+    * the polygon by ~one cell size when edge cells must be included.
+    * Same integer grid walk and `maxCells` bound as the bbox cover;
+    * the polygon bbox is the walked superset, so the cap binds the
+    * candidate walk, not just the result.
+    */
+  def coverPolygon(
+      polygon: Seq[(Double, Double)],
+      precision: Int,
+      maxCells: Int = DefaultMaxCoverCells): Seq[String] = {
+    val (latMin, latMax, lonMin, lonMax) = Geometry.bboxOf(polygon)
+    coverBoundingBox(latMax, lonMin, latMin, lonMax, precision, maxCells)
+      .filter { gh =>
+        val (lat, lon) = decode(gh)
+        Geometry.containsPoint(polygon, lat, lon)
+      }
+  }
+
   /** Bounded cover for ARBITRARILY large bboxes: geohash prefixes at the
     * coarsest precision whose cover fits `maxPrefixes` (prefix ==
     * containment, so `geo LIKE prefix%` selects a superset of the exact

@@ -1,0 +1,37 @@
+package graft.geo
+
+/** Minimal planar geometry for driver-side cover computation (query
+  * planning only — covers become IN/prefix predicates, never per-row
+  * compute). Polygons are sequences of (lat, lon) vertices, implicitly
+  * closed; degrees treated as planar coordinates, which is the same
+  * approximation every slippy-grid cover already makes at city scale.
+  */
+object Geometry {
+
+  /** Even-odd ray-casting containment test. Boundary points are
+    * half-open (a point exactly on an edge counts on one side only) —
+    * irrelevant for cell-center tests, which sit strictly inside cells.
+    */
+  def containsPoint(polygon: Seq[(Double, Double)], lat: Double, lon: Double): Boolean = {
+    require(polygon.length >= 3, s"polygon needs >= 3 vertices (got ${polygon.length})")
+    var inside = false
+    var j = polygon.length - 1
+    var i = 0
+    while (i < polygon.length) {
+      val (yi, xi) = polygon(i)
+      val (yj, xj) = polygon(j)
+      if (((yi > lat) != (yj > lat)) &&
+        (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** (latMin, latMax, lonMin, lonMax) of the vertex set. */
+  def bboxOf(polygon: Seq[(Double, Double)]): (Double, Double, Double, Double) = {
+    require(polygon.length >= 3, s"polygon needs >= 3 vertices (got ${polygon.length})")
+    (polygon.map(_._1).min, polygon.map(_._1).max,
+      polygon.map(_._2).min, polygon.map(_._2).max)
+  }
+}

@@ -109,6 +109,34 @@ object QuadKey {
     keys.sorted
   }
 
+  /** Center of a tile in degrees (midpoint of its NW and the next
+    * tile's NW corner — exact in lon, Mercator-midpoint in lat, which
+    * is what the quadkey of the center recovers).
+    */
+  def tileCenter(tile: Tile): (Double, Double) = {
+    val (latNW, lonNW) = tileNW(tile)
+    val (latSE, lonSE) = tileNW(Tile(tile.x + 1, tile.y + 1, tile.zoom))
+    ((latNW + latSE) / 2.0, (lonNW + lonSE) / 2.0)
+  }
+
+  /** Quadkeys at `zoom` whose TILE CENTER lies inside the polygon — the
+    * arbitrary-region analogue of [[coverBoundingBox]] (center rule;
+    * buffer the polygon by ~one tile when edge tiles must be
+    * included). The polygon bbox bounds the candidate walk under the
+    * same `maxCells` cap.
+    */
+  def coverPolygon(
+      polygon: Seq[(Double, Double)],
+      zoom: Int,
+      maxCells: Int = GeoHash.DefaultMaxCoverCells): Seq[String] = {
+    val (latMin, latMax, lonMin, lonMax) = Geometry.bboxOf(polygon)
+    coverBoundingBox(latMax, lonMin, latMin, lonMax, zoom, maxCells)
+      .filter { qk =>
+        val (lat, lon) = tileCenter(tileOf(qk))
+        Geometry.containsPoint(polygon, lat, lon)
+      }
+  }
+
   /** Bounded cover for ARBITRARILY large bboxes: quadkey prefixes at the
     * finest zoom whose cover stays within `maxPrefixes`. Every zoom-z
     * tile inside the bbox has one of these prefixes (quadkey prefix ==

@@ -154,4 +154,41 @@ class GeoKernelSpec extends AnyFunSuite {
     val cover = GeoHash.coverBoundingBox(72.0, -15.0, 35.0, 45.0, 3)
     assert(cover.nonEmpty && cover.size <= GeoHash.DefaultMaxCoverCells)
   }
+
+  test("polygon covers: subset of bbox cover, centers inside, interior points covered") {
+    import graft.geo.Geometry
+    val tri = Seq((51.31, 4.31), (51.31, 4.50), (51.17, 4.405))
+    for ((cover, decodeCenter) <- Seq(
+        (GeoHash.coverPolygon(tri, 6), (k: String) => GeoHash.decode(k)),
+        (QuadKey.coverPolygon(tri, 14),
+          (k: String) => QuadKey.tileCenter(QuadKey.tileOf(k))))) {
+      assert(cover.nonEmpty)
+      assert(cover === cover.sorted && cover.distinct.length === cover.length)
+      // every covered cell's center is inside (re-derived independently)
+      cover.foreach { k =>
+        val (lat, lon) = decodeCenter(k)
+        assert(Geometry.containsPoint(tri, lat, lon), k)
+      }
+    }
+    // subset of the bbox covers
+    assert(GeoHash.coverPolygon(tri, 6).toSet
+      .subsetOf(GeoHash.coverBoundingBox(51.31, 4.31, 51.17, 4.50, 6).toSet))
+    assert(QuadKey.coverPolygon(tri, 14).toSet
+      .subsetOf(QuadKey.coverBoundingBox(51.31, 4.31, 51.17, 4.50, 14).toSet))
+    // any point WELL inside (margin > one cell) lands in a covered cell
+    val inner = Seq((51.30, 4.40), (51.28, 4.38), (51.25, 4.40), (51.29, 4.45))
+    inner.foreach { case (lat, lon) =>
+      assert(Geometry.containsPoint(tri, lat, lon)) // sanity: really inside
+      assert(GeoHash.coverPolygon(tri, 6).contains(GeoHash.encode(lat, lon, 6)), s"($lat,$lon)")
+      assert(QuadKey.coverPolygon(tri, 14).contains(QuadKey.quadKey(lat, lon, 14)), s"($lat,$lon)")
+    }
+    // concave L-shape: the notch is excluded
+    val l = Seq((51.30, 4.32), (51.30, 4.48), (51.20, 4.48), (51.20, 4.42), (51.28, 4.42), (51.28, 4.32))
+    val lCover = GeoHash.coverPolygon(l, 6)
+    assert(lCover.nonEmpty)
+    assert(!Geometry.containsPoint(l, 51.22, 4.35)) // in the notch
+    assert(!lCover.contains(GeoHash.encode(51.22, 4.35, 6)))
+    assert(Geometry.containsPoint(l, 51.22, 4.45))
+    assert(lCover.contains(GeoHash.encode(51.22, 4.45, 6)))
+  }
 }

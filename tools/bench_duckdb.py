@@ -33,7 +33,7 @@ HEADLINE = [
     "view_multires", "salted_rollup", "ts_gap_fill", "ts_moving_avg",
     "quality_calibration", "streaming_sessions", "streaming_join",
     "lang_source_chi2", "rolling_active_users", "dedup_canonical_map",
-    "churned_users_except", "events_cube",
+    "churned_users_except", "events_cube", "snapshot_polygon_sum",
     # streaming_anomalies intentionally absent: its oracle IS the
     # value_anomalies SQL (stream==batch certificate), already anchored
 ]
