@@ -159,6 +159,39 @@ class ExploraService(
       p.aggregate)
   }
 
+  /** Polygon-region snapshot: the [[snapshot]] routing with an
+    * arbitrary boundary instead of a bbox — exact-precision cell
+    * IN-list from the point-in-polygon cover (GeoHash/QuadKey
+    * .coverPolygon; no bbox over-selection), same view cache and
+    * partition pruning. The reference's clients approximate regions by
+    * hand-picking geohash lists for the history endpoint
+    * (QueryingService.java:46-114); this derives the list from the
+    * boundary itself.
+    */
+  def snapshotPolygon(
+      polygon: Seq[(Double, Double)],
+      metricId: String,
+      aggregate: String,
+      tsMs: Long,
+      precision: Int,
+      resolution: String,
+      geoIndex: String = "geohashing"): DataFrame = {
+    val (latMin, latMax, lonMin, lonMax) = graft.geo.Geometry.bboxOf(polygon)
+    QueryValidation.validateSnapshot(
+      tsMs, latMax, lonMin, latMin, lonMax, precision, aggregate, resolution)
+    val cells = geoIndex match {
+      case "quadtiling" => QuadKey.coverPolygon(polygon, precision)
+      case _            => GeoHash.coverPolygon(polygon, precision)
+    }
+    ExploraQueries.snapshot(
+      partPruned(view(geoIndex, precision, resolution), cells),
+      metricId,
+      ExploraQueries.cellsPredicate(cells),
+      Instant.ofEpochMilli(tsMs),
+      resolution,
+      aggregate)
+  }
+
   /** `src=raw`: aggregate straight from unaggregated readings at query
     * time — same result as the view path, without the materialization
     * (the trade the reference's raw stores would have made).

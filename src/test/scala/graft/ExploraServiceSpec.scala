@@ -54,6 +54,26 @@ class ExploraServiceSpec extends AnyFunSuite {
     assert(quad.columns.toSeq === Seq("geo", "avg_val") && gh.columns.toSeq === Seq("geo", "avg_val"))
   }
 
+  test("snapshotPolygon: polygon cells are a subset of the bbox snapshot, both geo indexes") {
+    // sf0.01: the day×cell grid at sf0.001 is too sparse for a
+    // polygon-restricted single-day probe to be reliably non-empty
+    val denseSvc = new ExploraService(SensorGrid.readings(spark, Sf001))
+    val ts = java.time.Instant.parse("2024-01-15T07:00:00Z").toEpochMilli
+    val tri = Seq((51.31, 4.31), (51.31, 4.50), (51.17, 4.405))
+    for ((idx, prec) <- Seq(("geohashing", 6), ("quadtiling", 14))) {
+      val poly = denseSvc.snapshotPolygon(tri, "signup", "count", ts, prec, "day", geoIndex = idx)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bbox = denseSvc.snapshot(SnapshotParams(
+        "signup", "count", ts, 51.31, 4.31, 51.17, 4.50, prec, "day", geoIndex = idx))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(poly.nonEmpty, idx)
+      // every polygon cell appears in the bbox result with the same count
+      poly.foreach { case (geo, cnt) => assert(bbox.get(geo).contains(cnt), s"$idx $geo") }
+      // and the polygon mass is bounded by the bbox mass
+      assert(poly.values.sum <= bbox.values.sum, idx)
+    }
+  }
+
   test("coarser quad precision via key prefix (zoom 10 view from zoom 14 keys)") {
     val ts = java.time.Instant.parse("2024-01-15T07:00:00Z").toEpochMilli
     val z10 = svc.snapshot(SnapshotParams(
