@@ -175,18 +175,35 @@ class ExploraService(
       tsMs: Long,
       precision: Int,
       resolution: String,
-      geoIndex: String = "geohashing"): DataFrame = {
+      geoIndex: String = "quadtiling"): DataFrame = {
+    // geoIndex default matches SnapshotParams — the two snapshot entry
+    // points must not silently query different index families
     val (latMin, latMax, lonMin, lonMax) = graft.geo.Geometry.bboxOf(polygon)
     QueryValidation.validateSnapshot(
       tsMs, latMax, lonMin, latMin, lonMax, precision, aggregate, resolution)
-    val cells = geoIndex match {
-      case "quadtiling" => QuadKey.coverPolygon(polygon, precision)
-      case _            => GeoHash.coverPolygon(polygon, precision)
-    }
+    // exact polygon cells when the cover fits the cap; a polygon too
+    // large for an exact fine-precision cover DEGRADES to the bounded
+    // bbox prefix cover (the same over-selection the bbox snapshot and
+    // the reference's geohash mode accept) instead of throwing
+    val (pred, prefixes) =
+      try {
+        val cells = geoIndex match {
+          case "quadtiling" => QuadKey.coverPolygon(polygon, precision)
+          case _            => GeoHash.coverPolygon(polygon, precision)
+        }
+        (ExploraQueries.cellsPredicate(cells), cells)
+      } catch {
+        case _: IllegalArgumentException =>
+          val p = geoIndex match {
+            case "quadtiling" => QuadKey.coverPrefixes(latMax, lonMin, latMin, lonMax, precision)
+            case _            => GeoHash.coverPrefixes(latMax, lonMin, latMin, lonMax, precision)
+          }
+          (ExploraQueries.prefixPredicate(p), p)
+      }
     ExploraQueries.snapshot(
-      partPruned(view(geoIndex, precision, resolution), cells),
+      partPruned(view(geoIndex, precision, resolution), prefixes),
       metricId,
-      ExploraQueries.cellsPredicate(cells),
+      pred,
       Instant.ofEpochMilli(tsMs),
       resolution,
       aggregate)

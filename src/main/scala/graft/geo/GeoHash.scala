@@ -161,11 +161,10 @@ object GeoHash {
       precision: Int,
       maxCells: Int = DefaultMaxCoverCells): Seq[String] = {
     val (latMin, latMax, lonMin, lonMax) = Geometry.bboxOf(polygon)
-    coverBoundingBox(latMax, lonMin, latMin, lonMax, precision, maxCells)
-      .filter { gh =>
-        val (lat, lon) = decode(gh)
-        Geometry.containsPoint(polygon, lat, lon)
-      }
+    Geometry.centerFilteredCover(
+      polygon,
+      coverBoundingBox(latMax, lonMin, latMin, lonMax, precision, maxCells),
+      decode)
   }
 
   /** Bounded cover for ARBITRARILY large bboxes: geohash prefixes at the

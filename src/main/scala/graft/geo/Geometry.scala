@@ -34,4 +34,18 @@ object Geometry {
     (polygon.map(_._1).min, polygon.map(_._1).max,
       polygon.map(_._2).min, polygon.map(_._2).max)
   }
+
+  /** Shared center-rule polygon cover: keep the candidate keys whose
+    * decoded center lies inside the polygon. One definition for both
+    * geo indexes (GeoHash.coverPolygon / QuadKey.coverPolygon) so the
+    * candidate-walk-plus-filter logic cannot diverge between them.
+    */
+  def centerFilteredCover(
+      polygon: Seq[(Double, Double)],
+      candidates: Seq[String],
+      center: String => (Double, Double)): Seq[String] =
+    candidates.filter { k =>
+      val (lat, lon) = center(k)
+      containsPoint(polygon, lat, lon)
+    }
 }

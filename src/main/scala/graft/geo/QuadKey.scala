@@ -130,11 +130,10 @@ object QuadKey {
       zoom: Int,
       maxCells: Int = GeoHash.DefaultMaxCoverCells): Seq[String] = {
     val (latMin, latMax, lonMin, lonMax) = Geometry.bboxOf(polygon)
-    coverBoundingBox(latMax, lonMin, latMin, lonMax, zoom, maxCells)
-      .filter { qk =>
-        val (lat, lon) = tileCenter(tileOf(qk))
-        Geometry.containsPoint(polygon, lat, lon)
-      }
+    Geometry.centerFilteredCover(
+      polygon,
+      coverBoundingBox(latMax, lonMin, latMin, lonMax, zoom, maxCells),
+      qk => tileCenter(tileOf(qk)))
   }
 
   /** Bounded cover for ARBITRARILY large bboxes: quadkey prefixes at the

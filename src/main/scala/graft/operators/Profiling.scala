@@ -312,8 +312,10 @@ object Profiling {
     val du = events
       .select(col("user_id"), date_trunc("day", col("ts")).cast("long").as("d"))
       .distinct()
-    val days = du.select(col("d").as("real_d")).distinct()
     val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    // real-day list derives from dau (already day-grouped) — no third
+    // distinct over the corpus-sized pair frame
+    val days = dau.select(col("d").as("real_d"))
     val wau = du
       .select(
         col("user_id"),

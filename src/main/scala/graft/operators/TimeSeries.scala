@@ -68,6 +68,9 @@ object TimeSeries {
       metric: String,
       geos: Seq[String],
       windowSec: Long = 3600L): DataFrame = {
+    require(
+      windowSec >= 60 && windowSec % 60 == 0,
+      s"windowSec must be a positive multiple of the 60 s grid (got $windowSec)")
     val obs = minuteView
       .filter(col("metric") === metric && col("geo").isin(geos: _*))
       .select(col("geo"), col("ts").cast("long").as("ts_s"), col("cnt"), col("sum_val"))

@@ -74,6 +74,15 @@ class ExploraServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotPolygon degrades to the bounded prefix cover instead of throwing on huge polygons") {
+    // a continent-sized polygon at gh12 would need >> 65k exact cells;
+    // the service must fall back to the bbox prefix superset, not fail
+    val ts = java.time.Instant.parse("2024-01-15T07:00:00Z").toEpochMilli
+    val big = Seq((71.0, -10.0), (71.0, 40.0), (36.0, 15.0))
+    val r = svc.snapshotPolygon(big, "signup", "count", ts, 12, "day", geoIndex = "geohashing")
+    assert(r.columns.toSeq === Seq("geo", "cnt")) // planned, not thrown
+  }
+
   test("coarser quad precision via key prefix (zoom 10 view from zoom 14 keys)") {
     val ts = java.time.Instant.parse("2024-01-15T07:00:00Z").toEpochMilli
     val z10 = svc.snapshot(SnapshotParams(
