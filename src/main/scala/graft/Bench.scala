@@ -139,6 +139,7 @@ object Bench {
         s"""$onlyField"n_queries":${selected.size},""" +
         s""""errors":${jerr(allErrors)},"n_errors":${allErrors.size},"sf":"${esc(sfDir)}"}""")
     SparkEntry.clearCaches(spark) // release sf-sized MEMORY_AND_DISK frames
+    SparkEntry.shutdownHttp() // non-daemon server threads block JVM exit
     spark.stop()
     if (errors.nonEmpty || setupErrors.nonEmpty) sys.exit(1)
   }

@@ -363,6 +363,45 @@ object SparkEntry {
       dir)
   }
 
+  // ---- HTTP facade gate plumbing ------------------------------------
+
+  /** One live [[graft.api.ExploraHttpServer]] per (session, sf dir),
+    * started on first use — the `http_*` gate entries drive REAL GETs
+    * through it, so the serving layer (routing, params, JSON envelope)
+    * sits inside the oracle check, not beside it. Harness-scoped:
+    * daemonless JDK HttpServer threads die with the JVM.
+    */
+  private val httpServers =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.api.ExploraHttpServer]
+
+  private def httpBase(s: SparkSession, dir: String): String = httpServers.synchronized {
+    val srv = httpServers.getOrElseUpdate((s, dir), {
+      val h = new graft.api.ExploraHttpServer(
+        new graft.api.ExploraService(SensorGrid.readings(s, dir)))
+      h.start()
+      h
+    })
+    s"http://127.0.0.1:${srv.port}"
+  }
+
+  /** Stop every gate HTTP server. The JDK HttpServer runs NON-daemon
+    * dispatcher/worker threads, so a main (Verify/Bench) that started
+    * one must call this before returning or its JVM never exits.
+    */
+  def shutdownHttp(): Unit = httpServers.synchronized {
+    httpServers.values.foreach(_.stop())
+    httpServers.clear()
+  }
+
+  private def httpGetJson(url: String): com.fasterxml.jackson.databind.JsonNode = {
+    val conn = java.net.URI.create(url).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val in = conn.getInputStream
+    val bytes = try in.readAllBytes() finally { in.close(); conn.disconnect() }
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+  }
+
   // ---- oracle-side building blocks (DuckDB SQL, same constants) ------
 
   private val Cte = SensorGrid.oracleReadingsCte
@@ -488,6 +527,35 @@ object SparkEntry {
         SnapGhTs,
         "hour",
         "sum")),
+    // HTTP serving layer (§3.2-3.3 over real GETs): the same history /
+    // snapshot answers, fetched through a live ExploraHttpServer and
+    // parsed back out of the Message{columns,data,metadata} envelope —
+    // oracle-checked end to end against the SAME SQL as the library
+    // entries they mirror
+    "http_history_avg" -> ((s, d) => {
+      import s.implicits._
+      val json = httpGetJson(
+        s"${httpBase(s, d)}/api/airquality/click/aggregate/avg/history" +
+          s"?geohashes=${HistoryGeos.mkString(",")}&res=min" +
+          s"&from=${HistFrom.toEpochMilli}&to=${HistTo.toEpochMilli}&gh_precision=6")
+      val data = json.get("data")
+      (0 until data.size)
+        .map(i => (data.get(i).get(0).asLong, data.get(i).get(1).asDouble))
+        .toDF("ts_s", "avg_val")
+        .orderBy(col("ts_s"))
+    }),
+    "http_snapshot_quad" -> ((s, d) => {
+      import s.implicits._
+      val json = httpGetJson(
+        s"${httpBase(s, d)}/api/airquality/signup/aggregate/avg/snapshot" +
+          s"?ts=${SnapQuadTs.toEpochMilli}&res=day&gh_precision=${SensorGrid.QuadZoom}" +
+          s"&geo_index=quadtiling&bbox=${Bbox._1},${Bbox._2},${Bbox._3},${Bbox._4}")
+      val data = json.get("data")
+      (0 until data.size)
+        .map(i => (data.get(i).get(0).asText, data.get(i).get(1).asDouble))
+        .toDF("geo", "avg_val")
+        .orderBy(col("geo"))
+    }),
     // src=raw path (§3.3 dead-in-reference, real here)
     "raw_readings" -> ((s, d) =>
       SensorGrid.readings(s, d)
@@ -545,6 +613,11 @@ object SparkEntry {
     // equi-join candidates, exact bit_count(xor) verify — never all-pairs
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashNearDupPairsFrom(simhashSig64(s, d))),
+    // PRODUCTION slicing at the same 64-bit signature: maxHamming=1 →
+    // two 32-bit slices, expected random candidates n²·2/2³² (the
+    // log₂(n) dial at corpus scale, vs the 16-bit teaching slices above)
+    "dedup_simhash_pairs_w32" -> ((s, d) =>
+      Dedup.simhashNearDupPairsFrom(simhashSig64(s, d), maxHamming = 1)),
     // distributed BPE merge induction over the word-frequency table
     // (vocab-sized working set; one argmax row per round reaches the
     // driver). Oracle: independent pure-Scala BpeRef via oracleSqlFor.
@@ -626,6 +699,12 @@ object SparkEntry {
     "embedding_quantize" -> ((s, d) =>
       Similarity.quantizeAudit(Tables.load(s, d, "embeddings"))),
     "embedding_neardup_lsh" -> ((s, d) => lshPairs(s, d)),
+    // the 12-bit band geometry (the measured log₂(n) width for the 10×
+    // corpus — PERF.md) recall-certified on planted near-dup twins:
+    // both engines replay the twins and BOTH band widths exactly, and
+    // the wide geometry must clear the recall floor (ann_recall pattern)
+    "embedding_neardup_lsh12" -> ((s, d) =>
+      Similarity.lshPlantedRecall(Tables.load(s, d, "embeddings"), wideRowsPerBand = 12)),
     // approximate k-NN join: top-3 neighbors per vector from the SAME
     // band candidate join; per-vector row_number window, never all-pairs
     "knn_join_lsh" -> ((s, d) =>
@@ -817,6 +896,11 @@ object SparkEntry {
     // time so the `> gap` break is exactly the oracle's rule)
     "streaming_sessions" -> ((s, d) =>
       graft.streaming.StreamingViews.runSessionsAvailableNow(s, d, 1800L)),
+    // PRODUCTION path: append mode + watermark — emits each session
+    // once when the watermark passes its end, evicts its state; the
+    // oracle is the same gaps-and-islands restricted to closed sessions
+    "streaming_sessions_append" -> ((s, d) =>
+      graft.streaming.StreamingViews.runSessionsAppend(s, d, 1800L, 7200L)),
     // stream-stream inner join: same-user click→purchase attribution
     // within 1 hour, state keyed on the user equi-condition
     "streaming_join" -> ((s, d) =>
@@ -1152,6 +1236,13 @@ object SparkEntry {
     // (same oracle): arrival-order-independent survivor rule
     "streaming_dedup" -> ((s, d) =>
       graft.streaming.StreamingViews.runDedupAvailableNow(s, d)),
+    // PRODUCTION sink twin: UPDATE mode, each batch's changed keys
+    // MERGE-upserted into a parquet survivor table (per-batch cost
+    // O(changed keys), not O(total state)); same oracle as batch exact
+    "streaming_dedup_update" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_upd").toString
+      graft.streaming.StreamingViews.runDedupUpdateMerge(s, d, s"$tmp/out", s"$tmp/ckpt")
+    }),
     // train/eval n-gram decontamination: distinct eval grams equi-joined
     // against per-doc train grams — dedup-join shape, never all-pairs;
     // both splits derive from the ONE cached 5-gram frame
@@ -1296,6 +1387,32 @@ object SparkEntry {
         |SELECT user_id, min(ts_s) AS sess_start_s, count(*) AS n_events,
         |       round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+    // append+watermark twin: only CLOSED sessions are emitted — window
+    // end (last event + gap) strictly below the final watermark
+    // (max event time − delay); sessions still open at end-of-stream
+    // stay in state and must NOT appear
+    "streaming_sessions_append" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, ts_s, value,
+        |         CASE WHEN lag(ts_s) OVER w IS NULL
+        |                OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_s, value,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM l),
+        |sess AS (
+        |  SELECT user_id, min(ts_s) AS sess_start_s, max(ts_s) AS sess_last_s,
+        |         count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |  FROM s GROUP BY user_id, sid),
+        |wm AS (SELECT max(ts_s) - 7200 AS w FROM e)
+        |SELECT user_id, sess_start_s, n_events, sum_value
+        |FROM sess, wm WHERE sess_last_s + 1800 < w
+        |ORDER BY 1, 2""".stripMargin,
+    "streaming_dedup_update" -> Dedup.ExactSql,
     "view_min" -> viewSql(Gh6Expr, "min"),
     "view_hour" -> viewSql(Gh6Expr, "hour"),
     "view_day" -> viewSql(Gh6Expr, "day"),
@@ -1312,6 +1429,13 @@ object SparkEntry {
     "interval_1month" -> intervalSql("1month"),
     "interval_all" -> intervalSql("all"),
     "snapshot_quad_avg" ->
+      s"""$Cte SELECT qk14 AS geo, round(sum(value) / count(*), 6) AS avg_val
+         |FROM readings
+         |WHERE metric = 'signup' AND qk14 IN (${sqlList(QuadCover)})
+         |  AND ${truncS("day")} = ${ExploraQueries.truncateTs(SnapQuadTs, "day").getEpochSecond}
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "http_history_avg" -> historySql("min", "click", "avg", HistFrom, HistTo),
+    "http_snapshot_quad" ->
       s"""$Cte SELECT qk14 AS geo, round(sum(value) / count(*), 6) AS avg_val
          |FROM readings
          |WHERE metric = 'signup' AND qk14 IN (${sqlList(QuadCover)})
@@ -1368,6 +1492,7 @@ object SparkEntry {
     "dedup_simhash16" -> Dedup.simhash16Sql,
     "dedup_simhash64" -> Dedup.simhash64Sql,
     "dedup_simhash_pairs" -> Dedup.simhashNearDupSql(),
+    "dedup_simhash_pairs_w32" -> Dedup.simhashNearDupSql(maxHamming = 1),
     "dedup_ngram_pairs" -> Dedup.ngramJaccardSql(3, 0.8),
     "dedup_incremental" -> Dedup.incrementalSql(3, 0.8, Seq("src8", "src9")),
     "dedup_clusters" -> Dedup.clustersSql(Dedup.ngramJaccardSql(3, 0.8)),
@@ -1389,6 +1514,7 @@ object SparkEntry {
     "ann_recall" -> Similarity.annRecallSql(20, 4),
     "embedding_quantize" -> Similarity.QuantizeAuditSql,
     "embedding_neardup_lsh" -> Similarity.lshNearDupSql(0.4),
+    "embedding_neardup_lsh12" -> Similarity.lshPlantedRecallSql(12),
     "knn_join_lsh" -> Similarity.knnJoinSql(3),
     "semantic_decontaminate" -> Similarity.semanticDecontaminateSql(0.35),
     "q4_semi" ->

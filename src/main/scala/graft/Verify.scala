@@ -70,6 +70,9 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the http_* gate servers hold non-daemon JDK HttpServer threads —
+    // without an explicit stop the JVM never exits after main returns
+    SparkEntry.shutdownHttp()
     spark.stop()
   }
 }

@@ -115,6 +115,20 @@ class ExploraService(
 
   /** GET …/history equivalent (QueryingService.java:38-135). */
   def history(p: HistoryParams): DataFrame = {
+    val (source, geoPred, from, to) = resolveHistory(p)
+    ExploraQueries.history(source, p.metricId, geoPred, from, to, p.aggregate)
+  }
+
+  /** [[history]] with the full Aggregate per timestamp — the
+    * `local=true` payload shape (QueryingService.java:258-261).
+    */
+  def historyFull(p: HistoryParams): DataFrame = {
+    val (source, geoPred, from, to) = resolveHistory(p)
+    ExploraQueries.historyAll(source, p.metricId, geoPred, from, to)
+  }
+
+  private def resolveHistory(
+      p: HistoryParams): (DataFrame, org.apache.spark.sql.Column, Instant, Instant) = {
     QueryValidation.validateHistory(
       p.geohashes,
       p.precision,
@@ -133,11 +147,25 @@ class ExploraService(
     val source =
       if (p.src == "raw") rawAsView(p.precision, res) // reference's src=raw branch (dead there, real here)
       else partPruned(view("geohashing", p.precision, res), p.geohashes)
-    ExploraQueries.history(source, p.metricId, geoPred, from, to, p.aggregate)
+    (source, geoPred, from, to)
   }
 
   /** GET …/snapshot equivalent (QueryingService.java:137-230). */
   def snapshot(p: SnapshotParams): DataFrame = {
+    val (source, geoPred, ts) = resolveSnapshot(p)
+    ExploraQueries.snapshot(source, p.metricId, geoPred, ts, p.resolution, p.aggregate)
+  }
+
+  /** [[snapshot]] with the full Aggregate per cell — the `local=true`
+    * payload shape (QueryingService.java:258-261).
+    */
+  def snapshotFull(p: SnapshotParams): DataFrame = {
+    val (source, geoPred, ts) = resolveSnapshot(p)
+    ExploraQueries.snapshotAll(source, p.metricId, geoPred, ts, p.resolution)
+  }
+
+  private def resolveSnapshot(
+      p: SnapshotParams): (DataFrame, org.apache.spark.sql.Column, Instant) = {
     QueryValidation.validateSnapshot(
       p.tsMs, p.north, p.west, p.south, p.east, p.precision, p.aggregate, p.resolution)
     val ts = Instant.ofEpochMilli(p.tsMs)
@@ -150,13 +178,10 @@ class ExploraService(
       case _ =>
         GeoHash.coverPrefixes(p.north, p.west, p.south, p.east, p.precision)
     }
-    ExploraQueries.snapshot(
+    (
       partPruned(view(p.geoIndex, p.precision, p.resolution), prefixes),
-      p.metricId,
       ExploraQueries.prefixPredicate(prefixes),
-      ts,
-      p.resolution,
-      p.aggregate)
+      ts)
   }
 
   /** Polygon-region snapshot: the [[snapshot]] routing with an

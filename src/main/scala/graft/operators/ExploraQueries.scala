@@ -86,6 +86,21 @@ object ExploraQueries {
       to: Instant,
       agg: String): DataFrame = {
     val out = aggColumn(agg)
+    historyAll(view, metric, geoPred, from, to)
+      .select(col("ts_s"), round(col(out), 6).as(out))
+  }
+
+  /** [[history]] with the FULL Aggregate per timestamp — (ts_s, cnt,
+    * sum_val, avg_val) — the shape the reference serializes in
+    * `local` mode (the raw `Map<Long, Aggregate>`,
+    * QueryingService.java:258-261 / model/Aggregate.java:3-14).
+    */
+  def historyAll(
+      view: DataFrame,
+      metric: String,
+      geoPred: Column,
+      from: Instant,
+      to: Instant): DataFrame =
     view
       .filter(col("metric") === metric && geoPred)
       .filter(col("ts") >= timestamp_seconds(lit(from.getEpochSecond)) &&
@@ -93,9 +108,8 @@ object ExploraQueries {
       .groupBy(col("ts"))
       .agg(sum(col("cnt")).as("cnt"), sum(col("sum_val")).as("sum_val"))
       .withColumn("avg_val", col("sum_val") / col("cnt"))
-      .select(col("ts").cast("long").as("ts_s"), round(col(out), 6).as(out))
+      .select(col("ts").cast("long").as("ts_s"), col("cnt"), col("sum_val"), col("avg_val"))
       .orderBy(col("ts_s"))
-  }
 
   /** One Aggregate per spatial cell at a single truncated instant
     * (snapshot — QueryingController.java:232-282). The reference's
@@ -110,6 +124,20 @@ object ExploraQueries {
       resolution: String,
       agg: String): DataFrame = {
     val out = aggColumn(agg)
+    snapshotAll(view, metric, geoPred, ts, resolution)
+      .select(col("geo"), round(col(out), 6).as(out))
+  }
+
+  /** [[snapshot]] with the FULL Aggregate per cell — (geo, cnt,
+    * sum_val, avg_val) — the reference's `local`-mode
+    * `Map<String, Aggregate>` shape (QueryingService.java:258-261).
+    */
+  def snapshotAll(
+      view: DataFrame,
+      metric: String,
+      geoPred: Column,
+      ts: Instant,
+      resolution: String): DataFrame = {
     val t = truncateTs(ts, resolution)
     view
       .filter(col("metric") === metric && geoPred)
@@ -117,7 +145,7 @@ object ExploraQueries {
       .groupBy(col("geo"))
       .agg(sum(col("cnt")).as("cnt"), sum(col("sum_val")).as("sum_val"))
       .withColumn("avg_val", col("sum_val") / col("cnt"))
-      .select(col("geo"), round(col(out), 6).as(out))
+      .select(col("geo"), col("cnt"), col("sum_val"), col("avg_val"))
       .orderBy(col("geo"))
   }
 

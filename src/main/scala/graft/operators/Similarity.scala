@@ -172,12 +172,20 @@ object Similarity {
   def signBit(d: Dialect, col: String, p: Array[Int]): String =
     s"(CASE WHEN (${d.signSum(col, p)}) > 0 THEN 1 ELSE 0 END)"
 
-  /** Band value from [[LshRowsPerBand]] sign bits (b = band index). */
-  def bandExpr(d: Dialect, col: String, band: Int): String = {
+  /** Band value from `rowsPerBand` sign bits (b = band index), drawn
+    * from the prefix-stable plane stream — widening the band reuses
+    * the same leading planes the production path uses.
+    */
+  def bandExpr(
+      d: Dialect,
+      col: String,
+      band: Int,
+      rowsPerBand: Int = LshRowsPerBand): String = {
+    val ps = planes(LshBands * rowsPerBand)
     val bits =
-      (0 until LshRowsPerBand).map(r => signBit(d, col, Planes(band * LshRowsPerBand + r)))
+      (0 until rowsPerBand).map(r => signBit(d, col, ps(band * rowsPerBand + r)))
     bits.zipWithIndex
-      .map { case (b, i) => s"$b*${1 << (LshRowsPerBand - 1 - i)}" }
+      .map { case (b, i) => s"$b*${1 << (rowsPerBand - 1 - i)}" }
       .mkString(" + ")
   }
 
@@ -665,9 +673,9 @@ object Similarity {
        |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
   }
 
-  def lshNearDupSql(threshold: Double): String = {
+  def lshNearDupSql(threshold: Double, rowsPerBand: Int = LshRowsPerBand): String = {
     val bands = (0 until LshBands)
-      .map(b => s"${bandExpr(DuckDialect, "embedding", b)} AS band$b")
+      .map(b => s"${bandExpr(DuckDialect, "embedding", b, rowsPerBand)} AS band$b")
       .mkString(",\n  ")
     val cands = (0 until LshBands)
       .map(b =>
@@ -682,6 +690,108 @@ object Similarity {
        |  JOIN embeddings eb ON eb.vec_id = c.b_id)
        |SELECT a_id, b_id, round(sim, 6) AS sim FROM v
        |WHERE sim >= $threshold ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ---- band-width recall certification --------------------------------
+
+  /** Minimum acceptable recall of the WIDE (12-bit) band geometry on
+    * planted near-duplicate pairs, in per-mille. The 12-bit width is
+    * the measured sf1 configuration of the log₂(n) rule (PERF.md round
+    * 6): at 10× the data it keeps per-vector candidate counts flat
+    * where the pinned 8-bit width grew super-linearly. Its cost is the
+    * per-bit agreement factor on TRUE near-dups (cos ≈ 0.97 → ~0.92
+    * per bit → per-band hit 0.92¹² ≈ 0.37, eight bands ≈ 0.97 overall)
+    * — this entry makes that trade oracle-visible with a recall floor
+    * the wide geometry must clear on every gate run.
+    */
+  val LshWidthRecallFloorPermille = 700L
+
+  /** Planted-twin corpus: every `PlantMod`-th vector gains a copy with
+    * ONE dimension (vec_id mod Dim) negated — a genuine near-dup
+    * (cos = 1 − 2·x_d²/‖x‖², ≈ 0.97 on these near-uniform embeddings).
+    * Negation is EXACT in float arithmetic, so both engines construct
+    * bit-identical twins and the LSH replay stays deterministic — the
+    * gate corpus itself has no natural near-dups (max pair cos ≈ 0.47),
+    * so recall on the pairs LSH is FOR has to be measured on planted
+    * ones (the SimilaritySpec methodology, lifted into the oracle gate).
+    */
+  val PlantOffset = 1000000L
+  val PlantMod = 5
+
+  def plantedCorpus(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding")).unionAll(
+      embeddings
+        .filter(pmod(col("vec_id"), lit(PlantMod)) === 0)
+        .select(
+          (col("vec_id") + PlantOffset).as("vec_id"),
+          expr(s"transform(embedding, (x, i) -> IF(CAST(i AS BIGINT) = pmod(vec_id, $Dim), -x, x))")
+            .as("embedding")))
+
+  /** One-row width-recall audit: the planted pair relation probed
+    * against the band-candidate sets of BOTH widths —
+    * `(n_planted, n_found_ref, n_found_wide, recall_ref_permille,
+    * recall_wide_permille, certified)`, all-integer, so engine parity
+    * is exact (the ann_recall pattern on LSH candidate generation).
+    */
+  def lshPlantedRecall(embeddings: DataFrame, wideRowsPerBand: Int): DataFrame = {
+    val corpus = plantedCorpus(embeddings)
+    val planted = corpus
+      .filter(col("vec_id") >= lit(PlantOffset))
+      .select((col("vec_id") - PlantOffset).as("a_id"), col("vec_id").as("b_id"))
+    def found(rowsPerBand: Int, out: String) =
+      bandCandidates(lshBanded(corpus, rowsPerBand = rowsPerBand))
+        .join(planted, Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as(out))
+    planted.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(found(LshRowsPerBand, "n_found_ref"))
+      .crossJoin(found(wideRowsPerBand, "n_found_wide"))
+      .withColumn(
+        "recall_ref_permille",
+        expr("n_found_ref * 1000 DIV greatest(n_planted, 1L)"))
+      .withColumn(
+        "recall_wide_permille",
+        expr("n_found_wide * 1000 DIV greatest(n_planted, 1L)"))
+      .withColumn("certified", col("recall_wide_permille") >= LshWidthRecallFloorPermille)
+      .select(
+        col("n_planted"), col("n_found_ref"), col("n_found_wide"),
+        col("recall_ref_permille"), col("recall_wide_permille"), col("certified"))
+  }
+
+  /** DuckDB twin: replays the planted twins (exact float negation) and
+    * BOTH band geometries through the shared dialect, then the same
+    * integer recall arithmetic.
+    */
+  def lshPlantedRecallSql(wideRowsPerBand: Int): String = {
+    val twinElems = (0 until Dim)
+      .map(j => s"CASE WHEN vec_id % $Dim = $j THEN -embedding[${j + 1}] ELSE embedding[${j + 1}] END")
+      .mkString("list_value(", ", ", ")")
+    def sig(rowsPerBand: Int) = (0 until LshBands)
+      .map(b => s"${bandExpr(DuckDialect, "embedding", b, rowsPerBand)} AS band$b")
+      .mkString(",\n  ")
+    def cand(sigName: String) = (0 until LshBands)
+      .map(b =>
+        s"SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM $sigName a JOIN $sigName b ON a.band$b = b.band$b AND a.vec_id < b.vec_id")
+      .mkString("\n  UNION\n  ")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $PlantOffset AS vec_id, $twinElems AS embedding
+       |  FROM embeddings WHERE vec_id % $PlantMod = 0),
+       |planted AS (
+       |  SELECT vec_id AS a_id, vec_id + $PlantOffset AS b_id
+       |  FROM embeddings WHERE vec_id % $PlantMod = 0),
+       |sigr AS (SELECT vec_id,\n  ${sig(LshRowsPerBand)}\nFROM corpus),
+       |sigw AS (SELECT vec_id,\n  ${sig(wideRowsPerBand)}\nFROM corpus),
+       |candr AS (\n  ${cand("sigr")}\n),
+       |candw AS (\n  ${cand("sigw")}\n),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM planted),
+       |fr AS (SELECT CAST(count(*) AS BIGINT) AS n_found_ref FROM planted JOIN candr USING (a_id, b_id)),
+       |fw AS (SELECT CAST(count(*) AS BIGINT) AS n_found_wide FROM planted JOIN candw USING (a_id, b_id))
+       |SELECT n_planted, n_found_ref, n_found_wide,
+       |  n_found_ref * 1000 // greatest(n_planted, 1) AS recall_ref_permille,
+       |  n_found_wide * 1000 // greatest(n_planted, 1) AS recall_wide_permille,
+       |  n_found_wide * 1000 // greatest(n_planted, 1) >= $LshWidthRecallFloorPermille AS certified
+       |FROM np, fr, fw""".stripMargin
   }
 
   // ---- ANN recall certification ---------------------------------------

@@ -274,6 +274,78 @@ object StreamingViews {
       .orderBy(col("user_id"), col("sess_start_s"))
   }
 
+  /** PRODUCTION sessionization: session_window + watermark in APPEND
+    * mode — emits each session exactly once, when the watermark (max
+    * event time − `delaySeconds`) passes its window end (last event +
+    * gap), and evicts its state. This is the bounded-state counterpart
+    * of [[runSessionsAvailableNow]]'s complete-mode parity surface
+    * (which re-emits ALL state every trigger — measured 4.19× at 10×
+    * data, PERF.md round 6). Over the finite AvailableNow source the
+    * emitted set is exactly the CLOSED sessions — window end strictly
+    * below the final watermark — which is what the oracle replays
+    * (gaps-and-islands restricted by the same predicate); sessions
+    * still open at end-of-stream stay in state, as they would in a
+    * live deployment.
+    */
+  def runSessionsAppend(
+      spark: SparkSession,
+      sfDir: String,
+      gapSeconds: Long,
+      delaySeconds: Long): DataFrame = {
+    val name = s"stream_sessions_append_${sinkId.incrementAndGet()}"
+    val q = eventsStream(spark, sfDir)
+      .withColumn("tss", timestamp_seconds(col("ts").cast("long")))
+      .withWatermark("tss", s"$delaySeconds seconds")
+      .groupBy(col("user_id"), session_window(col("tss"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(
+        col("user_id"),
+        col("session_window.start").cast("long").as("sess_start_s"),
+        col("n_events"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .orderBy(col("user_id"), col("sess_start_s"))
+  }
+
+  /** PRODUCTION dedup sink: the stateful min-id dedup in UPDATE mode,
+    * each micro-batch's changed (hash → min doc_id) rows MERGE-upserted
+    * into a parquet survivor table keyed on the hash — the
+    * [[materializeViews]] sink pattern applied to dedup (per-batch cost
+    * is O(changed keys + table), not O(total state) re-emission as in
+    * the complete-mode [[runDedupAvailableNow]] twin). Checkpointed:
+    * replays re-upsert the same keys idempotently. Returns the final
+    * survivor set, which must equal batch `Dedup.exact` (same oracle).
+    */
+  def runDedupUpdateMerge(
+      spark: SparkSession,
+      sfDir: String,
+      outPath: String,
+      checkpoint: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .parquet(s"$sfDir/{documents.parquet}")
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertKeyed(batch, outPath, Seq("h"), partitionCol = None)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath).select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Stream-stream INNER join under incremental execution — the last
     * streaming operator class (beyond aggregation, dedup, stateless
     * filters, stream-static joins, and sessionization): click events
@@ -375,7 +447,19 @@ object StreamingViews {
   /** MERGE-shaped upsert of `batch` (update-mode view rows) into the
     * metric-partitioned parquet table at `outPath`.
     */
-  private[streaming] def upsert(batch: DataFrame, outPath: String): Unit = {
+  private[streaming] def upsert(batch: DataFrame, outPath: String): Unit =
+    upsertKeyed(batch, outPath, Seq("metric", "geo", "ts"), partitionCol = Some("metric"))
+
+  /** The one MERGE-emulation body: keep = existing (in touched
+    * partitions, when partitioned) ⟕anti batch keys; write
+    * (keep ∪ batch) with dynamic partition overwrite. With a lakehouse
+    * format this collapses to a real `MERGE INTO … ON keys`.
+    */
+  private[streaming] def upsertKeyed(
+      batch: DataFrame,
+      outPath: String,
+      keys: Seq[String],
+      partitionCol: Option[String]): Unit = {
     val spark = batch.sparkSession
     val exists = {
       val p = new org.apache.hadoop.fs.Path(outPath)
@@ -384,26 +468,29 @@ object StreamingViews {
     val merged =
       if (!exists) batch
       else {
-        // only the touched metric partitions are even read: partition
-        // pruning on the isin filter keeps untouched partitions out of
-        // both the scan and (via dynamic overwrite) the write
-        val touched = batch.select("metric").distinct()
-          .collect().map(_.getString(0)).toSeq
-        val existing = spark.read.parquet(outPath)
-          .filter(col("metric").isin(touched: _*))
-          .select(batch.columns.map(col): _*) // partition col order back in line
+        // only the touched partitions are even read: partition pruning
+        // on the isin filter keeps untouched partitions out of both the
+        // scan and (via dynamic overwrite) the write
+        val existing0 = spark.read.parquet(outPath)
+        val pruned = partitionCol match {
+          case Some(pc) =>
+            val touched = batch.select(pc).distinct()
+              .collect().map(_.getString(0)).toSeq
+            existing0.filter(col(pc).isin(touched: _*))
+          case None => existing0
+        }
+        val existing = pruned.select(batch.columns.map(col): _*) // partition col order back in line
         val keep = existing.join(
-          batch.select("metric", "geo", "ts"),
-          Seq("metric", "geo", "ts"),
+          batch.select(keys.map(col): _*),
+          keys,
           "left_anti")
         keep.unionByName(batch)
       }
     // localCheckpoint cuts the plan's lineage on the files being
     // replaced — without it the overwrite would read its own output
-    merged.localCheckpoint(eager = true)
+    val writer = merged.localCheckpoint(eager = true)
       .write
       .mode("overwrite")
-      .partitionBy("metric")
-      .parquet(outPath)
+    partitionCol.fold(writer)(pc => writer.partitionBy(pc)).parquet(outPath)
   }
 }

@@ -1,0 +1,183 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.api.{ExploraHttpServer, ExploraService, HistoryParams, SnapshotParams}
+import graft.sources.SensorGrid
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives REAL HTTP GETs against a live [[ExploraHttpServer]] and
+  * checks the payloads — both the success envelopes (row-for-row equal
+  * to the library facade the gate oracles already certify) and the
+  * reference's 400 error paths (querying/QueryingService.java:46-230).
+  */
+class HttpFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import SparkTestBase._
+
+  private val mapper = new ObjectMapper()
+  private lazy val svc = new ExploraService(SensorGrid.readings(spark, Sf0001).cache())
+  private lazy val httpServer = new ExploraHttpServer(svc)
+  private lazy val base = s"http://127.0.0.1:${httpServer.start()}"
+
+  override def afterAll(): Unit = httpServer.stop()
+
+  private def get(pathAndQuery: String): (Int, JsonNode) = {
+    val conn = URI.create(base + pathAndQuery).toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, mapper.readTree(body))
+  }
+
+  private val gh6 = SensorGrid.cellGeo.map(_._2.substring(0, 6)).distinct.sorted
+  private val fromMs = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+  private val toMs = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+  private val snapTsMs = java.time.Instant.parse("2024-01-15T07:00:00Z").toEpochMilli
+
+  test("history GET returns the Message envelope, rows equal to the library facade") {
+    val (code, json) = get(
+      s"/api/airquality/click/aggregate/avg/history?geohashes=${gh6.mkString(",")}" +
+        s"&res=day&from=$fromMs&to=$toMs&gh_precision=6")
+    assert(code === 200)
+    assert(json.get("columns").get(0).asText === "timestamp")
+    assert(json.get("columns").get(1).asText === "avg")
+    assert(json.get("metadata").get("metric_id").asText === "click")
+    val viaHttp = {
+      val d = json.get("data")
+      (0 until d.size).map(i => (d.get(i).get(0).asLong, d.get(i).get(1).asDouble))
+    }
+    val viaApi = svc.history(HistoryParams(
+      "click", "avg", gh6, 6, resolution = Some("day"),
+      fromMs = Some(fromMs), toMs = toMs))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaHttp.nonEmpty && viaHttp === viaApi)
+  }
+
+  test("snapshot GET with the sim_api_load.sh query shape (ts, src, res, gh_precision, bbox)") {
+    // same parameter shape as the reference's load script, over our grid
+    val (code, json) = get(
+      s"/api/airquality/signup/aggregate/avg/snapshot?ts=$snapTsMs" +
+        s"&src=tiles&res=day&gh_precision=6&bbox=51.31,4.31,51.17,4.50")
+    assert(code === 200)
+    assert(json.get("columns").get(0).asText === "geohash")
+    val viaHttp = {
+      val d = json.get("data")
+      (0 until d.size).map(i => (d.get(i).get(0).asText, d.get(i).get(1).asDouble))
+    }
+    val viaApi = svc.snapshot(SnapshotParams(
+      "signup", "avg", snapTsMs, 51.31, 4.31, 51.17, 4.50, 6, "day",
+      geoIndex = "geohashing"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaHttp.nonEmpty && viaHttp === viaApi)
+  }
+
+  test("quadtiling snapshot via geo_index param matches the facade") {
+    val (code, json) = get(
+      s"/api/airquality/signup/aggregate/count/snapshot?ts=$snapTsMs" +
+        s"&res=day&gh_precision=14&geo_index=quadtiling&bbox=51.31,4.31,51.17,4.50")
+    assert(code === 200)
+    val viaHttp = {
+      val d = json.get("data")
+      (0 until d.size).map(i => (d.get(i).get(0).asText, d.get(i).get(1).asLong))
+    }
+    val viaApi = svc.snapshot(SnapshotParams(
+      "signup", "count", snapTsMs, 51.31, 4.31, 51.17, 4.50, 14, "day",
+      geoIndex = "quadtiling"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaHttp.nonEmpty && viaHttp === viaApi)
+  }
+
+  test("local=true returns the raw {key: {count, sum, avg}} map (Aggregate shape)") {
+    val (code, json) = get(
+      s"/api/airquality/click/aggregate/avg/history?geohashes=${gh6.mkString(",")}" +
+        s"&res=day&from=$fromMs&to=$toMs&local=true")
+    assert(code === 200)
+    val viaApi = svc.historyFull(HistoryParams(
+      "click", "avg", gh6, 6, resolution = Some("day"),
+      fromMs = Some(fromMs), toMs = toMs)).collect()
+    assert(json.size === viaApi.length && viaApi.nonEmpty)
+    viaApi.foreach { r =>
+      val node = json.get(r.getLong(0).toString)
+      assert(node != null, s"missing key ${r.getLong(0)}")
+      assert(node.get("count").asLong === r.getLong(1))
+      assert(math.abs(node.get("sum").asDouble - r.getDouble(2)) < 1e-9)
+      assert(math.abs(node.get("avg").asDouble - r.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("history interval mode routes like the library (interval table)") {
+    val (code, json) = get(
+      s"/api/airquality/click/aggregate/count/history?geohashes=${gh6.mkString(",")}" +
+        s"&interval=1month&to=$toMs")
+    assert(code === 200)
+    assert(json.get("data").size > 0)
+  }
+
+  test("400: missing geohashes, with the reference's error text") {
+    val (code, json) = get("/api/airquality/click/aggregate/avg/history?res=day")
+    assert(code === 400)
+    assert(json.get("errorCode").asInt === 400)
+    assert(json.get("errorMessage").asText.contains("comma-separated geohash prefixes"))
+  }
+
+  test("400: unsupported aggregate") {
+    val (code, json) = get(
+      s"/api/airquality/click/aggregate/median/history?geohashes=${gh6.head}&res=day&to=$toMs")
+    assert(code === 400)
+    assert(json.get("errorMessage").asText.toLowerCase.contains("aggregate"))
+  }
+
+  test("400: neither resolution nor interval") {
+    val (code, json) = get(
+      s"/api/airquality/click/aggregate/avg/history?geohashes=${gh6.head}&to=$toMs")
+    assert(code === 400)
+    assert(json.get("errorCode").asInt === 400)
+  }
+
+  test("400: from after to") {
+    val (code, _) = get(
+      s"/api/airquality/click/aggregate/avg/history?geohashes=${gh6.head}" +
+        s"&res=day&from=$toMs&to=$fromMs")
+    assert(code === 400)
+  }
+
+  test("400: non-numeric gh_precision") {
+    val (code, _) = get(
+      s"/api/airquality/click/aggregate/avg/history?geohashes=${gh6.head}" +
+        s"&res=day&to=$toMs&gh_precision=six")
+    assert(code === 400)
+  }
+
+  test("400: snapshot without ts, with the reference's error text") {
+    val (code, json) = get(
+      "/api/airquality/click/aggregate/avg/snapshot?bbox=51.31,4.31,51.17,4.50&res=day")
+    assert(code === 400)
+    assert(json.get("errorMessage").asText.contains("valid timestamp in milliseconds"))
+  }
+
+  test("400: snapshot without bbox") {
+    val (code, json) = get(
+      s"/api/airquality/click/aggregate/avg/snapshot?ts=$snapTsMs&res=day")
+    assert(code === 400)
+    assert(json.get("errorMessage").asText.contains("bounding box"))
+  }
+
+  test("400: snapshot with non-numeric bbox coordinates") {
+    val (code, json) = get(
+      s"/api/airquality/click/aggregate/avg/snapshot?ts=$snapTsMs&res=day&bbox=a,b,c,d")
+    assert(code === 400)
+    assert(json.get("errorMessage").asText.contains("valid double values"))
+  }
+
+  test("404: unknown route") {
+    val (code, json) = get("/api/airquality/click/nope")
+    assert(code === 404)
+    assert(json.get("errorCode").asInt === 404)
+  }
+}
