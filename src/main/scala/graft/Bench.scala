@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   *   1. untimed warmup scan (session/codegen init);
   *   2. `setup` — SparkEntry.sharedBuilds materializes every SHARED
   *      cached frame (views, shingles, signatures), timed per cache
-  *      with per-build error capture. One-time
-  *      shared builds are charged here, once, explicitly — not to
+  *      with per-build error capture, run `passes`× with caches
+  *      cleared in between and the per-build MIN reported (same
+  *      stall-bounding as the query protocol). One-time
+  *      shared builds are charged here, explicitly — not to
   *      whichever consumer query sorts first (rounds 2-3 attributed
   *      ~30 s of shared builds to alphabetical accidents);
   *   3. every query runs TWICE; `queries` holds the per-query MIN.
@@ -76,20 +78,32 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
-    // setup phase: shared caches, timed explicitly. A build that throws
-    // is recorded under setup_errors (partial setup timings are kept) —
-    // never silently dropped (ADVICE round 4): a zero-cost setup phase
-    // must mean "nothing to build", not "everything failed".
+    // setup phase: shared caches, timed explicitly, and — like the
+    // per-query protocol — run `passes` times with the per-build MIN
+    // reported (caches are cleared between setup passes so every pass
+    // genuinely rebuilds; the LAST pass leaves the caches populated for
+    // the query passes). One multi-tenant CPU-steal stall in a single
+    // cold build dominated a whole round's driver setup signal (round
+    // 6: lsh_pairs 40.4 s on the driver box vs 1.9 s locally on
+    // identical code) — min-of-N bounds that damage the same way it
+    // does for queries. A build that throws is recorded under
+    // setup_errors (partial setup timings are kept) — never silently
+    // dropped (ADVICE round 4): a zero-cost setup phase must mean
+    // "nothing to build", not "everything failed".
     val setupTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val setupErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.sharedBuilds(spark, sfDir).foreach { case (name, f) =>
-      val t0 = System.nanoTime()
-      try {
-        f()
-        setupTimes(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          setupErrors(name) = s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(160))}"
+    (1 to passes).foreach { pass =>
+      if (pass > 1) SparkEntry.clearCaches(spark)
+      SparkEntry.sharedBuilds(spark, sfDir).foreach { case (name, f) =>
+        val t0 = System.nanoTime()
+        try {
+          f()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (!setupTimes.get(name).exists(_ <= sec)) setupTimes(name) = sec
+        } catch {
+          case e: Throwable =>
+            setupErrors(name) = s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(160))}"
+        }
       }
     }
     val setupSec = setupTimes.values.sum

@@ -368,8 +368,10 @@ object SparkEntry {
   /** One live [[graft.api.ExploraHttpServer]] per (session, sf dir),
     * started on first use — the `http_*` gate entries drive REAL GETs
     * through it, so the serving layer (routing, params, JSON envelope)
-    * sits inside the oracle check, not beside it. Harness-scoped:
-    * daemonless JDK HttpServer threads die with the JVM.
+    * sits inside the oracle check, not beside it. Harness-scoped: the
+    * JDK HttpServer's dispatcher and pool threads are NON-daemon, so
+    * any main that triggers a server here must call [[shutdownHttp]]
+    * before returning (Verify and Bench both do).
     */
   private val httpServers =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.api.ExploraHttpServer]
@@ -1100,6 +1102,14 @@ object SparkEntry {
     "multimodal_png_pixels" -> ((s, d) =>
       Multimodal.pngPixelStats(
         Multimodal.synthesizePngAssets(Tables.load(s, d, "documents")))),
+    // REAL lossy decode: synthesize baseline grayscale JPEGs (ImageIO
+    // writer, quality 1.0), decode them back through the full JPEG
+    // pipeline, certify the decoded mean within a measured bound of the
+    // closed-form source (sketch_certify pattern — a lossy codec has no
+    // exact closed-form replay); dims are hash-gated exactly
+    "multimodal_jpeg_pixels" -> ((s, d) =>
+      Multimodal.jpegPixelCertify(
+        Multimodal.synthesizeJpegAssets(Tables.load(s, d, "documents")))),
     // REAL LZW decode: synthesize valid GIF87a files, decode the index
     // stream back with a general LZW decoder (growing table, KwKwK,
     // 12-bit cap) and map through the palette; same closed-form oracle
@@ -1721,6 +1731,7 @@ object SparkEntry {
     "unit_dedup" -> UnitDedup.dedupUnitsSql(),
     "multimodal_pixels" -> Multimodal.BmpPixelStatsSql,
     "multimodal_png_pixels" -> Multimodal.PngPixelStatsSql,
+    "multimodal_jpeg_pixels" -> Multimodal.JpegPixelCertifySql,
     "wav_audio_stats" -> Multimodal.WavAudioStatsSql,
     "multimodal_gif_pixels" -> graft.operators.GifPixels.GifPixelStatsSql,
     "multimodal_report" ->

@@ -32,12 +32,27 @@ object Verify {
     only.foreach { f =>
       SparkEntry.queries.keys.filterNot(f.contains).foreach { name =>
         val d = Paths.get(outDir, name)
-        if (Files.exists(d)) {
-          scala.util.Using.resource(Files.walk(d)) { walk =>
-            walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(p => Files.delete(p))
+        // only delete directories that are recognizably a prior Verify
+        // parquet dump (Spark leaves _SUCCESS + part-*.parquet): a
+        // same-named directory of anything else is someone else's data
+        // — log and leave it (ADVICE round 6)
+        def looksLikeDump =
+          scala.util.Using.resource(Files.list(d)) { s =>
+            s.anyMatch(p => {
+              val n = p.getFileName.toString
+              n == "_SUCCESS" || (n.startsWith("part-") && n.endsWith(".parquet"))
+            })
           }
-          System.err.println(s"[verify] removed stale dump: $name")
+        if (Files.exists(d)) {
+          if (Files.isDirectory(d) && looksLikeDump) {
+            scala.util.Using.resource(Files.walk(d)) { walk =>
+              walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .forEach(p => Files.delete(p))
+            }
+            System.err.println(s"[verify] removed stale dump: $name")
+          } else
+            System.err.println(
+              s"[verify] SKIPPED non-dump path in outDir (not a Verify parquet dump): $d")
         }
       }
     }

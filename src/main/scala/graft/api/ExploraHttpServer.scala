@@ -59,7 +59,18 @@ class ExploraHttpServer(service: ExploraService, requestedPort: Int = 0) {
   }
 
   def stop(): Unit = synchronized {
-    if (server != null) { server.stop(0); server = null }
+    if (server != null) {
+      // HttpServer.stop does NOT shut down a user-supplied executor;
+      // its idle non-daemon workers would keep the JVM alive after
+      // main returns (observed: Verify hung in DestroyJavaVM)
+      val exec = server.getExecutor
+      server.stop(0)
+      exec match {
+        case es: java.util.concurrent.ExecutorService => es.shutdown()
+        case _                                        =>
+      }
+      server = null
+    }
   }
 
   // ---- routing -------------------------------------------------------

@@ -209,7 +209,8 @@ class ExploraService(
     // exact polygon cells when the cover fits the cap; a polygon too
     // large for an exact fine-precision cover DEGRADES to the bounded
     // bbox prefix cover (the same over-selection the bbox snapshot and
-    // the reference's geohash mode accept) instead of throwing
+    // the reference's geohash mode accept) instead of throwing. ONLY
+    // the cap condition degrades — any other argument error propagates
     val (pred, prefixes) =
       try {
         val cells = geoIndex match {
@@ -218,7 +219,7 @@ class ExploraService(
         }
         (ExploraQueries.cellsPredicate(cells), cells)
       } catch {
-        case _: IllegalArgumentException =>
+        case _: graft.geo.CoverTooLargeException =>
           val p = geoIndex match {
             case "quadtiling" => QuadKey.coverPrefixes(latMax, lonMin, latMin, lonMax, precision)
             case _            => GeoHash.coverPrefixes(latMax, lonMin, latMin, lonMax, precision)

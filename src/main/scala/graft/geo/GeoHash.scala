@@ -121,10 +121,10 @@ object GeoHash {
     val lo0 = idx(lonMin, -180.0, lonStep, lonCells)
     val lo1 = idx(lonMax, -180.0, lonStep, lonCells)
     val total = (li1 - li0 + 1) * (lo1 - lo0 + 1)
-    require(
-      total <= maxCells,
-      s"bbox cover at precision $precision needs $total cells > cap $maxCells; " +
-        "coarsen the precision or use a prefix predicate")
+    if (total > maxCells)
+      throw new CoverTooLargeException(
+        s"bbox cover at precision $precision needs $total cells > cap $maxCells; " +
+          "coarsen the precision or use a prefix predicate")
     val hashes = new scala.collection.mutable.ArrayBuffer[String](total.toInt)
     var li = li0
     while (li <= li1) {

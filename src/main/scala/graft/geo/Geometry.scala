@@ -1,5 +1,13 @@
 package graft.geo
 
+/** A cover would need more cells than its cap — the ONE condition
+  * callers may legitimately degrade on (e.g. fall back to a coarser
+  * prefix cover). A dedicated type so catch sites don't swallow
+  * genuine argument errors that also surface as
+  * IllegalArgumentException (ADVICE round 6).
+  */
+class CoverTooLargeException(msg: String) extends IllegalArgumentException(msg)
+
 /** Minimal planar geometry for driver-side cover computation (query
   * planning only — covers become IN/prefix predicates, never per-row
   * compute). Polygons are sequences of (lat, lon) vertices, implicitly

@@ -98,10 +98,10 @@ object QuadKey {
     val minTile = tileAt(bottomRightLat, topLeftLon, zoom) // SW → min x, max y
     val maxTile = tileAt(topLeftLat, bottomRightLon, zoom) // NE → max x, min y
     val total = (maxTile.x - minTile.x + 1).toLong * (minTile.y - maxTile.y + 1).toLong
-    require(
-      total <= maxCells,
-      s"bbox cover at zoom $zoom needs $total tiles > cap $maxCells; " +
-        "coarsen the zoom or use a prefix predicate")
+    if (total > maxCells)
+      throw new CoverTooLargeException(
+        s"bbox cover at zoom $zoom needs $total tiles > cap $maxCells; " +
+          "coarsen the zoom or use a prefix predicate")
     val keys = for {
       x <- minTile.x to maxTile.x
       y <- maxTile.y to minTile.y

@@ -32,9 +32,13 @@ object LanguageModel {
   private def one(c: org.apache.spark.sql.Column) = CorpusSignals.one(c)
 
   // ---- shared input frames -------------------------------------------
-  // The whole family consumes these two; SparkEntry caches them once per
-  // (session, sf) like doc_shingles, so no LM query re-tokenizes the
-  // corpus (the dominant narrow cost at any scale).
+  // The whole family consumes these cached frames; SparkEntry builds
+  // each once per (session, sf) like doc_shingles. The corpus is
+  // tokenized TWICE, once per cached family input: the exploded token
+  // stream (unigram consumers) and the bigram pair counts — bigrams
+  // need adjacency, which the position-free exploded stream has already
+  // discarded, and recovering it there would cost a corpus-wide
+  // pair-up shuffle where a second narrow tokenize pass costs none.
 
   /** `(doc_id, source, token)` — the exploded token stream. */
   def docTokens(docs: DataFrame): DataFrame =

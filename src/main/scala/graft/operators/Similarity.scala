@@ -738,13 +738,19 @@ object Similarity {
     val planted = corpus
       .filter(col("vec_id") >= lit(PlantOffset))
       .select((col("vec_id") - PlantOffset).as("a_id"), col("vec_id").as("b_id"))
-    def found(rowsPerBand: Int, out: String) =
+    // presence flags via left joins (bandCandidates is distinct, so
+    // multiplicity 1), ONE aggregation for all three counts — no
+    // single-row cross join for the plan audit to flag
+    def flagged(rowsPerBand: Int, out: String) =
       bandCandidates(lshBanded(corpus, rowsPerBand = rowsPerBand))
-        .join(planted, Seq("a_id", "b_id"), "left_semi")
-        .agg(count(lit(1)).as(out))
-    planted.agg(count(lit(1)).as("n_planted"))
-      .crossJoin(found(LshRowsPerBand, "n_found_ref"))
-      .crossJoin(found(wideRowsPerBand, "n_found_wide"))
+        .select(col("a_id"), col("b_id"), lit(1L).as(out))
+    planted
+      .join(flagged(LshRowsPerBand, "f_ref"), Seq("a_id", "b_id"), "left_outer")
+      .join(flagged(wideRowsPerBand, "f_wide"), Seq("a_id", "b_id"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_planted"),
+        coalesce(sum(col("f_ref")), lit(0L)).as("n_found_ref"),
+        coalesce(sum(col("f_wide")), lit(0L)).as("n_found_wide"))
       .withColumn(
         "recall_ref_permille",
         expr("n_found_ref * 1000 DIV greatest(n_planted, 1L)"))

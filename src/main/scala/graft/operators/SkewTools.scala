@@ -31,4 +31,28 @@ object SkewTools {
       .agg(sum(col("cnt")).as("cnt"), sum(col("sum_val")).as("sum_val"))
       .withColumn("avg_val", col("sum_val") / col("cnt"))
   }
+
+  /** Salted fact×dim equi-join, equivalent to `facts.join(dim, key)`
+    * but with one hot key's shuffle partition spread over `salts`
+    * reducers: facts get a deterministic salt in [0, salts), the dim
+    * side is replicated `salts`× (a small explode — the dim is the
+    * small side by assumption), and the join key becomes (key, salt).
+    *
+    * This is the MANUAL fallback for the cases AQE's skew-join can't
+    * rescue (e.g. a skewed shuffle feeding a downstream co-partitioned
+    * op that must not be re-split, or an engine with AQE disabled); in
+    * the common case, leave AQE on and let
+    * `spark.sql.adaptive.skewJoin` split the oversized partition at
+    * runtime — ScaleOpsSpec asserts BOTH: the AQE plan marks the join
+    * `skew=true` and splits it, and this salted twin reproduces the
+    * plain join's rows exactly.
+    */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive (got $salts)")
+    val saltedFacts = facts
+      .withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val saltedDim = dim
+      .withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
+    saltedFacts.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+  }
 }

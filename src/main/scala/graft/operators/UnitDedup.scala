@@ -75,8 +75,20 @@ object UnitDedup {
     // the plan runs three Exchanges instead of one (observed; SpanDedup
     // learned the same lesson)
     val perUnit = Window.partitionBy(col("uh"))
+    // 64-bit digest: half the shuffle width, both engines truncate
+    // identically. COLLISION BUDGET at target scale (applies equally to
+    // the 16-hex-prefix digests in SpanDedup/Winnowing and the xxhash64
+    // twins): with ~10^12 distinct units/grams at 100 TB the birthday
+    // expectation is n²/2⁶⁵ ≈ 2.7×10⁴ colliding pairs — each one a
+    // FALSE duplicate silently merged, and invisible to the parity gate
+    // because both engines share the digest. Acceptable for dedup
+    // (removing a few unique units in 10^12 is lossier-than-random by
+    // ~10⁻⁸), but a production run that must not drop uniques should
+    // verify flagged spans against the raw text on a sample (audit
+    // join on (doc_id, unit_idx) → compare unit strings), or widen to
+    // the full 128-bit md5 at 2× shuffle width.
     val flagged = units
-      .withColumn("uh", substring(md5(col("unit")), 1, 16)) // 64-bit digest: half the shuffle width, both engines truncate identically
+      .withColumn("uh", substring(md5(col("unit")), 1, 16))
       .withColumn("mn", min(col("doc_id")).over(perUnit))
       .withColumn("mx", max(col("doc_id")).over(perUnit))
       .withColumn("occ", count(lit(1)).over(perUnit))

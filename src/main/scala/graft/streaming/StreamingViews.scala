@@ -339,7 +339,7 @@ object StreamingViews {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertKeyed(batch, outPath, Seq("h"), partitionCol = None)
+        upsertKeyed(batch, outPath, Seq("h"), partitionCols = Seq.empty)
       }
       .start()
     q.awaitTermination()
@@ -417,6 +417,16 @@ object StreamingViews {
     * gives effective exactly-once on top of checkpointing (S6/S7:
     * trigger cadence + earliest offsets are source options).
     */
+  /** @param watermark when set, PRODUCTION retention mode: the stream
+    *   is watermarked (late rows beyond the delay are dropped at the
+    *   aggregation, never reaching the sink) and the view table is
+    *   partitioned by `(metric, ts_part)` with ts_part = date(ts) —
+    *   so the set of partitions a batch can touch is bounded by
+    *   #metrics × (retention days + in-flight), NOT by table age. This
+    *   is the 100 TB answer to scattered late data: in parity mode
+    *   (None, metric-only partitions) arbitrarily late rows eventually
+    *   touch — and rewrite — every partition.
+    */
   def materializeViews(
       spark: SparkSession,
       sfDir: String,
@@ -424,7 +434,8 @@ object StreamingViews {
       resolution: String,
       geoPrefixLen: Int,
       checkpoint: String,
-      rocksDbState: Boolean = true): Unit = {
+      rocksDbState: Boolean = true,
+      watermark: Option[String] = None): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // the reference keeps its views in RocksDB (IngestStream.java:375-393);
     // Spark's RocksDB state store provider is the same trade — state off
@@ -433,34 +444,95 @@ object StreamingViews {
       spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val q = viewStream(spark, sfDir, resolution, geoPrefixLen).writeStream
+    val q = viewStream(spark, sfDir, resolution, geoPrefixLen, watermark).writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsert(batch, outPath)
+        if (watermark.isDefined)
+          upsertKeyed(
+            batch.withColumn("ts_part", to_date(col("ts"))),
+            outPath,
+            Seq("metric", "geo", "ts"),
+            Seq("metric", "ts_part"))
+        else upsert(batch, outPath)
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** Small-file compaction for the MERGE-upserted view table: every
+    * upsert rewrites its touched partitions with one file per task, so
+    * a hot partition accumulates files batch over batch. This pass
+    * lists partition directories, reads ONLY those above
+    * `maxFilesPerPartition` (partition-pruned scan), shuffles each
+    * partition's rows into a single task (`repartition` on the
+    * partition columns — each (metric, ts_part) group lands in exactly
+    * one task → exactly one output file), and rewrites them via the
+    * same dynamic partition overwrite. Bounded by construction: cost is
+    * proportional to the BLOATED partitions, never the table.
+    */
+  def compactViews(
+      spark: SparkSession,
+      outPath: String,
+      partitionCols: Seq[String] = Seq("metric", "ts_part"),
+      maxFilesPerPartition: Int = 1): Seq[String] = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    // walk partition dirs (depth = partitionCols.size), counting files
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(p)
+      else
+        fs.listStatus(p).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+          .flatMap(s => walk(s.getPath, depth - 1))
+    val bloated = walk(root, partitionCols.size).filter { dir =>
+      fs.listStatus(dir).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) >
+        maxFilesPerPartition
+    }
+    if (bloated.isEmpty) return Seq.empty
+    // partition-dir name → column predicate (hive-style key=value)
+    val preds = bloated.map { dir =>
+      val kvs = dir.toString.stripPrefix(root.toString).split("/").filter(_.contains("="))
+      kvs.map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        col(k) === java.net.URLDecoder.decode(v, "UTF-8")
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val compacted = spark.read.parquet(outPath)
+      .filter(preds)
+      .repartition(partitionCols.map(col): _*)
+    compacted.localCheckpoint(eager = true)
+      .write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(outPath)
+    bloated.map(_.toString)
   }
 
   /** MERGE-shaped upsert of `batch` (update-mode view rows) into the
     * metric-partitioned parquet table at `outPath`.
     */
   private[streaming] def upsert(batch: DataFrame, outPath: String): Unit =
-    upsertKeyed(batch, outPath, Seq("metric", "geo", "ts"), partitionCol = Some("metric"))
+    upsertKeyed(batch, outPath, Seq("metric", "geo", "ts"), Seq("metric"))
 
   /** The one MERGE-emulation body: keep = existing (in touched
     * partitions, when partitioned) ⟕anti batch keys; write
     * (keep ∪ batch) with dynamic partition overwrite. With a lakehouse
     * format this collapses to a real `MERGE INTO … ON keys`.
     */
-  private[streaming] def upsertKeyed(
+  private[graft] def upsertKeyed(
       batch: DataFrame,
       outPath: String,
       keys: Seq[String],
-      partitionCol: Option[String]): Unit = {
+      partitionCols: Seq[String]): Unit = {
     val spark = batch.sparkSession
+    // dynamic overwrite is load-bearing for partitioned sinks: static
+    // mode would wipe every partition the merged frame doesn't carry
+    if (partitionCols.nonEmpty)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val exists = {
       val p = new org.apache.hadoop.fs.Path(outPath)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -469,16 +541,20 @@ object StreamingViews {
       if (!exists) batch
       else {
         // only the touched partitions are even read: partition pruning
-        // on the isin filter keeps untouched partitions out of both the
-        // scan and (via dynamic overwrite) the write
+        // on the touched-tuple filter keeps untouched partitions out of
+        // both the scan and (via dynamic overwrite) the write
         val existing0 = spark.read.parquet(outPath)
-        val pruned = partitionCol match {
-          case Some(pc) =>
-            val touched = batch.select(pc).distinct()
-              .collect().map(_.getString(0)).toSeq
-            existing0.filter(col(pc).isin(touched: _*))
-          case None => existing0
-        }
+        val pruned =
+          if (partitionCols.isEmpty) existing0
+          else {
+            val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+            val pred = touched.map { r =>
+              partitionCols.zipWithIndex
+                .map { case (c, i) => col(c) === lit(r.get(i)) }
+                .reduce(_ && _)
+            }.reduce(_ || _)
+            existing0.filter(pred)
+          }
         val existing = pruned.select(batch.columns.map(col): _*) // partition col order back in line
         val keep = existing.join(
           batch.select(keys.map(col): _*),
@@ -491,6 +567,7 @@ object StreamingViews {
     val writer = merged.localCheckpoint(eager = true)
       .write
       .mode("overwrite")
-    partitionCol.fold(writer)(pc => writer.partitionBy(pc)).parquet(outPath)
+    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
+      .parquet(outPath)
   }
 }

@@ -76,7 +76,18 @@ object ScaleUp {
       }.reduce(_ unionByName _),
       "documents")
 
-    // embeddings: deterministic per-replica sign flips (r=0 identity)
+    // embeddings: deterministic per-REPLICA sign flips (r=0 identity).
+    // The flip pattern deliberately depends only on (dimension,
+    // replica): s_i² = 1, so WITHIN a replica every dot product — and
+    // therefore the whole similarity geometry the LSH/ANN families are
+    // being scaled against — is preserved exactly. The cost is that
+    // cross-replica pairs for a fixed replica pair are all scrambled by
+    // the same pattern, so their residual similarities are correlated
+    // rather than independent (ADVICE round 6) — an accepted
+    // approximation: folding vec_id into the flip hash would make the
+    // cross-replica noise independent but destroy the within-replica
+    // dot products (two vectors would carry DIFFERENT flips), which is
+    // the property the fixture exists to preserve.
     val emb = Tables.load(spark, src, "embeddings")
     val vStride = stride(emb, "vec_id")
     write(

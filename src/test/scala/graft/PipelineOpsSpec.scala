@@ -307,6 +307,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG tier: synthesized bytes are real baseline JPEGs; round trip certifies within bound") {
+    import SparkTestBase.spark.implicits._
+    def gC(id: Long, x: Long, y: Long) = (id * 7 + x * 3 + y * 19) % 256
+    val ids = Seq(0L, 5L, 13L, 62L) // covers the w 4..12 × h 3..9 moduli corners
+    val assets = Multimodal.synthesizeJpegAssets(ids.map(i => (i, "")).toDF("doc_id", "text"))
+    val payloads = assets.collect().map(r0 => r0.getLong(0) -> r0.getAs[Array[Byte]]("payload")).toMap
+    for (id <- ids) {
+      val p = payloads(id)
+      // real JPEG container: SOI marker FF D8 and EOI FF D9
+      assert((p(0) & 0xFF) === 0xFF && (p(1) & 0xFF) === 0xD8, s"SOI id=$id")
+      assert((p(p.length - 2) & 0xFF) === 0xFF && (p(p.length - 1) & 0xFF) === 0xD9, s"EOI id=$id")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      val (w, h) = (id % 9 + 4, id % 7 + 3)
+      assert(img.getWidth === w.toInt && img.getHeight === h.toInt)
+      // lossy but bounded: every decoded sample within a few levels
+      for (x <- 0L until w; y <- 0L until h)
+        assert(
+          math.abs(img.getRaster.getSample(x.toInt, y.toInt, 0) - gC(id, x, y).toInt) <= 8,
+          s"sample id=$id ($x,$y)")
+    }
+    val cert = Multimodal.jpegPixelCertify(assets).collect()
+    assert(cert.length === ids.length)
+    cert.foreach { r0 =>
+      val id = r0.getLong(0)
+      assert(r0.getInt(1) === (id % 9 + 4).toInt && r0.getInt(2) === (id % 7 + 3).toInt)
+      assert(r0.getBoolean(3), s"certification failed for id=$id")
+    }
+  }
+
   test("PNG decoder handles ImageIO-written files (adaptive filters) and all 5 filter types") {
     // 1) ImageIO WRITES a gradient image (its encoder picks per-row
     //    filters adaptively — exercising Sub/Up/Average/Paeth in our

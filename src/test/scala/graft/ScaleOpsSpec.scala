@@ -59,6 +59,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted.sameElements(plain))
   }
 
+  test("skewed join: AQE splits the hot partition (skew=true in the final plan); salted twin == plain join") {
+    import SparkTestBase.spark.implicits._
+    // one hot key: 90% of the fact rows share k=0, the rest spread thin
+    val facts = spark.range(0, 60000)
+      .select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 100).as("k"),
+        (col("id") % 1000).cast("double").as("v"))
+    val dim = (0L until 100L).map(k => (k, s"name_$k")).toDF("k", "k_name")
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force a shuffle join (no broadcast) and thresholds small enough
+      // that the hot partition qualifies as skewed at test scale
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val joined = facts.join(dim, "k")
+      val plainRows = joined.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+      // the ADAPTIVE final plan must have split the hot partition: the
+      // sort-merge join is marked skew=true after execution
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), s"no skew-join split in plan:\n$finalPlan")
+      // and the manual salted twin reproduces the same rows exactly
+      val salted = SkewTools.saltedJoin(facts, dim, "k", salts = 8).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+      assert(salted.length === plainRows.length)
+      assert(salted.sameElements(plainRows))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("IVF index: partitioned write, pruned probe, same results as in-memory IVF") {
     val emb = Tables.load(spark, Sf0001, "embeddings")
     val dir = Files.createTempDirectory("graft-ivf").toFile.getAbsolutePath

@@ -147,4 +147,76 @@ class StreamingSpec extends AnyFunSuite {
     val pruned = written.filter(col("metric") === "click")
     assert(pruned.count() === batch.filter(col("metric") === "click").count())
   }
+
+  test("time-partitioned upsert: a batch touches only its own (metric, day) partitions") {
+    // The 100 TB read-amplification bound: with (metric, ts_part)
+    // partitions, a batch of CURRENT rows must leave every older day's
+    // files byte-identical — per-batch cost is O(admitted partitions),
+    // not O(table age). (In the streaming path the watermark is what
+    // keeps scattered late rows from widening the admitted set —
+    // watermark-drop is asserted separately above.)
+    val tmp = Files.createTempDirectory("graft-bounded").toFile.getAbsolutePath
+    val out = s"$tmp/out"
+    def mkBatch(metric: String, days: Seq[Int], geo: String) = {
+      import SparkTestBase.spark.implicits._
+      days.map(d => (metric, geo, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"), 1L, 1.0, 1.0))
+        .toDF("metric", "geo", "ts", "cnt", "sum_val", "avg_val")
+        .withColumn("ts_part", to_date(col("ts")))
+    }
+    // seed: 2 metrics × 10 days
+    StreamingViews.upsertKeyed(
+      mkBatch("click", 1 to 10, "u1555j").unionAll(mkBatch("view", 1 to 10, "u1555j")),
+      out, Seq("metric", "geo", "ts"), Seq("metric", "ts_part"))
+    def listing(): Map[String, Seq[(String, Long, Long)]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.toString.stripPrefix(out))
+        .map { case (k, fs) => k -> fs.map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1) }
+    }
+    val before = listing()
+    assert(before.size === 20)
+    // batch: one metric, the two most recent days only
+    StreamingViews.upsertKeyed(
+      mkBatch("click", Seq(9, 10), "u1555k"),
+      out, Seq("metric", "geo", "ts"), Seq("metric", "ts_part"))
+    val after = listing()
+    val touched = Seq("/metric=click/ts_part=2024-01-09", "/metric=click/ts_part=2024-01-10")
+    before.keys.filterNot(touched.contains).foreach { k =>
+      assert(after(k) === before(k), s"untouched partition rewritten: $k")
+    }
+    touched.foreach(k => assert(after(k) !== before(k), s"touched partition not rewritten: $k"))
+    // merge semantics held: both geos present on the touched days
+    assert(
+      spark.read.parquet(out)
+        .filter(col("metric") === "click" && col("ts_part") === "2024-01-09")
+        .count() === 2)
+  }
+
+  test("compactViews: bloated partitions collapse to one file each, data and layout intact") {
+    val tmp = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    val out = s"$tmp/out"
+    import SparkTestBase.spark.implicits._
+    // write a partition with MANY files (one per task)
+    val rows = (1 to 40).map(i =>
+      ("click", f"u$i%04d", java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 1L, 1.0, 1.0))
+      .toDF("metric", "geo", "ts", "cnt", "sum_val", "avg_val")
+      .withColumn("ts_part", to_date(col("ts")))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rows.repartition(8).write.mode("overwrite")
+      .partitionBy("metric", "ts_part").parquet(out)
+    val dir = new java.io.File(s"$out/metric=click/ts_part=2024-01-05")
+    val nBefore = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nBefore > 1, s"fixture should be bloated, got $nBefore files")
+    val dataBefore = spark.read.parquet(out).collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+
+    val compacted = StreamingViews.compactViews(spark, out)
+    assert(compacted.nonEmpty)
+    val nAfter = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nAfter === 1, s"expected 1 file after compaction, got $nAfter")
+    val dataAfter = spark.read.parquet(out).collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(dataAfter === dataBefore)
+    // idempotent: nothing left to compact
+    assert(StreamingViews.compactViews(spark, out).isEmpty)
+  }
 }

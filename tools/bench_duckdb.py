@@ -34,8 +34,13 @@ HEADLINE = [
     "quality_calibration", "streaming_sessions", "streaming_join",
     "lang_source_chi2", "rolling_active_users", "dedup_canonical_map",
     "churned_users_except", "events_cube", "snapshot_polygon_sum",
+    "dedup_simhash_pairs_w32", "embedding_neardup_lsh12",
+    "streaming_sessions_append", "multimodal_jpeg_pixels",
     # streaming_anomalies intentionally absent: its oracle IS the
-    # value_anomalies SQL (stream==batch certificate), already anchored
+    # value_anomalies SQL (stream==batch certificate), already anchored;
+    # streaming_dedup_update likewise (its oracle IS dedup_exact's SQL);
+    # http_* likewise (their oracles ARE the history/snapshot SQL —
+    # anchoring them would double-count the same queries)
 ]
 # intentionally absent: bpe_encode / dedup_minhash_lsh and the other
 # *_xx production twins use precomputed VALUES oracles, not real queries
