@@ -723,6 +723,13 @@ object SparkEntry {
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
       presentView(graft.streaming.StreamingViews.runAvailableNow(s, d, "min", GhViewPrecision))),
+    // PRODUCTION sink twin of streaming_view_min: watermarked source,
+    // update-mode MERGE into the (metric, ts_part)-partitioned parquet
+    // view table (per-batch rewrite bounded by admitted partitions,
+    // not table age), small-file compaction, table read back — all
+    // inside the hash gate; same oracle as view_min
+    "streaming_view_retained" -> ((s, d) =>
+      presentView(graft.streaming.StreamingViews.runViewRetained(s, d, "min", GhViewPrecision))),
     // ---- join breadth: semi and anti joins (distinct physical
     //      operators from the inner/broadcast joins in q3) ----
     "q4_semi" -> ((s, d) =>
@@ -1429,6 +1436,7 @@ object SparkEntry {
     "view_month" -> viewSql(Gh6Expr, "month"),
     "view_quad_day" -> viewSql("qk14", "day"),
     "streaming_view_min" -> viewSql(Gh6Expr, "min"),
+    "streaming_view_retained" -> viewSql(Gh6Expr, "min"),
     "history_avg" -> historySql("min", "click", "avg", HistFrom, HistTo),
     "history_sum" -> historySql("hour", "view", "sum", HistFrom, HistTo),
     "history_count" -> historySql("day", "error", "count", MonthFrom, MonthTo),

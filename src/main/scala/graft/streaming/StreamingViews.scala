@@ -461,6 +461,32 @@ object StreamingViews {
     q.awaitTermination()
   }
 
+  /** Gate surface for the PRODUCTION view materialization path: run
+    * [[materializeViews]] in its watermark/retention mode (event-time
+    * watermark on the source, update-mode MERGE into the
+    * `(metric, ts_part)`-partitioned parquet table with bounded
+    * per-batch rewrite), compact the result ([[compactViews]]), and
+    * read the table back. Over the finite AvailableNow source every
+    * row arrives before the watermark first advances, so the stored
+    * table must equal the batch view — the SAME oracle as `view_min`;
+    * what this entry adds to the hash gate is the production machinery
+    * itself: the watermarked streaming plan, the time-partitioned
+    * MERGE sink, and the compaction rewrite.
+    */
+  def runViewRetained(
+      spark: SparkSession,
+      sfDir: String,
+      resolution: String,
+      geoPrefixLen: Int): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_view_retained").toString
+    val out = s"$tmp/out"
+    materializeViews(
+      spark, sfDir, out, resolution, geoPrefixLen, s"$tmp/ckpt",
+      watermark = Some("1 hour"))
+    compactViews(spark, out)
+    spark.read.parquet(out)
+  }
+
   /** Small-file compaction for the MERGE-upserted view table: every
     * upsert rewrites its touched partitions with one file per task, so
     * a hot partition accumulates files batch over batch. This pass
@@ -529,6 +555,10 @@ object StreamingViews {
       keys: Seq[String],
       partitionCols: Seq[String]): Unit = {
     val spark = batch.sparkSession
+    // a watermarked update-mode stream fires a final batch that only
+    // advances the watermark — nothing to merge, and the touched-tuple
+    // predicate below would reduce over an empty list
+    if (batch.isEmpty) return
     // dynamic overwrite is load-bearing for partitioned sinks: static
     // mode would wipe every partition the merged frame doesn't carry
     if (partitionCols.nonEmpty)

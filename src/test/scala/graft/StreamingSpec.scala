@@ -37,6 +37,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(normalize(streamed).sameElements(normalize(batch)))
   }
 
+  test("runViewRetained (watermarked time-partitioned MERGE + compaction) == batch view") {
+    val stored = StreamingViews.runViewRetained(spark, Sf0001, "min", 6)
+      .drop("ts_part") // partition column, not part of the view contract
+    val batch = ViewBuilder.build(
+      SensorGrid.readings(spark, Sf0001),
+      substring(col("gh12"), 1, 6),
+      "min")
+    assert(normalize(stored).sameElements(normalize(batch)))
+  }
+
   test("late data merges into existing windows (two files, no watermark)") {
     val tmp = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

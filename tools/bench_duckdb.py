@@ -39,6 +39,7 @@ HEADLINE = [
     # streaming_anomalies intentionally absent: its oracle IS the
     # value_anomalies SQL (stream==batch certificate), already anchored;
     # streaming_dedup_update likewise (its oracle IS dedup_exact's SQL);
+    # streaming_view_retained likewise (oracle IS view_min's SQL);
     # http_* likewise (their oracles ARE the history/snapshot SQL —
     # anchoring them would double-count the same queries)
 ]
