@@ -592,9 +592,18 @@ object StreamingViews {
           "left_anti")
         keep.unionByName(batch)
       }
+    // cluster by the partition columns before writing: every partition
+    // dir then gets exactly ONE task's output — one file per partition
+    // per upsert — so the table never grows the many-small-files shape
+    // compactViews exists to repair (unclustered, the sf0.1 retained
+    // view left ~32 files in EVERY (metric, day) dir and the follow-up
+    // compaction rewrote the entire table)
+    val clustered =
+      if (partitionCols.isEmpty) merged
+      else merged.repartition(partitionCols.map(col): _*)
     // localCheckpoint cuts the plan's lineage on the files being
     // replaced — without it the overwrite would read its own output
-    val writer = merged.localCheckpoint(eager = true)
+    val writer = clustered.localCheckpoint(eager = true)
       .write
       .mode("overwrite")
     (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
