@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,13 +57,21 @@ object Verify {
         }
       }
     }
+    // A query that throws must be VISIBLE in the round artifacts, not
+    // just absent from them (round-7 lesson: 12 erroring entries were
+    // silently missing from CORRECTNESS and the file read as all-green).
+    // errors.json maps query name → first error line; empty when clean.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(3).mkString(" | ")
+          System.err.println(s"[verify] $name FAILED: $msg")
+          errors += name -> msg
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -85,6 +94,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Loud but non-fatal: exiting non-zero could make the driver drop
+    // the 100+ good dumps over one flaky entry; errors.json plus the
+    // stderr line make a partial run unmistakable instead.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(",")}")
     // the http_* gate servers hold non-daemon JDK HttpServer threads —
     // without an explicit stop the JVM never exits after main returns
     SparkEntry.shutdownHttp()

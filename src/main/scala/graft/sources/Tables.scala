@@ -1,18 +1,29 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-provided parquet tables (TESTDATA.md).
   *
-  * The test tables are written with nanosecond parquet timestamps
-  * (`INT64 TIMESTAMP(NANOS)`), which Spark 4 refuses by default
-  * (PARQUET_TYPE_ILLEGAL). We read them with
-  * `spark.sql.legacy.parquet.nanosAsLong` and convert the resulting
-  * nanos-longs back to proper microsecond TimestampType columns with
-  * integer arithmetic (`div`, not `/` — a double division would lose
-  * precision above 2^53 ns).
+  * The testdata's timestamp encoding has changed across driver
+  * regenerations, so the loader normalizes EVERY encoding seen so far
+  * to session-timezone `TimestampType` (sessions run UTC):
+  *
+  *   - `INT64 TIMESTAMP(NANOS)`: Spark 4 refuses it by default
+  *     (PARQUET_TYPE_ILLEGAL); read with
+  *     `spark.sql.legacy.parquet.nanosAsLong` and convert the resulting
+  *     nanos-longs with integer arithmetic (`div`, not `/` — a double
+  *     division would lose precision above 2^53 ns).
+  *   - `timestamp[us]` WITHOUT the isAdjustedToUTC flag: Spark 4 infers
+  *     `TIMESTAMP_NTZ`, on which `cast(ts as long)`, `withWatermark`,
+  *     and `approxQuantile` all fail. Disable the inference
+  *     (`spark.sql.parquet.inferTimestampNTZ.enabled=false` — the
+  *     naive micros are then read as UTC instants, matching how the
+  *     DuckDB oracle treats them) AND defensively cast any NTZ column
+  *     that still slips through (e.g. a schema captured before the
+  *     conf was set) — UTC session tz makes the cast a reinterpret.
+  *   - proper `timestamp[us, UTC]` (our own rewrites): passes through.
   *
   * At 100 TB the same loader shape holds: one `spark.read.parquet` per
   * table root, column pruning + predicate pushdown handled by the
@@ -26,14 +37,51 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"),
     "orders" -> Seq("o_orderdate"))
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Session confs required to read every testdata timestamp encoding.
+    * Runtime-settable, so this also covers driver-provided sessions
+    * whose builders we don't control. Call before ANY testdata read —
+    * batch or the batch schema-capture that feeds `readStream`.
+    */
+  def setReadConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    TsColumns.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
-      if (d.schema.fieldNames.contains(c) && d.schema(c).dataType == LongType)
-        d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-      else d
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  /** Normalize one possibly-odd timestamp column to `TimestampType`. */
+  private def normalizeCol(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case LongType => expr(s"timestamp_micros($c div 1000)") // nanos-as-long
+      case TimestampNTZType => col(c).cast(TimestampType) // UTC session tz: reinterpret
+      case _ => col(c)
     }
+
+  /** Normalize every known-timestamp column of `df` (plus ANY residual
+    * NTZ column, whatever its name) to `TimestampType`. Works on batch
+    * and streaming frames alike.
+    */
+  def normalizeTimestamps(df: DataFrame, name: String): DataFrame = {
+    val known = TsColumns.getOrElse(name, Nil).filter(df.schema.fieldNames.contains)
+    val ntz = df.schema.fields.collect { case f if f.dataType == TimestampNTZType => f.name }
+    (known ++ ntz).distinct.foldLeft(df)((d, c) => d.withColumn(c, normalizeCol(d, c)))
+  }
+
+  /** Schema for `spark.readStream.schema(...)` over a testdata table:
+    * the batch-inferred schema with the read confs applied and any NTZ
+    * field mapped to `TimestampType` (the parquet reader accepts an
+    * LTZ requested type for naive-micros files; only INFERENCE is
+    * encoding-sensitive). Nanos-long columns stay `LongType` here —
+    * [[normalizeTimestamps]] converts them after the stream is built.
+    */
+  def streamSchema(spark: SparkSession, path: String): StructType = {
+    setReadConfs(spark)
+    StructType(spark.read.parquet(path).schema.map { f =>
+      if (f.dataType == TimestampNTZType) f.copy(dataType = TimestampType) else f
+    })
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    setReadConfs(spark)
+    normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"), name)
   }
 
   /** Write `df` as a bucketed (and per-bucket sorted) parquet table at

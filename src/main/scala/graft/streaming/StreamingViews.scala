@@ -31,16 +31,13 @@ object StreamingViews {
   private val sinkId = new AtomicInteger(0)
 
   /** Normalize the events `ts` column to a timestamp on a STREAMING
-    * frame: the driver's testdata parquet carries nanos (read as LONG
-    * under `nanosAsLong`), while derived fixtures (e.g. the ScaleUp 10×
-    * set) are re-written by Spark with proper timestamp-micros — the
-    * same schema-conditional conversion [[graft.sources.Tables.load]]
-    * applies on the batch side.
+    * frame: the driver's testdata parquet has carried nanos-as-long,
+    * naive micros (TIMESTAMP_NTZ), and proper timestamp-micros across
+    * regenerations — [[graft.sources.Tables.normalizeTimestamps]] is
+    * the single conversion both batch and streaming paths share.
     */
   private def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    graft.sources.Tables.normalizeTimestamps(df, "events")
 
   /** Streaming readings from a parquet events path (file source).
     * `maxFilesPerTrigger` is a SOURCE rate limit (respected by
@@ -58,8 +55,7 @@ object StreamingViews {
       spark: SparkSession,
       sfDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/events.parquet")
     val reader = spark.readStream.schema(schema)
     val raw = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
@@ -160,7 +156,7 @@ object StreamingViews {
       sfDir: String,
       kind: String,
       outputMode: String)(transform: DataFrame => DataFrame): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/documents.parquet")
     val name = s"stream_${kind}_${sinkId.incrementAndGet()}"
     val q = spark.readStream.schema(schema)
       .parquet(s"$sfDir/{documents.parquet}")
@@ -328,7 +324,7 @@ object StreamingViews {
       sfDir: String,
       outPath: String,
       checkpoint: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/documents.parquet")
     val q = spark.readStream.schema(schema)
       .parquet(s"$sfDir/{documents.parquet}")
       .select(md5(col("text")).as("h"), col("doc_id"))

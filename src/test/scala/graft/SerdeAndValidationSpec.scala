@@ -152,10 +152,9 @@ class SerdeAndValidationSpec extends AnyFunSuite {
     val batch = Sessionize.userStats(events, 1800)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$Sf0001/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$Sf0001/{events.parquet}")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val schema = graft.sources.Tables.streamSchema(spark, s"$Sf0001/events.parquet")
+    val stream = graft.sources.Tables.normalizeTimestamps(
+      spark.readStream.schema(schema).parquet(s"$Sf0001/{events.parquet}"), "events")
     val q = Sessionize.streamingUserStats(stream, 1800).writeStream
       .format("memory").queryName("stream_sessions").outputMode("update")
       .trigger(Trigger.AvailableNow()).start()

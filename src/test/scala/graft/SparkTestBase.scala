@@ -11,6 +11,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -49,13 +49,14 @@ class StreamingSpec extends AnyFunSuite {
 
   test("late data merges into existing windows (two files, no watermark)") {
     val tmp = Files.createTempDirectory("graft-stream").toFile.getAbsolutePath
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$Sf0001/events.parquet") // ts stays nanos-long
-    val median = raw.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    // loader-normalized ts (TimestampType); split on epoch-second median
+    val raw = graft.sources.Tables.load(spark, Sf0001, "events")
+      .withColumn("ts_s", col("ts").cast("long"))
+    val median = raw.stat.approxQuantile("ts_s", Array(0.5), 0.0).head.toLong
     val evDir = s"$tmp/events.parquet"
     // recent half arrives first; older (late) half arrives in a second file
-    raw.filter(col("ts") >= median).coalesce(1).write.mode("append").parquet(evDir)
-    raw.filter(col("ts") < median).coalesce(1).write.mode("append").parquet(evDir)
+    raw.filter(col("ts_s") >= median).drop("ts_s").coalesce(1).write.mode("append").parquet(evDir)
+    raw.filter(col("ts_s") < median).drop("ts_s").coalesce(1).write.mode("append").parquet(evDir)
 
     val name = "stream_late_view"
     val q = StreamingViews
@@ -78,11 +79,11 @@ class StreamingSpec extends AnyFunSuite {
 
   test("watermark opt-in (production divergence): too-late data is dropped, not merged") {
     val tmp = Files.createTempDirectory("graft-wm").toFile.getAbsolutePath
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$Sf0001/events.parquet")
-    val median = raw.stat.approxQuantile("ts", Array(0.5), 0.0).head.toLong
+    val raw = graft.sources.Tables.load(spark, Sf0001, "events")
+      .withColumn("ts_s", col("ts").cast("long"))
+    val medianSec = raw.stat.approxQuantile("ts_s", Array(0.5), 0.0).head.toLong
     val evDir = s"$tmp/events.parquet"
-    val recent = raw.filter(col("ts") >= median)
+    val recent = raw.filter(col("ts_s") >= medianSec).drop("ts_s")
     // three files with distinct mtimes → three micro-batches (oldest-mtime
     // first). The late-event filter runs with the PREVIOUS batch's
     // watermark (Spark lags it one batch by design), so the watermark
@@ -91,7 +92,8 @@ class StreamingSpec extends AnyFunSuite {
     Thread.sleep(1500)
     recent.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(evDir)
     Thread.sleep(1500)
-    raw.filter(col("ts") < median).coalesce(1).write.mode("append").parquet(evDir) // days late
+    raw.filter(col("ts_s") < medianSec).drop("ts_s")
+      .coalesce(1).write.mode("append").parquet(evDir) // days late
 
     val q = StreamingViews
       .viewStream(spark, tmp, "hour", 6, watermark = Some("1 minute"), maxFilesPerTrigger = Some(1))
@@ -107,7 +109,6 @@ class StreamingSpec extends AnyFunSuite {
     // windows (weeks behind the watermark) never surface
     val minEmitted = spark.table("stream_wm_view")
       .agg(min(col("ts").cast("long"))).head.getLong(0)
-    val medianSec = median / 1000000000L
     assert(minEmitted >= medianSec - 3600,
       s"late windows leaked through the watermark: $minEmitted < ~$medianSec")
   }
