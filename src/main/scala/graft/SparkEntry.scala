@@ -700,6 +700,11 @@ object SparkEntry {
     // onto a narrow transform+fold encode; integer-only output
     "embedding_quantize" -> ((s, d) =>
       Similarity.quantizeAudit(Tables.load(s, d, "embeddings"))),
+    // Lloyd-trained IVF centroids (distributed: one scan + one hash agg
+    // per iteration, only k×64 doubles reach the driver); oracle = the
+    // pure-Scala KMeansRef VALUES via oracleSqlFor
+    "kmeans_centroids" -> ((s, d) =>
+      Similarity.kmeansCentroidsTable(s, Tables.load(s, d, "embeddings"), 4, 3)),
     "embedding_neardup_lsh" -> ((s, d) => lshPairs(s, d)),
     // the 12-bit band geometry (the measured log₂(n) width for the 10×
     // corpus — PERF.md) recall-certified on planted near-dup twins:
@@ -1832,6 +1837,25 @@ object SparkEntry {
              |FROM expected ORDER BY a_id, b_id""".stripMargin
         }
       out += ("dedup_minhash_lsh" -> lshSql)
+    }
+    if (sel("kmeans_centroids")) {
+      // oracle generation: collecting the embeddings at correctness
+      // scale (500×64 floats at sf0.01) feeds the sequential reference —
+      // the same boundary as docsFull above, never part of a query plan
+      val vecs = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .toSeq
+      val cents = graft.operators.KMeansRef.centroids(vecs, 4, 3)
+      val rows = cents.zipWithIndex.flatMap { case (c, j) =>
+        c.zipWithIndex.map { case (v, i) => s"($j, $i, ${Similarity.round6(v)})" }
+      }.mkString(", ")
+      out += ("kmeans_centroids" ->
+        s"""WITH expected(bucket, dim, value) AS (SELECT * FROM (VALUES $rows))
+           |SELECT CAST(bucket AS INTEGER) AS bucket, CAST(dim AS INTEGER) AS dim,
+           |       CAST(value AS DOUBLE) AS value
+           |FROM expected ORDER BY bucket, dim""".stripMargin)
     }
     if (sel("bpe_merges") || sel("bpe_encode")) {
       // ONE reference learning feeds both BPE oracles — two independent

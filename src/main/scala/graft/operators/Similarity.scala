@@ -323,6 +323,32 @@ object Similarity {
     cents
   }
 
+  /** Round half-up to 6 dp — the ONE rounding both the gate entry and
+    * the KMeansRef oracle apply, so the compared literals can only
+    * diverge if the underlying doubles differ by more than the
+    * distributed-vs-sequential summation ulps they're rounded past.
+    */
+  def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Gate surface for [[kmeansCentroids]]: the trained k×Dim centroid
+    * table in long format (bucket, dim, value·6dp). The TRAINING is the
+    * distributed work (one scan + one hash agg per iteration);
+    * materializing k×64 literals as a local frame is the same
+    * driver-side boundary as the centroids themselves.
+    */
+  def kmeansCentroidsTable(
+      spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame,
+      k: Int,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val cents = kmeansCentroids(embeddings, k, iters)
+    cents.zipWithIndex.flatMap { case (c, j) =>
+      c.zipWithIndex.map { case (v, i) => (j, i, round6(v)) }
+    }.toSeq.toDF("bucket", "dim", "value").orderBy(col("bucket"), col("dim"))
+  }
+
   /** Within-cluster sum of squared distances for `cents` — the Lloyd
     * objective, one aggregation pass (used by the convergence spec).
     */

@@ -201,6 +201,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans gate parity: distributed centroids == pure-Scala KMeansRef at 6dp") {
+    val emb = graft.sources.Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
+    val sparkSide = Similarity.kmeansCentroidsTable(spark, emb, 4, 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    val vecs = emb.select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val refSide = graft.operators.KMeansRef.centroids(vecs, 4, 3).zipWithIndex.flatMap {
+      case (c, j) => c.zipWithIndex.map { case (v, i) => (j, i, Similarity.round6(v)) }
+    }.toSeq
+    assert(sparkSide === refSide)
+  }
+
   test("multi-probe IVF: probe order starts at QueryBucket; recall grows to exact at nprobe=C") {
     assert(Similarity.probedBuckets(1) === Seq(Similarity.QueryBucket))
     assert(Similarity.probedBuckets(8).sorted === (0 until 8))
