@@ -40,6 +40,22 @@ import org.apache.spark.sql.Row
   * and snapshot results are per-timestamp / per-cell aggregates already
   * reduced by the distributed plan, the same cardinality the reference
   * serializes from its TreeMap.
+  *
+  * Replicas (the reference runs 3 — kubernetes/explora-kafka-
+  * deployment.yaml): the reference NEEDS its replicas to co-own query
+  * state, so each instance scatter-gathers the others
+  * (QueryingController.java:123-210). Here the server is STATELESS over
+  * the shared view store ([[ExploraService]] reads the partitioned
+  * parquet views; streaming maintenance is a separate writer job), so
+  * horizontal scale is N independent drivers each running
+  * `new ExploraHttpServer(service).start()` behind any HTTP load
+  * balancer — no peer discovery, no instance-metadata service
+  * (util/MetadataService.java:40-44 has no equivalent by design), no
+  * cross-instance fan-out. Any replica answers any key; consistency is
+  * the view store's snapshot isolation (parquet files are immutable,
+  * MERGE upserts swap whole partition directories). `local=true` is
+  * honored with the full answer because no instance holds partial
+  * state.
   */
 class ExploraHttpServer(service: ExploraService, requestedPort: Int = 0) {
 
