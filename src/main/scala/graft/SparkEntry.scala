@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, LanguageModel, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, UnitDedup, ViewBuilder, Winnowing}
+import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, LanguageModel, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -705,6 +705,13 @@ object SparkEntry {
     // pure-Scala KMeansRef VALUES via oracleSqlFor
     "kmeans_centroids" -> ((s, d) =>
       Similarity.kmeansCentroidsTable(s, Tables.load(s, d, "embeddings"), 4, 3)),
+    // quality-filter DISTILLATION: logistic regression trained by
+    // full-batch GD, each iteration one scan + one 7-double agg (the
+    // kmeans contract); label = the tokenizing quality labeler,
+    // features = five cheap char ratios; oracle = the pure-Scala
+    // TextClassifierRef VALUES via oracleSqlFor
+    "classifier_train" -> ((s, d) =>
+      TextClassifier.trainTable(s, Tables.load(s, d, "documents"), 30, 10.0)),
     "embedding_neardup_lsh" -> ((s, d) => lshPairs(s, d)),
     // the 12-bit band geometry (the measured log₂(n) width for the 10×
     // corpus — PERF.md) recall-certified on planted near-dup twins:
@@ -1837,6 +1844,20 @@ object SparkEntry {
              |FROM expected ORDER BY a_id, b_id""".stripMargin
         }
       out += ("dedup_minhash_lsh" -> lshSql)
+    }
+    if (sel("classifier_train")) {
+      // oracle generation: the sequential reference recomputes labels
+      // AND features from the raw text (full independence; the docsFull
+      // collect boundary)
+      val (w, loss) = graft.operators.TextClassifierRef.train(docsFull.map(_._2), 30, 10.0)
+      val rows = (graft.operators.TextClassifier.FeatureNames
+        .zip(w.map(Similarity.round6)) :+ ("log_loss" -> Similarity.round6(loss)))
+        .map { case (t, v) => s"(${q(t)}, $v)" }
+        .mkString(", ")
+      out += ("classifier_train" ->
+        s"""WITH expected(term, value) AS (SELECT * FROM (VALUES $rows))
+           |SELECT term, CAST(value AS DOUBLE) AS value
+           |FROM expected ORDER BY term""".stripMargin)
     }
     if (sel("kmeans_centroids")) {
       // oracle generation: collecting the embeddings at correctness

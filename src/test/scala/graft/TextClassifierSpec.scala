@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Similarity, TextClassifier, TextClassifierRef}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed logistic-regression training (quality-filter
+  * distillation): gate parity against the sequential reference, and
+  * the training-dynamics properties the gate's fixed snapshot can't
+  * express.
+  */
+class TextClassifierSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private lazy val docs = graft.sources.Tables.load(spark, Sf0001, "documents")
+  private lazy val texts =
+    docs.select("text").collect().map(_.getString(0)).toSeq
+
+  private def refTable(iters: Int, lr: Double): Seq[(String, Double)] = {
+    val (w, loss) = TextClassifierRef.train(texts, iters, lr)
+    (TextClassifier.FeatureNames.zip(w.map(Similarity.round6))
+      :+ ("log_loss" -> Similarity.round6(loss))).sortBy(_._1)
+  }
+
+  test("gate parity: distributed GD == pure-Scala reference at 6dp (gate dials)") {
+    val sparkSide = TextClassifier.trainTable(spark, docs, 30, 10.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(sparkSide === refTable(30, 10.0))
+  }
+
+  test("training learns: converged loss beats the constant predictor") {
+    val l0 = refTable(0, 10.0).find(_._1 == "log_loss").get._2
+    val l60 = refTable(60, 10.0).find(_._1 == "log_loss").get._2
+    // iters=0 from w=0 is p=0.5 everywhere: loss exactly ln 2
+    assert(math.abs(l0 - math.log(2.0)) < 1e-6)
+    // fixed-lr full-batch GD is NOT monotone (early iterations can
+    // overshoot the bias before the length weight grows), so the
+    // assertion is on the converged point: the class prior is ~0.43,
+    // the best CONSTANT predictor scores H(0.43) ≈ 0.68 — beating it
+    // decisively means the features carry real signal
+    assert(l60 < 0.6, s"60 iterations should beat any constant predictor, got $l60")
+    assert(l60 < l0)
+  }
+
+  test("labeledFeatures: label is the quality threshold, modulo 6dp rounding knife-edge") {
+    import org.apache.spark.sql.functions._
+    val lf = TextClassifier.labeledFeatures(docs).select(col("doc_id"), col("y"))
+    // qualityScore ROUNDS to 6dp before presentation; the label uses
+    // the unrounded product (bit-reproducible in the pure-Scala ref).
+    // The two may only disagree on docs whose quality rounds across
+    // 0.5 — assert every disagreement is inside that half-ulp band.
+    val q = graft.operators.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"), (col("quality") >= 0.5).cast("double").as("yq"))
+    val offBand = lf.join(q, "doc_id")
+      .filter(col("y") =!= col("yq"))
+      .filter(abs(col("quality") - 0.5) >= 5e-7)
+      .count()
+    assert(offBand === 0L)
+  }
+}
