@@ -233,6 +233,22 @@ object SparkEntry {
       Similarity.ivfAssignments(Tables.load(s, dir, "embeddings"))
     }
 
+  /** One GD training (30 iters, lr 10) feeds BOTH classifier entries:
+    * `classifier_train` serves this (term, value) frame directly, and
+    * `classifier_score` extracts the ROUNDED weights from it — so the
+    * scoring literals are exactly the values the train gate certifies.
+    */
+  private def clfTable(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "clf", "30x10") {
+      TextClassifier.trainTable(s, Tables.load(s, dir, "documents"), 30, 10.0)
+    }
+
+  private def clfWeights(s: SparkSession, dir: String): Array[Double] = {
+    val byTerm = clfTable(s, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    TextClassifier.FeatureNames.map(byTerm).toArray
+  }
+
   /** Maximal cross-document duplicated spans — the gram explode + window
     * is the dominant cost, shared by dup_spans and dup_span_stats.
     */
@@ -325,6 +341,7 @@ object SparkEntry {
       "lsh_cands" -> (() => lshCands(s, dir)),
       "lsh_pairs" -> (() => lshPairs(s, dir)),
       "ivf_assign" -> (() => ivfAssigned(s, dir)),
+      "clf_train" -> (() => clfTable(s, dir)),
       "span_frame" -> (() => spanFrame(s, dir)),
       "span_frame_xx" -> (() => spanFrameXx(s, dir)),
       "bpe_merges" -> (() => bpeMergesCached(s, dir)),
@@ -710,8 +727,13 @@ object SparkEntry {
     // kmeans contract); label = the tokenizing quality labeler,
     // features = five cheap char ratios; oracle = the pure-Scala
     // TextClassifierRef VALUES via oracleSqlFor
-    "classifier_train" -> ((s, d) =>
-      TextClassifier.trainTable(s, Tables.load(s, d, "documents"), 30, 10.0)),
+    "classifier_train" -> ((s, d) => clfTable(s, d)),
+    // the 100 TB path: score EVERY doc with the certified rounded
+    // weights — a narrow codegen projection (linear z, no exp: libm is
+    // not bit-reproducible cross-engine); oracle = the same formula in
+    // DuckDB with the reference-trained rounded weights as literals
+    "classifier_score" -> ((s, d) =>
+      TextClassifier.scoreTable(Tables.load(s, d, "documents"), clfWeights(s, d))),
     "embedding_neardup_lsh" -> ((s, d) => lshPairs(s, d)),
     // the 12-bit band geometry (the measured log₂(n) width for the 10×
     // corpus — PERF.md) recall-certified on planted near-dup twins:
@@ -1845,19 +1867,46 @@ object SparkEntry {
         }
       out += ("dedup_minhash_lsh" -> lshSql)
     }
-    if (sel("classifier_train")) {
-      // oracle generation: the sequential reference recomputes labels
-      // AND features from the raw text (full independence; the docsFull
-      // collect boundary)
+    if (sel("classifier_train") || sel("classifier_score")) {
+      // ONE reference training feeds both classifier oracles (the
+      // bpe_merges/bpe_encode rule): the sequential reference
+      // recomputes labels AND features from the raw text (full
+      // independence; the docsFull collect boundary)
       val (w, loss) = graft.operators.TextClassifierRef.train(docsFull.map(_._2), 30, 10.0)
-      val rows = (graft.operators.TextClassifier.FeatureNames
-        .zip(w.map(Similarity.round6)) :+ ("log_loss" -> Similarity.round6(loss)))
-        .map { case (t, v) => s"(${q(t)}, $v)" }
-        .mkString(", ")
-      out += ("classifier_train" ->
-        s"""WITH expected(term, value) AS (SELECT * FROM (VALUES $rows))
-           |SELECT term, CAST(value AS DOUBLE) AS value
-           |FROM expected ORDER BY term""".stripMargin)
+      val wr = w.map(Similarity.round6)
+      if (sel("classifier_train")) {
+        val rows = (graft.operators.TextClassifier.FeatureNames.zip(wr)
+          :+ ("log_loss" -> Similarity.round6(loss)))
+          .map { case (t, v) => s"(${q(t)}, $v)" }
+          .mkString(", ")
+        out += ("classifier_train" ->
+          s"""WITH expected(term, value) AS (SELECT * FROM (VALUES $rows))
+             |SELECT term, CAST(value AS DOUBLE) AS value
+             |FROM expected ORDER BY term""".stripMargin)
+      }
+      if (sel("classifier_score")) {
+        // a REAL cross-engine twin, not a VALUES dump: DuckDB recomputes
+        // the char-ratio features and the linear score from the same
+        // rounded weight literals — multiply/add only, so the doubles
+        // agree bit-for-bit (same left association as scoreTable's fold)
+        val zExpr = s"${wr(0)} * 1.0" +
+          s" + ${wr(1)} * (least(len, 1000.0) / 1000.0)" +
+          s" + ${wr(2)} * (nsp / len)" +
+          s" + ${wr(3)} * (ne / len)" +
+          s" + ${wr(4)} * (na / len)"
+        out += ("classifier_score" ->
+          s"""WITH f AS (
+             |  SELECT doc_id,
+             |         CAST(length(text) AS DOUBLE) AS len,
+             |         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS nsp,
+             |         CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE) AS ne,
+             |         CAST(length(text) - length(replace(text, 'a', '')) AS DOUBLE) AS na
+             |  FROM documents
+             |  WHERE length(text) > 0
+             |    AND len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) > 0)
+             |SELECT doc_id, round($zExpr, 6) AS z, ($zExpr) >= 0.0 AS keep
+             |FROM f ORDER BY doc_id""".stripMargin)
+      }
     }
     if (sel("kmeans_centroids")) {
       // oracle generation: collecting the embeddings at correctness

@@ -119,6 +119,36 @@ object TextClassifier {
     row.getDouble(0) / row.getLong(1)
   }
 
+  /** Score the corpus with a trained (6dp-rounded) weight vector — the
+    * 100 TB path: training runs on a sample, THIS narrow codegen
+    * projection runs on everything. The emitted score is the LINEAR
+    * z = w·x (monotone in the probability; keep ⟺ z ≥ 0 ⟺ σ(z) ≥ ½):
+    * multiply/add only, so the DuckDB twin is bit-identical — `exp` in
+    * a cross-engine oracle would hang correctness on libm rounding.
+    * Weights arrive ROUNDED so both engines score with exactly the
+    * same literals.
+    */
+  def scoreTable(docs: DataFrame, w: Array[Double]): DataFrame = {
+    require(w.length == Dim, s"need $Dim weights, got ${w.length}")
+    val feats = labeledFeatures(docs)
+    val z = (1 until Dim).foldLeft(lit(w(0)) * col("x0"): Column) { (acc, i) =>
+      acc + lit(w(i)) * col(s"x$i")
+    }
+    feats
+      .select(col("doc_id"), round(z, 6).as("z"), (z >= 0.0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train on `docs` (the "sample" at test scale), round the weights,
+    * score the same corpus — the composed gate surface for
+    * `classifier_score`.
+    */
+  def trainAndScore(docs: DataFrame, iters: Int, lr: Double): DataFrame = {
+    val feats = labeledFeatures(docs).cache()
+    val w = try trainLogReg(feats, iters, lr) finally feats.unpersist()
+    scoreTable(docs, w.map(Similarity.round6))
+  }
+
   /** Gate surface: (term, value·6dp) — the Dim trained weights plus the
     * final mean log-loss, long format like kmeans_centroids.
     */
