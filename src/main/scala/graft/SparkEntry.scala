@@ -734,6 +734,11 @@ object SparkEntry {
     // DuckDB with the reference-trained rounded weights as literals
     "classifier_score" -> ((s, d) =>
       TextClassifier.scoreTable(Tables.load(s, d, "documents"), clfWeights(s, d))),
+    // the same filter DEPLOYED on the stream: stateless append-mode
+    // projection under incremental execution, model = five literals in
+    // codegen (train offline, filter at ingest); same oracle
+    "streaming_classifier_score" -> ((s, d) =>
+      graft.streaming.StreamingViews.runClassifierScoreAvailableNow(s, d, clfWeights(s, d))),
     "embedding_neardup_lsh" -> ((s, d) => lshPairs(s, d)),
     // the 12-bit band geometry (the measured log₂(n) width for the 10×
     // corpus — PERF.md) recall-certified on planted near-dup twins:
@@ -1867,7 +1872,7 @@ object SparkEntry {
         }
       out += ("dedup_minhash_lsh" -> lshSql)
     }
-    if (sel("classifier_train") || sel("classifier_score")) {
+    if (sel("classifier_train") || sel("classifier_score") || sel("streaming_classifier_score")) {
       // ONE reference training feeds both classifier oracles (the
       // bpe_merges/bpe_encode rule): the sequential reference
       // recomputes labels AND features from the raw text (full
@@ -1884,7 +1889,7 @@ object SparkEntry {
              |SELECT term, CAST(value AS DOUBLE) AS value
              |FROM expected ORDER BY term""".stripMargin)
       }
-      if (sel("classifier_score")) {
+      if (sel("classifier_score") || sel("streaming_classifier_score")) {
         // a REAL cross-engine twin, not a VALUES dump: DuckDB recomputes
         // the char-ratio features and the linear score from the same
         // rounded weight literals — multiply/add only, so the doubles
@@ -1894,7 +1899,7 @@ object SparkEntry {
           s" + ${wr(2)} * (nsp / len)" +
           s" + ${wr(3)} * (ne / len)" +
           s" + ${wr(4)} * (na / len)"
-        out += ("classifier_score" ->
+        val scoreSql =
           s"""WITH f AS (
              |  SELECT doc_id,
              |         CAST(length(text) AS DOUBLE) AS len,
@@ -1905,7 +1910,12 @@ object SparkEntry {
              |  WHERE length(text) > 0
              |    AND len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) > 0)
              |SELECT doc_id, round($zExpr, 6) AS z, ($zExpr) >= 0.0 AS keep
-             |FROM f ORDER BY doc_id""".stripMargin)
+             |FROM f ORDER BY doc_id""".stripMargin
+        // stream == batch by construction for a stateless projection:
+        // the deployed-filter entry replays the SAME oracle
+        if (sel("classifier_score")) out += ("classifier_score" -> scoreSql)
+        if (sel("streaming_classifier_score"))
+          out += ("streaming_classifier_score" -> scoreSql)
       }
     }
     if (sel("kmeans_centroids")) {

@@ -128,15 +128,20 @@ object TextClassifier {
     * Weights arrive ROUNDED so both engines score with exactly the
     * same literals.
     */
-  def scoreTable(docs: DataFrame, w: Array[Double]): DataFrame = {
+  def scoreTable(docs: DataFrame, w: Array[Double]): DataFrame =
+    scoreUnordered(docs, w).orderBy(col("doc_id"))
+
+  /** [[scoreTable]] without the presentation sort — a pure stateless
+    * projection, legal on a STREAMING frame (append mode, no state
+    * store): the "deploy the trained filter at ingest" path.
+    */
+  def scoreUnordered(docs: DataFrame, w: Array[Double]): DataFrame = {
     require(w.length == Dim, s"need $Dim weights, got ${w.length}")
     val feats = labeledFeatures(docs)
     val z = (1 until Dim).foldLeft(lit(w(0)) * col("x0"): Column) { (acc, i) =>
       acc + lit(w(i)) * col(s"x$i")
     }
-    feats
-      .select(col("doc_id"), round(z, 6).as("z"), (z >= 0.0).as("keep"))
-      .orderBy(col("doc_id"))
+    feats.select(col("doc_id"), round(z, 6).as("z"), (z >= 0.0).as("keep"))
   }
 
   /** Train on `docs` (the "sample" at test scale), round the weights,

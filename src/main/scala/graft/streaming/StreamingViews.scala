@@ -201,6 +201,21 @@ object StreamingViews {
       TextAnalysis.qualityScoreUnordered)
       .orderBy(col("doc_id"))
 
+  /** The trained quality filter DEPLOYED at ingest: batch-certified
+    * rounded weights scoring the document stream as a stateless
+    * projection (append mode, zero state) — train offline on a sample,
+    * filter everything at the edge; the model ships as five literals
+    * folded into codegen, no side input at all. Same oracle as the
+    * batch `classifier_score`.
+    */
+  def runClassifierScoreAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      weights: Array[Double]): DataFrame =
+    runDocStreamAvailableNow(spark, sfDir, "clf_score", "append")(
+      graft.operators.TextClassifier.scoreUnordered(_, weights))
+      .orderBy(col("doc_id"))
+
   /** Stream-static enrichment: the per-metric anomaly filter run under
     * incremental execution. The (mu, sigma) reference table is computed
     * from a BATCH read and broadcast into every micro-batch — the

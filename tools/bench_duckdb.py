@@ -36,6 +36,7 @@ HEADLINE = [
     "churned_users_except", "events_cube", "snapshot_polygon_sum",
     "dedup_simhash_pairs_w32", "embedding_neardup_lsh12",
     "streaming_sessions_append", "multimodal_jpeg_pixels",
+    "classifier_score",
     # streaming_anomalies intentionally absent: its oracle IS the
     # value_anomalies SQL (stream==batch certificate), already anchored;
     # streaming_dedup_update likewise (its oracle IS dedup_exact's SQL);
