@@ -233,6 +233,57 @@ object SparkEntry {
       Similarity.ivfAssignments(Tables.load(s, dir, "embeddings"))
     }
 
+  /** Trained k-means geometry (k=8, 3 Lloyd iterations — the fixed
+    * geometry's bucket count, so trained-vs-fixed recall compares at
+    * identical probe cost). ONE training per (session, sf) feeds the
+    * kmeans_centroids gate, the kmeans_inertia certificate, AND the
+    * trained IVF index — the centroid table the index buckets on IS the
+    * table the gate certifies.
+    */
+  private val kmeansTraces =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, (Array[Array[Double]], Array[Double])]]()
+
+  private[graft] val KmeansK = 8
+  private[graft] val KmeansIters = 3
+
+  private def kmeansTraceCached(s: SparkSession, key: String)(
+      build: => (Array[Array[Double]], Array[Double])): (Array[Array[Double]], Array[Double]) = {
+    val m = kmeansTraces.synchronized {
+      var t = kmeansTraces.get(s)
+      if (t == null) {
+        t = scala.collection.concurrent.TrieMap.empty[String, (Array[Array[Double]], Array[Double])]
+        kmeansTraces.put(s, t)
+      }
+      t
+    }
+    m.getOrElseUpdate(key, build)
+  }
+
+  private def kmeansTrained(s: SparkSession, dir: String): (Array[Array[Double]], Array[Double]) =
+    kmeansTraceCached(s, s"l2:$dir") {
+      Similarity.kmeansTrace(Tables.load(s, dir, "embeddings"), KmeansK, KmeansIters)
+    }
+
+  /** Spherical (cosine-metric) training — the variant the IVF index
+    * composes with: the quantizer metric must equal the search metric
+    * (the L2 cells partition partly by norm, which the cosine ranking
+    * ignores — measured 550‰ vs 800‰ recall@20 at sf0.1).
+    */
+  private def kmeansSpherical(s: SparkSession, dir: String): (Array[Array[Double]], Array[Double]) =
+    kmeansTraceCached(s, s"sph:$dir") {
+      Similarity.kmeansSphericalTrace(Tables.load(s, dir, "embeddings"), KmeansK, KmeansIters)
+    }
+
+  /** Trained-centroid coarse-quantizer assignments — shared by the
+    * trained recall audit (and any future trained-index consumer), like
+    * [[ivfAssigned]] for the fixed geometry.
+    */
+  private def ivfTrainedAssigned(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "ivf_trained", s"${KmeansK}x$KmeansIters") {
+      Similarity.ivfTrainedAssignments(
+        Tables.load(s, dir, "embeddings"), kmeansSpherical(s, dir)._1)
+    }
+
   /** One GD training (30 iters, lr 10) feeds BOTH classifier entries:
     * `classifier_train` serves this (term, value) frame directly, and
     * `classifier_score` extracts the ROUNDED weights from it — so the
@@ -341,6 +392,9 @@ object SparkEntry {
       "lsh_cands" -> (() => lshCands(s, dir)),
       "lsh_pairs" -> (() => lshPairs(s, dir)),
       "ivf_assign" -> (() => ivfAssigned(s, dir)),
+      "kmeans_train" -> (() => kmeansTrained(s, dir)),
+      "kmeans_spherical" -> (() => kmeansSpherical(s, dir)),
+      "ivf_trained" -> (() => ivfTrainedAssigned(s, dir)),
       "clf_train" -> (() => clfTable(s, dir)),
       "span_frame" -> (() => spanFrame(s, dir)),
       "span_frame_xx" -> (() => spanFrameXx(s, dir)),
@@ -718,10 +772,33 @@ object SparkEntry {
     "embedding_quantize" -> ((s, d) =>
       Similarity.quantizeAudit(Tables.load(s, d, "embeddings"))),
     // Lloyd-trained IVF centroids (distributed: one scan + one hash agg
-    // per iteration, only k×64 doubles reach the driver); oracle = the
-    // pure-Scala KMeansRef VALUES via oracleSqlFor
+    // per iteration, only k×64 doubles reach the driver); ONE training
+    // (k=8, shared via kmeansTrained) feeds this gate, the inertia
+    // certificate, and the trained IVF index; oracle = the pure-Scala
+    // KMeansRef VALUES via oracleSqlFor
     "kmeans_centroids" -> ((s, d) =>
-      Similarity.kmeansCentroidsTable(s, Tables.load(s, d, "embeddings"), 4, 3)),
+      Similarity.kmeansTableFromCents(s, kmeansTrained(s, d)._1)),
+    // convergence certificate riding the same training pass: per-
+    // iteration inertia with a monotone-decrease flag the gate hashes
+    "kmeans_inertia" -> ((s, d) =>
+      Similarity.kmeansInertiaTable(s, kmeansTrained(s, d)._2)),
+    // spherical (cosine-Lloyd) centroid table — the trainer whose cells
+    // match the cosine search metric; THIS table is the one the trained
+    // IVF index buckets on, so gating it certifies the index geometry
+    "kmeans_spherical" -> ((s, d) =>
+      Similarity.kmeansTableFromCents(s, kmeansSpherical(s, d)._1)),
+    // k-means COMPOSED into the IVF index: bucket on the trained
+    // centroids, search multi-probe, and certify — at the same probe
+    // budget — that the corpus-trained quantizer meets the recall floor
+    // and never loses to the fixed data-independent geometry
+    "ann_ivf_trained" -> ((s, d) =>
+      Similarity.annRecallTrainedFrom(
+        ivfAssigned(s, d),
+        ivfTrainedAssigned(s, d),
+        kmeansSpherical(s, d)._1,
+        Tables.load(s, d, "embeddings"),
+        20,
+        4)),
     // quality-filter DISTILLATION: logistic regression trained by
     // full-batch GD, each iteration one scan + one 7-double agg (the
     // kmeans contract); label = the tokenizing quality labeler,
@@ -1918,24 +1995,56 @@ object SparkEntry {
           out += ("streaming_classifier_score" -> scoreSql)
       }
     }
-    if (sel("kmeans_centroids")) {
+    if (sel("kmeans_centroids") || sel("kmeans_inertia") || sel("kmeans_spherical") ||
+      sel("ann_ivf_trained")) {
       // oracle generation: collecting the embeddings at correctness
-      // scale (500×64 floats at sf0.01) feeds the sequential reference —
-      // the same boundary as docsFull above, never part of a query plan
+      // scale (500×64 floats at sf0.01) feeds the sequential references —
+      // the same boundary as docsFull above, never part of a query plan.
+      // ONE L2 reference training feeds the centroid+inertia oracles and
+      // ONE spherical training feeds the spherical table AND the
+      // trained-IVF replay's centroid literals (the classifier pattern).
       val vecs = Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .toSeq
-      val cents = graft.operators.KMeansRef.centroids(vecs, 4, 3)
-      val rows = cents.zipWithIndex.flatMap { case (c, j) =>
-        c.zipWithIndex.map { case (v, i) => s"($j, $i, ${Similarity.round6(v)})" }
-      }.mkString(", ")
-      out += ("kmeans_centroids" ->
+      def centsValuesSql(cents: Array[Array[Double]]): String = {
+        val rows = cents.zipWithIndex.flatMap { case (c, j) =>
+          c.zipWithIndex.map { case (v, i) => s"($j, $i, ${Similarity.round6(v)})" }
+        }.mkString(", ")
         s"""WITH expected(bucket, dim, value) AS (SELECT * FROM (VALUES $rows))
            |SELECT CAST(bucket AS INTEGER) AS bucket, CAST(dim AS INTEGER) AS dim,
            |       CAST(value AS DOUBLE) AS value
-           |FROM expected ORDER BY bucket, dim""".stripMargin)
+           |FROM expected ORDER BY bucket, dim""".stripMargin
+      }
+      if (sel("kmeans_centroids") || sel("kmeans_inertia")) {
+        val (cents, inertias) =
+          graft.operators.KMeansRef.trace(vecs, KmeansK, KmeansIters)
+        if (sel("kmeans_centroids"))
+          out += ("kmeans_centroids" -> centsValuesSql(cents))
+        if (sel("kmeans_inertia")) {
+          val rows = inertias.zipWithIndex.map { case (v, it) =>
+            val dec = it == 0 || v <= inertias(it - 1) + Similarity.InertiaTolerance
+            s"($it, $v, $dec)"
+          }.mkString(", ")
+          out += ("kmeans_inertia" ->
+            s"""WITH expected(iter, inertia, decreased) AS (SELECT * FROM (VALUES $rows))
+               |SELECT CAST(iter AS INTEGER) AS iter, CAST(inertia AS DOUBLE) AS inertia,
+               |       CAST(decreased AS BOOLEAN) AS decreased
+               |FROM expected ORDER BY iter""".stripMargin)
+        }
+      }
+      if (sel("kmeans_spherical") || sel("ann_ivf_trained")) {
+        val (sphCents, _) =
+          graft.operators.KMeansRef.sphericalTrace(vecs, KmeansK, KmeansIters)
+        if (sel("kmeans_spherical"))
+          out += ("kmeans_spherical" -> centsValuesSql(sphCents))
+        if (sel("ann_ivf_trained"))
+          // NOT a VALUES dump: DuckDB re-runs the exact scan, the fixed
+          // index, and the trained index (centroids as literals) and
+          // recomputes both recalls from its own rankings
+          out += ("ann_ivf_trained" -> Similarity.annRecallTrainedSql(sphCents, 20, 4))
+      }
     }
     if (sel("bpe_merges") || sel("bpe_encode")) {
       // ONE reference learning feeds both BPE oracles — two independent

@@ -73,6 +73,17 @@ object Similarity {
   val QueryVec: Array[Double] =
     Array.tabulate(Dim)(i => ((i * 37) % 97) / 97.0 - 0.5)
 
+  /** Deterministic query PANEL: `queryVec(0)` == [[QueryVec]]; higher
+    * t varies the modular pattern. A single query vector makes a
+    * recall comparison a coin-flip on where its one neighbor cap falls
+    * relative to cell boundaries (and the fixed centroids share
+    * QueryVec's modular-pattern family, biasing single-query recall
+    * toward them); averaging over a panel measures the GEOMETRY, not
+    * the luck of one query.
+    */
+  def queryVec(t: Int): Array[Double] =
+    Array.tabulate(Dim)(i => ((i * (37 + 2 * t) + 11 * t) % 97) / 97.0 - 0.5)
+
   /** 8 IVF centroids, L2-normalized (so argmax dot == argmax cosine). */
   val Centroids: Array[Array[Double]] = Array.tabulate(8) { j =>
     val raw = Array.tabulate(Dim)(i => ((i * 31 + j * 17 + 13) % 101) / 101.0 - 0.5)
@@ -138,7 +149,15 @@ object Similarity {
     * semantics in DuckDB.
     */
   def cosineToQuery(d: Dialect, col: String): String =
-    s"((${d.dotConst(col, QueryVec)}) / nullif(sqrt(${d.dotSelf(col)}) * $QueryNorm, 0))"
+    cosineTo(d, col, QueryVec)
+
+  /** cosine(col, q) for an arbitrary panel query — same shape, the
+    * query norm folded driver-side with the same association.
+    */
+  def cosineTo(d: Dialect, col: String, q: Array[Double]): String = {
+    val qn = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
+    s"((${d.dotConst(col, q)}) / nullif(sqrt(${d.dotSelf(col)}) * $qn, 0))"
+  }
 
   // ---- Spark Column surface: native codegen kernels ------------------
   // (graft.functions.VectorKernels — tight generated loops with the SAME
@@ -155,7 +174,13 @@ object Similarity {
     * `cosineToQuery(SparkDialect, …)`, minus the per-row closure churn.
     */
   def cosineToQueryCol(c: Column): Column =
-    dotConstCol(c, QueryVec) / nullif(sqrt(dotSelfCol(c)) * lit(QueryNorm), lit(0d))
+    cosineToCol(c, QueryVec)
+
+  /** Codegen cosine(col, q) for an arbitrary panel query. */
+  def cosineToCol(c: Column, q: Array[Double]): Column = {
+    val qn = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
+    dotConstCol(c, q) / nullif(sqrt(dotSelfCol(c)) * lit(qn), lit(0d))
+  }
 
   /** Codegen band value (`rowsPerBand` sign bits) for [[lshBanded]]. */
   private def bandCol(c: Column, band: Int, rowsPerBand: Int, nPlanes: Array[Array[Int]]): Column =
@@ -233,8 +258,11 @@ object Similarity {
     * against.
     */
   def topK(embeddings: DataFrame, k: Int): DataFrame =
+    topKFor(embeddings, k, QueryVec)
+
+  def topKFor(embeddings: DataFrame, k: Int, q: Array[Double]): DataFrame =
     embeddings
-      .withColumn("sim", cosineToQueryCol(col("embedding")))
+      .withColumn("sim", cosineToCol(col("embedding"), q))
       // zero-norm embeddings cosine to NULL (see cosineToQuery) and must
       // never appear in a ranking
       .filter(col("sim").isNotNull)
@@ -247,12 +275,22 @@ object Similarity {
     * products are the dominant per-row cost; SparkEntry caches this
     * frame so each downstream query evaluates them once.
     */
-  def ivfAssignments(embeddings: DataFrame): DataFrame = {
-    val withSims = Centroids.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
+  def ivfAssignments(embeddings: DataFrame): DataFrame =
+    ivfAssignmentsWith(embeddings, Centroids)
+
+  /** Dot-argmax coarse quantizer over ARBITRARY normalized centroids —
+    * the assignment family shared by the fixed geometry and the
+    * spherical-k-means-trained index (for unit centroids, argmax dot ==
+    * argmax cosine; the row's own norm scales all k scores equally).
+    */
+  def ivfAssignmentsWith(
+      embeddings: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val withSims = cents.zipWithIndex.foldLeft(embeddings) { case (df, (c, j)) =>
       df.withColumn(s"s$j", dotConstCol(col("embedding"), c))
     }
     withSims
-      .withColumn("bucket", expr(bucketCase(Centroids.length)))
+      .withColumn("bucket", expr(bucketCase(cents.length)))
       .select(col("vec_id"), col("embedding"), col("bucket"))
   }
 
@@ -283,44 +321,196 @@ object Similarity {
       .withColumn("bucket", expr(bucketCase(cents.length)))
       .select(col("vec_id"), col("embedding"), col("bucket"))
 
-  /** Train `k` IVF centroids with `iters` Lloyd iterations.
+  /** Train `k` IVF centroids with `iters` Lloyd iterations, tracing the
+    * within-cluster cost (inertia) of the centroids ENTERING each
+    * iteration — the convergence certificate rides the same pass that
+    * does the update, so certifying costs no extra scan.
     *
     * Distribution contract: the DATA never leaves the executors — each
     * iteration is one narrow assignment map (k codegen dots per row) and
-    * one partial+final hash aggregation (64 `avg`s per bucket); only the
-    * k×64-double centroid table (a few KB, independent of corpus size)
-    * ever reaches the driver. That is the canonical scale shape for
-    * Lloyd's: at 100 TB the per-iteration cost is one scan, no joins,
-    * no per-row UDFs.
+    * one partial+final hash aggregation (64 `avg`s + one cost `sum` per
+    * bucket); only the k×64-double centroid table and k cost partials
+    * (a few KB, independent of corpus size) ever reach the driver. That
+    * is the canonical scale shape for Lloyd's: at 100 TB the
+    * per-iteration cost is one scan, no joins, no per-row UDFs.
     *
-    * Deterministic: init = the k lowest-vec_id vectors; empty clusters
-    * keep their previous centroid. Convergence (non-increasing
-    * within-cluster cost) is asserted in SimilaritySpec.
+    * Deterministic: init = FARTHEST-POINT (the k-means++ shape without
+    * randomness): c₀ is the lowest-vec_id vector; each next seed is the
+    * vector MAXIMIZING min-squared-distance to the seeds so far, ties
+    * to the lowest vec_id. The naive lowest-k init collapsed centroids
+    * toward the corpus mean (measured: trained recall 400‰ vs the fixed
+    * geometry's 800‰ at sf0.1); farthest-point seeds span the corpus.
+    * Parity is EXACT here — every selection score is a per-row
+    * expression (no distributed sums), bit-identical to the sequential
+    * twin, so both sides pick the same seeds. Cost: k−1 extra
+    * TakeOrdered scans, once per training (at 100 TB you'd run init on
+    * a sample; the Lloyd loop shape is unchanged).
+    *
+    * Empty clusters keep their previous centroid. Centroids are
+    * QUANTIZED to 6 dp after init and after every update, on this side
+    * and in the pure-Scala KMeansRef twin — so distributed-vs-
+    * sequential float summation divergence is re-zeroed each iteration
+    * instead of compounding across iterations (it would otherwise grow
+    * with partition count and iteration depth). Inertia is round6'd the
+    * same way; per-bucket partials combine driver-side in bucket order
+    * on both sides.
     */
-  def kmeansCentroids(
+  def kmeansTrace(
       embeddings: DataFrame,
       k: Int = Centroids.length,
-      iters: Int = 5): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = embeddings
+      iters: Int = 5): (Array[Array[Double]], Array[Double]) = {
+    val first = embeddings
       .orderBy(col("vec_id"))
-      .limit(k)
+      .limit(1)
       .select(col("embedding"))
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(first.nonEmpty, "need at least 1 vector")
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      first.head.getSeq[Float](0).map(f => round6(f.toDouble)).toArray)
+    while (seeds.length < k) {
+      val best =
+        if (seeds.length == 1) "s0" // greatest() requires > 1 args
+        else seeds.indices.map(j => s"s$j").mkString("greatest(", ", ", ")")
+      val row = withCentroidScores(embeddings, seeds.toArray)
+        .withColumn("d2", dotSelfCol(col("embedding")) - expr(best))
+        .orderBy(col("d2").desc, col("vec_id"))
+        .limit(1)
+        .select(col("embedding"))
+        .collect()
+      seeds += row.head.getSeq[Float](0).map(f => round6(f.toDouble)).toArray
+    }
+    var cents: Array[Array[Double]] = seeds.toArray
     require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
-    for (_ <- 0 until iters) {
-      val aggs = (0 until Dim).map(i => avg(col("embedding").getItem(i)).as(s"c$i"))
-      val rows = assignNearest(embeddings, cents)
+    val inertias = new Array[Double](iters)
+    for (it <- 0 until iters) {
+      val aggs = (0 until Dim).map(i => avg(col("embedding").getItem(i)).as(s"c$i")) :+
+        sum(col("d2")).as("cost")
+      val best = cents.indices.map(j => s"s$j").mkString("greatest(", ", ", ")")
+      val rows = withCentroidScores(embeddings, cents)
+        .withColumn("bucket", expr(bucketCase(cents.length)))
+        .withColumn("d2", dotSelfCol(col("embedding")) - expr(best))
         .groupBy(col("bucket"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
+      // combine the k per-bucket cost partials in bucket order (the
+      // KMeansRef twin folds its bucket array the same way)
+      inertias(it) = round6(
+        rows.sortBy(_.getInt(0)).foldLeft(0.0)((a, r) => a + r.getDouble(Dim + 1)))
       val next = cents.map(_.clone())
       rows.foreach { r =>
-        next(r.getInt(0)) = Array.tabulate(Dim)(i => r.getDouble(i + 1))
+        next(r.getInt(0)) = Array.tabulate(Dim)(i => round6(r.getDouble(i + 1)))
       }
       cents = next
     }
-    cents
+    (cents, inertias)
+  }
+
+  def kmeansCentroids(
+      embeddings: DataFrame,
+      k: Int = Centroids.length,
+      iters: Int = 5): Array[Array[Double]] =
+    kmeansTrace(embeddings, k, iters)._1
+
+  // ---- spherical k-means (the COSINE-metric trainer the IVF index
+  //      composes with) ------------------------------------------------
+
+  /** Normalize-then-quantize a raw float seed vector: |v| with the
+    * FloatDotSelfExpr fold, each component divided then round6'd. ONE
+    * helper shared with KMeansRef so the two sides cannot drift.
+    */
+  def normalizedSeed(v: Array[Float]): Array[Double] = {
+    var n2 = 0.0
+    var i = 0
+    while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+    val n = math.sqrt(n2)
+    v.map(x => round6(x / n))
+  }
+
+  /** Quantize a mean vector, normalize it from its ROUNDED components
+    * (left-fold norm), quantize again — the deterministic driver-side
+    * tail of a spherical centroid update, shared with KMeansRef.
+    */
+  def normalizeRound6(m: Array[Double]): Array[Double] = {
+    val r = m.map(round6)
+    val n = math.sqrt(r.foldLeft(0.0)((a, x) => a + x * x))
+    if (n == 0.0) r else r.map(x => round6(x / n))
+  }
+
+  /** Train `k` UNIT centroids with `iters` spherical Lloyd iterations —
+    * k-means on the unit sphere, the quantizer whose cells match the
+    * COSINE search metric. The L2 trainer ([[kmeansTrace]]) partitions
+    * partly by vector norm, which the cosine ranking ignores: measured
+    * at sf0.1, L2-trained cells gave 550‰ recall@20 where the fixed
+    * normalized geometry gave 800‰. Spherical cells are angular Voronoi
+    * regions — the quantizer metric equals the query metric.
+    *
+    * Same scale/determinism contract as [[kmeansTrace]]: per iteration
+    * ONE narrow scan (k codegen dots + per-dim normalized components)
+    * and one hash aggregation; farthest-point-in-angle init with
+    * per-row bit-exact selection scores; centroids 6dp-quantized after
+    * init and every update on both sides. Assignment is plain dot
+    * argmax (the [[ivfAssignmentsWith]] family — a row's own norm
+    * scales all k scores equally, so no per-row division in the hot
+    * path); zero-norm vectors are excluded from training (they have no
+    * direction) but still assignable at index time. Inertia = Σ(1 −
+    * cos(v, c_assigned)) of the centroids entering the iteration —
+    * non-increasing under exact updates, certified to tolerance.
+    */
+  def kmeansSphericalTrace(
+      embeddings: DataFrame,
+      k: Int = Centroids.length,
+      iters: Int = 5): (Array[Array[Double]], Array[Double]) = {
+    val unit = embeddings.filter(dotSelfCol(col("embedding")) > 0)
+    val first = unit
+      .orderBy(col("vec_id"))
+      .limit(1)
+      .select(col("embedding"))
+      .collect()
+    require(first.nonEmpty, "need at least 1 nonzero vector")
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      normalizedSeed(first.head.getSeq[Float](0).toArray))
+    while (seeds.length < k) {
+      // most angularly distant = argmin of max_j v·c_j/|v|, ties to the
+      // lowest vec_id; per-row expressions only, so bit-exact vs the ref
+      val withSims = seeds.toArray.zipWithIndex.foldLeft(unit) { case (df, (c, j)) =>
+        df.withColumn(s"s$j", dotConstCol(col("embedding"), c))
+      }
+      val best =
+        if (seeds.length == 1) "s0"
+        else seeds.indices.map(j => s"s$j").mkString("greatest(", ", ", ")")
+      val row = withSims
+        .withColumn("ang", expr(best) / sqrt(dotSelfCol(col("embedding"))))
+        .orderBy(col("ang").asc, col("vec_id"))
+        .limit(1)
+        .select(col("embedding"))
+        .collect()
+      seeds += normalizedSeed(row.head.getSeq[Float](0).toArray)
+    }
+    var cents: Array[Array[Double]] = seeds.toArray
+    val inertias = new Array[Double](iters)
+    for (it <- 0 until iters) {
+      val withSims = cents.zipWithIndex.foldLeft(unit) { case (df, (c, j)) =>
+        df.withColumn(s"s$j", dotConstCol(col("embedding"), c))
+      }
+      val best = cents.indices.map(j => s"s$j").mkString("greatest(", ", ", ")")
+      val nrm = sqrt(dotSelfCol(col("embedding")))
+      val aggs = (0 until Dim).map(i =>
+        avg(col("embedding").getItem(i) / nrm).as(s"c$i")) :+
+        sum(lit(1.0) - expr(best) / nrm).as("cost")
+      val rows = withSims
+        .withColumn("bucket", expr(bucketCase(cents.length)))
+        .groupBy(col("bucket"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      inertias(it) = round6(
+        rows.sortBy(_.getInt(0)).foldLeft(0.0)((a, r) => a + r.getDouble(Dim + 1)))
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        next(r.getInt(0)) = normalizeRound6(Array.tabulate(Dim)(i => r.getDouble(i + 1)))
+      }
+      cents = next
+    }
+    (cents, inertias)
   }
 
   /** Round half-up to 6 dp — the ONE rounding both the gate entry and
@@ -341,12 +531,44 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       embeddings: DataFrame,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    kmeansTableFromCents(spark, kmeansCentroids(embeddings, k, iters))
+
+  /** The gate frame for an ALREADY-trained centroid table — SparkEntry
+    * trains once per (session, sf) and shares the result between the
+    * centroid gate, the inertia certificate, and the trained IVF index.
+    */
+  def kmeansTableFromCents(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
-    val cents = kmeansCentroids(embeddings, k, iters)
     cents.zipWithIndex.flatMap { case (c, j) =>
       c.zipWithIndex.map { case (v, i) => (j, i, round6(v)) }
     }.toSeq.toDF("bucket", "dim", "value").orderBy(col("bucket"), col("dim"))
+  }
+
+  /** Tolerance for the monotone-inertia certificate: 6dp centroid
+    * quantization perturbs the Lloyd objective by at most a few ulps of
+    * the rounded values, so "non-increasing" is asserted up to one
+    * rounding grain rather than exactly.
+    */
+  val InertiaTolerance = 1e-6
+
+  /** Convergence certificate for the k-means build: per-iteration
+    * inertia (within-cluster squared distance of the centroids ENTERING
+    * iteration `iter`) plus a `decreased` flag vs the previous
+    * iteration. The flag is computed from the round6'd inertia values —
+    * identical literals on both engines — so the certificate rides the
+    * gate hash (the sketch_certify pattern): a training change that
+    * breaks monotone convergence fails the driver gate loudly.
+    */
+  def kmeansInertiaTable(
+      spark: org.apache.spark.sql.SparkSession,
+      inertias: Array[Double]): DataFrame = {
+    import spark.implicits._
+    inertias.zipWithIndex.map { case (v, it) =>
+      (it, v, it == 0 || v <= inertias(it - 1) + InertiaTolerance)
+    }.toSeq.toDF("iter", "inertia", "decreased").orderBy(col("iter"))
   }
 
   /** Within-cluster sum of squared distances for `cents` — the Lloyd
@@ -386,13 +608,60 @@ object Similarity {
     * the query. `nprobe = 1` is the classic single-bucket IVF search.
     */
   def ivfTopKProbedFrom(assigned: DataFrame, k: Int, nprobe: Int): DataFrame =
+    probeTopK(assigned, probedBuckets(nprobe), k, QueryVec)
+
+  private def probeTopK(
+      assigned: DataFrame,
+      probes: Seq[Int],
+      k: Int,
+      q: Array[Double]): DataFrame =
     assigned
-      .filter(col("bucket").isin(probedBuckets(nprobe).map(Int.box): _*))
-      .withColumn("sim", cosineToQueryCol(col("embedding")))
+      .filter(col("bucket").isin(probes.map(Int.box): _*))
+      .withColumn("sim", cosineToCol(col("embedding"), q))
       .filter(col("sim").isNotNull) // zero-norm guard (see cosineToQuery)
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+
+  // ---- trained-centroid IVF (k-means composed into the index) --------
+
+  /** The `nprobe` TRAINED-centroid buckets nearest the query by dot
+    * product (descending, ties to the lower index — [[probedBuckets]]
+    * parametrized on the centroid table; centroids are unit vectors, so
+    * dot == cosine). Both engines' probe IN-lists are computed by THIS
+    * function from their own centroid table; the kmeans_spherical gate
+    * certifies those tables equal, so the lists agree.
+    */
+  def probedBucketsFor(
+      cents: Array[Array[Double]],
+      nprobe: Int,
+      q: Array[Double] = QueryVec): Seq[Int] =
+    cents.zipWithIndex
+      .map { case (c, j) =>
+        (q.indices.foldLeft(0.0)((a, i) => a + q(i) * c(i)), j)
+      }
+      .sortBy { case (s, j) => (-s, j) }
+      .take(nprobe)
+      .map(_._2)
+      .toSeq
+
+  /** Coarse-quantizer assignment against TRAINED unit centroids — the
+    * composition the fixed-centroid [[ivfAssignments]] stands in for
+    * until a corpus is available: same narrow k-dot codegen map, but
+    * the partition geometry now follows the corpus distribution.
+    */
+  def ivfTrainedAssignments(
+      embeddings: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    ivfAssignmentsWith(embeddings, cents)
+
+  /** Multi-probe top-k over the trained index. */
+  def ivfTopKTrainedFrom(
+      assigned: DataFrame,
+      cents: Array[Array[Double]],
+      k: Int,
+      nprobe: Int): DataFrame =
+    probeTopK(assigned, probedBucketsFor(cents, nprobe), k, QueryVec)
 
   /** Near-duplicate pairs via sign-LSH: candidates = pairs agreeing on
     * ≥1 of [[LshBands]] bands (equi-join per band, NEVER all-pairs),
@@ -902,6 +1171,146 @@ object Similarity {
        |  n_overlap * 1000 // greatest(n_exact, 1) AS recall_permille,
        |  n_overlap * 1000 // greatest(n_exact, 1) >= $RecallFloorPermille AS certified
        |FROM c""".stripMargin
+
+  // ---- trained-IVF recall certification -------------------------------
+
+  /** Query-panel size for the trained-vs-fixed recall audit. Measured
+    * panel recall at 12 queries (sf0.001/0.01/0.1): trained 165/175/162
+    * vs fixed 149/154/150 of 240 — a stable margin where the
+    * single-query comparison was a ±2-neighbor coin flip.
+    */
+  val PanelQueries = 12
+
+  /** One-row recall@k audit of the TRAINED-centroid IVF index against
+    * both the exact scan and the fixed-geometry index, aggregated over
+    * the [[queryVec]] panel at the same probe budget:
+    * `(k, n_queries, n_exact, n_overlap_fixed, n_overlap_trained,
+    * recall_fixed_permille, recall_trained_permille, certified)` —
+    * all-integer, so engine parity is exact. `certified` demands the
+    * trained index CLEAR THE SAME FLOOR as the fixed one AND not lose
+    * to it on the panel: training the quantizer on the corpus must
+    * never make the index worse than the data-independent geometry it
+    * replaces, at identical probe cost (nprobe/C of the data touched
+    * either way). The panel runs 3·PanelQueries k-row rankings — an
+    * audit, not a serving path; at 100 TB it runs on a sample.
+    */
+  def annRecallTrainedFrom(
+      assignedFixed: DataFrame,
+      assignedTrained: DataFrame,
+      cents: Array[Array[Double]],
+      embeddings: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    def tagged(frames: Seq[DataFrame], flag: String): DataFrame =
+      frames.zipWithIndex
+        .map { case (df, t) => df.select(lit(t).as("qid"), col("vec_id"), lit(1L).as(flag)) }
+        .reduce(_ unionAll _)
+    val qs = (0 until PanelQueries).map(queryVec)
+    val exact = tagged(qs.map(q => topKFor(embeddings, k, q)), "e")
+    val fixed = tagged(
+      qs.map(q => probeTopK(assignedFixed, probedBucketsFor(Centroids, nprobe, q), k, q)),
+      "a")
+    val trained = tagged(
+      qs.map(q => probeTopK(assignedTrained, probedBucketsFor(cents, nprobe, q), k, q)),
+      "t")
+    exact
+      .join(fixed, Seq("qid", "vec_id"), "full_outer")
+      .join(trained, Seq("qid", "vec_id"), "full_outer")
+      .agg(
+        coalesce(sum(coalesce(col("e"), lit(0L))), lit(0L)).as("n_exact"),
+        coalesce(
+          sum(when(col("e").isNotNull && col("a").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_overlap_fixed"),
+        coalesce(
+          sum(when(col("e").isNotNull && col("t").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_overlap_trained"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("n_queries", lit(PanelQueries.toLong))
+      .withColumn(
+        "recall_fixed_permille",
+        expr("n_overlap_fixed * 1000 DIV greatest(n_exact, 1L)"))
+      .withColumn(
+        "recall_trained_permille",
+        expr("n_overlap_trained * 1000 DIV greatest(n_exact, 1L)"))
+      .withColumn(
+        "certified",
+        col("recall_trained_permille") >= RecallFloorPermille &&
+          col("recall_trained_permille") >= col("recall_fixed_permille"))
+      .select(
+        col("k"), col("n_queries"), col("n_exact"),
+        col("n_overlap_fixed"), col("n_overlap_trained"),
+        col("recall_fixed_permille"), col("recall_trained_permille"), col("certified"))
+  }
+
+  /** Argmax CASE over arbitrarily-named score columns (the
+    * [[bucketCase]] shape with a column prefix — lets one frame carry
+    * two geometries' scores side by side).
+    */
+  def bucketCaseNamed(prefix: String, n: Int): String = {
+    val all = (0 until n).map(j => s"$prefix$j").mkString(", ")
+    (0 until n)
+      .map(j => s"WHEN $prefix$j >= greatest($all) THEN $j")
+      .mkString("CASE ", " ", " END")
+  }
+
+  /** DuckDB twin of [[annRecallTrainedFrom]]: replays all 3·panel
+    * ranking paths, then the same integer arithmetic (overlap =
+    * inner-join count of the per-query k-row id sets — the same numbers
+    * the Spark side's full-outer + presence-flag agg computes).
+    *
+    * Structure matters here: a first cut expanded the 64-term dot
+    * chains inside EVERY per-query ranking subquery (36 of them) —
+    * 890 KB of SQL whose binder took DuckDB to a 21 GB peak and left
+    * the process unable to mmap afterwards. This version computes the
+    * 16 centroid dots and [[PanelQueries]] query cosines ONCE in a
+    * materialized CTE (one scan, ~30 scalar columns), and every
+    * ranking is then a LIMIT-k sort over named columns — the same
+    * share-the-scan shape the Spark side gets from its cached
+    * assignment frames.
+    */
+  def annRecallTrainedSql(cents: Array[Array[Double]], k: Int, nprobe: Int): String = {
+    val qs = (0 until PanelQueries).map(queryVec)
+    val fixedSims = Centroids.zipWithIndex
+      .map { case (c, j) => s"${DuckDialect.dotConst("embedding", c)} AS sf$j" }
+    val trainedSims = cents.zipWithIndex
+      .map { case (c, j) => s"${DuckDialect.dotConst("embedding", c)} AS st$j" }
+    val cosines = qs.zipWithIndex
+      .map { case (q, t) => s"${cosineTo(DuckDialect, "embedding", q)} AS c$t" }
+    val baseCols = (fixedSims ++ trainedSims ++ cosines).mkString(",\n  ")
+    def rankUnion(mk: (Array[Double], Int) => String): String =
+      qs.zipWithIndex
+        .map { case (q, t) => s"SELECT $t AS qid, vec_id FROM (\n${mk(q, t)})" }
+        .mkString("\n  UNION ALL\n  ")
+    def exactSql(q: Array[Double], t: Int) =
+      s"""SELECT vec_id FROM bk WHERE c$t IS NOT NULL
+         |ORDER BY c$t DESC, vec_id LIMIT $k""".stripMargin
+    def probeSql(prefix: String, geo: Array[Array[Double]])(q: Array[Double], t: Int) = {
+      val probes = probedBucketsFor(geo, nprobe, q).mkString(", ")
+      s"""SELECT vec_id FROM bk WHERE bucket_$prefix IN ($probes) AND c$t IS NOT NULL
+         |ORDER BY c$t DESC, vec_id LIMIT $k""".stripMargin
+    }
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id,\n  $baseCols\n  FROM embeddings),
+       |bk AS MATERIALIZED (
+       |  SELECT vec_id, ${bucketCaseNamed("sf", Centroids.length)} AS bucket_f,
+       |         ${bucketCaseNamed("st", cents.length)} AS bucket_t,
+       |         ${qs.indices.map(t => s"c$t").mkString(", ")}
+       |  FROM base),
+       |e AS (\n  ${rankUnion(exactSql)}\n),
+       |f AS (\n  ${rankUnion(probeSql("f", Centroids))}\n),
+       |r AS (\n  ${rankUnion(probeSql("t", cents))}\n),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM e),
+       |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap_fixed FROM e JOIN f USING (qid, vec_id)),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap_trained FROM e JOIN r USING (qid, vec_id))
+       |SELECT CAST($k AS BIGINT) AS k, CAST($PanelQueries AS BIGINT) AS n_queries,
+       |  n_exact, n_overlap_fixed, n_overlap_trained,
+       |  n_overlap_fixed * 1000 // greatest(n_exact, 1) AS recall_fixed_permille,
+       |  n_overlap_trained * 1000 // greatest(n_exact, 1) AS recall_trained_permille,
+       |  (n_overlap_trained * 1000 // greatest(n_exact, 1) >= $RecallFloorPermille)
+       |    AND (n_overlap_trained * 1000 // greatest(n_exact, 1)
+       |         >= n_overlap_fixed * 1000 // greatest(n_exact, 1)) AS certified
+       |FROM ne, nf, nt""".stripMargin
+  }
 
   // ---- int8 scalar quantization ---------------------------------------
 

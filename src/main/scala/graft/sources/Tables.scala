@@ -45,6 +45,11 @@ object Tables {
   def setReadConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // The defensive NTZ→LTZ cast in normalizeCol is a pure reinterpret
+    // ONLY under a UTC session timezone; on an external session left at
+    // a local zone the cast would shift instants by the zone offset.
+    // Runtime-settable, so pin it here with the other read confs.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   /** Normalize one possibly-odd timestamp column to `TimestampType`. */

@@ -201,6 +201,40 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("spherical kmeans: gate parity vs ref, unit centroids, monotone angular inertia") {
+    val emb = graft.sources.Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
+    val (cents, inertias) = Similarity.kmeansSphericalTrace(emb, 8, 3)
+    val vecs = emb.select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val (refCents, refInertias) = graft.operators.KMeansRef.sphericalTrace(vecs, 8, 3)
+    assert(cents.map(_.toSeq).toSeq === refCents.map(_.toSeq).toSeq)
+    assert(inertias.toSeq === refInertias.toSeq)
+    // unit centroids (6dp quantization perturbs the norm by ≤ ~1e-5·√64)
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"non-unit trained centroid, |c| = $n")
+    }
+    // spherical Lloyd: angular inertia never increases across iterations
+    inertias.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + Similarity.InertiaTolerance, s"inertia increased: $a -> $b")
+    }
+  }
+
+  test("trained-IVF panel audit: certified, and trained recall beats fixed on this corpus") {
+    val emb = graft.sources.Tables.load(spark, SparkTestBase.Sf001, "embeddings").cache()
+    val (cents, _) = Similarity.kmeansSphericalTrace(emb, 8, 3)
+    val fixedA = Similarity.ivfAssignments(emb).cache()
+    val trainedA = Similarity.ivfTrainedAssignments(emb, cents).cache()
+    val row = Similarity
+      .annRecallTrainedFrom(fixedA, trainedA, cents, emb, 20, 4)
+      .collect()(0)
+    val (fixedR, trainedR) = (row.getLong(5), row.getLong(6))
+    info(s"panel recall: fixed $fixedR‰, trained $trainedR‰")
+    assert(row.getBoolean(7), s"trained index not certified (fixed $fixedR, trained $trainedR)")
+    assert(trainedR >= fixedR)
+    emb.unpersist(); fixedA.unpersist(); trainedA.unpersist()
+  }
+
   test("kmeans gate parity: distributed centroids == pure-Scala KMeansRef at 6dp") {
     val emb = graft.sources.Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
     val sparkSide = Similarity.kmeansCentroidsTable(spark, emb, 4, 3)
