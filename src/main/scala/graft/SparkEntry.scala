@@ -294,11 +294,25 @@ object SparkEntry {
       TextClassifier.trainTable(s, Tables.load(s, dir, "documents"), 30, 10.0)
     }
 
-  private def clfWeights(s: SparkSession, dir: String): Array[Double] = {
-    val byTerm = clfTable(s, dir).collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    TextClassifier.FeatureNames.map(byTerm).toArray
+  /** The SERVING-space twin: same GD loop, same labeler, but over the
+    * hashed-token features [[TextAnalysis.classifierScore]] serves —
+    * the model you deploy is trained in the space you deploy it in.
+    */
+  private def clfHashedTable(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "clf_hashed", "30x10") {
+      TextClassifier.hashedTrainTable(s, Tables.load(s, dir, "documents"), 30, 10.0)
+    }
+
+  private def weightsFrom(table: DataFrame, names: Seq[String]): Array[Double] = {
+    val byTerm = table.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    names.map(byTerm).toArray
   }
+
+  private def clfWeights(s: SparkSession, dir: String): Array[Double] =
+    weightsFrom(clfTable(s, dir), TextClassifier.FeatureNames)
+
+  private def clfHashedWeights(s: SparkSession, dir: String): Array[Double] =
+    weightsFrom(clfHashedTable(s, dir), TextClassifier.HashedFeatureNames)
 
   /** Maximal cross-document duplicated spans — the gram explode + window
     * is the dominant cost, shared by dup_spans and dup_span_stats.
@@ -396,6 +410,7 @@ object SparkEntry {
       "kmeans_spherical" -> (() => kmeansSpherical(s, dir)),
       "ivf_trained" -> (() => ivfTrainedAssigned(s, dir)),
       "clf_train" -> (() => clfTable(s, dir)),
+      "clf_train_hashed" -> (() => clfHashedTable(s, dir)),
       "span_frame" -> (() => spanFrame(s, dir)),
       "span_frame_xx" -> (() => spanFrameXx(s, dir)),
       "bpe_merges" -> (() => bpeMergesCached(s, dir)),
@@ -816,6 +831,19 @@ object SparkEntry {
     // codegen (train offline, filter at ingest); same oracle
     "streaming_classifier_score" -> ((s, d) =>
       graft.streaming.StreamingViews.runClassifierScoreAvailableNow(s, d, clfWeights(s, d))),
+    // the SERVING feature space trained: same GD loop over the 16
+    // md5-bucket token frequencies the fixture scorer hashes into
+    // (+ bias + capped token count); oracle = pure-Scala ref VALUES
+    "classifier_train_hashed" -> ((s, d) => clfHashedTable(s, d)),
+    // corpus scored with the hashed-space weights — the per-token
+    // weight-lookup serving plan with DISTILLED weights in it
+    "classifier_score_hashed" -> ((s, d) =>
+      TextClassifier.hashedScoreTable(Tables.load(s, d, "documents"), clfHashedWeights(s, d))),
+    // accuracy-vs-labeler audit of both models, hashed must not lose:
+    // the feature-space upgrade is certified by the gate, not by prose
+    "classifier_compare" -> ((s, d) =>
+      TextClassifier.compareTable(
+        Tables.load(s, d, "documents"), clfWeights(s, d), clfHashedWeights(s, d))),
     "embedding_neardup_lsh" -> ((s, d) => lshPairs(s, d)),
     // the 12-bit band geometry (the measured log₂(n) width for the 10×
     // corpus — PERF.md) recall-certified on planted near-dup twins:
@@ -1949,50 +1977,122 @@ object SparkEntry {
         }
       out += ("dedup_minhash_lsh" -> lshSql)
     }
-    if (sel("classifier_train") || sel("classifier_score") || sel("streaming_classifier_score")) {
-      // ONE reference training feeds both classifier oracles (the
-      // bpe_merges/bpe_encode rule): the sequential reference
-      // recomputes labels AND features from the raw text (full
-      // independence; the docsFull collect boundary)
-      val (w, loss) = graft.operators.TextClassifierRef.train(docsFull.map(_._2), 30, 10.0)
-      val wr = w.map(Similarity.round6)
-      if (sel("classifier_train")) {
-        val rows = (graft.operators.TextClassifier.FeatureNames.zip(wr)
-          :+ ("log_loss" -> Similarity.round6(loss)))
+    val anyClf = Seq(
+      "classifier_train", "classifier_score", "streaming_classifier_score",
+      "classifier_train_hashed", "classifier_score_hashed", "classifier_compare")
+    if (anyClf.exists(sel)) {
+      // ONE reference training per feature space feeds every classifier
+      // oracle (the bpe_merges/bpe_encode rule): the sequential
+      // reference recomputes labels AND features from the raw text
+      // (full independence; the docsFull collect boundary)
+      lazy val (wChar, lossChar) =
+        graft.operators.TextClassifierRef.train(docsFull.map(_._2), 30, 10.0)
+      lazy val (wHash, lossHash) =
+        graft.operators.TextClassifierRef.trainHashed(docsFull.map(_._2), 30, 10.0)
+      def trainValuesSql(names: Seq[String], w: Array[Double], loss: Double): String = {
+        val rows = (names.zip(w.toSeq) :+ ("log_loss" -> Similarity.round6(loss)))
           .map { case (t, v) => s"(${q(t)}, $v)" }
           .mkString(", ")
-        out += ("classifier_train" ->
-          s"""WITH expected(term, value) AS (SELECT * FROM (VALUES $rows))
-             |SELECT term, CAST(value AS DOUBLE) AS value
-             |FROM expected ORDER BY term""".stripMargin)
+        s"""WITH expected(term, value) AS (SELECT * FROM (VALUES $rows))
+           |SELECT term, CAST(value AS DOUBLE) AS value
+           |FROM expected ORDER BY term""".stripMargin
       }
+      if (sel("classifier_train"))
+        out += ("classifier_train" ->
+          trainValuesSql(graft.operators.TextClassifier.FeatureNames, wChar, lossChar))
+      if (sel("classifier_train_hashed"))
+        out += ("classifier_train_hashed" ->
+          trainValuesSql(graft.operators.TextClassifier.HashedFeatureNames, wHash, lossHash))
+      // shared DuckDB fragments: char-ratio features, the tokenizing
+      // labeler, and the hashed-bucket index list
+      def zCharExpr(w: Array[Double]) =
+        s"${w(0)} * 1.0" +
+          s" + ${w(1)} * (least(len, 1000.0) / 1000.0)" +
+          s" + ${w(2)} * (nsp / len)" +
+          s" + ${w(3)} * (ne / len)" +
+          s" + ${w(4)} * (na / len)"
+      val charFeatCols =
+        """CAST(length(text) AS DOUBLE) AS len,
+          |         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS nsp,
+          |         CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE) AS ne,
+          |         CAST(length(text) - length(replace(text, 'a', '')) AS DOUBLE) AS na""".stripMargin
+      def zHashExpr(w: Array[Double]) =
+        (s"${w(0)} + ${w(1)} * (CAST(least(nt, 100) AS DOUBLE) / 100.0)" +:
+          (0 until 16).map(h =>
+            s"${w(h + 2)} * (CAST(len(list_filter(hidx, v -> v = $h)) AS DOUBLE) / CAST(nt AS DOUBLE))"))
+          .mkString(" + ")
+      val hashIdxSql =
+        "list_transform(toks, x -> strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1)"
       if (sel("classifier_score") || sel("streaming_classifier_score")) {
         // a REAL cross-engine twin, not a VALUES dump: DuckDB recomputes
         // the char-ratio features and the linear score from the same
         // rounded weight literals — multiply/add only, so the doubles
-        // agree bit-for-bit (same left association as scoreTable's fold)
-        val zExpr = s"${wr(0)} * 1.0" +
-          s" + ${wr(1)} * (least(len, 1000.0) / 1000.0)" +
-          s" + ${wr(2)} * (nsp / len)" +
-          s" + ${wr(3)} * (ne / len)" +
-          s" + ${wr(4)} * (na / len)"
+        // agree bit-for-bit (same left association as scoreTable's fold).
+        // The row filter is the EXPLICIT whitespace class (not a
+        // tokenize): scoring tokenizes nothing on either engine, and
+        // the class is spelled out because Java \s includes \x0B where
+        // RE2's does not.
         val scoreSql =
           s"""WITH f AS (
              |  SELECT doc_id,
-             |         CAST(length(text) AS DOUBLE) AS len,
-             |         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS nsp,
-             |         CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE) AS ne,
-             |         CAST(length(text) - length(replace(text, 'a', '')) AS DOUBLE) AS na
+             |         $charFeatCols
              |  FROM documents
              |  WHERE length(text) > 0
-             |    AND len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) > 0)
-             |SELECT doc_id, round($zExpr, 6) AS z, ($zExpr) >= 0.0 AS keep
+             |    AND regexp_matches(text, '${TextClassifier.NonWsClassSql}'))
+             |SELECT doc_id, round(${zCharExpr(wChar)}, 6) AS z, (${zCharExpr(wChar)}) >= 0.0 AS keep
              |FROM f ORDER BY doc_id""".stripMargin
         // stream == batch by construction for a stateless projection:
         // the deployed-filter entry replays the SAME oracle
         if (sel("classifier_score")) out += ("classifier_score" -> scoreSql)
         if (sel("streaming_classifier_score"))
           out += ("streaming_classifier_score" -> scoreSql)
+      }
+      if (sel("classifier_score_hashed"))
+        out += ("classifier_score_hashed" ->
+          s"""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+             |  FROM documents WHERE length(text) > 0),
+             |s AS (
+             |  SELECT doc_id, len(toks) AS nt, $hashIdxSql AS hidx
+             |  FROM t WHERE len(toks) > 0)
+             |SELECT doc_id, round(${zHashExpr(wHash)}, 6) AS z,
+             |       (${zHashExpr(wHash)}) >= 0.0 AS keep
+             |FROM s ORDER BY doc_id""".stripMargin)
+      if (sel("classifier_compare")) {
+        val stopList = TextAnalysis.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+        out += ("classifier_compare" ->
+          s"""WITH t AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+             |  FROM documents WHERE length(text) > 0),
+             |s AS (
+             |  SELECT doc_id, text, len(toks) AS nt,
+             |         len(list_filter(toks, x -> list_contains($stopList, x))) AS nstop,
+             |         $hashIdxSql AS hidx
+             |  FROM t WHERE len(toks) > 0),
+             |f AS (
+             |  SELECT doc_id, nt, nstop, hidx,
+             |         $charFeatCols,
+             |         CASE WHEN CAST(least(nt, 100) AS DOUBLE) / 100.0 *
+             |                   (1.0 - CAST(nstop AS DOUBLE) / CAST(nt AS DOUBLE)) >= 0.5
+             |              THEN 1.0 ELSE 0.0 END AS y
+             |  FROM s),
+             |d AS (
+             |  SELECT y,
+             |         CASE WHEN (${zCharExpr(wChar)}) >= 0.0 THEN 1.0 ELSE 0.0 END AS kc,
+             |         CASE WHEN (${zHashExpr(wHash)}) >= 0.0 THEN 1.0 ELSE 0.0 END AS kh
+             |  FROM f),
+             |c AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(coalesce(sum(CASE WHEN kc = y THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_agree_char,
+             |         CAST(coalesce(sum(CASE WHEN kh = y THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_agree_hashed
+             |  FROM d)
+             |SELECT n_docs, n_agree_char, n_agree_hashed,
+             |  n_agree_char * 1000 // greatest(n_docs, 1) AS acc_char_permille,
+             |  n_agree_hashed * 1000 // greatest(n_docs, 1) AS acc_hashed_permille,
+             |  n_agree_hashed * 1000 // greatest(n_docs, 1)
+             |    >= n_agree_char * 1000 // greatest(n_docs, 1) AS hashed_wins
+             |FROM c""".stripMargin)
       }
     }
     if (sel("kmeans_centroids") || sel("kmeans_inertia") || sel("kmeans_spherical") ||

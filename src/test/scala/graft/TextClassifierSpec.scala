@@ -41,6 +41,41 @@ class TextClassifierSpec extends AnyFunSuite {
     assert(l60 < l0)
   }
 
+  test("hashed space: gate parity vs ref, and the serving-space model beats char ratios") {
+    // parity: distributed hashed-feature GD == sequential ref at 6dp
+    val sparkSide = TextClassifier.hashedTrainTable(spark, docs, 30, 10.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val (wh, lossH) = TextClassifierRef.trainHashed(texts, 30, 10.0)
+    val refSide = (TextClassifier.HashedFeatureNames.zip(wh.toSeq)
+      :+ ("log_loss" -> Similarity.round6(lossH))).sortBy(_._1)
+    assert(sparkSide === refSide)
+    // the distillation claim, measured: the serving feature space
+    // (stopwords hash to fixed buckets, so the label's stopword term is
+    // expressible) agrees with the labeler at least as well as the
+    // 5-char-ratio model
+    val (wc, _) = TextClassifierRef.train(texts, 30, 10.0)
+    val row = TextClassifier.compareTable(docs, wc, wh).collect()(0)
+    info(s"labeler agreement: char ${row.getLong(3)}‰, hashed ${row.getLong(4)}‰")
+    assert(row.getBoolean(5), "hashed-space model lost to char ratios")
+  }
+
+  test("char-ratio scoring path never tokenizes (the distilled cost claim)") {
+    // the scoring filter is a regex probe equivalent to size(tokens)>0;
+    // assert row-set equality with the tokenizing labeler AND that the
+    // physical plan contains no split/filter-lambda over tokens
+    val (wc, _) = TextClassifierRef.train(texts, 30, 10.0)
+    val scored = TextClassifier.scoreTable(docs, wc)
+    val labeled = TextClassifier.labeledFeatures(docs).select("doc_id")
+    assert(
+      scored.select("doc_id").exceptAll(labeled).count() === 0L,
+      "scored a doc the labeler would drop")
+    assert(
+      labeled.exceptAll(scored.select("doc_id")).count() === 0L,
+      "dropped a doc the labeler keeps")
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("split("), s"scoring plan still tokenizes:\n$plan")
+  }
+
   test("labeledFeatures: label is the quality threshold, modulo 6dp rounding knife-edge") {
     import org.apache.spark.sql.functions._
     val lf = TextClassifier.labeledFeatures(docs).select(col("doc_id"), col("y"))
