@@ -23,7 +23,10 @@ import org.apache.spark.sql.SparkSession
   *      normalized_fingerprint); min-of-2 bounds a single stall's
   *      damage while both passes still execute the full plan against
   *      the noop sink. Raw per-pass sums are emitted as
-  *      `pass_totals` so the min is auditable.
+  *      `pass_totals` so the min is auditable, and the per-query
+  *      max−min across passes is emitted as `spread` — the same-run
+  *      variance band the regression tripwire uses to separate
+  *      multi-tenant box noise from a real plan change.
   *   `value` = setup total + Σ per-query min.
   *
   * Failures are NOT silently timed (VERDICT round 1 #4): a throwing
@@ -110,6 +113,7 @@ object Bench {
     val setupSec = setupTimes.values.sum
 
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val worst = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val passTotals = (1 to passes).map { _ =>
       var passSum = 0.0
@@ -120,6 +124,7 @@ object Bench {
           val sec = (System.nanoTime() - t0) / 1e9
           passSum += sec
           if (!best.get(name).exists(_ <= sec)) best(name) = sec
+          if (!worst.get(name).exists(_ >= sec)) worst(name) = sec
         } catch {
           case e: Throwable =>
             errors(name) = s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(160))}"
@@ -131,7 +136,12 @@ object Bench {
     // `queries`/`value` entirely (its lucky-pass min would undercount
     // the suite, and its failed pass contributed 0 s to that
     // pass_total, making the two views disagree — ADVICE round 4).
-    errors.keys.foreach(best.remove)
+    errors.keys.foreach { k => best.remove(k); worst.remove(k) }
+    // per-query same-run variance band (max pass − min pass), emitted
+    // so the regression tripwire (tools/bench_compare.py) can tell box
+    // noise from a real plan change: sketch_certify wandered 2.8→3.9 s
+    // across identical-code runs on this multi-tenant host (VERDICT r8)
+    val spread = best.map { case (k, mn) => k -> (worst(k) - mn) }
 
     // Locale.ROOT: "%.3f" under a comma-decimal default locale (e.g.
     // de_DE) would emit {"value":77,300} — invalid JSON
@@ -147,7 +157,8 @@ object Bench {
     val allErrors = setupErrors.map { case (k, v) => s"setup:$k" -> v } ++ errors
     println(
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-        s""""queries":${jmap(best)},"setup":${jmap(setupTimes)},""" +
+        s""""queries":${jmap(best)},"spread":${jmap(spread)},""" +
+        s""""setup":${jmap(setupTimes)},""" +
         s""""setup_sec":${num(setupSec)},""" +
         s""""setup_errors":${jerr(setupErrors)},""" +
         s""""passes":$passes,"pass_totals":[${passTotals.map(num).mkString(",")}],""" +

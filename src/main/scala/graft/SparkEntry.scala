@@ -823,7 +823,15 @@ object SparkEntry {
     // the 100 TB path: score EVERY doc with the certified rounded
     // weights — a narrow codegen projection (linear z, no exp: libm is
     // not bit-reproducible cross-engine); oracle = the same formula in
-    // DuckDB with the reference-trained rounded weights as literals
+    // DuckDB with the reference-trained rounded weights as literals.
+    // Residual knife edge: the z doubles are bit-identical by
+    // construction, but Spark round(z,6) (BigDecimal HALF_UP on the
+    // shortest decimal repr) and DuckDB round(z,6) (multiply-based) can
+    // in principle disagree when z lands within an ulp of a 6dp tie;
+    // features are small rationals of ≤6dp-quantized weights here, so
+    // no gate value sits on such a tie, but a regenerated corpus could
+    // in theory produce one — the failure mode is a loud hash mismatch,
+    // not silent corruption.
     "classifier_score" -> ((s, d) =>
       TextClassifier.scoreTable(Tables.load(s, d, "documents"), clfWeights(s, d))),
     // the same filter DEPLOYED on the stream: stateless append-mode

@@ -180,4 +180,36 @@ class HttpFacadeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code === 404)
     assert(json.get("errorCode").asInt === 404)
   }
+
+  test("concurrent serving: 200 GETs at concurrency 10 return one consistent envelope (sim_api_load.sh shape)") {
+    // the reference's load protocol (sim_api_load.sh:1-5): 200 identical
+    // snapshot GETs fanned out 10-wide against ONE server. Every
+    // response must be byte-identical — the facade is stateless over an
+    // immutable cached frame, so concurrency may not perturb a payload
+    // (a torn write, a shared-buffer race, or an executor rejection
+    // would each surface as a differing body or a non-200).
+    val path =
+      s"/api/airquality/signup/aggregate/avg/snapshot?ts=$snapTsMs" +
+        s"&src=tiles&res=day&gh_precision=6&bbox=51.31,4.31,51.17,4.50"
+    val (c0, expected) = get(path) // warm: JIT + first Spark job untimed
+    assert(c0 === 200)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(10)
+    val t0 = System.nanoTime()
+    val futures = (1 to 200).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[(Int, JsonNode)] {
+        def call(): (Int, JsonNode) = get(path)
+      })
+    }
+    val results = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    val sec = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    assert(results.forall(_._1 == 200))
+    assert(results.forall(_._2 == expected), "a concurrent response diverged from the sequential envelope")
+    val rps = 200.0 / sec
+    info(f"200 requests, concurrency 10: $sec%.2f s -> $rps%.1f req/s")
+    // generous floor: catches an accidental serialization of the pool
+    // (e.g. a global lock making concurrency-10 run 1-wide at seconds
+    // per request), not a perf target for the multi-tenant box
+    assert(rps > 1.0, f"throughput collapsed: $rps%.2f req/s")
+  }
 }

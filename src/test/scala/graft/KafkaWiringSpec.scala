@@ -61,7 +61,19 @@ class KafkaWiringSpec extends AnyFunSuite {
     assert(out === Map("a" -> 1000L, "b" -> 9000L))
   }
 
+  /** Does Spark's data-source registry resolve "kafka" in this JVM?
+    * True exactly when the connector jar is on the classpath.
+    */
+  private def kafkaProviderResolves: Boolean =
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource("kafka", spark.sessionState.conf)
+      true
+    } catch { case _: Throwable => false }
+
   test("readings() fails ONLY at the provider lookup in this container") {
+    assume(!kafkaProviderResolves,
+      "SKIPPED: connector present in this deployment — the live-path test below covers it")
     // proves the composed wiring reaches Spark's data-source resolution:
     // the one remaining untestable surface here is the connector jar
     // itself, not any graft code
@@ -69,5 +81,36 @@ class KafkaWiringSpec extends AnyFunSuite {
       KafkaSource.readings(spark, "broker:9092", "readings"))
     assert(e.getMessage.toLowerCase.contains("kafka"),
       s"expected a missing-kafka-provider error, got: ${e.getMessage.take(200)}")
+  }
+
+  test("LIVE kafka path: readings() lights up with ZERO code change when the connector resolves") {
+    // Risk-register closure probe (VERDICT r8 #7). The exact dependency
+    // this sandbox lacks is org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2
+    // (plus its transitive kafka-clients) — drop those jars on the
+    // classpath and this test arms itself; until then it reports
+    // canceled (SKIPPED) with that coordinate, never silently green.
+    assume(kafkaProviderResolves,
+      "SKIPPED: kafka provider absent — needs org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 on the classpath (zero-egress sandbox has no connector jar)")
+    // provider resolves: the composed source must now analyze as a
+    // streaming frame with the post-serde reading schema — the exact
+    // surface KafkaWiringSpec could previously only prove AROUND
+    val df = KafkaSource.readings(spark, "broker:9092", "readings")
+    assert(df.isStreaming)
+    assert(df.columns.toSeq === Seq("metric", "ts", "value", "geohash", "sourceId"))
+    // full end-to-end (broker required) is opt-in via env: set
+    // SPARK_GRAFT_KAFKA_BOOTSTRAP (+ optional SPARK_GRAFT_KAFKA_TOPIC)
+    // to point at a live broker carrying reading JSON and the query
+    // must deliver parsed rows through the identical downstream plan
+    sys.env.get("SPARK_GRAFT_KAFKA_BOOTSTRAP").foreach { bs =>
+      val topic = sys.env.getOrElse("SPARK_GRAFT_KAFKA_TOPIC", "readings")
+      val q = KafkaSource.readings(spark, bs, topic)
+        .writeStream.format("memory").queryName("kafka_live")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(spark.table("kafka_live").count() > 0,
+        s"connector resolved and broker $bs reachable but no rows arrived on '$topic'")
+    }
   }
 }
