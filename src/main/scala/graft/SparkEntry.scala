@@ -814,6 +814,18 @@ object SparkEntry {
         Tables.load(s, d, "embeddings"),
         20,
         4)),
+    // the trained index SERVED FROM STORAGE: write the assignments
+    // partitionBy(bucket) — the 100 TB layout where each coarse cell is
+    // a partition directory — and answer the same (k=20, nprobe=4)
+    // probe from the files; the bucket IN-list prunes at file level
+    // (SimilaritySpec asserts numFiles == probed directories' files)
+    // and the oracle recomputes everything from raw embeddings, so the
+    // round-trip must be result-invisible
+    "ann_ivf_stored" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString
+      Similarity.ivfStoreWrite(ivfTrainedAssigned(s, d), path)
+      Similarity.ivfStoredTopK(s, kmeansSpherical(s, d)._1, 20, 4, path)
+    }),
     // quality-filter DISTILLATION: logistic regression trained by
     // full-batch GD, each iteration one scan + one 7-double agg (the
     // kmeans contract); label = the tokenizing quality labeler,
@@ -847,6 +859,12 @@ object SparkEntry {
     // weight-lookup serving plan with DISTILLED weights in it
     "classifier_score_hashed" -> ((s, d) =>
       TextClassifier.hashedScoreTable(Tables.load(s, d, "documents"), clfHashedWeights(s, d))),
+    // the hashed model DEPLOYED on the stream: the per-row hash-count
+    // projection is stateless, so the serving-space model filters at
+    // ingest under append-mode incremental execution — train in the
+    // space you deploy, deploy in the space you trained; same oracle
+    "streaming_classifier_score_hashed" -> ((s, d) =>
+      graft.streaming.StreamingViews.runClassifierScoreHashedAvailableNow(s, d, clfHashedWeights(s, d))),
     // accuracy-vs-labeler audit of both models, hashed must not lose:
     // the feature-space upgrade is certified by the gate, not by prose
     "classifier_compare" -> ((s, d) =>
@@ -1479,6 +1497,28 @@ object SparkEntry {
         .groupBy(col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
         .orderBy(col("pack_id"))
+    }),
+    // the pipeline with the TRAINED filter in it: the hashed-space
+    // classifier (distilled from the labeler, certified by
+    // classifier_train_hashed) replaces the heuristic quality stage —
+    // train → deploy → curate → pack as ONE composed plan; dedup,
+    // decontamination and packing stages are shared with
+    // corpus_pipeline, so the delta under test is exactly the model
+    "corpus_pipeline_trained" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val kept = TextClassifier
+        .hashedScoreUnordered(docs, clfHashedWeights(s, d))
+        .filter(col("keep")).select(col("doc_id"))
+      val deduped = Dedup.exact(docs)
+      val dirty = Decontamination.contaminatedFrom(docGrams5(s, d)).select(col("doc_id"))
+      val surv = docs
+        .join(kept, "doc_id")
+        .join(deduped, "doc_id")
+        .join(dirty, Seq("doc_id"), "left_anti")
+      Packing.packAssignments(surv)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .orderBy(col("pack_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1987,7 +2027,9 @@ object SparkEntry {
     }
     val anyClf = Seq(
       "classifier_train", "classifier_score", "streaming_classifier_score",
-      "classifier_train_hashed", "classifier_score_hashed", "classifier_compare")
+      "classifier_train_hashed", "classifier_score_hashed",
+      "streaming_classifier_score_hashed", "classifier_compare",
+      "corpus_pipeline_trained")
     if (anyClf.exists(sel)) {
       // ONE reference training per feature space feeds every classifier
       // oracle (the bpe_merges/bpe_encode rule): the sequential
@@ -2055,8 +2097,8 @@ object SparkEntry {
         if (sel("streaming_classifier_score"))
           out += ("streaming_classifier_score" -> scoreSql)
       }
-      if (sel("classifier_score_hashed"))
-        out += ("classifier_score_hashed" ->
+      if (sel("classifier_score_hashed") || sel("streaming_classifier_score_hashed")) {
+        val hashedScoreSql =
           s"""WITH t AS (
              |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
              |  FROM documents WHERE length(text) > 0),
@@ -2065,7 +2107,43 @@ object SparkEntry {
              |  FROM t WHERE len(toks) > 0)
              |SELECT doc_id, round(${zHashExpr(wHash)}, 6) AS z,
              |       (${zHashExpr(wHash)}) >= 0.0 AS keep
-             |FROM s ORDER BY doc_id""".stripMargin)
+             |FROM s ORDER BY doc_id""".stripMargin
+        // stream == batch by construction for a stateless projection:
+        // the deployed hashed filter replays the SAME oracle
+        if (sel("classifier_score_hashed"))
+          out += ("classifier_score_hashed" -> hashedScoreSql)
+        if (sel("streaming_classifier_score_hashed"))
+          out += ("streaming_classifier_score_hashed" -> hashedScoreSql)
+      }
+      if (sel("corpus_pipeline_trained"))
+        // the corpus_pipeline replay with the TRAINED hashed filter as
+        // its quality stage: DuckDB recomputes tokenization, hashed
+        // features, the keep decision from the certified weights, then
+        // the shared dedup/decontaminate/pack stages
+        out += ("corpus_pipeline_trained" ->
+          s"""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+             |  FROM documents WHERE length(text) > 0),
+             |sc AS (
+             |  SELECT doc_id, len(toks) AS nt, $hashIdxSql AS hidx
+             |  FROM t WHERE len(toks) > 0),
+             |kq AS (SELECT doc_id FROM sc WHERE (${zHashExpr(wHash)}) >= 0.0),
+             |k AS (${graft.operators.Dedup.ExactSql}),
+             |dirty AS (${graft.operators.Decontamination.contaminatedSql()}),
+             |surv AS (
+             |  SELECT d.doc_id,
+             |         CAST(len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+             |  FROM documents d
+             |  JOIN kq USING (doc_id) JOIN k USING (doc_id)
+             |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)),
+             |s AS (
+             |  SELECT doc_id, n_toks,
+             |         CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             |  FROM surv)
+             |SELECT cum_before // ${graft.operators.Packing.PackBudget} AS pack_id,
+             |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)
       if (sel("classifier_compare")) {
         val stopList = TextAnalysis.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
         out += ("classifier_compare" ->
@@ -2104,7 +2182,7 @@ object SparkEntry {
       }
     }
     if (sel("kmeans_centroids") || sel("kmeans_inertia") || sel("kmeans_spherical") ||
-      sel("ann_ivf_trained")) {
+      sel("ann_ivf_trained") || sel("ann_ivf_stored")) {
       // oracle generation: collecting the embeddings at correctness
       // scale (500×64 floats at sf0.01) feeds the sequential references —
       // the same boundary as docsFull above, never part of a query plan.
@@ -2142,7 +2220,7 @@ object SparkEntry {
                |FROM expected ORDER BY iter""".stripMargin)
         }
       }
-      if (sel("kmeans_spherical") || sel("ann_ivf_trained")) {
+      if (sel("kmeans_spherical") || sel("ann_ivf_trained") || sel("ann_ivf_stored")) {
         val (sphCents, _) =
           graft.operators.KMeansRef.sphericalTrace(vecs, KmeansK, KmeansIters)
         if (sel("kmeans_spherical"))
@@ -2152,6 +2230,11 @@ object SparkEntry {
           // index, and the trained index (centroids as literals) and
           // recomputes both recalls from its own rankings
           out += ("ann_ivf_trained" -> Similarity.annRecallTrainedSql(sphCents, 20, 4))
+        if (sel("ann_ivf_stored"))
+          // DuckDB recomputes assignment + probe + ranking from raw
+          // embeddings: Spark's parquet round-trip and file-level
+          // partition pruning must be result-invisible
+          out += ("ann_ivf_stored" -> Similarity.ivfTopKTrainedSql(sphCents, 20, 4))
       }
     }
     if (sel("bpe_merges") || sel("bpe_encode")) {

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{FloatDotConstExpr, FloatDotSelfExpr}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
@@ -663,6 +663,32 @@ object Similarity {
       nprobe: Int): DataFrame =
     probeTopK(assigned, probedBucketsFor(cents, nprobe), k, QueryVec)
 
+  // ---- stored IVF index (bucket = the partition key at scale) --------
+
+  /** Persist the IVF index PARTITIONED BY BUCKET — the 100 TB layout
+    * the PERF notes promise: each coarse cell is its own partition
+    * directory, so a probe's `bucket IN (...)` predicate prunes at FILE
+    * level and a search touches nprobe/k of the corpus bytes without
+    * any shuffle or index structure beyond the directory tree.
+    */
+  def ivfStoreWrite(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Answer the multi-probe top-k FROM STORAGE: read the persisted
+    * index and rank within the probed buckets. The `isin` filter lands
+    * in the scan's PartitionFilters (spec-asserted: only the probed
+    * bucket directories' files are read), and the ranking math is
+    * [[ivfTopKTrainedFrom]]'s — storage must be invisible in the
+    * result, which is exactly what the shared oracle checks.
+    */
+  def ivfStoredTopK(
+      spark: SparkSession,
+      cents: Array[Array[Double]],
+      k: Int,
+      nprobe: Int,
+      path: String): DataFrame =
+    probeTopK(spark.read.parquet(path), probedBucketsFor(cents, nprobe), k, QueryVec)
+
   /** Near-duplicate pairs via sign-LSH: candidates = pairs agreeing on
     * ≥1 of [[LshBands]] bands (equi-join per band, NEVER all-pairs),
     * verified with exact cosine ≥ `threshold`. Candidate generation is
@@ -962,6 +988,26 @@ object Similarity {
     val probes = probedBuckets(nprobe).mkString(", ")
     s"""WITH s AS (SELECT vec_id, embedding,\n  $sims\nFROM embeddings),
        |b AS (SELECT vec_id, embedding, ${bucketCase(Centroids.length)} AS bucket FROM s)
+       |SELECT vec_id, round(sim, 6) AS sim FROM (
+       |  SELECT vec_id, ${cosineToQuery(DuckDialect, "embedding")} AS sim
+       |  FROM b WHERE bucket IN ($probes))
+       |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** [[ivfTopKProbedSql]] generalized to TRAINED centroid literals —
+    * the oracle of the stored-index probe (`ann_ivf_stored`): DuckDB
+    * recomputes assignment + probe + ranking from the raw embeddings,
+    * so the Spark side's parquet round-trip and partition pruning must
+    * be result-invisible. The probe IN-list comes from the same
+    * [[probedBucketsFor]] both engines share.
+    */
+  def ivfTopKTrainedSql(cents: Array[Array[Double]], k: Int, nprobe: Int): String = {
+    val sims = cents.zipWithIndex
+      .map { case (c, j) => s"${DuckDialect.dotConst("embedding", c)} AS s$j" }
+      .mkString(",\n  ")
+    val probes = probedBucketsFor(cents, nprobe).mkString(", ")
+    s"""WITH s AS (SELECT vec_id, embedding,\n  $sims\nFROM embeddings),
+       |b AS (SELECT vec_id, embedding, ${bucketCase(cents.length)} AS bucket FROM s)
        |SELECT vec_id, round(sim, 6) AS sim FROM (
        |  SELECT vec_id, ${cosineToQuery(DuckDialect, "embedding")} AS sim
        |  FROM b WHERE bucket IN ($probes))

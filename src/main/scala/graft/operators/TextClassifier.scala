@@ -224,7 +224,16 @@ object TextClassifier {
     * inherent to this space (the features are token-bucket counts);
     * the cheap-filter trade lives in the char-ratio scorer above.
     */
-  def hashedScoreTable(docs: DataFrame, w: Array[Double]): DataFrame = {
+  def hashedScoreTable(docs: DataFrame, w: Array[Double]): DataFrame =
+    hashedScoreUnordered(docs, w).orderBy(col("doc_id"))
+
+  /** [[hashedScoreTable]] without the presentation sort — like
+    * [[scoreUnordered]], a pure stateless projection (per-row hash
+    * counts are an expression, not an explode+agg), so the hashed
+    * serving plan deploys on a STREAMING frame in append mode with no
+    * state store: the trained-in-serving-space model at ingest.
+    */
+  def hashedScoreUnordered(docs: DataFrame, w: Array[Double]): DataFrame = {
     require(w.length == HashedDim, s"need $HashedDim weights, got ${w.length}")
     val stop = docs
       .filter(length(col("text")) > 0)
@@ -237,9 +246,7 @@ object TextClassifier {
       acc + lit(w(h + 2)) *
         (element_at(col("hc"), h + 1).cast("double") / col("nt").cast("double"))
     }
-    stop
-      .select(col("doc_id"), round(z, 6).as("z"), (z >= 0.0).as("keep"))
-      .orderBy(col("doc_id"))
+    stop.select(col("doc_id"), round(z, 6).as("z"), (z >= 0.0).as("keep"))
   }
 
   /** Train on `docs` (the "sample" at test scale), round the weights,

@@ -235,6 +235,36 @@ class SimilaritySpec extends AnyFunSuite {
     emb.unpersist(); fixedA.unpersist(); trainedA.unpersist()
   }
 
+  test("stored IVF: probe answered from files, byte-equal to in-memory, partitions PRUNED") {
+    val emb = graft.sources.Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
+    val (cents, _) = Similarity.kmeansSphericalTrace(emb, 8, 3)
+    val assigned = Similarity.ivfTrainedAssignments(emb, cents)
+    val path = java.nio.file.Files.createTempDirectory("ivf_store_spec").toString
+    Similarity.ivfStoreWrite(assigned, path)
+    val stored = Similarity.ivfStoredTopK(spark, cents, 20, 4, path)
+    val rows = stored.collect() // execute so scan metrics populate
+    // storage must be result-invisible: parquet round-trip + pruning
+    // change nothing vs the in-memory trained probe
+    assert(rows.toSeq === Similarity.ivfTopKTrainedFrom(assigned, cents, 20, 4).collect().toSeq)
+    // file-level pruning: the executed scan reads EXACTLY the files
+    // under the 4 probed bucket directories, not the other 4
+    val scan = stored.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val probes = Similarity.probedBucketsFor(cents, 4).toSet
+    def filesUnder(buckets: Iterable[Int]): Int = buckets.toSeq.map { b =>
+      val d = new java.io.File(s"$path/bucket=$b")
+      Option(d.listFiles).toSeq.flatten.count(_.getName.endsWith(".parquet"))
+    }.sum
+    val filesInProbed = filesUnder(probes)
+    val filesTotal = filesUnder(0 until 8)
+    val numFiles = scan.metrics("numFiles").value
+    info(s"scan read $numFiles of $filesTotal files ($filesInProbed in probed dirs)")
+    assert(scan.partitionFilters.nonEmpty, "bucket IN-list did not reach PartitionFilters")
+    assert(numFiles === filesInProbed.toLong, "scan did not prune to the probed bucket directories")
+    assert(numFiles < filesTotal.toLong, "nothing was pruned — all bucket directories were read")
+  }
+
   test("kmeans gate parity: distributed centroids == pure-Scala KMeansRef at 6dp") {
     val emb = graft.sources.Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
     val sparkSide = Similarity.kmeansCentroidsTable(spark, emb, 4, 3)

@@ -59,6 +59,15 @@ class TextClassifierSpec extends AnyFunSuite {
     assert(row.getBoolean(5), "hashed-space model lost to char ratios")
   }
 
+  test("hashed model deployed on the stream == batch scoring (stateless append)") {
+    val (wh, _) = TextClassifierRef.trainHashed(texts, 30, 10.0)
+    val streamed = graft.streaming.StreamingViews
+      .runClassifierScoreHashedAvailableNow(spark, Sf0001, wh).collect()
+    val batch = TextClassifier.hashedScoreTable(docs, wh).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("char-ratio scoring path never tokenizes (the distilled cost claim)") {
     // the scoring filter is a regex probe equivalent to size(tokens)>0;
     // assert row-set equality with the tokenizing labeler AND that the

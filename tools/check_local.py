@@ -4,7 +4,12 @@ run graft.Verify at a given SF, run each oracle_sql.json entry in DuckDB
 over the same parquet tables, and compare (columns sorted by name,
 rows sorted, exact value compare + float max-diff report).
 
-Usage: python3 tools/check_local.py [sfDir] [outDir] [--skip-verify]
+Usage: python3 tools/check_local.py [sfDir] [outDir] [--skip-verify] [--json PATH]
+
+--json PATH writes the per-query replay verdicts as a committed-able
+artifact ({"sf": ..., "queries": {name: {"ok": bool, "rows": n,
+"detail": ...}}, "ok": n, "fail": n}) — VERDICT r8 #4: the dual-SF
+hash-replay claim must be an artifact in-tree, not prose.
 """
 import json, sys, glob, os, subprocess
 
@@ -12,6 +17,10 @@ import duckdb
 import pandas as pd
 
 _pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+JSON_OUT = None
+if "--json" in sys.argv:
+    JSON_OUT = sys.argv[sys.argv.index("--json") + 1]
+    if JSON_OUT in _pos: _pos.remove(JSON_OUT)
 SF = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.01"
 OUT = _pos[1] if len(_pos) > 1 else "/tmp/verify_out"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -32,23 +41,28 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 ok = fail = 0
+report = {}
 for name in sorted(oracle):
     sql = oracle[name]
     res_dir = f"{OUT}/{name}"
     files = glob.glob(f"{res_dir}/*.parquet")
     if not files:
-        print(f"FAIL {name}: no spark result written"); fail += 1; continue
+        print(f"FAIL {name}: no spark result written"); fail += 1
+        report[name] = {"ok": False, "detail": "no spark result written"}; continue
     try:
         mine = pd.read_parquet(res_dir)
         want = con.execute(sql).fetchdf()
     except Exception as e:
-        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}"); fail += 1; continue
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}"); fail += 1
+        report[name] = {"ok": False, "detail": f"{type(e).__name__}: {str(e)[:200]}"}; continue
     mine = mine[sorted(mine.columns)]
     want = want[sorted(want.columns)]
     if list(mine.columns) != list(want.columns):
-        print(f"FAIL {name}: columns {list(mine.columns)} != {list(want.columns)}"); fail += 1; continue
+        print(f"FAIL {name}: columns {list(mine.columns)} != {list(want.columns)}"); fail += 1
+        report[name] = {"ok": False, "detail": f"columns {list(mine.columns)} != {list(want.columns)}"}; continue
     if len(mine) != len(want):
-        print(f"FAIL {name}: rows {len(mine)} != {len(want)}"); fail += 1; continue
+        print(f"FAIL {name}: rows {len(mine)} != {len(want)}"); fail += 1
+        report[name] = {"ok": False, "detail": f"rows {len(mine)} != {len(want)}"}; continue
     mine = mine.sort_values(by=list(mine.columns)).reset_index(drop=True)
     want = want.sort_values(by=list(want.columns)).reset_index(drop=True)
     mismatch = []
@@ -84,7 +98,14 @@ for name in sorted(oracle):
             mismatch.append(f"{c}: compare error {e}")
     if mismatch:
         print(f"FAIL {name}: " + "; ".join(mismatch[:4])); fail += 1
+        report[name] = {"ok": False, "rows": len(mine), "detail": "; ".join(mismatch[:4])}
     else:
         print(f"OK   {name}: {len(mine)} rows x {len(mine.columns)} cols"); ok += 1
+        report[name] = {"ok": True, "rows": len(mine), "cols": len(mine.columns)}
 print(f"\n{ok} ok, {fail} fail")
+if JSON_OUT:
+    with open(JSON_OUT, "w") as f:
+        json.dump({"sf": SF, "n": ok + fail, "ok": ok, "fail": fail,
+                   "queries": report}, f, indent=1, sort_keys=True)
+    print(f"wrote {JSON_OUT}")
 sys.exit(1 if fail else 0)
