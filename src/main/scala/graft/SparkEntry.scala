@@ -225,6 +225,26 @@ object SparkEntry {
         lshCands(s, dir), Tables.load(s, dir, "embeddings"), 0.4)
     }
 
+  /** 12-bit (log₂ n)-scaled signature frame — the PRODUCTION band
+    * geometry for the 10× corpus (PERF.md: 8→12 bits cuts sf1
+    * candidates 7.19M → 574k). Cached separately from the pinned 8-bit
+    * frame so the scaled consumers (`knn_join_lsh12`,
+    * `semantic_decontaminate12`) share one build.
+    */
+  private def lshSig12(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "lsh_sig", "8x12") {
+      Similarity.lshBanded(Tables.load(s, dir, "embeddings"), rowsPerBand = 12)
+    }
+
+  /** Distinct candidate pairs at the 12-bit geometry — the frame whose
+    * size is the whole point of the width dial: candidates ≈
+    * bands·n²/2^bits, so +4 bits divides the quadratic term by 16.
+    */
+  private def lshCands12(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "lsh_cands", "8x12") {
+      Similarity.bandCandidates(lshSig12(s, dir))
+    }
+
   /** IVF coarse-quantizer assignments (8 centroid dots per vector) —
     * shared by ann_buckets and ann_ivf_topk.
     */
@@ -405,6 +425,8 @@ object SparkEntry {
       "lsh_sig" -> (() => lshSig(s, dir)),
       "lsh_cands" -> (() => lshCands(s, dir)),
       "lsh_pairs" -> (() => lshPairs(s, dir)),
+      "lsh_sig12" -> (() => lshSig12(s, dir)),
+      "lsh_cands12" -> (() => lshCands12(s, dir)),
       "ivf_assign" -> (() => ivfAssigned(s, dir)),
       "kmeans_train" -> (() => kmeansTrained(s, dir)),
       "kmeans_spherical" -> (() => kmeansSpherical(s, dir)),
@@ -881,11 +903,23 @@ object SparkEntry {
     // band candidate join; per-vector row_number window, never all-pairs
     "knn_join_lsh" -> ((s, d) =>
       Similarity.knnJoinFromCands(lshCands(s, d), Tables.load(s, d, "embeddings"), 3)),
+    // the SAME k-NN consumer at the 12-bit production geometry — the
+    // round-9 full-suite 10× run measured the pinned-8-bit twin at
+    // 26.6× (quadratic candidates); this entry proves the width dial
+    // COMPOSES into the consumer, oracle-checked (same SQL, wider bands)
+    "knn_join_lsh12" -> ((s, d) =>
+      Similarity.knnJoinFromCands(lshCands12(s, d), Tables.load(s, d, "embeddings"), 3)),
     // embedding-space decontamination: cross-set LSH join (train × eval
     // split), the semantic counterpart of n-gram decontaminate
     "semantic_decontaminate" -> ((s, d) =>
       Similarity.semanticDecontaminateFromSig(
         lshSig(s, d), Tables.load(s, d, "embeddings"), 0.35)),
+    // cross-set decontamination at the 12-bit geometry — the round-9
+    // 10× run caught the 8-bit twin at 12.8× (same quadratic-candidate
+    // root cause as knn_join_lsh); width dial composed + oracle-checked
+    "semantic_decontaminate12" -> ((s, d) =>
+      Similarity.semanticDecontaminateFromSig(
+        lshSig12(s, d), Tables.load(s, d, "embeddings"), 0.35)),
     // semantic dedup composed end-to-end: sign-LSH near-dup pairs feed
     // the same connected-components clustering as the text dedup family
     "semantic_clusters" -> ((s, d) => Dedup.clusters(lshPairs(s, d))),
@@ -1726,7 +1760,9 @@ object SparkEntry {
     "embedding_neardup_lsh" -> Similarity.lshNearDupSql(0.4),
     "embedding_neardup_lsh12" -> Similarity.lshPlantedRecallSql(12),
     "knn_join_lsh" -> Similarity.knnJoinSql(3),
+    "knn_join_lsh12" -> Similarity.knnJoinSql(3, rowsPerBand = 12),
     "semantic_decontaminate" -> Similarity.semanticDecontaminateSql(0.35),
+    "semantic_decontaminate12" -> Similarity.semanticDecontaminateSql(0.35, rowsPerBand = 12),
     "q4_semi" ->
       """SELECT o_orderpriority, count(*) AS order_count FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)

@@ -834,11 +834,13 @@ object Similarity {
   }
 
   /** DuckDB twin of [[knnJoinFrom]]: same candidates, same unrounded
-    * ranking key.
+    * ranking key. `rowsPerBand` selects the band geometry — the gate
+    * entry replays the production (log₂ n)-scaled width as well as the
+    * pinned reference width, so the scale dial stays oracle-checked.
     */
-  def knnJoinSql(k: Int): String = {
+  def knnJoinSql(k: Int, rowsPerBand: Int = LshRowsPerBand): String = {
     val bands = (0 until LshBands)
-      .map(b => s"${bandExpr(DuckDialect, "embedding", b)} AS band$b")
+      .map(b => s"${bandExpr(DuckDialect, "embedding", b, rowsPerBand)} AS band$b")
       .mkString(",\n  ")
     val cands = (0 until LshBands)
       .map(b =>
@@ -906,10 +908,14 @@ object Similarity {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
-  /** DuckDB twin: same bands, same cross-set candidates, same verify. */
-  def semanticDecontaminateSql(threshold: Double): String = {
+  /** DuckDB twin: same bands, same cross-set candidates, same verify.
+    * `rowsPerBand` selects the band geometry (see [[knnJoinSql]]).
+    */
+  def semanticDecontaminateSql(
+      threshold: Double,
+      rowsPerBand: Int = LshRowsPerBand): String = {
     val bands = (0 until LshBands)
-      .map(b => s"${bandExpr(DuckDialect, "embedding", b)} AS band$b")
+      .map(b => s"${bandExpr(DuckDialect, "embedding", b, rowsPerBand)} AS band$b")
       .mkString(",\n  ")
     val cands = (0 until LshBands)
       .map(b =>

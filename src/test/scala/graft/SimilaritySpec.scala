@@ -321,6 +321,71 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.find(r => r._1 == 1L && r._2 == 1L).map(_._3) === Some(0L))
   }
 
+  test("knnJoin at the 12-bit production geometry: pairs are band candidates, sims exact, planted pair kept") {
+    val rnd = new scala.util.Random(11)
+    val base = baseVec(rnd)
+    val near = perturb(base, 0.97, rnd)
+    val d = toDf(Seq(0L -> base, 1L -> near) ++ (2L until 40L).map(i => i -> baseVec(rnd)))
+    val sig12 = Similarity.lshBanded(d, rowsPerBand = 12)
+    val cands = Similarity.bandCandidates(sig12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.knnJoinFromCands(Similarity.bandCandidates(sig12), d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // every emitted neighbor is a (symmetrized) 12-bit band candidate
+    out.foreach { case (a, b, _) =>
+      assert(cands.contains((math.min(a, b), math.max(a, b))), s"($a,$b) not a 12-bit candidate")
+    }
+    // sims are the exact cosine recomputed off-Spark (approximation
+    // lives ONLY in candidate generation, never in the ranking math)
+    val vecs = d.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    out.foreach { case (a, b, sim) =>
+      val (va, vb) = (vecs(a), vecs(b))
+      val dot = va.indices.foldLeft(0.0)((s, i) => s + va(i).toDouble * vb(i).toDouble)
+      val exact = dot / (math.sqrt(va.foldLeft(0.0)((s, x) => s + x.toDouble * x)) *
+        math.sqrt(vb.foldLeft(0.0)((s, x) => s + x.toDouble * x)))
+      assert(math.abs(sim - exact) < 1e-5, s"sim for ($a,$b): $sim vs exact $exact")
+    }
+    // the cos~0.97 planted pair survives the wider geometry (the
+    // 12-bit planted-recall floor measured in embedding_neardup_lsh12)
+    assert(out.exists(r => r._1 == 0L && r._2 == 1L), "planted pair lost at 12 bits")
+  }
+
+  test("semanticDecontaminate at 12 bits: subset of exact cross-set pairs, planted leak kept") {
+    val rnd = new scala.util.Random(21)
+    val evalVec = baseVec(rnd)
+    val leaked = perturb(evalVec, 0.96, rnd)
+    val rows =
+      Seq((0L, evalVec, 0), (1L, perturb(evalVec, 0.97, rnd), 0), (10L, leaked, 3)) ++
+        (11L until 40L).map(i => (i, baseVec(rnd), (i % 9 + 1).toInt))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("label", IntegerType, nullable = false)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, v, l) => org.apache.spark.sql.Row(id, v.toSeq, l) }, 4),
+      schema)
+    val flagged = Similarity
+      .semanticDecontaminateFromSig(Similarity.lshBanded(d, rowsPerBand = 12), d, 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exact brute-force cross-set pairs ≥ threshold, off-Spark
+    val vecs = rows.map(t => t._1 -> t._2).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+      dot / (math.sqrt(a.foldLeft(0.0)((s, x) => s + x.toDouble * x)) *
+        math.sqrt(b.foldLeft(0.0)((s, x) => s + x.toDouble * x)))
+    }
+    val exact = (for {
+      (t, _, lt) <- rows if lt != 0
+      (e, _, le) <- rows if le == 0
+      if cos(vecs(t), vecs(e)) >= 0.9
+    } yield (t, e)).toSet
+    assert(flagged.toSet.subsetOf(exact), s"false positive: ${flagged.toSet -- exact}")
+    assert(flagged.contains((10L, 0L)), s"planted leak missed at 12 bits: ${flagged.toSeq}")
+  }
+
   test("semanticDecontaminate: planted train copy of an eval vector is flagged; eval-eval pairs never are") {
     val rnd = new scala.util.Random(21)
     val evalVec = baseVec(rnd)
