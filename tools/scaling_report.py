@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""10x scaling report: compare a Bench JSON line at sf0.1 with one at
+sf1 (the ScaleUp fixture) and emit the per-query ratio table for
+PERF.md.
+
+Ratio semantics (sf1 sec / sf0.1 sec) on a fixed local[32] box:
+  ~1    the extra data was absorbed by existing parallelism headroom
+  ~10   linear work, no headroom left (shuffle- or CPU-saturated)
+  >10   SUPER-LINEAR: the operator's work grows faster than its input
+        (quadratic candidate generation, unguarded skew, driver
+        materialization) — this is the line the round must explain or
+        fix. The threshold is deliberately the scale factor itself:
+        anything <= 10x is at worst linear.
+
+Usage: python3 tools/scaling_report.py SF01.json SF1.json [--md]
+"""
+import json, signal, sys
+
+# default SIGPIPE so `... | head` truncates quietly instead of tracebacking
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+
+SUPER = 10.0  # the scale factor: ratios above this are super-linear
+
+def load(path):
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict) and "queries" in doc:
+            return doc
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    raise SystemExit(f"no Bench JSON line in {path}")
+
+a, b = load(sys.argv[1]), load(sys.argv[2])
+md = "--md" in sys.argv
+qa, qb = a["queries"], b["queries"]
+sa, sb = a.get("setup", {}), b.get("setup", {})
+
+missing = sorted(set(qa) ^ set(qb))
+if missing:
+    print(f"WARNING: suites differ on {missing}")
+
+ratios = {k: qb[k] / qa[k] for k in qa if k in qb and qa[k] > 0}
+setup_ratios = {k: sb[k] / sa[k] for k in sa if k in sb and sa[k] > 0}
+
+buckets = [
+    ("<= 1.2 (absorbed by parallelism)", lambda r: r <= 1.2),
+    ("1.2 - 2.2 (sub-linear)", lambda r: 1.2 < r <= 2.2),
+    ("2.2 - 4 (shuffle-bound, still sub-linear)", lambda r: 2.2 < r <= 4),
+    (f"4 - {SUPER:.0f} (near-linear)", lambda r: 4 < r <= SUPER),
+    (f"> {SUPER:.0f} (SUPER-LINEAR)", lambda r: r > SUPER),
+]
+
+qs01 = sum(qa.values()); qs1 = sum(qb.values())
+st01 = sum(sa.values()); st1 = sum(sb.values())
+print(f"queries: {len(ratios)} common; query-sum {qs01:.1f} -> {qs1:.1f} s "
+      f"({qs1 / qs01:.2f}x); setup {st01:.1f} -> {st1:.1f} s "
+      f"({st1 / st01 if st01 else 0:.2f}x); "
+      f"total {(qs01 + st01):.1f} -> {(qs1 + st1):.1f} s "
+      f"({(qs1 + st1) / (qs01 + st01):.2f}x)")
+import statistics
+print(f"median query ratio {statistics.median(ratios.values()):.2f}; "
+      f"super-linear (> {SUPER:.0f}x): "
+      f"{sorted(k for k, r in ratios.items() if r > SUPER) or 'none'}")
+print()
+
+if md:
+    print("| ratio | queries |")
+    print("|---|---|")
+for title, pred in buckets:
+    members = sorted(((k, r) for k, r in ratios.items() if pred(r)),
+                     key=lambda x: x[1])
+    if not members:
+        continue
+    body = ", ".join(f"{k} {r:.2f}" for k, r in members)
+    if md:
+        print(f"| {title} | {body} |")
+    else:
+        print(f"== {title} ==\n{body}\n")
+
+sup_setup = sorted(((k, r) for k, r in setup_ratios.items() if r > 4),
+                   key=lambda x: -x[1])
+if sup_setup:
+    print("\nsetup builds > 4x: "
+          + ", ".join(f"{k} {r:.1f}x ({sa[k]:.2f}->{sb[k]:.2f}s)"
+                      for k, r in sup_setup))
+sys.exit(0)
