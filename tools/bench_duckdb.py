@@ -37,6 +37,14 @@ HEADLINE = [
     "dedup_simhash_pairs_w32", "embedding_neardup_lsh12",
     "streaming_sessions_append", "multimodal_jpeg_pixels",
     "classifier_score",
+    # round-9 additions with REAL recomputing SQL (not VALUES):
+    "ann_ivf_trained", "ann_ivf_stored", "classifier_score_hashed",
+    "classifier_compare", "semantic_decontaminate",
+    "knn_join_lsh12", "semantic_decontaminate12",
+    # streaming_classifier_score_hashed intentionally absent: its
+    # oracle IS classifier_score_hashed's SQL (stream==batch
+    # certificate), already anchored; kmeans_* / classifier_train* use
+    # pure-Scala-ref VALUES oracles, not real queries
     # streaming_anomalies intentionally absent: its oracle IS the
     # value_anomalies SQL (stream==batch certificate), already anchored;
     # streaming_dedup_update likewise (its oracle IS dedup_exact's SQL);
