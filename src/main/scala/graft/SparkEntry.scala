@@ -1553,6 +1553,41 @@ object SparkEntry {
         .groupBy(col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
         .orderBy(col("pack_id"))
+    }),
+    // the pipeline with every EXACT stage swapped for its APPROXIMATE
+    // scale twin — the shape a 100 TB curation run actually takes:
+    // NEAR-DUP canonical selection (PPJoin-filtered Jaccard clusters,
+    // quality-elected survivor per cluster) replaces exact dedup, and
+    // 12-bit SEMANTIC decontamination (embedding-space leakage, the
+    // production band width) replaces the n-gram join; the trained
+    // hashed-space filter stays. Embeddings are keyed by the document
+    // id (vec_id) in this fixture; docs without an embedding pass the
+    // decon stage untouched. Every stage rides a shared cache
+    // (ngram_pairs, lsh_sig12, clf_train_hashed) and each is the SAME
+    // operator its standalone gate entry certifies — this entry
+    // certifies their composition.
+    "corpus_pipeline_fuzzy" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val kept = TextClassifier
+        .hashedScoreUnordered(docs, clfHashedWeights(s, d))
+        .filter(col("keep")).select(col("doc_id"))
+      val nonSurvivors = Dedup
+        .canonicalMap(ngramClusters(s, d), TextAnalysis.qualityScore(docs))
+        .filter(col("is_survivor") === 0)
+        .select(col("doc_id"))
+      val dirty = Similarity
+        .semanticDecontaminateFromSig(
+          lshSig12(s, d), Tables.load(s, d, "embeddings"), 0.35)
+        .select(col("train_id").as("doc_id"))
+        .distinct()
+      val surv = docs
+        .join(kept, "doc_id")
+        .join(nonSurvivors, Seq("doc_id"), "left_anti")
+        .join(dirty, Seq("doc_id"), "left_anti")
+      Packing.packAssignments(surv)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .orderBy(col("pack_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -2065,7 +2100,7 @@ object SparkEntry {
       "classifier_train", "classifier_score", "streaming_classifier_score",
       "classifier_train_hashed", "classifier_score_hashed",
       "streaming_classifier_score_hashed", "classifier_compare",
-      "corpus_pipeline_trained")
+      "corpus_pipeline_trained", "corpus_pipeline_fuzzy")
     if (anyClf.exists(sel)) {
       // ONE reference training per feature space feeds every classifier
       // oracle (the bpe_merges/bpe_encode rule): the sequential
@@ -2172,6 +2207,44 @@ object SparkEntry {
              |  FROM documents d
              |  JOIN kq USING (doc_id) JOIN k USING (doc_id)
              |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)),
+             |s AS (
+             |  SELECT doc_id, n_toks,
+             |         CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             |  FROM surv)
+             |SELECT cum_before // ${graft.operators.Packing.PackBudget} AS pack_id,
+             |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)
+      if (sel("corpus_pipeline_fuzzy"))
+        // the fuzzy replay: DuckDB recomputes the trained hashed keep
+        // decision, the PPJoin-cluster canonical map (recursive-CTE
+        // closure + quality election), and the 12-bit cross-set
+        // decontamination flags, then the shared packing stage — the
+        // whole approximate pipeline re-derived from raw tables
+        out += ("corpus_pipeline_fuzzy" ->
+          s"""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+             |  FROM documents WHERE length(text) > 0),
+             |sc AS (
+             |  SELECT doc_id, len(toks) AS nt, $hashIdxSql AS hidx
+             |  FROM t WHERE len(toks) > 0),
+             |kq AS (SELECT doc_id FROM sc WHERE (${zHashExpr(wHash)}) >= 0.0),
+             |cmap AS (
+             |  ${graft.operators.Dedup.canonicalMapSql(
+                  graft.operators.Dedup.clustersSql(
+                    graft.operators.Dedup.ngramJaccardSql(3, 0.8)),
+                  TextAnalysis.QualityScoreSql)}),
+             |nonsurv AS (SELECT doc_id FROM cmap WHERE is_survivor = 0),
+             |dirty AS (
+             |  SELECT DISTINCT train_id AS doc_id
+             |  FROM (${Similarity.semanticDecontaminateSql(0.35, rowsPerBand = 12)})),
+             |surv AS (
+             |  SELECT d.doc_id,
+             |         CAST(len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+             |  FROM documents d
+             |  JOIN kq USING (doc_id)
+             |  WHERE d.doc_id NOT IN (SELECT doc_id FROM nonsurv)
+             |    AND d.doc_id NOT IN (SELECT doc_id FROM dirty)),
              |s AS (
              |  SELECT doc_id, n_toks,
              |         CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id

@@ -29,6 +29,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy pipeline == independent composition of its stage operators (sf0.001)") {
+    // the composed plan must agree with driver-side set algebra over the
+    // STANDALONE operators' collected outputs — a different code path
+    // through the same semantics (joins+anti-joins vs Set ops)
+    val d = Sf0001
+    val docsT = Tables.load(spark, d, "documents")
+    val entry = SparkEntry.queries("corpus_pipeline_fuzzy")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val kept = SparkEntry.queries("classifier_score_hashed")(spark, d)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val nonSurv = SparkEntry.queries("dedup_canonical_map")(spark, d)
+      .filter(col("is_survivor") === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val dirty = SparkEntry.queries("semantic_decontaminate12")(spark, d)
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    val survivors = docsT.select("doc_id").collect().map(_.getLong(0)).toSet
+      .intersect(kept) -- nonSurv -- dirty
+    assert(entry.map(_._2).sum === survivors.size.toLong,
+      s"pipeline n_docs ${entry.map(_._2).sum} != composed survivor count ${survivors.size}")
+    // pack ids contiguous from 0, every pack non-empty
+    assert(entry.map(_._1).toSeq == entry.indices.map(_.toLong))
+    assert(entry.forall(_._2 > 0))
+    // and the dedup stage actually binds on this corpus (else the test
+    // would pass vacuously with nothing dropped)
+    assert(nonSurv.nonEmpty, "fixture carries no near-dup clusters — stage untested")
+  }
+
   test("prefix-filtered Jaccard pairs == unfiltered (PPJoin filter is exact)") {
     val basic = Dedup.ngramJaccardPairs(docs, 3, 0.8)
       .collect().map(_.toSeq).sortBy(_.mkString("|"))
