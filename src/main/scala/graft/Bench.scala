@@ -81,6 +81,13 @@ object Bench {
       .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // `*_canary8` entries are DELIBERATE scale-killers (the pinned 8-bit
+    // LSH geometry kept as regression canaries — VERDICT r9): they run
+    // and are reported under `canaries`, but their time is SEGREGATED
+    // from `value`/`queries`/`pass_totals` so the headline total never
+    // carries known-quadratic time, and a canary blow-up reads as canary
+    // growth, not suite regression.
+    def isCanary(name: String): Boolean = name.endsWith("_canary8")
 
     // setup phase: shared caches, timed explicitly, and — like the
     // per-query protocol — run `passes` times with the per-build MIN
@@ -114,6 +121,7 @@ object Bench {
 
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val worst = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val canaryBest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val passTotals = (1 to passes).map { _ =>
       var passSum = 0.0
@@ -122,9 +130,13 @@ object Bench {
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
-          passSum += sec
-          if (!best.get(name).exists(_ <= sec)) best(name) = sec
-          if (!worst.get(name).exists(_ >= sec)) worst(name) = sec
+          if (isCanary(name)) {
+            if (!canaryBest.get(name).exists(_ <= sec)) canaryBest(name) = sec
+          } else {
+            passSum += sec
+            if (!best.get(name).exists(_ <= sec)) best(name) = sec
+            if (!worst.get(name).exists(_ >= sec)) worst(name) = sec
+          }
         } catch {
           case e: Throwable =>
             errors(name) = s"${e.getClass.getSimpleName}: ${esc(String.valueOf(e.getMessage).take(160))}"
@@ -136,7 +148,7 @@ object Bench {
     // `queries`/`value` entirely (its lucky-pass min would undercount
     // the suite, and its failed pass contributed 0 s to that
     // pass_total, making the two views disagree — ADVICE round 4).
-    errors.keys.foreach { k => best.remove(k); worst.remove(k) }
+    errors.keys.foreach { k => best.remove(k); worst.remove(k); canaryBest.remove(k) }
     // per-query same-run variance band (max pass − min pass), emitted
     // so the regression tripwire (tools/bench_compare.py) can tell box
     // noise from a real plan change: sketch_certify wandered 2.8→3.9 s
@@ -155,15 +167,35 @@ object Bench {
     // setup failures appear in `errors` too (prefixed) so that
     // n_errors == len(errors) always holds for consumers
     val allErrors = setupErrors.map { case (k, v) => s"setup:$k" -> v } ++ errors
-    println(
+    val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""queries":${jmap(best)},"spread":${jmap(spread)},""" +
+        s""""canaries":${jmap(canaryBest)},"canary_sec":${num(canaryBest.values.sum)},""" +
         s""""setup":${jmap(setupTimes)},""" +
         s""""setup_sec":${num(setupSec)},""" +
         s""""setup_errors":${jerr(setupErrors)},""" +
         s""""passes":$passes,"pass_totals":[${passTotals.map(num).mkString(",")}],""" +
         s"""$onlyField"n_queries":${selected.size},""" +
-        s""""errors":${jerr(allErrors)},"n_errors":${allErrors.size},"sf":"${esc(sfDir)}"}""")
+        s""""errors":${jerr(allErrors)},"n_errors":${allErrors.size},"sf":"${esc(sfDir)}"}"""
+    println(line)
+    // ALSO write the line to a file, atomically (tmp + rename in the
+    // same directory): the driver's stdout tail-capture truncated
+    // BENCH_r09 mid-line and the round's structured data was lost to it
+    // (VERDICT r9 #6). SPARK_GRAFT_BENCH_OUT overrides the destination.
+    try {
+      val outPath = java.nio.file.Paths
+        .get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+        .toAbsolutePath
+      val tmp = java.nio.file.Files.createTempFile(outPath.getParent, ".bench_out", ".tmp")
+      java.nio.file.Files.writeString(tmp, line + "\n")
+      java.nio.file.Files.move(
+        tmp, outPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Throwable => // stdout already carries the line; file is best-effort
+        System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     SparkEntry.clearCaches(spark) // release sf-sized MEMORY_AND_DISK frames
     SparkEntry.shutdownHttp() // non-daemon server threads block JVM exit
     spark.stop()

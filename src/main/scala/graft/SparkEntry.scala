@@ -197,32 +197,44 @@ object SparkEntry {
       Dedup.ngramJaccardPairsPrefixFrom(docShingles(s, dir), 0.8)
     }
 
-  /** Sign-LSH signature frame (16 interpreted sign-sums per vector) —
-    * cached so the candidate self-join in embedding_neardup_lsh reads it
-    * twice instead of re-deriving the sums 8×.
+  /** AUTO band width for this (session, sf): bits = max(8, ceil(log₂ n))
+    * from one cheap corpus count — the default geometry every headline
+    * LSH consumer now rides (round-9 verdict #1; the pinned 8-bit
+    * geometry survives only in the segregated `*_canary8` entries).
     */
-  private def lshSig(s: SparkSession, dir: String): DataFrame =
-    cachedView(s, dir, "lsh_sig", "4x4") {
-      Similarity.lshBanded(Tables.load(s, dir, "embeddings"))
+  private[graft] def autoW(s: SparkSession, dir: String): Int =
+    Similarity.autoRowsPerBand(Tables.load(s, dir, "embeddings").count())
+
+  /** Sign-LSH signature frame at the AUTO width — cached so the
+    * candidate self-join reads it twice instead of re-deriving the
+    * sign-plane sums per join side. The cache key carries the chosen
+    * width, so an sf switch within one session rebuilds correctly.
+    */
+  private def lshSigAuto(s: SparkSession, dir: String): DataFrame = {
+    val w = autoW(s, dir)
+    cachedView(s, dir, "lsh_sig", s"auto$w") {
+      Similarity.lshBanded(Tables.load(s, dir, "embeddings"), rowsPerBand = w)
+    }
+  }
+
+  /** Distinct band-candidate pairs at the auto width — the self-join
+    * output shared by the verified near-dup pairs and the clustering
+    * consumer (two longs per row; ≈ bands·n rows by construction of the
+    * width rule).
+    */
+  private def lshCandsAuto(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "lsh_cands", "auto") {
+      Similarity.bandCandidates(lshSigAuto(s, dir))
     }
 
-  /** Distinct band-candidate pairs — the self-join output shared by the
-    * verified near-dup pairs AND the k-NN join (two longs per row;
-    * without this cache each consumer re-runs the same self-join).
+  /** Verified sign-LSH near-dup pairs at the auto width — shared by
+    * `embedding_neardup_lsh` and `semantic_clusters` (the clustering
+    * would otherwise re-run the whole candidate join + exact verify).
     */
-  private def lshCands(s: SparkSession, dir: String): DataFrame =
-    cachedView(s, dir, "lsh_cands", "8x8") {
-      Similarity.bandCandidates(lshSig(s, dir))
-    }
-
-  /** Verified sign-LSH near-dup pairs — shared by `embedding_neardup_lsh`
-    * and `semantic_clusters` (the clustering would otherwise re-run the
-    * whole candidate join + exact verify).
-    */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame =
-    cachedView(s, dir, "lsh_pairs", "0.4") {
+  private def lshPairsAuto(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "lsh_pairs", "auto0.4") {
       Similarity.lshNearDupPairsFromCands(
-        lshCands(s, dir), Tables.load(s, dir, "embeddings"), 0.4)
+        lshCandsAuto(s, dir), Tables.load(s, dir, "embeddings"), 0.4)
     }
 
   /** 12-bit (log₂ n)-scaled signature frame — the PRODUCTION band
@@ -302,6 +314,28 @@ object SparkEntry {
     cachedView(s, dir, "ivf_trained", s"${KmeansK}x$KmeansIters") {
       Similarity.ivfTrainedAssignments(
         Tables.load(s, dir, "embeddings"), kmeansSpherical(s, dir)._1)
+    }
+
+  /** STALE spherical training — centroids trained on yesterday's corpus
+    * (the even-vec_id half stands in for the pre-growth crawl) for the
+    * drift certificate: the grown corpus bucketed on old centroids is
+    * exactly what an incrementally-maintained store serves between
+    * retrains.
+    */
+  private def kmeansSphericalStale(s: SparkSession, dir: String): (Array[Array[Double]], Array[Double]) =
+    kmeansTraceCached(s, s"sph_stale:$dir") {
+      Similarity.kmeansSphericalTrace(
+        Tables.load(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(2)) === 0),
+        KmeansK, KmeansIters)
+    }
+
+  /** Full corpus bucketed on the STALE centroids — the served-index
+    * geometry the drift audit scores against a fresh retrain.
+    */
+  private def ivfStaleAssigned(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "ivf_stale", s"${KmeansK}x$KmeansIters") {
+      Similarity.ivfTrainedAssignments(
+        Tables.load(s, dir, "embeddings"), kmeansSphericalStale(s, dir)._1)
     }
 
   /** One GD training (30 iters, lr 10) feeds BOTH classifier entries:
@@ -422,15 +456,17 @@ object SparkEntry {
       "md5_sig16" -> (() => mdSig16(s, dir)),
       "xx_sig16" -> (() => xxSig16(s, dir)),
       "ngram_pairs" -> (() => ngramPairs(s, dir)),
-      "lsh_sig" -> (() => lshSig(s, dir)),
-      "lsh_cands" -> (() => lshCands(s, dir)),
-      "lsh_pairs" -> (() => lshPairs(s, dir)),
+      "lsh_sig_auto" -> (() => lshSigAuto(s, dir)),
+      "lsh_cands_auto" -> (() => lshCandsAuto(s, dir)),
+      "lsh_pairs_auto" -> (() => lshPairsAuto(s, dir)),
       "lsh_sig12" -> (() => lshSig12(s, dir)),
       "lsh_cands12" -> (() => lshCands12(s, dir)),
       "ivf_assign" -> (() => ivfAssigned(s, dir)),
       "kmeans_train" -> (() => kmeansTrained(s, dir)),
       "kmeans_spherical" -> (() => kmeansSpherical(s, dir)),
+      "kmeans_spherical_stale" -> (() => kmeansSphericalStale(s, dir)),
       "ivf_trained" -> (() => ivfTrainedAssigned(s, dir)),
+      "ivf_stale" -> (() => ivfStaleAssigned(s, dir)),
       "clf_train" -> (() => clfTable(s, dir)),
       "clf_train_hashed" -> (() => clfHashedTable(s, dir)),
       "span_frame" -> (() => spanFrame(s, dir)),
@@ -848,6 +884,42 @@ object SparkEntry {
       Similarity.ivfStoreWrite(ivfTrainedAssigned(s, d), path)
       Similarity.ivfStoredTopK(s, kmeansSpherical(s, d)._1, 20, 4, path)
     }),
+    // INCREMENTAL index maintenance certified result-invisible: write
+    // the store from 4/5 of the corpus, upsert the remaining fifth as a
+    // daily batch (only its buckets' partitions rewritten — the MERGE
+    // pattern applied to the index; SimilaritySpec asserts untouched
+    // directories byte-identical), then answer a probe from the merged
+    // store. The oracle recomputes assignment + probe + ranking over
+    // the FULL corpus from raw embeddings, so stored+appended must
+    // equal a full rebuild exactly
+    "ann_ivf_incremental" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = kmeansSpherical(s, d)._1
+      val base = Similarity.ivfTrainedAssignments(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), cents)
+      val batch = Similarity.ivfTrainedAssignments(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), cents)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_incr").toString
+      Similarity.ivfStoreWrite(base, path)
+      Similarity.ivfStoreUpsert(s, batch, path)
+      Similarity.ivfStoredTopK(s, cents, 15, 3, path)
+    }),
+    // centroid-drift certificate: the grown corpus bucketed on STALE
+    // centroids (trained on the even-vec_id half — yesterday's crawl)
+    // vs a fresh retrain, panel recall@20 at the same probe budget;
+    // `retrain` fires when stale trails fresh by >50‰ (the documented
+    // trigger). Both centroid tables come from the gate-certified
+    // spherical trainer; the oracle replays every ranking from raw
+    // embeddings with both tables as literals
+    "ann_ivf_drift" -> ((s, d) =>
+      Similarity.ivfDriftAudit(
+        ivfStaleAssigned(s, d),
+        ivfTrainedAssigned(s, d),
+        kmeansSphericalStale(s, d)._1,
+        kmeansSpherical(s, d)._1,
+        Tables.load(s, d, "embeddings"),
+        20,
+        4)),
     // quality-filter DISTILLATION: logistic regression trained by
     // full-batch GD, each iteration one scan + one 7-double agg (the
     // kmeans contract); label = the tokenizing quality labeler,
@@ -892,37 +964,65 @@ object SparkEntry {
     "classifier_compare" -> ((s, d) =>
       TextClassifier.compareTable(
         Tables.load(s, d, "documents"), clfWeights(s, d), clfHashedWeights(s, d))),
-    "embedding_neardup_lsh" -> ((s, d) => lshPairs(s, d)),
+    // verified near-dup pairs at the AUTO band width (bits = max(8,
+    // ceil(log₂ n)) — the default geometry since round 10; the oracle
+    // replays the chosen width via oracleSqlFor's own corpus count)
+    "embedding_neardup_lsh" -> ((s, d) => lshPairsAuto(s, d)),
     // the 12-bit band geometry (the measured log₂(n) width for the 10×
     // corpus — PERF.md) recall-certified on planted near-dup twins:
     // both engines replay the twins and BOTH band widths exactly, and
     // the wide geometry must clear the recall floor (ann_recall pattern)
     "embedding_neardup_lsh12" -> ((s, d) =>
       Similarity.lshPlantedRecall(Tables.load(s, d, "embeddings"), wideRowsPerBand = 12)),
-    // approximate k-NN join: top-3 neighbors per vector from the SAME
-    // band candidate join; per-vector row_number window, never all-pairs
-    "knn_join_lsh" -> ((s, d) =>
-      Similarity.knnJoinFromCands(lshCands(s, d), Tables.load(s, d, "embeddings"), 3)),
+    // the PUBLIC k-NN join entry point end-to-end: one cheap count picks
+    // the band width, candidates stay ≈ bands·n at any corpus size.
+    // Deliberately NOT cache-assisted — this entry times the whole auto
+    // path (count + signatures + candidate join + verify + rank) so the
+    // scaling table measures what a user of `knnJoin` actually pays
+    "knn_join_lsh_auto" -> ((s, d) =>
+      Similarity.knnJoin(Tables.load(s, d, "embeddings"), 3)),
     // the SAME k-NN consumer at the 12-bit production geometry — the
     // round-9 full-suite 10× run measured the pinned-8-bit twin at
     // 26.6× (quadratic candidates); this entry proves the width dial
     // COMPOSES into the consumer, oracle-checked (same SQL, wider bands)
     "knn_join_lsh12" -> ((s, d) =>
       Similarity.knnJoinFromCands(lshCands12(s, d), Tables.load(s, d, "embeddings"), 3)),
-    // embedding-space decontamination: cross-set LSH join (train × eval
-    // split), the semantic counterpart of n-gram decontaminate
-    "semantic_decontaminate" -> ((s, d) =>
-      Similarity.semanticDecontaminateFromSig(
-        lshSig(s, d), Tables.load(s, d, "embeddings"), 0.35)),
+    // REGRESSION CANARY (not a recommended configuration): the k-NN join
+    // pinned at 8 bits regardless of corpus size — candidates ≈
+    // bands·n²/2^8, QUADRATIC by construction; kept oracle-gated so the
+    // known-bad geometry stays measured (its 10× blow-up is the signal
+    // that the auto default matters). Self-contained: builds its own
+    // signature frame, shares no cache with the headline suite, and
+    // Bench segregates `*_canary8` timings out of the headline total
+    "knn_join_lsh_canary8" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.knnJoinFrom(Similarity.lshBanded(emb), emb, 3)
+    }),
+    // embedding-space decontamination at the production shape: eval =
+    // the PINNED benchmark split (fixed vec_id prefix), train = the
+    // whole growing corpus, band width auto-selected — cost is linear
+    // in train data (the round-9 2.2×-at-10×-train measurement, now a
+    // gated entry). Public API end-to-end, same no-cache rationale as
+    // knn_join_lsh_auto
+    "semantic_decontaminate_prod" -> ((s, d) =>
+      Similarity.semanticDecontaminateProd(Tables.load(s, d, "embeddings"), 0.35)),
     // cross-set decontamination at the 12-bit geometry — the round-9
     // 10× run caught the 8-bit twin at 12.8× (same quadratic-candidate
-    // root cause as knn_join_lsh); width dial composed + oracle-checked
+    // root cause as the knn canary); width dial composed + oracle-checked
     "semantic_decontaminate12" -> ((s, d) =>
       Similarity.semanticDecontaminateFromSig(
         lshSig12(s, d), Tables.load(s, d, "embeddings"), 0.35)),
-    // semantic dedup composed end-to-end: sign-LSH near-dup pairs feed
-    // the same connected-components clustering as the text dedup family
-    "semantic_clusters" -> ((s, d) => Dedup.clusters(lshPairs(s, d))),
+    // REGRESSION CANARY: label-split decontamination pinned at 8 bits —
+    // same quadratic-candidate geometry as knn_join_lsh_canary8, same
+    // segregation (self-contained build, out of the headline total)
+    "semantic_decontaminate_canary8" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.semanticDecontaminateFromSig(Similarity.lshBanded(emb), emb, 0.35)
+    }),
+    // semantic dedup composed end-to-end: sign-LSH near-dup pairs (auto
+    // width) feed the same connected-components clustering as the text
+    // dedup family
+    "semantic_clusters" -> ((s, d) => Dedup.clusters(lshPairsAuto(s, d))),
     // ---- streaming: one-shot AvailableNow run of the view builder;
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
@@ -1792,11 +1892,14 @@ object SparkEntry {
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "ann_recall" -> Similarity.annRecallSql(20, 4),
     "embedding_quantize" -> Similarity.QuantizeAuditSql,
-    "embedding_neardup_lsh" -> Similarity.lshNearDupSql(0.4),
+    // embedding_neardup_lsh / semantic_clusters / knn_join_lsh_auto /
+    // semantic_decontaminate_prod ride the AUTO band width, which
+    // depends on the corpus count — their oracles are emitted by
+    // oracleSqlFor (which computes the same count)
     "embedding_neardup_lsh12" -> Similarity.lshPlantedRecallSql(12),
-    "knn_join_lsh" -> Similarity.knnJoinSql(3),
+    "knn_join_lsh_canary8" -> Similarity.knnJoinSql(3),
     "knn_join_lsh12" -> Similarity.knnJoinSql(3, rowsPerBand = 12),
-    "semantic_decontaminate" -> Similarity.semanticDecontaminateSql(0.35),
+    "semantic_decontaminate_canary8" -> Similarity.semanticDecontaminateSql(0.35),
     "semantic_decontaminate12" -> Similarity.semanticDecontaminateSql(0.35, rowsPerBand = 12),
     "q4_semi" ->
       """SELECT o_orderpriority, count(*) AS order_count FROM orders
@@ -2029,7 +2132,7 @@ object SparkEntry {
     "winnow_pairs" -> Winnowing.sharedFingerprintPairsSql(),
     "source_report" -> CorpusSignals.SourceReportSql,
     "lang_source_chi2" -> CorpusSignals.LangSourceChi2Sql,
-    "semantic_clusters" -> Dedup.clustersSql(Similarity.lshNearDupSql(0.4)),
+    // semantic_clusters: auto-width — oracle emitted by oracleSqlFor
     "pack_assign" -> Packing.packAssignmentsSql(),
     "containment_pairs" -> Dedup.containmentSql(3, 0.8),
     "corpus_pipeline" ->
@@ -2081,6 +2184,24 @@ object SparkEntry {
       .toSeq
     def q(s: String) = "'" + s.replace("'", "''") + "'"
     var out = oracleSql
+    // AUTO-width LSH family: the oracle replays the SAME width the Spark
+    // side auto-selects — both sides derive it from the corpus count via
+    // Similarity.autoRowsPerBand, so the selection rule itself is under
+    // the gate (a drifted rule = a different geometry = hash mismatch)
+    if (sel("embedding_neardup_lsh") || sel("semantic_clusters") ||
+      sel("knn_join_lsh_auto") || sel("semantic_decontaminate_prod")) {
+      val w = autoW(spark, dir)
+      if (sel("embedding_neardup_lsh"))
+        out += ("embedding_neardup_lsh" -> Similarity.lshNearDupSql(0.4, rowsPerBand = w))
+      if (sel("semantic_clusters"))
+        out += ("semantic_clusters" ->
+          Dedup.clustersSql(Similarity.lshNearDupSql(0.4, rowsPerBand = w)))
+      if (sel("knn_join_lsh_auto"))
+        out += ("knn_join_lsh_auto" -> Similarity.knnJoinSql(3, rowsPerBand = w))
+      if (sel("semantic_decontaminate_prod"))
+        out += ("semantic_decontaminate_prod" ->
+          Similarity.semanticDecontaminateProdSql(0.35, w))
+    }
     if (sel("dedup_minhash_lsh")) {
       val pairs = graft.operators.MinHashRef.lshPairs(docsFull.map(t => (t._1, t._2)), 3, 16, 4, 0.5)
       val lshSql =
@@ -2291,7 +2412,8 @@ object SparkEntry {
       }
     }
     if (sel("kmeans_centroids") || sel("kmeans_inertia") || sel("kmeans_spherical") ||
-      sel("ann_ivf_trained") || sel("ann_ivf_stored")) {
+      sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
+      sel("ann_ivf_incremental") || sel("ann_ivf_drift")) {
       // oracle generation: collecting the embeddings at correctness
       // scale (500×64 floats at sf0.01) feeds the sequential references —
       // the same boundary as docsFull above, never part of a query plan.
@@ -2329,7 +2451,8 @@ object SparkEntry {
                |FROM expected ORDER BY iter""".stripMargin)
         }
       }
-      if (sel("kmeans_spherical") || sel("ann_ivf_trained") || sel("ann_ivf_stored")) {
+      if (sel("kmeans_spherical") || sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
+        sel("ann_ivf_incremental") || sel("ann_ivf_drift")) {
         val (sphCents, _) =
           graft.operators.KMeansRef.sphericalTrace(vecs, KmeansK, KmeansIters)
         if (sel("kmeans_spherical"))
@@ -2344,6 +2467,20 @@ object SparkEntry {
           // embeddings: Spark's parquet round-trip and file-level
           // partition pruning must be result-invisible
           out += ("ann_ivf_stored" -> Similarity.ivfTopKTrainedSql(sphCents, 20, 4))
+        if (sel("ann_ivf_incremental"))
+          // the FULL-corpus replay: the incrementally-maintained store
+          // (base write + batch upsert) must serve the same ranking a
+          // from-scratch rebuild would
+          out += ("ann_ivf_incremental" -> Similarity.ivfTopKTrainedSql(sphCents, 15, 3))
+        if (sel("ann_ivf_drift")) {
+          // stale centroids: the reference trainer on the even-vec_id
+          // half (yesterday's crawl), same machinery the kmeans gates
+          // certify — both engines' drift audit uses ITS OWN side's
+          // trainer output, so trainer parity is re-proven in-gate
+          val (staleCents, _) = graft.operators.KMeansRef.sphericalTrace(
+            vecs.filter(_._1 % 2 == 0), KmeansK, KmeansIters)
+          out += ("ann_ivf_drift" -> Similarity.ivfDriftAuditSql(staleCents, sphCents, 20, 4))
+        }
       }
     }
     if (sel("bpe_merges") || sel("bpe_encode")) {
