@@ -276,9 +276,25 @@ object StreamingViews {
   def runSessionsAvailableNow(
       spark: SparkSession,
       sfDir: String,
-      gapSeconds: Long): DataFrame = {
+      gapSeconds: Long): DataFrame =
+    runSessionsInstrumented(spark, sfDir, gapSeconds, None)._1
+
+  /** [[runSessionsAvailableNow]] with micro-batch instrumentation:
+    * `maxFilesPerTrigger` caps each trigger's input (forcing a genuinely
+    * multi-batch incremental run over a multi-file source) and the
+    * per-batch durations (ms, from the query's progress log) come back
+    * with the result — the surface the hot-key skew spec bounds: a
+    * session-state blowup under a skewed key shows up as batch
+    * durations growing with the hot key's accumulated state, not just
+    * as a wrong final answer.
+    */
+  def runSessionsInstrumented(
+      spark: SparkSession,
+      sfDir: String,
+      gapSeconds: Long,
+      maxFilesPerTrigger: Option[Int]): (DataFrame, Seq[Long]) = {
     val name = s"stream_sessions_${sinkId.incrementAndGet()}"
-    val q = eventsStream(spark, sfDir)
+    val q = eventsStream(spark, sfDir, maxFilesPerTrigger)
       .groupBy(
         col("user_id"),
         session_window(timestamp_seconds(col("ts").cast("long")), s"$gapSeconds seconds"))
@@ -290,13 +306,15 @@ object StreamingViews {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    val durations = q.recentProgress.toSeq.map(_.batchDuration)
+    val out = spark.table(name)
       .select(
         col("user_id"),
         col("session_window.start").cast("long").as("sess_start_s"),
         col("n_events"),
         round(col("sum_value"), 6).as("sum_value"))
       .orderBy(col("user_id"), col("sess_start_s"))
+    (out, durations)
   }
 
   /** PRODUCTION sessionization: session_window + watermark in APPEND
@@ -352,9 +370,23 @@ object StreamingViews {
       spark: SparkSession,
       sfDir: String,
       outPath: String,
-      checkpoint: String): DataFrame = {
+      checkpoint: String): DataFrame =
+    runDedupUpdateMergeInstrumented(spark, sfDir, outPath, checkpoint, None)._1
+
+  /** [[runDedupUpdateMerge]] with the same instrumentation contract as
+    * [[runSessionsInstrumented]] — multi-batch via `maxFilesPerTrigger`,
+    * per-batch durations returned for the skew spec's bound.
+    */
+  def runDedupUpdateMergeInstrumented(
+      spark: SparkSession,
+      sfDir: String,
+      outPath: String,
+      checkpoint: String,
+      maxFilesPerTrigger: Option[Int]): (DataFrame, Seq[Long]) = {
     val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/documents.parquet")
-    val q = spark.readStream.schema(schema)
+    val reader = spark.readStream.schema(schema)
+    val q = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
       .parquet(s"$sfDir/{documents.parquet}")
       .select(md5(col("text")).as("h"), col("doc_id"))
       .groupBy(col("h"))
@@ -368,7 +400,8 @@ object StreamingViews {
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(outPath).select(col("doc_id")).orderBy(col("doc_id"))
+    val durations = q.recentProgress.toSeq.map(_.batchDuration)
+    (spark.read.parquet(outPath).select(col("doc_id")).orderBy(col("doc_id")), durations)
   }
 
   /** Stream-stream INNER join under incremental execution — the last

@@ -51,9 +51,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     // pack ids contiguous from 0, every pack non-empty
     assert(entry.map(_._1).toSeq == entry.indices.map(_.toLong))
     assert(entry.forall(_._2 > 0))
-    // and the dedup stage actually binds on this corpus (else the test
-    // would pass vacuously with nothing dropped)
+    // and BOTH dropping stages actually bind on this corpus (else the
+    // composition would pass vacuously with nothing dropped — ADVICE r9
+    // flagged the decon guard as missing; the fixture drops 2 docs)
     assert(nonSurv.nonEmpty, "fixture carries no near-dup clusters — stage untested")
+    assert(dirty.nonEmpty, "fixture flags no semantic contamination — decon stage untested")
   }
 
   test("prefix-filtered Jaccard pairs == unfiltered (PPJoin filter is exact)") {

@@ -461,4 +461,109 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(1).getAs[Long]("n_vecs") === 2)
     assert(r(1).isNullAt(r(1).fieldIndex("avg_cos"))) // zero centroid -> NULL
   }
+
+  test("autoRowsPerBand: ceil-log2 rule with the 8-bit floor, one bit per doubling") {
+    assert(Similarity.autoRowsPerBand(0L) === 8)
+    assert(Similarity.autoRowsPerBand(1L) === 8)
+    assert(Similarity.autoRowsPerBand(256L) === 8)
+    assert(Similarity.autoRowsPerBand(257L) === 9)
+    assert(Similarity.autoRowsPerBand(500L) === 9) // the sf0.01 gate corpus
+    assert(Similarity.autoRowsPerBand(512L) === 9)
+    assert(Similarity.autoRowsPerBand(513L) === 10)
+    assert(Similarity.autoRowsPerBand(1L << 30) === 30)
+    assert(Similarity.autoRowsPerBand(2L << 30) === 31) // 2x data -> +1 bit
+    // candidate budget stays ~bands*n: n^2/2^bits in [n/2, n]
+    Seq(300L, 5000L, 1000000L).foreach { n =>
+      val b = Similarity.autoRowsPerBand(n)
+      val perBand = n.toDouble * n / math.pow(2, b)
+      assert(perBand <= n && (b > 8 || n <= 256 || perBand >= n / 2.0),
+        s"n=$n bits=$b expected-candidates-per-band=$perBand")
+    }
+  }
+
+  /** Recursive (fileName → bytes) snapshot of a store directory tree,
+    * keyed by path relative to the root — the "untouched partitions are
+    * byte-identical" assertion needs content, not just names.
+    */
+  private def snapshotStore(root: String): Map[String, Seq[Byte]] = {
+    val base = java.nio.file.Paths.get(root)
+    scala.util.Using.resource(java.nio.file.Files.walk(base)) { w =>
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .filterNot(_.getFileName.toString.startsWith(".")) // CRC sidecars churn
+        .map(p => base.relativize(p).toString ->
+          java.nio.file.Files.readAllBytes(p).toSeq)
+        .toMap
+    }
+  }
+
+  test("ivfStoreUpsert: untouched partitions byte-identical, moved id leaves no stale row, store == full rebuild") {
+    val rnd = new scala.util.Random(7)
+    val baseRows = (0 until 160).map(i => (i.toLong, baseVec(rnd)))
+    val newRows = (160 until 200).map(i => (i.toLong, baseVec(rnd)))
+    // re-embed id 0 with its negation: guaranteed to MOVE cells (argmax
+    // dot flips sign order), exercising the stale-row cleanup
+    val moved = (0L, baseRows.head._2.map(x => -x))
+    val cents = Similarity.Centroids
+    val path = java.nio.file.Files.createTempDirectory("spec_ivf_incr").toString
+    Similarity.ivfStoreWrite(Similarity.ivfAssignmentsWith(toDf(baseRows), cents), path)
+    val before = snapshotStore(path)
+    val oldBucket = Similarity.ivfAssignmentsWith(toDf(Seq(baseRows.head)), cents)
+      .collect().head.getAs[Int]("bucket")
+    val newBucket = Similarity.ivfAssignmentsWith(toDf(Seq(moved)), cents)
+      .collect().head.getAs[Int]("bucket")
+    assert(oldBucket !== newBucket, "fixture must exercise a cell move")
+
+    val batch = Similarity.ivfAssignmentsWith(toDf(newRows :+ moved), cents)
+    val touched = Similarity.ivfStoreUpsert(spark, batch, path)
+    assert(touched.contains(oldBucket),
+      "the moved id's OLD home must be touched (stale-row cleanup)")
+    assert(touched.contains(newBucket))
+    val after = snapshotStore(path)
+
+    // only touched bucket directories changed — byte-for-byte
+    def bucketOf(rel: String): Option[Int] =
+      "bucket=(\\d+)".r.findFirstMatchIn(rel).map(_.group(1).toInt)
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+      .flatMap(bucketOf)
+    assert(changed.subsetOf(touched.toSet),
+      s"untouched buckets rewritten: ${changed.diff(touched.toSet)}")
+    val untouchedFiles = before.keys.filter(k => bucketOf(k).exists(b => !touched.contains(b)))
+    untouchedFiles.foreach(k => assert(after(k) == before(k), s"$k changed bytes"))
+
+    // no stale row for the moved id, and the store equals a full rebuild
+    val served = spark.read.parquet(path)
+    assert(served.filter(org.apache.spark.sql.functions.col("vec_id") === 0L).count() === 1L)
+    val fullPath = java.nio.file.Files.createTempDirectory("spec_ivf_full").toString
+    val finalCorpus = (baseRows.tail :+ moved) ++ newRows
+    Similarity.ivfStoreWrite(Similarity.ivfAssignmentsWith(toDf(finalCorpus), cents), fullPath)
+    def dump(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getAs[Int]("bucket")))
+      .sortBy(_._1)
+    assert(dump(path).sameElements(dump(fullPath)))
+  }
+
+  test("ivfDriftAudit: integer arithmetic consistent, retrain flag matches the documented margin") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map(i => (i.toLong, baseVec(rnd)))
+    val emb = toDf(rows)
+    val stale = Similarity.kmeansSphericalTrace(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 60), 8, 2)._1
+    val fresh = Similarity.kmeansSphericalTrace(emb, 8, 2)._1
+    val r = Similarity.ivfDriftAudit(
+      Similarity.ivfTrainedAssignments(emb, stale),
+      Similarity.ivfTrainedAssignments(emb, fresh),
+      stale, fresh, emb, 10, 2).collect().head
+    val nExact = r.getAs[Long]("n_exact")
+    assert(nExact === Similarity.PanelQueries.toLong * 10)
+    val rs = r.getAs[Long]("recall_stale_permille")
+    val rf = r.getAs[Long]("recall_fresh_permille")
+    assert(rs === r.getAs[Long]("n_overlap_stale") * 1000 / nExact)
+    assert(rf === r.getAs[Long]("n_overlap_fresh") * 1000 / nExact)
+    assert(rs >= 0 && rs <= 1000 && rf >= 0 && rf <= 1000)
+    assert(r.getAs[Boolean]("retrain") ===
+      (rs < rf - Similarity.DriftRetrainMarginPermille))
+  }
 }

@@ -20,7 +20,7 @@ HEADLINE = [
     "repetition_stats", "tfidf_top3", "sketch_certify", "data_profile",
     "value_histogram", "decontaminate", "semantic_clusters",
     "dup_spans", "dup_span_stats", "mixture_resample", "quality_classify",
-    "ann_recall", "embedding_quantize", "knn_join_lsh",
+    "ann_recall", "embedding_quantize", "knn_join_lsh_auto",
     "unit_dedup", "winnow_stats", "winnow_pairs", "source_report",
     "multimodal_pixels", "dedup_survivors", "multimodal_png_pixels",
     "multimodal_gif_pixels", "wav_audio_stats", "dedup_simhash_pairs",
@@ -39,8 +39,13 @@ HEADLINE = [
     "classifier_score",
     # round-9 additions with REAL recomputing SQL (not VALUES):
     "ann_ivf_trained", "ann_ivf_stored", "classifier_score_hashed",
-    "classifier_compare", "semantic_decontaminate",
+    "classifier_compare", "semantic_decontaminate_prod",
     "knn_join_lsh12", "semantic_decontaminate12",
+    # round-10 additions (real recomputing SQL):
+    "ann_ivf_incremental", "ann_ivf_drift",
+    # knn_join_lsh_canary8 / semantic_decontaminate_canary8 intentionally
+    # absent: deliberate scale-killer canaries, segregated from the
+    # headline suite on the Spark side too (Bench "canaries" field)
     # streaming_classifier_score_hashed intentionally absent: its
     # oracle IS classifier_score_hashed's SQL (stream==batch
     # certificate), already anchored; kmeans_* / classifier_train* use

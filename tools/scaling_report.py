@@ -35,8 +35,13 @@ def load(path):
             return json.loads(line)
     raise SystemExit(f"no Bench JSON line in {path}")
 
-a, b = load(sys.argv[1]), load(sys.argv[2])
+# flags before positionals: `scaling_report.py --md a b` must not read
+# "--md" as the first file (ADVICE r9)
 md = "--md" in sys.argv
+pos = [x for x in sys.argv[1:] if not x.startswith("--")]
+if len(pos) < 2:
+    raise SystemExit("usage: scaling_report.py SF01.json SF1.json [--md]")
+a, b = load(pos[0]), load(pos[1])
 qa, qb = a["queries"], b["queries"]
 sa, sb = a.get("setup", {}), b.get("setup", {})
 
@@ -57,13 +62,16 @@ buckets = [
 
 qs01 = sum(qa.values()); qs1 = sum(qb.values())
 st01 = sum(sa.values()); st1 = sum(sb.values())
+# guard every division like the st01 one: a malformed/empty-queries line
+# should report zeros, not ZeroDivisionError (ADVICE r9)
 print(f"queries: {len(ratios)} common; query-sum {qs01:.1f} -> {qs1:.1f} s "
-      f"({qs1 / qs01:.2f}x); setup {st01:.1f} -> {st1:.1f} s "
+      f"({qs1 / qs01 if qs01 else 0:.2f}x); setup {st01:.1f} -> {st1:.1f} s "
       f"({st1 / st01 if st01 else 0:.2f}x); "
       f"total {(qs01 + st01):.1f} -> {(qs1 + st1):.1f} s "
-      f"({(qs1 + st1) / (qs01 + st01):.2f}x)")
+      f"({(qs1 + st1) / (qs01 + st01) if qs01 + st01 else 0:.2f}x)")
 import statistics
-print(f"median query ratio {statistics.median(ratios.values()):.2f}; "
+med = statistics.median(ratios.values()) if ratios else 0.0
+print(f"median query ratio {med:.2f}; "
       f"super-linear (> {SUPER:.0f}x): "
       f"{sorted(k for k, r in ratios.items() if r > SUPER) or 'none'}")
 print()
