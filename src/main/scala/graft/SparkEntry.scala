@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, LanguageModel, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
+import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, LanguageModel, Multimodal, Packing, Pq, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -338,6 +338,33 @@ object SparkEntry {
         Tables.load(s, dir, "embeddings"), kmeansSphericalStale(s, dir)._1)
     }
 
+  /** Trained PQ codebooks (8 subspaces × 16 centroids) — ONE training
+    * per (session, sf) feeds the codebook gate, the encode projection,
+    * the ADC top-k, and the recall certificate.
+    */
+  private val pqBooksCache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Pq.Codebooks]]()
+
+  private def pqBooks(s: SparkSession, dir: String): Pq.Codebooks = {
+    val m = pqBooksCache.synchronized {
+      var t = pqBooksCache.get(s)
+      if (t == null) {
+        t = scala.collection.concurrent.TrieMap.empty[String, Pq.Codebooks]
+        pqBooksCache.put(s, t)
+      }
+      t
+    }
+    m.getOrElseUpdate(dir, Pq.trainCodebooks(Tables.load(s, dir, "embeddings")))
+  }
+
+  /** Packed 32-bit PQ codes — the serving-memory frame the ADC entries
+    * rank over (one BIGINT per vector).
+    */
+  private def pqEncoded(s: SparkSession, dir: String): DataFrame =
+    cachedView(s, dir, "pq_codes", s"${Pq.SubSpaces}x${Pq.CodebookK}") {
+      Pq.encode(Tables.load(s, dir, "embeddings"), pqBooks(s, dir))
+    }
+
   /** One GD training (30 iters, lr 10) feeds BOTH classifier entries:
     * `classifier_train` serves this (term, value) frame directly, and
     * `classifier_score` extracts the ROUNDED weights from it — so the
@@ -467,6 +494,8 @@ object SparkEntry {
       "kmeans_spherical_stale" -> (() => kmeansSphericalStale(s, dir)),
       "ivf_trained" -> (() => ivfTrainedAssigned(s, dir)),
       "ivf_stale" -> (() => ivfStaleAssigned(s, dir)),
+      "pq_books" -> (() => pqBooks(s, dir)),
+      "pq_codes" -> (() => pqEncoded(s, dir)),
       "clf_train" -> (() => clfTable(s, dir)),
       "clf_train_hashed" -> (() => clfHashedTable(s, dir)),
       "span_frame" -> (() => spanFrame(s, dir)),
@@ -920,6 +949,43 @@ object SparkEntry {
         Tables.load(s, d, "embeddings"),
         20,
         4)),
+    // ---- product quantization (the memory-bound serving tier) ----
+    // trained 8×16 sub-codebooks: per iteration ONE scan + one
+    // 128-group hash agg (subvector means); oracle = pure-Scala PqRef
+    // VALUES (the kmeans_centroids pattern on 8-d slices)
+    "pq_codebooks" -> ((s, d) => Pq.codebookTable(s, pqBooks(s, d))),
+    // every vector compressed to ONE packed BIGINT (8 × 4-bit argmin
+    // codes) — a stateless codegen projection; DuckDB recomputes every
+    // argmin from raw floats, so the 64× compression is gate-exact
+    "pq_encode" -> ((s, d) => pqEncoded(s, d)),
+    // ADC search: rank by 8 shifts + 8 literal-table lookups on the
+    // code column — no float vector touched at query time (the
+    // serving-memory path PQ exists for)
+    "pq_topk_adc" -> ((s, d) => Pq.adcTopK(pqEncoded(s, d), pqBooks(s, d), 20)),
+    // ADC shortlist + EXACT re-rank — the production recall path: 16·k
+    // float vectors read per query whatever the corpus size; output is
+    // the true squared distance
+    "pq_topk_rerank" -> ((s, d) =>
+      Pq.rerankTopK(pqEncoded(s, d), Tables.load(s, d, "embeddings"), pqBooks(s, d), 20)),
+    // the FULL composed serving stack (FAISS IVFPQ+refine shape):
+    // trained coarse cells route (nprobe=4 of 8), PQ codes rank within
+    // the probed cells, exact re-rank polishes — per-query cost
+    // independent of corpus size on every axis
+    "ivfpq_topk" -> ((s, d) =>
+      Pq.ivfPqTopK(
+        ivfTrainedAssigned(s, d),
+        pqEncoded(s, d),
+        Tables.load(s, d, "embeddings"),
+        pqBooks(s, d),
+        kmeansSpherical(s, d)._1,
+        20, 4)),
+    // DUAL panel recall certificate vs the exact L2 scan (ann_recall
+    // pattern): ADC-only (shortlist quality) AND re-ranked (serving
+    // quality) floors hashed on every gate run — the compression/recall
+    // trade is measured, not assumed
+    "pq_recall" -> ((s, d) =>
+      Pq.adcRecall(
+        pqEncoded(s, d), pqBooks(s, d), Tables.load(s, d, "embeddings"), 20)),
     // quality-filter DISTILLATION: logistic regression trained by
     // full-batch GD, each iteration one scan + one 7-double agg (the
     // kmeans contract); label = the tokenizing quality labeler,
@@ -2413,7 +2479,9 @@ object SparkEntry {
     }
     if (sel("kmeans_centroids") || sel("kmeans_inertia") || sel("kmeans_spherical") ||
       sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
-      sel("ann_ivf_incremental") || sel("ann_ivf_drift")) {
+      sel("ann_ivf_incremental") || sel("ann_ivf_drift") ||
+      sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
+      sel("pq_topk_rerank") || sel("ivfpq_topk")) {
       // oracle generation: collecting the embeddings at correctness
       // scale (500×64 floats at sf0.01) feeds the sequential references —
       // the same boundary as docsFull above, never part of a query plan.
@@ -2481,6 +2549,39 @@ object SparkEntry {
             vecs.filter(_._1 % 2 == 0), KmeansK, KmeansIters)
           out += ("ann_ivf_drift" -> Similarity.ivfDriftAuditSql(staleCents, sphCents, 20, 4))
         }
+      }
+      if (sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
+        sel("pq_topk_rerank") || sel("ivfpq_topk")) {
+        // ONE reference PQ training feeds all four oracles; the
+        // codebook gate certifies ref books == Spark books, and the
+        // encode/topk/recall oracles then recompute everything from
+        // raw floats with the REF books as literals (the classifier
+        // rounded-weights pattern): Spark's trained books must agree or
+        // every downstream hash breaks
+        val refBooks = graft.operators.PqRef.trainCodebooks(vecs)
+        if (sel("pq_codebooks")) {
+          val rows = refBooks.zipWithIndex.flatMap { case (cents, sIdx) =>
+            cents.zipWithIndex.flatMap { case (c, j) =>
+              c.zipWithIndex.map { case (v, i) => s"($sIdx, $j, $i, $v)" }
+            }
+          }.mkString(", ")
+          out += ("pq_codebooks" ->
+            s"""WITH expected(subspace, centroid, dim, value) AS (SELECT * FROM (VALUES $rows))
+               |SELECT CAST(subspace AS INTEGER) AS subspace,
+               |       CAST(centroid AS INTEGER) AS centroid,
+               |       CAST(dim AS INTEGER) AS dim, CAST(value AS DOUBLE) AS value
+               |FROM expected ORDER BY subspace, centroid, dim""".stripMargin)
+        }
+        if (sel("pq_encode")) out += ("pq_encode" -> Pq.encodeSql(refBooks))
+        if (sel("pq_topk_adc")) out += ("pq_topk_adc" -> Pq.adcTopKSql(refBooks, 20))
+        if (sel("pq_topk_rerank"))
+          out += ("pq_topk_rerank" -> Pq.rerankTopKSql(refBooks, 20))
+        if (sel("ivfpq_topk")) {
+          // the composed oracle needs the spherical coarse centroids too
+          val (sphForPq, _) = graft.operators.KMeansRef.sphericalTrace(vecs, KmeansK, KmeansIters)
+          out += ("ivfpq_topk" -> Pq.ivfPqTopKSql(refBooks, sphForPq, 20, 4))
+        }
+        if (sel("pq_recall")) out += ("pq_recall" -> Pq.adcRecallSql(refBooks, 20))
       }
     }
     if (sel("bpe_merges") || sel("bpe_encode")) {

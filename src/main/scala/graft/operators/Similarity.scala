@@ -785,6 +785,24 @@ object Similarity {
     touched
   }
 
+  /** Compact the small files that daily [[ivfStoreUpsert]] batches leave
+    * behind (each upsert writes ≥1 new file into every touched bucket;
+    * after N batches a hot bucket holds N files and probe latency starts
+    * paying per-file open cost). The view store's maintenance pass
+    * ([[graft.streaming.StreamingViews.compactViews]]) is already
+    * generic over the partition scheme — this is that pass pointed at
+    * the index layout: rewrite only buckets holding more than
+    * `maxFilesPerBucket` parquet files, leave the rest byte-untouched,
+    * result-invisible (spec-asserted). Returns the compacted bucket
+    * directories.
+    */
+  def ivfStoreCompact(
+      spark: SparkSession,
+      path: String,
+      maxFilesPerBucket: Int = 1): Seq[String] =
+    graft.streaming.StreamingViews.compactViews(
+      spark, path, partitionCols = Seq("bucket"), maxFilesPerPartition = maxFilesPerBucket)
+
   /** Near-duplicate pairs via sign-LSH: candidates = pairs agreeing on
     * ≥1 of [[LshBands]] bands (equi-join per band, NEVER all-pairs),
     * verified with exact cosine ≥ `threshold`. Candidate generation is

@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{Pq, PqRef, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: trainer parity vs the sequential ref, code
+  * packing invariants, ADC ranking sanity, re-rank containment, and the
+  * composed IVF-PQ path's cost shape.
+  */
+class PqSpec extends AnyFunSuite {
+  import SparkTestBase._
+  private lazy val spark = SparkTestBase.spark
+
+  private lazy val emb = Tables.load(spark, Sf0001, "embeddings").cache()
+  private lazy val vecs = emb
+    .select(col("vec_id"), col("embedding"))
+    .collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    .toSeq
+  private lazy val books = Pq.trainCodebooks(emb)
+  private lazy val encoded = Pq.encode(emb, books).cache()
+
+  test("trainCodebooks == PqRef sequential twin at 6dp (gate parity)") {
+    val ref = PqRef.trainCodebooks(vecs)
+    for (s <- 0 until Pq.SubSpaces; j <- 0 until Pq.CodebookK)
+      assert(books(s)(j).toSeq === ref(s)(j).toSeq, s"subspace $s centroid $j diverged")
+  }
+
+  test("encode: one row per vector, codes in [0, 2^32), nibbles are valid centroid ids") {
+    val rows = encoded.collect()
+    assert(rows.length === emb.count())
+    rows.foreach { r =>
+      val code = r.getLong(1)
+      assert(code >= 0L && code < (1L << (4 * Pq.SubSpaces)), s"code $code out of range")
+      (0 until Pq.SubSpaces).foreach { s =>
+        val nib = (code >> (4 * s)) & 15
+        assert(nib < Pq.CodebookK)
+      }
+    }
+    // codes actually discriminate: a degenerate trainer would collapse
+    // most vectors onto one code
+    assert(rows.map(_.getLong(1)).distinct.length > rows.length / 2)
+  }
+
+  test("encode nibbles == driver-side argmin over the same codebooks") {
+    val byId = encoded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.take(50).foreach { case (id, v) =>
+      (0 until Pq.SubSpaces).foreach { s =>
+        val scores = books(s).map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < Pq.SubDim) { d += v(s * Pq.SubDim + i).toDouble * c(i); i += 1 }
+          2.0 * d - Pq.normSq(c)
+        }
+        val mx = scores.max
+        val expected = scores.indexWhere(_ >= mx)
+        val got = (byId(id) >> (4 * s)) & 15
+        assert(got === expected.toLong, s"vec $id subspace $s")
+      }
+    }
+  }
+
+  test("ADC distance == decoded-centroid distance (table lookup is exact by construction)") {
+    val q = Similarity.QueryVec
+    val table = Pq.distTable(books, q)
+    val adc = Pq.adcTopK(encoded, books, 5).collect()
+    val byId = encoded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    adc.foreach { r =>
+      val code = byId(r.getLong(0))
+      val manual = (0 until Pq.SubSpaces).foldLeft(0.0) { (a, s) =>
+        a + table(s)(((code >> (4 * s)) & 15).toInt)
+      }
+      assert(r.getDouble(1) === Similarity.round6(manual))
+    }
+  }
+
+  test("rerank: results are a subset of the ADC shortlist, exactly ordered by true distance") {
+    val k = 10
+    val q = Similarity.QueryVec
+    val short = encoded
+      .withColumn("adc", expr(Pq.adcDistExpr(Pq.distTable(books, q), "code", spark = true)))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(k * Pq.RerankShortlistMult)
+      .collect().map(_.getLong(0)).toSet
+    val rer = Pq.rerankTopKFor(encoded, emb, books, k, q).collect()
+    assert(rer.length === k)
+    assert(rer.forall(r => short.contains(r.getLong(0))), "re-rank must draw from the shortlist")
+    val dists = rer.map(_.getDouble(1))
+    assert(dists.sameElements(dists.sorted), "true distances must be non-decreasing")
+    // re-rank recall is at least ADC recall on this fixture
+    val r = Pq.adcRecall(encoded, books, emb, 20).collect().head
+    assert(r.getAs[Long]("recall_rerank_permille") >= r.getAs[Long]("recall_adc_permille"))
+    assert(r.getAs[Boolean]("certified"))
+  }
+
+  test("ivfPqTopK: every result lives in a probed cell; equals corpus rerank when all cells probed") {
+    val cents = Similarity.kmeansSphericalTrace(emb, 8, 3)._1
+    val bucketed = Similarity.ivfTrainedAssignments(emb, cents)
+    val probed = Similarity.probedBucketsFor(cents, 4).toSet
+    val inCell = bucketed.filter(col("bucket").isin(probed.toSeq.map(Int.box): _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = Pq.ivfPqTopK(bucketed, encoded, emb, books, cents, 10, 4).collect()
+    assert(got.nonEmpty && got.forall(r => inCell.contains(r.getLong(0))))
+    // probing EVERY cell degenerates to the corpus-wide rerank path
+    val all = Pq.ivfPqTopK(bucketed, encoded, emb, books, cents, 10, cents.length)
+      .collect().map(_.toSeq).toSeq
+    val corpus = Pq.rerankTopKFor(encoded, emb, books, 10, Similarity.QueryVec)
+      .collect().map(_.toSeq).toSeq
+    assert(all === corpus)
+  }
+}

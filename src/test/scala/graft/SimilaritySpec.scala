@@ -545,6 +545,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dump(path).sameElements(dump(fullPath)))
   }
 
+  test("ivfStoreCompact: repeated upserts bloat buckets, compaction collapses to 1 file, result-invisible") {
+    val rnd = new scala.util.Random(13)
+    val cents = Similarity.Centroids
+    val path = java.nio.file.Files.createTempDirectory("spec_ivf_compact").toString
+    val mk = (lo: Int, hi: Int) =>
+      Similarity.ivfAssignmentsWith(toDf((lo until hi).map(i => (i.toLong, baseVec(rnd)))), cents)
+    Similarity.ivfStoreWrite(mk(0, 100), path)
+    // three daily batches: every touched bucket gains a file per upsert
+    Similarity.ivfStoreUpsert(spark, mk(100, 140), path)
+    Similarity.ivfStoreUpsert(spark, mk(140, 180), path)
+    Similarity.ivfStoreUpsert(spark, mk(180, 220), path)
+    def filesPerBucket: Map[String, Int] =
+      new java.io.File(path).listFiles().filter(_.getName.startsWith("bucket=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    assert(filesPerBucket.values.max > 1, "fixture should be bloated before compaction")
+    val before = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getAs[Int]("bucket"))).sortBy(_._1)
+    val compacted = Similarity.ivfStoreCompact(spark, path)
+    assert(compacted.nonEmpty)
+    assert(filesPerBucket.values.max === 1, s"still bloated: $filesPerBucket")
+    val after = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getAs[Int]("bucket"))).sortBy(_._1)
+    assert(after.sameElements(before))
+    // idempotent
+    assert(Similarity.ivfStoreCompact(spark, path).isEmpty)
+  }
+
   test("ivfDriftAudit: integer arithmetic consistent, retrain flag matches the documented margin") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 300).map(i => (i.toLong, baseVec(rnd)))
