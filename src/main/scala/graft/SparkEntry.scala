@@ -1040,6 +1040,12 @@ object SparkEntry {
     // the wide geometry must clear the recall floor (ann_recall pattern)
     "embedding_neardup_lsh12" -> ((s, d) =>
       Similarity.lshPlantedRecall(Tables.load(s, d, "embeddings"), wideRowsPerBand = 12)),
+    // the same planted-recall certificate at the AUTO-selected width —
+    // the DEFAULT geometry's recall is certified on every gate run, so
+    // the width rule can never silently trade recall away as the
+    // corpus (and therefore the chosen width) grows
+    "embedding_neardup_lsh_auto" -> ((s, d) =>
+      Similarity.lshPlantedRecall(Tables.load(s, d, "embeddings"), wideRowsPerBand = autoW(s, d))),
     // the PUBLIC k-NN join entry point end-to-end: one cheap count picks
     // the band width, candidates stay ≈ bands·n at any corpus size.
     // Deliberately NOT cache-assisted — this entry times the whole auto
@@ -2255,7 +2261,8 @@ object SparkEntry {
     // Similarity.autoRowsPerBand, so the selection rule itself is under
     // the gate (a drifted rule = a different geometry = hash mismatch)
     if (sel("embedding_neardup_lsh") || sel("semantic_clusters") ||
-      sel("knn_join_lsh_auto") || sel("semantic_decontaminate_prod")) {
+      sel("knn_join_lsh_auto") || sel("semantic_decontaminate_prod") ||
+      sel("embedding_neardup_lsh_auto")) {
       val w = autoW(spark, dir)
       if (sel("embedding_neardup_lsh"))
         out += ("embedding_neardup_lsh" -> Similarity.lshNearDupSql(0.4, rowsPerBand = w))
@@ -2264,6 +2271,8 @@ object SparkEntry {
           Dedup.clustersSql(Similarity.lshNearDupSql(0.4, rowsPerBand = w)))
       if (sel("knn_join_lsh_auto"))
         out += ("knn_join_lsh_auto" -> Similarity.knnJoinSql(3, rowsPerBand = w))
+      if (sel("embedding_neardup_lsh_auto"))
+        out += ("embedding_neardup_lsh_auto" -> Similarity.lshPlantedRecallSql(w))
       if (sel("semantic_decontaminate_prod"))
         out += ("semantic_decontaminate_prod" ->
           Similarity.semanticDecontaminateProdSql(0.35, w))

@@ -43,6 +43,8 @@ HEADLINE = [
     "knn_join_lsh12", "semantic_decontaminate12",
     # round-10 additions (real recomputing SQL):
     "ann_ivf_incremental", "ann_ivf_drift",
+    "pq_encode", "pq_topk_adc", "pq_topk_rerank", "ivfpq_topk", "pq_recall",
+    "embedding_neardup_lsh_auto",
     # knn_join_lsh_canary8 / semantic_decontaminate_canary8 intentionally
     # absent: deliberate scale-killer canaries, segregated from the
     # headline suite on the Spark side too (Bench "canaries" field)
