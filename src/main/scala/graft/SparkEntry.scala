@@ -979,6 +979,11 @@ object SparkEntry {
         pqBooks(s, d),
         kmeansSpherical(s, d)._1,
         20, 4)),
+    // the encode projection DEPLOYED on the embeddings stream: append
+    // mode, no state — "encode once at ingest" certified stream==batch
+    // against the same oracle as pq_encode
+    "streaming_pq_encode" -> ((s, d) =>
+      graft.streaming.StreamingViews.runPqEncodeAvailableNow(s, d, pqBooks(s, d))),
     // DUAL panel recall certificate vs the exact L2 scan (ann_recall
     // pattern): ADC-only (shortlist quality) AND re-ranked (serving
     // quality) floors hashed on every gate run — the compression/recall
@@ -2490,7 +2495,7 @@ object SparkEntry {
       sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
       sel("ann_ivf_incremental") || sel("ann_ivf_drift") ||
       sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
-      sel("pq_topk_rerank") || sel("ivfpq_topk")) {
+      sel("pq_topk_rerank") || sel("ivfpq_topk") || sel("streaming_pq_encode")) {
       // oracle generation: collecting the embeddings at correctness
       // scale (500×64 floats at sf0.01) feeds the sequential references —
       // the same boundary as docsFull above, never part of a query plan.
@@ -2560,7 +2565,7 @@ object SparkEntry {
         }
       }
       if (sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
-        sel("pq_topk_rerank") || sel("ivfpq_topk")) {
+        sel("pq_topk_rerank") || sel("ivfpq_topk") || sel("streaming_pq_encode")) {
         // ONE reference PQ training feeds all four oracles; the
         // codebook gate certifies ref books == Spark books, and the
         // encode/topk/recall oracles then recompute everything from
@@ -2582,6 +2587,9 @@ object SparkEntry {
                |FROM expected ORDER BY subspace, centroid, dim""".stripMargin)
         }
         if (sel("pq_encode")) out += ("pq_encode" -> Pq.encodeSql(refBooks))
+        if (sel("streaming_pq_encode"))
+          // oracle IS the batch encode SQL: the stream==batch certificate
+          out += ("streaming_pq_encode" -> Pq.encodeSql(refBooks))
         if (sel("pq_topk_adc")) out += ("pq_topk_adc" -> Pq.adcTopKSql(refBooks, 20))
         if (sel("pq_topk_rerank"))
           out += ("pq_topk_rerank" -> Pq.rerankTopKSql(refBooks, 20))

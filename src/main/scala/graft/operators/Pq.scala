@@ -149,7 +149,15 @@ object Pq {
     * code column next to the coarse bucket.
     */
   def encode(embeddings: DataFrame, books: Codebooks): DataFrame =
-    withCode(embeddings, books).select(col("vec_id"), col("code")).orderBy(col("vec_id"))
+    encodeUnordered(embeddings, books).orderBy(col("vec_id"))
+
+  /** [[encode]] without the presentation sort — the projection as
+    * deployed on a stream (append mode cannot sort; stateless, so
+    * incremental execution is trivially correct — certified by the
+    * streaming_pq_encode gate against the batch oracle).
+    */
+  def encodeUnordered(embeddings: DataFrame, books: Codebooks): DataFrame =
+    withCode(embeddings, books).select(col("vec_id"), col("code"))
 
   private def withCode(embeddings: DataFrame, books: Codebooks): DataFrame = {
     val withBuckets = (0 until SubSpaces).foldLeft(embeddings) { (df, s) =>

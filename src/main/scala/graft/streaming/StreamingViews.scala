@@ -230,6 +230,33 @@ object StreamingViews {
       graft.operators.TextClassifier.hashedScoreUnordered(_, weights))
       .orderBy(col("doc_id"))
 
+  /** PQ encoding DEPLOYED at ingest: the packed-code projection run
+    * over the embeddings STREAM under incremental execution — the
+    * "encode once at ingest, store only the code column" claim of the
+    * PQ design made gateable. Stateless (128 codegen dots + 8 argmin
+    * CASEs + one pack per row), so append mode needs no state store;
+    * same oracle as the batch `pq_encode` (stream==batch certificate,
+    * the classifier-deployment pattern).
+    */
+  def runPqEncodeAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      books: graft.operators.Pq.Codebooks): DataFrame = {
+    val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/embeddings.parquet")
+    val name = s"stream_pq_encode_${sinkId.incrementAndGet()}"
+    val q = spark.readStream.schema(schema)
+      .parquet(s"$sfDir/{embeddings.parquet}")
+      .transform(e => graft.operators.Pq.encodeUnordered(e, books))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("vec_id"))
+  }
+
   /** Stream-static enrichment: the per-metric anomaly filter run under
     * incremental execution. The (mu, sigma) reference table is computed
     * from a BATCH read and broadcast into every micro-batch — the

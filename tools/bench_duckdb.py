@@ -45,6 +45,8 @@ HEADLINE = [
     "ann_ivf_incremental", "ann_ivf_drift",
     "pq_encode", "pq_topk_adc", "pq_topk_rerank", "ivfpq_topk", "pq_recall",
     "embedding_neardup_lsh_auto",
+    # streaming_pq_encode intentionally absent: its oracle IS pq_encode's
+    # SQL (stream==batch certificate), already anchored
     # knn_join_lsh_canary8 / semantic_decontaminate_canary8 intentionally
     # absent: deliberate scale-killer canaries, segregated from the
     # headline suite on the Spark side too (Bench "canaries" field)
