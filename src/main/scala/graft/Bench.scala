@@ -81,13 +81,14 @@ object Bench {
       .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // `*_canary8` entries are DELIBERATE scale-killers (the pinned 8-bit
-    // LSH geometry kept as regression canaries — VERDICT r9): they run
-    // and are reported under `canaries`, but their time is SEGREGATED
-    // from `value`/`queries`/`pass_totals` so the headline total never
-    // carries known-quadratic time, and a canary blow-up reads as canary
-    // growth, not suite regression.
-    def isCanary(name: String): Boolean = name.endsWith("_canary8")
+    // `*_canary<bits>` entries are DELIBERATE scale-killers (every
+    // PINNED LSH band geometry — 8-bit since r9, 12-bit since r11 per
+    // VERDICT r10 #3: any fixed width is quadratic-candidate at some
+    // corpus size): they run and are reported under `canaries`, but
+    // their time is SEGREGATED from `value`/`queries`/`pass_totals` so
+    // the headline total never carries known-quadratic time, and a
+    // canary blow-up reads as canary growth, not suite regression.
+    def isCanary(name: String): Boolean = name.matches(".*_canary\\d+")
 
     // setup phase: shared caches, timed explicitly, and — like the
     // per-query protocol — run `passes` times with the per-build MIN
@@ -175,7 +176,13 @@ object Bench {
         s""""setup_sec":${num(setupSec)},""" +
         s""""setup_errors":${jerr(setupErrors)},""" +
         s""""passes":$passes,"pass_totals":[${passTotals.map(num).mkString(",")}],""" +
-        s"""$onlyField"n_queries":${selected.size},""" +
+        // n_queries counts HEADLINE entries only (canaries excluded, the
+        // same population as `queries`/`spread`/`pass_totals`/`value`) so
+        // len(queries) + n_errors == n_queries holds for consumers; the
+        // segregated population has its own explicit n_canaries field
+        // (ADVICE r10).
+        s"""$onlyField"n_queries":${selected.count(e => !isCanary(e._1))},""" +
+        s""""n_canaries":${selected.count(e => isCanary(e._1))},""" +
         s""""errors":${jerr(allErrors)},"n_errors":${allErrors.size},"sf":"${esc(sfDir)}"}"""
     println(line)
     // ALSO write the line to a file, atomically (tmp + rename in the

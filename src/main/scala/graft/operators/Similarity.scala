@@ -732,7 +732,22 @@ object Similarity {
   def ivfStoreUpsert(
       spark: SparkSession,
       assignedBatch: DataFrame,
-      path: String): Seq[Int] = {
+      path: String): Seq[Int] =
+    storeUpsert(spark, assignedBatch, path, payloadCols = Seq("embedding"))
+
+  /** [[ivfStoreUpsert]] generalized over the stored payload — the SAME
+    * touched-bucket merge for any `(vec_id, payload..., bucket)` table
+    * partitioned by bucket. The PQ code store ([[Pq.pqStoreUpsert]],
+    * payload = one packed BIGINT) and the float store (payload = the
+    * embedding array) share this body, so the incremental-maintenance
+    * semantics certified by `ann_ivf_incremental` carry over to the
+    * serving-memory tier verbatim.
+    */
+  def storeUpsert(
+      spark: SparkSession,
+      assignedBatch: DataFrame,
+      path: String,
+      payloadCols: Seq[String]): Seq[Int] = {
     val store = spark.read.parquet(path)
     val batchIds = assignedBatch.select(col("vec_id"))
     // Touched = buckets the batch lands in ∪ buckets where a batch id
@@ -755,34 +770,49 @@ object Similarity {
     val survivors = store
       .filter(col("bucket").isin(touched.map(Int.box): _*))
       .join(batchIds, Seq("vec_id"), "left_anti")
+    val outCols =
+      col("vec_id") +: payloadCols.map(col) :+ col("bucket").cast("int").as("bucket")
     val merged = survivors
-      .select(col("vec_id"), col("embedding"), col("bucket").cast("int").as("bucket"))
-      .unionByName(
-        assignedBatch.select(
-          col("vec_id"), col("embedding"), col("bucket").cast("int").as("bucket")))
-    val stage = java.nio.file.Files.createTempDirectory("graft_ivf_stage").toString
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
-    val staged = spark.read.parquet(stage)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      staged.select(col("vec_id"), col("embedding"), col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    // a touched bucket whose rows ALL moved away writes no partition in
-    // `merged`, so dynamic overwrite leaves its old directory standing —
-    // drop those explicitly or the emptied cell keeps serving stale rows
-    val mergedBuckets =
-      staged.select(col("bucket").cast("int")).distinct().collect().map(_.getInt(0)).toSet
+      .select(outCols: _*)
+      .unionByName(assignedBatch.select(outCols: _*))
+    // Stage under the STORE'S OWN filesystem — a SIBLING directory next
+    // to the store root — not a driver-local java.nio temp dir: on a
+    // multi-node deployment the staging write runs on EXECUTORS, so a
+    // driver-local path would silently lose their files, and the temp
+    // dir was never deleted (one leaked staged copy of the touched
+    // buckets per upsert — ADVICE r10). A sibling rather than a hidden
+    // child of the store: a dot-prefixed child is excluded by Spark's
+    // path filters (reading it back trips "All paths were ignored"
+    // semantics), while a sibling never appears in the store's own
+    // partition discovery at all. Removed in a finally once the
+    // dynamic-overwrite swap (and the emptied-bucket sweep that reads
+    // it) is done.
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(mergedBuckets).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(hadoopPath, s"bucket=$b"), true)
-    }
-    touched
+    val stageDir = new org.apache.hadoop.fs.Path(
+      s"${path.stripSuffix("/")}.staging-${java.util.UUID.randomUUID()}")
+    try {
+      merged.write.mode("overwrite").partitionBy("bucket").parquet(stageDir.toString)
+      val staged = spark.read.parquet(stageDir.toString)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        staged.select(col("vec_id") +: payloadCols.map(col) :+ col("bucket"): _*)
+          .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // a touched bucket whose rows ALL moved away writes no partition in
+      // `merged`, so dynamic overwrite leaves its old directory standing —
+      // drop those explicitly or the emptied cell keeps serving stale rows
+      val mergedBuckets =
+        staged.select(col("bucket").cast("int")).distinct().collect().map(_.getInt(0)).toSet
+      touched.filterNot(mergedBuckets).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(hadoopPath, s"bucket=$b"), true)
+      }
+      touched
+    } finally fs.delete(stageDir, true)
   }
 
   /** Compact the small files that daily [[ivfStoreUpsert]] batches leave

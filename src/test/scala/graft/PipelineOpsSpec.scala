@@ -42,7 +42,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     val nonSurv = SparkEntry.queries("dedup_canonical_map")(spark, d)
       .filter(col("is_survivor") === 0).select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    val dirty = SparkEntry.queries("semantic_decontaminate12")(spark, d)
+    // the fuzzy pipeline's decon stage rides the AUTO band width (r11:
+    // no fixed dial in the headline suite) — recompute the same dirty
+    // set through the public auto-width entry point
+    val dirty = Similarity.semanticDecontaminate(Tables.load(spark, d, "embeddings"), 0.35)
       .select("train_id").collect().map(_.getLong(0)).toSet
     val survivors = docsT.select("doc_id").collect().map(_.getLong(0)).toSet
       .intersect(kept) -- nonSurv -- dirty

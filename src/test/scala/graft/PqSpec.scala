@@ -110,4 +110,66 @@ class PqSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(all === corpus)
   }
+
+  test("stored IVF-PQ: upserted code store == in-memory compose, files read == probed dirs, no staging leak") {
+    val cents = Similarity.kmeansSphericalTrace(emb, 8, 3)._1
+    val codes = Pq.encodeWithBuckets(emb, books, cents)
+    // encodeWithBuckets carries exactly the encode()'s codes plus the
+    // assignment's buckets — the one-scan projection changes nothing
+    val byId = codes.collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    val encById = encoded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val asgById = Similarity.ivfTrainedAssignments(emb, cents)
+      .select(col("vec_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byId.keySet === encById.keySet)
+    byId.foreach { case (id, (c, b)) =>
+      assert(c === encById(id) && b === asgById(id), s"vec $id")
+    }
+    // base 4/5 + upserted fifth must serve what a full write serves
+    val path = java.nio.file.Files.createTempDirectory("pq_store_spec").toString
+    Pq.pqStoreWrite(codes.filter(pmod(col("vec_id"), lit(5)) =!= 0), path)
+    Pq.pqStoreUpsert(spark, codes.filter(pmod(col("vec_id"), lit(5)) === 0), path)
+    val stored = Pq.ivfPqStoredTopK(spark, books, cents, emb, 10, 3, path)
+    val rows = stored.collect() // execute so scan metrics populate
+    val bucketed = Similarity.ivfTrainedAssignments(emb, cents)
+    assert(rows.map(_.toSeq).toSeq ===
+      Pq.ivfPqTopK(bucketed, encoded, emb, books, cents, 10, 3).collect().map(_.toSeq).toSeq)
+    // file-level pruning: the code-store scan reads EXACTLY the files
+    // under the 3 probed bucket directories. The store scan feeds the
+    // ADC shortlist on the BROADCAST side of the re-rank join, so under
+    // AQE it lives inside a materialized query stage (a leaf to
+    // TreeNode.collect) — descend through adaptive plans and stages
+    // explicitly, then pick the scan rooted at the store path
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case o => o.children.flatMap(allScans)
+      }
+      here ++ p.subqueries.flatMap(allScans)
+    }
+    val scan = allScans(stored.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains(path)))
+      .getOrElse(fail("code-store scan not found in executed plan"))
+    val probes = Similarity.probedBucketsFor(cents, 3).toSet
+    def filesUnder(buckets: Iterable[Int]): Int = buckets.toSeq.map { b =>
+      val dir = new java.io.File(s"$path/bucket=$b")
+      Option(dir.listFiles).toSeq.flatten.count(_.getName.endsWith(".parquet"))
+    }.sum
+    val numFiles = scan.metrics("numFiles").value
+    info(s"code-store scan read $numFiles of ${filesUnder(0 until 8)} files")
+    assert(scan.partitionFilters.nonEmpty, "bucket IN-list did not reach PartitionFilters")
+    assert(numFiles === filesUnder(probes).toLong, "scan did not prune to the probed directories")
+    assert(numFiles < filesUnder(0 until 8).toLong, "nothing was pruned")
+    // the upsert's sibling staging dir was deleted (ADVICE r10: the old
+    // driver-temp staging leaked one copy of the touched buckets per
+    // upsert and broke multi-node deployments)
+    val storeRoot = new java.io.File(path)
+    val leftovers = Option(storeRoot.getParentFile.listFiles).toSeq.flatten
+      .filter(_.getName.startsWith(storeRoot.getName + ".staging-"))
+    assert(leftovers.isEmpty, s"staging dirs leaked: ${leftovers.mkString(", ")}")
+  }
 }

@@ -278,7 +278,7 @@ class StreamingSpec extends AnyFunSuite {
     // accumulated history (a quadratic merge would push later batches
     // toward minutes on this fixture)
     assert(durations.count(_ > 0) >= 8, s"expected >=8 micro-batches, got $durations")
-    assert(durations.max < 30000L, s"a micro-batch took ${durations.max} ms")
+    assertBatchesLinear(durations)
   }
 
   test("hot-key skew: one text in ~50% of docs through the streaming dedup state store — stream==batch, batches bounded") {
@@ -304,6 +304,25 @@ class StreamingSpec extends AnyFunSuite {
     // the hot hash keeps its MIN doc_id across all micro-batches
     assert(got.contains(0L) && !got.contains(2L))
     assert(durations.count(_ > 0) >= 6, s"expected >=6 micro-batches, got $durations")
-    assert(durations.max < 30000L, s"a micro-batch took ${durations.max} ms")
+    assertBatchesLinear(durations)
+  }
+
+  /** RELATIVE batch-cost bound (ADVICE r10: the previous fixed 30 s cap
+    * flakes on loaded multi-tenant boxes even when state merging is
+    * linear): if per-batch cost grew with the hot key's ACCUMULATED
+    * history, the later batches would dwarf the early ones on these
+    * fixtures — so bound the max of the second half by a multiple of
+    * the first half's median. 10× absorbs a one-off CPU-steal spike on
+    * a single batch; a genuinely quadratic merge measures orders of
+    * magnitude on an 8-batch ever-growing session.
+    */
+  private def assertBatchesLinear(durations: Seq[Long]): Unit = {
+    val active = durations.filter(_ > 0).map(_.toDouble)
+    val early = active.take(active.size / 2).sorted
+    val earlyMedian = early(early.size / 2)
+    val lateMax = active.drop(active.size / 2).max
+    assert(
+      lateMax <= 10.0 * earlyMedian,
+      s"late micro-batch $lateMax ms vs early median $earlyMedian ms (durations=$durations)")
   }
 }

@@ -34,22 +34,23 @@ HEADLINE = [
     "quality_calibration", "streaming_sessions", "streaming_join",
     "lang_source_chi2", "rolling_active_users", "dedup_canonical_map",
     "churned_users_except", "events_cube", "snapshot_polygon_sum",
-    "dedup_simhash_pairs_w32", "embedding_neardup_lsh12",
+    "dedup_simhash_pairs_w32",
     "streaming_sessions_append", "multimodal_jpeg_pixels",
     "classifier_score",
     # round-9 additions with REAL recomputing SQL (not VALUES):
     "ann_ivf_trained", "ann_ivf_stored", "classifier_score_hashed",
     "classifier_compare", "semantic_decontaminate_prod",
-    "knn_join_lsh12", "semantic_decontaminate12",
     # round-10 additions (real recomputing SQL):
     "ann_ivf_incremental", "ann_ivf_drift",
     "pq_encode", "pq_topk_adc", "pq_topk_rerank", "ivfpq_topk", "pq_recall",
     "embedding_neardup_lsh_auto",
     # streaming_pq_encode intentionally absent: its oracle IS pq_encode's
     # SQL (stream==batch certificate), already anchored
-    # knn_join_lsh_canary8 / semantic_decontaminate_canary8 intentionally
-    # absent: deliberate scale-killer canaries, segregated from the
-    # headline suite on the Spark side too (Bench "canaries" field)
+    # *_canary8 / *_canary12 entries intentionally absent (r11 moved the
+    # pinned 12-bit twins — knn_join_lsh / embedding_neardup_lsh /
+    # semantic_decontaminate — into the canary family too): deliberate
+    # scale-killer geometries, segregated from the headline suite on the
+    # Spark side as well (Bench "canaries" field)
     # streaming_classifier_score_hashed intentionally absent: its
     # oracle IS classifier_score_hashed's SQL (stream==batch
     # certificate), already anchored; kmeans_* / classifier_train* use
