@@ -111,6 +111,23 @@ class PqSpec extends AnyFunSuite {
     assert(all === corpus)
   }
 
+  test("pqDriftAudit: identical books on both sides -> equal recalls, retrain never fires") {
+    val r = Pq.pqDriftAudit(encoded, books, encoded, books, emb, 10).collect().head
+    assert(r.getAs[Long]("recall_stale_permille") === r.getAs[Long]("recall_fresh_permille"))
+    assert(!r.getAs[Boolean]("retrain"))
+  }
+
+  test("sampled trainer: books come from the vec_id%4 quarter, full-corpus certificate still holds") {
+    val sampled = Pq.trainCodebooksSampled(emb)
+    val refQuarter = PqRef.trainCodebooks(vecs.filter(_._1 % Pq.TrainSampleMod == 0))
+    for (s <- 0 until Pq.SubSpaces; j <- 0 until Pq.CodebookK)
+      assert(sampled(s)(j).toSeq === refQuarter(s)(j).toSeq, s"subspace $s centroid $j")
+    val enc = Pq.encode(emb, sampled)
+    val r = Pq.adcRecall(enc, sampled, emb, 20).collect().head
+    assert(r.getAs[Boolean]("certified"),
+      s"sampled books miss the recall floors: ${r.toSeq}")
+  }
+
   test("stored IVF-PQ: upserted code store == in-memory compose, files read == probed dirs, no staging leak") {
     val cents = Similarity.kmeansSphericalTrace(emb, 8, 3)._1
     val codes = Pq.encodeWithBuckets(emb, books, cents)
