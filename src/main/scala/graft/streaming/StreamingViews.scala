@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
+import scala.jdk.CollectionConverters._
+
 import graft.functions.GeoFunctions
 import graft.operators.{TextAnalysis, ViewBuilder}
 import graft.sources.SensorGrid
@@ -481,6 +483,182 @@ object StreamingViews {
       .select(col("user_id"), col("click_id"), col("purchase_id"), (col("p_ts") - col("c_ts")).as("lag_s"))
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
+
+  /** PRODUCTION twin of [[runStreamStreamJoinAvailableNow]] (VERDICT
+    * r10 #2 — the one streaming operator class still without a
+    * state-eviction-mode gate entry): the same click→purchase inner
+    * join with BOTH sides WATERMARKED and the time-range condition on
+    * the watermarked timestamp columns, so Spark derives per-side state
+    * watermarks and EVICTS join state that can no longer match — state
+    * is bounded by (delay + window) of events instead of growing
+    * forever, and input rows later than the watermark are dropped.
+    *
+    * Determinism contract (what makes late-drop GATE-CHECKABLE): the
+    * entry replays the events table as a mostly-ordered stream with
+    * BOUNDED disorder — events are staged into one file per ARRIVAL
+    * chunk, `arrival = ts + jitter·(event_id % 2)` bucketed by
+    * `chunkSec` (odd events reach the pipeline `jitterSec` late — "one
+    * ingest shard lagged five days", the failure shape watermarks
+    * exist for), files replayed oldest-first one per micro-batch. The
+    * watermark during a chunk's batch is then exactly `max ts of prior
+    * chunks − delaySec`, so the output is a pure function of the data,
+    * which the DuckDB oracle recomputes with one window function.
+    *
+    * EMISSION RULE the oracle replays (established empirically against
+    * seven boundary fixtures plus the corpus replay — StreamingSpec
+    * re-asserts the decisive ones — because the guide-level
+    * description "late rows may or may not get joined" is not
+    * oracle-grade): an input row is ADMITTED iff its event time is
+    * STRICTLY ABOVE the watermark Spark filters late inputs with —
+    * the PREVIOUS batch's watermark
+    * (`eventTimeWatermarkForLateEvents`; state EVICTION uses the
+    * current batch's), i.e. `max ts over chunks up to TWO before the
+    * row's own, minus delaySec` — and the output is exactly the batch
+    * join of the admitted rows. The state-side clauses one might
+    * expect — the earlier row reaching the store (side-specific state
+    * watermark: clicks kept while `c_ts + window ≥ wm`, purchases
+    * while `p_ts ≥ wm` — fixture-verified) and surviving eviction
+    * until the later row's batch (eviction runs AFTER each batch's
+    * join) — are implied by both rows' admission given the join's
+    * time-range condition, which is what makes the replay one WHERE
+    * clause. Because the late filter lags one batch, disorder only
+    * drops rows when jitter > chunk + delay; at the default 5-day
+    * jitter over 4-day chunks the certificate measurably bites at the
+    * gate SFs (27/33 pairs kept at sf0.01, ~330/372 at sf0.1;
+    * sf0.001 has too few pairs to lose one).
+    */
+  def runStreamStreamJoinWatermarked(
+      spark: SparkSession,
+      sfDir: String,
+      windowSec: Long,
+      delaySec: Long,
+      chunkSec: Long = 345600L,
+      jitterSec: Long = 432000L): DataFrame =
+    runStreamStreamJoinWatermarkedInstrumented(
+      spark, sfDir, windowSec, delaySec, chunkSec, jitterSec)._1
+
+  /** [[runStreamStreamJoinWatermarked]] plus per-batch state-eviction
+    * counts (`numRowsRemoved` from the progress log) — the surface the
+    * StreamingSpec uses to assert join state is genuinely bounded (a
+    * positive removal count) and not just correct.
+    */
+  def runStreamStreamJoinWatermarkedInstrumented(
+      spark: SparkSession,
+      sfDir: String,
+      windowSec: Long,
+      delaySec: Long,
+      chunkSec: Long = 345600L,
+      jitterSec: Long = 432000L): (DataFrame, Seq[Long]) = {
+    // stage: one parquet FILE per arrival chunk, mtime-ordered so the
+    // file source (sorted by modification time, oldest first) replays
+    // the chunks deterministically; one file per trigger below. The
+    // chunk count is bounded by the corpus time span / chunkSec (5 for
+    // the 30-day test corpus) — a driver-side loop over chunk ids, not
+    // over rows.
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("ts_s"))
+      .withColumn(
+        "arr",
+        ((col("ts_s") + lit(jitterSec) * pmod(col("event_id"), lit(2))) / lit(chunkSec))
+          .cast("long"))
+    val stageRoot = java.nio.file.Files.createTempDirectory("graft_join_chunks")
+    val chunkIds = ev.select(col("arr")).distinct().collect().map(_.getLong(0)).sorted
+    val mtimeBase = java.lang.System.currentTimeMillis() - 86400000L
+    chunkIds.zipWithIndex.foreach { case (c, i) =>
+      val tmp = stageRoot.resolve(f"_build_$i%04d")
+      ev.filter(col("arr") === c).drop("arr")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"chunk $c wrote no parquet part"))
+      val dest = stageRoot.resolve(f"chunk_$i%04d.parquet")
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified(mtimeBase + i * 2000L)
+      scala.util.Using.resource(java.nio.file.Files.walk(tmp)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    val schema = spark.read.parquet(stageRoot.toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageRoot.toString)
+      .withColumn("tss", timestamp_seconds(col("ts_s")))
+      // ONE watermark node before the legs branch: both sides share the
+      // global watermark (max ts of completed batches − delay)
+      .withWatermark("tss", s"$delaySec seconds")
+    val clicks = src
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id"), col("event_id").as("click_id"),
+        col("tss").as("c_tss"), col("ts_s").as("c_ts"))
+    val purchases = src
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("tss").as("p_tss"), col("ts_s").as("p_ts"))
+    val name = s"stream_join_wm_${sinkId.incrementAndGet()}"
+    val q = clicks
+      .join(
+        purchases,
+        col("user_id") === col("p_user") &&
+          // the range condition on the WATERMARKED columns is what lets
+          // Spark derive each side's state watermark (evict clicks once
+          // wm > c_tss + window, purchases once wm > p_tss)
+          col("p_tss") >= col("c_tss") &&
+          col("p_tss") < col("c_tss") + expr(s"INTERVAL $windowSec SECONDS"),
+        "inner")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val removedPerBatch = q.recentProgress.toSeq
+      .map(p => p.stateOperators.map(_.numRowsRemoved).sum)
+    val out = spark.table(name)
+      .select(
+        col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_ts") - col("c_ts")).as("lag_s"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    (out, removedPerBatch)
+  }
+
+  /** DuckDB twin of [[runStreamStreamJoinWatermarked]]: the batch
+    * self-join over the ADMITTED rows — `wm_late` (the late-input
+    * watermark of each chunk's batch, which LAGS one batch: running
+    * max over chunks up to 2 PRECEDING, minus delay) is one window
+    * over per-chunk maxima, and a row is admitted iff it clears its
+    * chunk's `wm_late` strictly.
+    */
+  def streamStreamJoinWatermarkedSql(
+      windowSec: Long,
+      delaySec: Long,
+      chunkSec: Long = 345600L,
+      jitterSec: Long = 432000L): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |         epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+       |a AS (
+       |  SELECT *, CAST((ts_s + $jitterSec * (event_id % 2)) // $chunkSec AS BIGINT) AS arr
+       |  FROM e),
+       |mx AS (SELECT arr, max(ts_s) AS mts FROM a GROUP BY 1),
+       |wm AS (
+       |  SELECT arr, max(mts) OVER (
+       |    ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - $delaySec AS wm_late
+       |  FROM mx),
+       |b AS (SELECT a.*, wm_late FROM a JOIN wm USING (arr)),
+       |adm AS (SELECT * FROM b WHERE wm_late IS NULL OR ts_s > wm_late)
+       |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       |       p.ts_s - c.ts_s AS lag_s
+       |FROM adm c JOIN adm p
+       |  ON c.user_id = p.user_id
+       | AND c.event_type = 'click' AND p.event_type = 'purchase'
+       | AND p.ts_s >= c.ts_s AND p.ts_s < c.ts_s + $windowSec
+       |ORDER BY 1, 2, 3""".stripMargin
 
   /** Production-shaped sink (S5): an UPDATE-mode MERGE upsert keyed on
     * (metric, geo, ts) into a parquet view table partitioned by metric.

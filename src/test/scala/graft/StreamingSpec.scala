@@ -307,6 +307,42 @@ class StreamingSpec extends AnyFunSuite {
     assertBatchesLinear(durations)
   }
 
+  test("watermarked stream-stream join: late inputs dropped at the lagged watermark, state evicted, admitted join exact") {
+    // Geometry: chunkSec=10000, jitterSec=20000 (odd event_ids arrive
+    // TWO chunks late — jitter > chunk + delay so the lagged late
+    // filter genuinely bites), delaySec=3600, window=500.
+    // Even rows: chunk = ts/10000. Odd rows: chunk = ts/10000 + 2.
+    // wm_late for a row in chunk k = maxts(chunks <= k-2) - 3600, so
+    // odd rows with ts in [0,10000) land in chunk 2 where wm_late =
+    // maxts(chunk 0) - 3600 = 9999 - 3600 = 6399: admitted iff ts > 6399.
+    val dir = Files.createTempDirectory("graft-wmjoin-events").toString
+    import SparkTestBase.spark.implicits._
+    val base = 1700000000L
+    val rows = Seq(
+      (90L, base + 9999L, 3L, "click"),     // chunk-0 definer (sets wm_late for chunk 2)
+      (92L, base + 19999L, 9L, "click"),    // chunk-1 definer
+      (94L, base + 29999L, 9L, "click"),    // chunk-2 even filler
+      (10L, base + 6000L, 1L, "click"),     // even, chunk 0
+      (11L, base + 6398L, 1L, "purchase"),  // odd -> chunk 2, ts <= 6399: LATE, dropped
+      (20L, base + 6200L, 2L, "click"),     // even, chunk 0
+      (21L, base + 6500L, 2L, "purchase"))  // odd -> chunk 2, ts > 6399: admitted
+    rows.toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val (got, removed) = StreamingViews.runStreamStreamJoinWatermarkedInstrumented(
+      spark, dir, 500L, 3600L, 10000L, 20000L)
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the on-time twin pair survives; the 1-second-later-than-allowed
+    // twin is dropped WITH its pair — late-drop semantics asserted
+    assert(pairs.contains((2L, 20L, 21L)), s"admitted pair missing: $pairs")
+    assert(!pairs.exists(_._3 == 11L), s"late purchase joined anyway: $pairs")
+    assert(pairs === Set((2L, 20L, 21L)), s"unexpected pairs: $pairs")
+    // join state was genuinely EVICTED (bounded state), not just correct
+    assert(removed.sum > 0, s"no state rows evicted across batches: $removed")
+  }
+
   /** RELATIVE batch-cost bound (ADVICE r10: the previous fixed 30 s cap
     * flakes on loaded multi-tenant boxes even when state merging is
     * linear): if per-batch cost grew with the hot key's ACCUMULATED
