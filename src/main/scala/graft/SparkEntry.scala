@@ -1017,6 +1017,23 @@ object SparkEntry {
       Pq.pqStoreUpsert(s, codes.filter(pmod(col("vec_id"), lit(5)) === 0), path)
       Pq.ivfPqStoredTopK(s, books, cents, emb, 15, 3, path)
     }),
+    // the serving stack with NO raw table in the query path: codes AND
+    // re-rank floats both answered from bucket-partitioned stores, both
+    // pruned by the same probe IN-list at file level — every byte the
+    // query touches lives under the nprobe probed directories (the
+    // ivfpq_stored re-rank still scans the warehouse embeddings frame
+    // for its 320 float rows; this is the 100 TB query path). Oracle =
+    // the same full-corpus replay from raw floats
+    "ivfpq_stored_full" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = kmeansSpherical(s, d)._1
+      val books = pqBooks(s, d)
+      val floatPath = java.nio.file.Files.createTempDirectory("graft_ivf_floats").toString
+      val codePath = java.nio.file.Files.createTempDirectory("graft_pq_codes").toString
+      Similarity.ivfStoreWrite(ivfTrainedAssigned(s, d), floatPath)
+      Pq.pqStoreWrite(Pq.encodeWithBuckets(emb, books, cents), codePath)
+      Pq.ivfPqStoredTopKFromStores(s, books, cents, 20, 4, codePath, floatPath)
+    }),
     // the encode projection DEPLOYED on the embeddings stream: append
     // mode, no state — "encode once at ingest" certified stream==batch
     // against the same oracle as pq_encode
@@ -2581,7 +2598,7 @@ object SparkEntry {
       sel("ann_ivf_incremental") || sel("ann_ivf_drift") ||
       sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
       sel("pq_topk_rerank") || sel("ivfpq_topk") || sel("ivfpq_stored") ||
-      sel("pq_drift") || sel("pq_codebooks_sampled") ||
+      sel("ivfpq_stored_full") || sel("pq_drift") || sel("pq_codebooks_sampled") ||
       sel("streaming_pq_encode")) {
       // oracle generation: collecting the embeddings at correctness
       // scale (500×64 floats at sf0.01) feeds the sequential references —
@@ -2653,7 +2670,7 @@ object SparkEntry {
       }
       if (sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
         sel("pq_topk_rerank") || sel("ivfpq_topk") || sel("ivfpq_stored") ||
-        sel("pq_drift") || sel("pq_codebooks_sampled") ||
+        sel("ivfpq_stored_full") || sel("pq_drift") || sel("pq_codebooks_sampled") ||
         sel("streaming_pq_encode")) {
         // ONE reference PQ training feeds all four oracles; the
         // codebook gate certifies ref books == Spark books, and the
@@ -2682,11 +2699,15 @@ object SparkEntry {
         if (sel("pq_topk_adc")) out += ("pq_topk_adc" -> Pq.adcTopKSql(refBooks, 20))
         if (sel("pq_topk_rerank"))
           out += ("pq_topk_rerank" -> Pq.rerankTopKSql(refBooks, 20))
-        if (sel("ivfpq_topk") || sel("ivfpq_stored")) {
+        if (sel("ivfpq_topk") || sel("ivfpq_stored") || sel("ivfpq_stored_full")) {
           // the composed oracles need the spherical coarse centroids too
           val (sphForPq, _) = graft.operators.KMeansRef.sphericalTrace(vecs, KmeansK, KmeansIters)
           if (sel("ivfpq_topk"))
             out += ("ivfpq_topk" -> Pq.ivfPqTopKSql(refBooks, sphForPq, 20, 4))
+          if (sel("ivfpq_stored_full"))
+            // the two-store path must be indistinguishable from the
+            // in-memory compose: the oracle is ivfpq_topk's replay
+            out += ("ivfpq_stored_full" -> Pq.ivfPqTopKSql(refBooks, sphForPq, 20, 4))
           if (sel("ivfpq_stored"))
             // SAME replay as ivfpq_topk at the incremental budget
             // (k=15, nprobe=3 — the ann_ivf_incremental convention):

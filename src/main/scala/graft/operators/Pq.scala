@@ -434,6 +434,40 @@ object Pq {
     rerankTopKFromShort(inCell, embeddings, books, k, Similarity.QueryVec, mult)
   }
 
+  /** The serving stack with NO raw table anywhere in the query path —
+    * both tiers answered from bucket-partitioned storage: codes from
+    * the PQ store ([[pqStoreWrite]]), floats for the exact re-rank from
+    * the float store ([[Similarity.ivfStoreWrite]]'s layout), BOTH
+    * pruned by the same `bucket IN (...)` probe list at file level. The
+    * re-rank in [[ivfPqStoredTopK]] still joins the shortlist against
+    * the full embeddings table — a corpus-wide scan to fetch k·mult
+    * rows, fine when the table is a warehouse frame but wrong as the
+    * 100 TB query path. Here every byte the query touches lives under
+    * the nprobe probed directories of the two stores: ~nprobe/C of the
+    * 64×-compressed codes plus ~nprobe/C of the floats (and the float
+    * side of the join is only opened for the broadcast shortlist's
+    * rows). A shortlisted id is in a probed cell by construction, so
+    * restricting the float read to the probed partitions loses nothing
+    * — which the shared oracle (full-corpus replay from raw floats)
+    * re-proves on every gate run.
+    */
+  def ivfPqStoredTopKFromStores(
+      spark: SparkSession,
+      books: Codebooks,
+      cents: Array[Array[Double]],
+      k: Int,
+      nprobe: Int,
+      codePath: String,
+      floatPath: String,
+      mult: Int = RerankShortlistMult): DataFrame = {
+    val probes = Similarity.probedBucketsFor(cents, nprobe)
+    def probed(path: String) = spark.read.parquet(path)
+      .filter(col("bucket").isin(probes.map(Int.box): _*))
+    val inCell = probed(codePath).select(col("vec_id"), col("code"))
+    val floats = probed(floatPath).select(col("vec_id"), col("embedding"))
+    rerankTopKFromShort(inCell, floats, books, k, Similarity.QueryVec, mult)
+  }
+
   /** Dual panel recall certificate (the `ann_recall` pattern): for each
     * panel query, exact top-k by L2 (argmax 2·v·q − |v|² — |q|²
     * cancels) vs BOTH the ADC-only ranking and the re-ranked shortlist;

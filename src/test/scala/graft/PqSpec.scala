@@ -189,4 +189,44 @@ class PqSpec extends AnyFunSuite {
       .filter(_.getName.startsWith(storeRoot.getName + ".staging-"))
     assert(leftovers.isEmpty, s"staging dirs leaked: ${leftovers.mkString(", ")}")
   }
+
+  test("two-store IVF-PQ: codes AND re-rank floats from probed partitions only, result == in-memory compose") {
+    val cents = Similarity.kmeansSphericalTrace(emb, 8, 3)._1
+    val bucketed = Similarity.ivfTrainedAssignments(emb, cents)
+    val floatPath = java.nio.file.Files.createTempDirectory("pq_two_store_f").toString
+    val codePath = java.nio.file.Files.createTempDirectory("pq_two_store_c").toString
+    Similarity.ivfStoreWrite(bucketed, floatPath)
+    Pq.pqStoreWrite(Pq.encodeWithBuckets(emb, books, cents), codePath)
+    val stored = Pq.ivfPqStoredTopKFromStores(spark, books, cents, 10, 3, codePath, floatPath)
+    val rows = stored.collect()
+    assert(rows.map(_.toSeq).toSeq ===
+      Pq.ivfPqTopK(bucketed, encoded, emb, books, cents, 10, 3).collect().map(_.toSeq).toSeq)
+    // BOTH scans prune to the probed bucket directories of their store
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case o => o.children.flatMap(allScans)
+      }
+      here ++ p.subqueries.flatMap(allScans)
+    }
+    val probes = Similarity.probedBucketsFor(cents, 3).toSet
+    def filesUnder(root: String, buckets: Iterable[Int]): Int = buckets.toSeq.map { b =>
+      Option(new java.io.File(s"$root/bucket=$b").listFiles).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    }.sum
+    val scans = allScans(stored.queryExecution.executedPlan)
+    Seq(codePath, floatPath).foreach { root =>
+      val scan = scans.find(_.relation.location.rootPaths.exists(_.toString.contains(root)))
+        .getOrElse(fail(s"no scan rooted at $root in the executed plan"))
+      assert(scan.partitionFilters.nonEmpty, s"$root: no PartitionFilters")
+      assert(scan.metrics("numFiles").value === filesUnder(root, probes).toLong,
+        s"$root: scan did not prune to the probed directories")
+      assert(scan.metrics("numFiles").value < filesUnder(root, 0 until 8).toLong,
+        s"$root: nothing pruned")
+    }
+  }
 }
