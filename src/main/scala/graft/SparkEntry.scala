@@ -1034,6 +1034,21 @@ object SparkEntry {
       Pq.pqStoreWrite(Pq.encodeWithBuckets(emb, books, cents), codePath)
       Pq.ivfPqStoredTopKFromStores(s, books, cents, 20, 4, codePath, floatPath)
     }),
+    // the ingest→store loop CLOSED on the stream: encode+assign each
+    // micro-batch (stateless codegen), MERGE-upsert it into the bucket-
+    // partitioned code store (first batch bootstraps; later batches
+    // rewrite only their touched buckets — the materializeViews sink
+    // pattern applied to the serving tier), then answer the probe FROM
+    // the stream-built store. Oracle = the batch IVF-PQ replay from raw
+    // floats, so the streamed store must be byte-equivalent in effect
+    "streaming_pq_store" -> ((s, d) => {
+      val cents = kmeansSpherical(s, d)._1
+      val books = pqBooks(s, d)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_pq_stream").toString + "/store"
+      graft.streaming.StreamingViews.runPqStoreAvailableNow(s, d, books, cents, path)
+      Pq.ivfPqStoredTopK(s, books, cents, Tables.load(s, d, "embeddings"), 10, 2, path)
+    }),
     // the encode projection DEPLOYED on the embeddings stream: append
     // mode, no state — "encode once at ingest" certified stream==batch
     // against the same oracle as pq_encode
@@ -2599,7 +2614,7 @@ object SparkEntry {
       sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
       sel("pq_topk_rerank") || sel("ivfpq_topk") || sel("ivfpq_stored") ||
       sel("ivfpq_stored_full") || sel("pq_drift") || sel("pq_codebooks_sampled") ||
-      sel("streaming_pq_encode")) {
+      sel("streaming_pq_encode") || sel("streaming_pq_store")) {
       // oracle generation: collecting the embeddings at correctness
       // scale (500×64 floats at sf0.01) feeds the sequential references —
       // the same boundary as docsFull above, never part of a query plan.
@@ -2671,7 +2686,7 @@ object SparkEntry {
       if (sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
         sel("pq_topk_rerank") || sel("ivfpq_topk") || sel("ivfpq_stored") ||
         sel("ivfpq_stored_full") || sel("pq_drift") || sel("pq_codebooks_sampled") ||
-        sel("streaming_pq_encode")) {
+        sel("streaming_pq_encode") || sel("streaming_pq_store")) {
         // ONE reference PQ training feeds all four oracles; the
         // codebook gate certifies ref books == Spark books, and the
         // encode/topk/recall oracles then recompute everything from
@@ -2699,11 +2714,15 @@ object SparkEntry {
         if (sel("pq_topk_adc")) out += ("pq_topk_adc" -> Pq.adcTopKSql(refBooks, 20))
         if (sel("pq_topk_rerank"))
           out += ("pq_topk_rerank" -> Pq.rerankTopKSql(refBooks, 20))
-        if (sel("ivfpq_topk") || sel("ivfpq_stored") || sel("ivfpq_stored_full")) {
+        if (sel("ivfpq_topk") || sel("ivfpq_stored") || sel("ivfpq_stored_full") ||
+          sel("streaming_pq_store")) {
           // the composed oracles need the spherical coarse centroids too
           val (sphForPq, _) = graft.operators.KMeansRef.sphericalTrace(vecs, KmeansK, KmeansIters)
           if (sel("ivfpq_topk"))
             out += ("ivfpq_topk" -> Pq.ivfPqTopKSql(refBooks, sphForPq, 20, 4))
+          if (sel("streaming_pq_store"))
+            // stream-built store == batch replay, at its own budget
+            out += ("streaming_pq_store" -> Pq.ivfPqTopKSql(refBooks, sphForPq, 10, 2))
           if (sel("ivfpq_stored_full"))
             // the two-store path must be indistinguishable from the
             // in-memory compose: the oracle is ivfpq_topk's replay

@@ -1199,10 +1199,17 @@ object Similarity {
 
   // ---- DuckDB oracle SQL --------------------------------------------
 
+  // Rank-on-the-RAW-double convention (ADVICE r10, generalized from
+  // adcTopKSql): ORDER BY/LIMIT run in the inner subquery over the
+  // unrounded value and the outer presentation sort reads that raw
+  // column — an outer `ORDER BY sim` would bind to the 6dp SELECT
+  // alias in DuckDB while the Spark twin ranks on the raw double, a
+  // latent k-boundary flake for two values <~5e-7 apart.
   def topKSql(k: Int): String =
-    s"""SELECT vec_id, round(sim, 6) AS sim FROM (
-       |  SELECT vec_id, ${cosineToQuery(DuckDialect, "embedding")} AS sim FROM embeddings)
-       |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+    s"""SELECT vec_id, round(sim_raw, 6) AS sim FROM (
+       |  SELECT vec_id, ${cosineToQuery(DuckDialect, "embedding")} AS sim_raw FROM embeddings
+       |  ORDER BY sim_raw DESC, vec_id LIMIT $k)
+       |ORDER BY sim_raw DESC, vec_id""".stripMargin
 
   def ivfBucketsSql: String = {
     val sims = Centroids.zipWithIndex
@@ -1221,10 +1228,11 @@ object Similarity {
     val probes = probedBuckets(nprobe).mkString(", ")
     s"""WITH s AS (SELECT vec_id, embedding,\n  $sims\nFROM embeddings),
        |b AS (SELECT vec_id, embedding, ${bucketCase(Centroids.length)} AS bucket FROM s)
-       |SELECT vec_id, round(sim, 6) AS sim FROM (
-       |  SELECT vec_id, ${cosineToQuery(DuckDialect, "embedding")} AS sim
-       |  FROM b WHERE bucket IN ($probes))
-       |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+       |SELECT vec_id, round(sim_raw, 6) AS sim FROM (
+       |  SELECT vec_id, ${cosineToQuery(DuckDialect, "embedding")} AS sim_raw
+       |  FROM b WHERE bucket IN ($probes)
+       |  ORDER BY sim_raw DESC, vec_id LIMIT $k)
+       |ORDER BY sim_raw DESC, vec_id""".stripMargin
   }
 
   /** [[ivfTopKProbedSql]] generalized to TRAINED centroid literals —
@@ -1241,10 +1249,11 @@ object Similarity {
     val probes = probedBucketsFor(cents, nprobe).mkString(", ")
     s"""WITH s AS (SELECT vec_id, embedding,\n  $sims\nFROM embeddings),
        |b AS (SELECT vec_id, embedding, ${bucketCase(cents.length)} AS bucket FROM s)
-       |SELECT vec_id, round(sim, 6) AS sim FROM (
-       |  SELECT vec_id, ${cosineToQuery(DuckDialect, "embedding")} AS sim
-       |  FROM b WHERE bucket IN ($probes))
-       |ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
+       |SELECT vec_id, round(sim_raw, 6) AS sim FROM (
+       |  SELECT vec_id, ${cosineToQuery(DuckDialect, "embedding")} AS sim_raw
+       |  FROM b WHERE bucket IN ($probes)
+       |  ORDER BY sim_raw DESC, vec_id LIMIT $k)
+       |ORDER BY sim_raw DESC, vec_id""".stripMargin
   }
 
   def lshNearDupSql(threshold: Double, rowsPerBand: Int = LshRowsPerBand): String = {

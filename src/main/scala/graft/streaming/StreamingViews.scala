@@ -259,6 +259,48 @@ object StreamingViews {
     spark.table(name).orderBy(col("vec_id"))
   }
 
+  /** The INGEST→STORE loop closed: the stateless (vec_id, code, bucket)
+    * projection runs on the embeddings stream and each micro-batch is
+    * MERGE-upserted into the bucket-partitioned PQ code store —
+    * [[graft.operators.Pq.pqStoreUpsert]]'s touched-bucket rewrite as
+    * the streaming sink (the materializeViews pattern applied to the
+    * serving tier). First batch bootstraps the store; later batches
+    * rewrite only the buckets they touch, so per-batch cost is
+    * O(batch + touched-bucket bytes) however large the store grows —
+    * the daily-crawl shape, now wired end-to-end from the stream.
+    * Returns the store path's content served back through the probed
+    * ADC + exact re-rank ([[graft.operators.Pq.ivfPqStoredTopK]]), so
+    * the gate certifies stream-built store == batch replay.
+    */
+  def runPqStoreAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      books: graft.operators.Pq.Codebooks,
+      cents: Array[Array[Double]],
+      storePath: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/embeddings.parquet")
+    val reader = spark.readStream.schema(schema)
+    val q = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$sfDir/{embeddings.parquet}")
+      .transform(e => graft.operators.Pq.encodeWithBuckets(e, books, cents))
+      .writeStream
+      .outputMode("append")
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_pq_store_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val root = new org.apache.hadoop.fs.Path(storePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) { graft.operators.Pq.pqStoreUpsert(spark, batch, storePath); () }
+        else graft.operators.Pq.pqStoreWrite(batch, storePath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-static enrichment: the per-metric anomaly filter run under
     * incremental execution. The (mu, sigma) reference table is computed
     * from a BATCH read and broadcast into every micro-batch — the
@@ -555,6 +597,9 @@ object StreamingViews {
     // chunk count is bounded by the corpus time span / chunkSec (5 for
     // the 30-day test corpus) — a driver-side loop over chunk ids, not
     // over rows.
+    // cached for the staging loop: one distinct-chunks probe + one
+    // filtered write per chunk would otherwise re-scan the events
+    // parquet chunkCount+1 times
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
       .select(
         col("user_id"), col("event_id"), col("event_type"),
@@ -563,6 +608,7 @@ object StreamingViews {
         "arr",
         ((col("ts_s") + lit(jitterSec) * pmod(col("event_id"), lit(2))) / lit(chunkSec))
           .cast("long"))
+      .cache()
     val stageRoot = java.nio.file.Files.createTempDirectory("graft_join_chunks")
     val chunkIds = ev.select(col("arr")).distinct().collect().map(_.getLong(0)).sorted
     val mtimeBase = java.lang.System.currentTimeMillis() - 86400000L
@@ -581,6 +627,7 @@ object StreamingViews {
           .forEach(p => java.nio.file.Files.delete(p))
       }
     }
+    ev.unpersist()
     val schema = spark.read.parquet(stageRoot.toString).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
