@@ -1202,6 +1202,15 @@ object SparkEntry {
     // width) feed the same connected-components clustering as the text
     // dedup family
     "semantic_clusters" -> ((s, d) => Dedup.clusters(lshPairsAuto(s, d))),
+    // contrastive HARD-NEGATIVE mining: for each pinned-split anchor,
+    // the top-3 most-similar DIFFERENTLY-labeled corpus vectors — the
+    // pairs a contrastive finetune most needs to push apart. Label
+    // mismatch becomes an equi-join via the bounded anchor×other-labels
+    // bridge (BroadcastHashJoin, no BNLJ), one codegen cosine per
+    // candidate, per-anchor top-k window; linear in the corpus with the
+    // anchor side bounded
+    "hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.load(s, d, "embeddings"), 3)),
     // ---- streaming: one-shot AvailableNow run of the view builder;
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
@@ -2080,6 +2089,7 @@ object SparkEntry {
          |FROM documents JOIN q USING (doc_id) JOIN k USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "similarity_topk" -> Similarity.topKSql(10),
+    "hard_negatives" -> Similarity.hardNegativesSql(3),
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "ann_recall" -> Similarity.annRecallSql(20, 4),

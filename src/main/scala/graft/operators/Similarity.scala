@@ -1727,6 +1727,92 @@ object Similarity {
        |FROM ne, ns, nf""".stripMargin
   }
 
+  // ---- contrastive hard-negative mining -------------------------------
+
+  /** Hard-negative mining for contrastive training: for each ANCHOR
+    * (the pinned benchmark split `vec_id < cap` — the
+    * [[semanticDecontaminateProd]] convention), the `k` most-cosine-
+    * similar corpus vectors carrying a DIFFERENT label. "Similar but
+    * differently labeled" is the textbook hard negative — the pair the
+    * embedding model most needs to push apart — and mining them is a
+    * standard corpus-scale preprocessing step for contrastive
+    * finetuning.
+    *
+    * Plan shape: anchors are a BOUNDED broadcast side (cap rows); the
+    * label-mismatch condition is turned into an EQUI-join by expanding
+    * each anchor across the other labels (≤ cap·|labels| rows, still
+    * broadcast — the distinct-labels list is a bounded collect) so the
+    * plan is a BroadcastHashJoin on the label, never a
+    * BroadcastNestedLoopJoin on an inequality (PlanAuditSpec bans
+    * those). One narrow codegen cosine per candidate pair, then a
+    * per-anchor top-k window: cost is O(cap · corpus/|labels| ·
+    * (|labels|−1)) — linear in the corpus with a bounded constant. At
+    * 100 TB the exact scan becomes the refine stage over an ANN
+    * shortlist: [[graft.operators.Pq.ivfPqStoredTopKFromStores]]
+    * already serves per-anchor candidates from the probed partitions,
+    * and this operator's verify/rank shape is unchanged.
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      k: Int,
+      cap: Long = DecontamEvalCap): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val labels = embeddings.select(col("label").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq // bounded: label vocab
+    val anchors = embeddings
+      .filter(col("vec_id") < cap)
+      .select(
+        col("vec_id").as("anchor_id"),
+        col("label").cast("long").as("a_label"),
+        col("embedding").as("a_emb"))
+    val bridge = labels.toDF("c_label")
+    val expanded = anchors
+      .join(broadcast(bridge), col("c_label") =!= col("a_label"))
+      .select(col("anchor_id"), col("a_emb"), col("c_label"))
+    val cands = embeddings
+      .filter(col("vec_id") >= cap)
+      .select(
+        col("vec_id").as("neg_id"),
+        col("label").cast("long").as("c_label"),
+        col("embedding").as("c_emb"))
+    import org.apache.spark.sql.expressions.Window
+    cands
+      .join(broadcast(expanded), Seq("c_label"))
+      .withColumn("sim", expr(cosinePair(SparkDialect, "a_emb", "c_emb")))
+      .filter(col("sim").isNotNull)
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("anchor_id")).orderBy(col("sim").desc, col("neg_id"))))
+      .filter(col("rank") <= k)
+      .select(
+        col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("neg_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[hardNegatives]]: same pinned split, the label
+    * mismatch as a plain inequality join (DuckDB has no BNLJ ban to
+    * dodge), the shared pair-cosine chain, ranking on the RAW double.
+    */
+  def hardNegativesSql(k: Int, cap: Long = DecontamEvalCap): String =
+    s"""WITH a AS (
+       |  SELECT vec_id AS anchor_id, label AS a_label, embedding AS a_emb
+       |  FROM embeddings WHERE vec_id < $cap),
+       |c AS (
+       |  SELECT vec_id AS neg_id, label AS c_label, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id >= $cap),
+       |p AS (
+       |  SELECT anchor_id, neg_id, ${cosinePair(DuckDialect, "a_emb", "c_emb")} AS sim
+       |  FROM a JOIN c ON a.a_label <> c.c_label),
+       |r AS (
+       |  SELECT anchor_id, neg_id, sim,
+       |         row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neg_id) AS rank
+       |  FROM p WHERE sim IS NOT NULL)
+       |SELECT anchor_id, CAST(rank AS BIGINT) AS rank, neg_id, round(sim, 6) AS sim
+       |FROM r WHERE rank <= $k ORDER BY anchor_id, rank""".stripMargin
+
   // ---- int8 scalar quantization ---------------------------------------
 
   /** Int8 scalar quantization audit — the embedding-compression step a

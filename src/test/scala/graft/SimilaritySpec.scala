@@ -594,4 +594,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("retrain") ===
       (rs < rf - Similarity.DriftRetrainMarginPermille))
   }
+
+  test("hardNegatives: every negative carries a different label than its anchor; ranks dense; sims non-increasing") {
+    val emb = graft.sources.Tables.load(spark, SparkTestBase.Sf001, "embeddings")
+    val labelById = emb.select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val rows = Similarity.hardNegatives(emb, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, _, n, _) =>
+      assert(labelById(a) !== labelById(n), s"anchor $a and negative $n share a label")
+      assert(n >= Similarity.DecontamEvalCap, s"negative $n mined from the pinned split")
+    }
+    rows.groupBy(_._1).foreach { case (a, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length), s"ranks not dense for anchor $a")
+      val sims = sorted.map(_._4)
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, s"sims increase for anchor $a")
+    }
+  }
 }
