@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, LanguageModel, Multimodal, Packing, Pq, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
+import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, LanguageModel, Multimodal, Packing, Pq, Profiling, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1211,6 +1211,61 @@ object SparkEntry {
     // anchor side bounded
     "hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(Tables.load(s, d, "embeddings"), 3)),
+    // ---- ranked retrieval: the serving-side query path over the
+    //      curation indexes. BM25 over the pinned known-item panel:
+    //      broadcast query terms onto the postings (cost ∝ Σ df), one
+    //      broadcast stats row, per-query window ranking on the RAW
+    //      double score ----
+    "bm25_topk" -> ((s, d) => Retrieval.bm25TopK(Tables.load(s, d, "documents"))),
+    // the SERVED twin: postings sharded by token-hash bucket on disk
+    // (df + doc length denormalized onto the posting rows), panel terms
+    // reach their shards via a literal bucket IN-list (file-level
+    // pruning, RetrievalSpec-asserted) — storage must be
+    // result-invisible, so it shares bm25_topk's oracle
+    "bm25_stored" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25_index").toString
+      val statsPath = java.nio.file.Files.createTempDirectory("graft_bm25_stats").toString
+      val docs = Tables.load(s, d, "documents")
+      Retrieval.bm25IndexWrite(docs, path, statsPath)
+      Retrieval.bm25StoredTopK(s, docs, path, statsPath)
+    }),
+    // the index-maintenance loop DEPLOYED on the documents stream:
+    // micro-batches bootstrap-then-upsert the sharded postings store;
+    // the panel is then answered FROM the stream-built store against
+    // the same recompute-from-raw oracle (stream == batch == stored)
+    "streaming_bm25_store" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_bm25_stream").toString
+      graft.streaming.StreamingViews.runBm25StoreAvailableNow(
+        s, d, s"$base/store", s"$base/stats")
+      Retrieval.bm25StoredTopK(s, Tables.load(s, d, "documents"), s"$base/store", s"$base/stats")
+    }),
+    // INCREMENTAL lexical-index maintenance certified result-invisible:
+    // build the shards from 4/5 of the corpus, upsert the last fifth
+    // PLUS a re-texted doc 0 (uppercased — its old lowercase postings
+    // live in shards the new text never touches, so skipping the
+    // old-home deletion is a hash mismatch, and the exact stats delta
+    // rides the same gate). The oracle recomputes BM25 over the
+    // modified corpus from raw text
+    "bm25_incremental" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25_inc").toString
+      val statsPath = java.nio.file.Files.createTempDirectory("graft_bm25_inc_stats").toString
+      val docs = Tables.load(s, d, "documents")
+      val modDocs = docs.withColumn(
+        "text",
+        when(col("doc_id") === 0, upper(col("text"))).otherwise(col("text")))
+      Retrieval.bm25IndexWrite(docs.filter(col("doc_id") % 5 =!= 4), path, statsPath)
+      Retrieval.bm25IndexUpsert(
+        s, modDocs.filter(col("doc_id") % 5 === 4 || col("doc_id") === 0), path, statsPath)
+      Retrieval.bm25StoredTopK(s, modDocs, path, statsPath)
+    }),
+    // hybrid lexical+semantic retrieval: reciprocal-rank fusion of the
+    // BM25 list with the brute-force cosine list (both cut to k, so the
+    // fusion joins ≤2k rows/query); full-outer on (query, doc) with
+    // out-of-list sides contributing 0
+    "hybrid_rrf" -> ((s, d) =>
+      Retrieval.hybridRrf(
+        Tables.load(s, d, "documents"),
+        Tables.load(s, d, "embeddings"))),
     // ---- streaming: one-shot AvailableNow run of the view builder;
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
@@ -2090,6 +2145,11 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "similarity_topk" -> Similarity.topKSql(10),
     "hard_negatives" -> Similarity.hardNegativesSql(3),
+    "bm25_topk" -> Retrieval.bm25TopKSql(),
+    "bm25_stored" -> Retrieval.bm25TopKSql(),
+    "bm25_incremental" -> Retrieval.bm25RetextedSql(),
+    "streaming_bm25_store" -> Retrieval.bm25TopKSql(),
+    "hybrid_rrf" -> Retrieval.hybridRrfSql(),
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "ann_recall" -> Similarity.annRecallSql(20, 4),

@@ -1,0 +1,441 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.{cosinePair, DuckDialect, SparkDialect}
+
+/** Ranked retrieval over the document corpus — the serving-side query
+  * path that the curation operators ([[Curation.invertedIndex]],
+  * [[CorpusSignals.tfidfTopTerms]]) build indexes for but never query:
+  *
+  *   - BM25 (Robertson/Okapi, the Lucene `ln(1 + (N-df+0.5)/(df+0.5))`
+  *     idf form) top-k documents per query;
+  *   - hybrid retrieval: reciprocal-rank fusion (Cormack et al.,
+  *     `1/(60+rank)`) of the BM25 lexical ranking with a brute-force
+  *     cosine ranking over the embedding corpus — the standard
+  *     lexical+semantic serving stack for RAG-style retrieval.
+  *
+  * The query workload is the pinned known-item panel: query `q` is the
+  * first [[QueryTermCount]] tokens of document `doc_id = q` (lexical
+  * side) and the embedding of `vec_id = q` (semantic side), for the
+  * [[PanelQueries]] lowest ids — fixed as the corpus grows, the same
+  * pinned-split convention as `semanticDecontaminateProd`.
+  *
+  * Scale shape (the 100 TB story): the query panel is a few dozen rows
+  * and rides BROADCAST hash joins on both sides — the lexical join
+  * touches only the postings of the panel's terms (cost ∝ Σ df(t),
+  * corpus-size-independent for non-stopword terms), document length and
+  * corpus statistics are one broadcast row, and the per-query ranking is
+  * a window over candidates, never the corpus. The semantic side here is
+  * the brute-force panel twin; the IVF/PQ stores ([[Similarity]],
+  * [[Pq]]) are the sub-linear path for large panels and plug into the
+  * same fusion by replacing the `sem` frame. All builtins, no UDFs;
+  * every join below is an equi-join (PlanAuditSpec's no-nested-loop kill
+  * criterion holds — the one-row stats frame joins on the non-foldable
+  * constant key, the [[CorpusSignals.one]] pattern).
+  */
+object Retrieval {
+
+  /** BM25 term-frequency saturation. */
+  val Bm25K1 = 1.2
+
+  /** BM25 length-normalization strength. */
+  val Bm25B = 0.75
+
+  /** Reciprocal-rank-fusion denominator offset (the k=60 of Cormack
+    * et al. 2009 — small enough that rank 1 vs 2 still separates,
+    * large enough that one list's tail can't dominate the other's head).
+    */
+  val RrfK = 60
+
+  /** Pinned known-item query panel size (`doc_id`/`vec_id` < this). */
+  val PanelQueries = 8
+
+  /** Tokens taken from the head of each panel document as its query. */
+  val QueryTermCount = 4
+
+  /** Results kept per query (both retrieval legs and the fused list). */
+  val RetrievalTopK = 10
+
+  private val toks = Dedup.TokensExpr
+
+  /** `(query_id, token)` — the DISTINCT terms of each panel query
+    * (duplicate tokens inside one query score once; plain BM25 has no
+    * query-term-frequency component).
+    */
+  private def queryTerms(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("doc_id") < PanelQueries)
+      .select(
+        col("doc_id").as("query_id"),
+        explode(expr(s"slice($toks, 1, $QueryTermCount)")).as("token"))
+      .distinct()
+
+  /** BM25 top-[[RetrievalTopK]] documents per panel query:
+    * `(query_id, rnk, doc_id, bm25)`.
+    *
+    * Plan: one (doc_id, token) hash-aggregate for tf + per-doc length,
+    * one token-keyed hash-aggregate for df, one broadcast of the
+    * (tiny, distinct-term) query panel onto the tf frame — so only the
+    * panel terms' postings survive the join — and one per-query window
+    * for the final ranking. Ranking runs on the RAW double score; the
+    * 6dp round is display-only (the `dist_raw` ordering rule from
+    * [[Pq.adcTopKSql]]).
+    */
+  def bm25TopK(docs: DataFrame, k: Int = RetrievalTopK): DataFrame = {
+    val (postings, stats) = postingsAndStats(docs)
+    rankBm25(postings.join(broadcast(queryTerms(docs)), "token"), stats, k)
+  }
+
+  /** `(doc_id, len, token, tf, df)` postings (df denormalized onto each
+    * row — a token's postings live together, so df rides along for free
+    * in the sharded layout) plus the one-row corpus stats frame.
+    * Integer sums only, so `avg_len` is the same double in both engines
+    * regardless of row order.
+    */
+  private def postingsAndStats(docs: DataFrame): (DataFrame, DataFrame) = {
+    val tf = rawPostings(docs)
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    (tf.join(df, "token"), corpusStats(docs))
+  }
+
+  /** `(doc_id, len, token, tf)` — postings without the df column. */
+  private def rawPostings(docs: DataFrame): DataFrame =
+    graft.sources.Tables.fanOut(docs)
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("len"), explode(col("tk")).as("token"))
+      .groupBy(col("doc_id"), col("len"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** One-row `(n_docs, sum_len, avg_len)`. Integer sums only, so
+    * `avg_len` is the same double in both engines regardless of row
+    * order — and `sum_len` persists so the incremental path can update
+    * the average exactly (old − replaced + batch on longs).
+    */
+  private def corpusStats(docs: DataFrame): DataFrame =
+    graft.sources.Tables.fanOut(docs)
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("tk")).cast("long")).as("sum_len"))
+      .withColumn("avg_len", col("sum_len").cast("double") / col("n_docs"))
+      .select(col("n_docs"), col("sum_len"), col("avg_len"))
+
+  /** Score and rank joined candidates `(query_id, doc_id, len, tf, df)`
+    * against the one-row stats frame — the shared tail of the in-flight
+    * and stored paths (storage must be result-invisible; both feed the
+    * same oracle).
+    */
+  private def rankBm25(candidates: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    val idf = log(
+      lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf").cast("double") * lit(Bm25K1 + 1.0) /
+      (col("tf") +
+        lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("len") / col("avg_len")))
+    candidates
+      .withColumn("one", CorpusSignals.one(col("tf")))
+      .join(broadcast(stats.withColumn("one", CorpusSignals.one(col("n_docs")))), "one")
+      .withColumn("term_score", idf * norm)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score_raw"))
+      .withColumn(
+        "rnk",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("score_raw").desc, col("doc_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), round(col("score_raw"), 6).as("bm25"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---- stored, token-sharded index (the serving path) ---------------
+
+  /** Postings shards: `bucket = pmod(xxhash64(token), PostingsBuckets)`.
+    * A token's entire postings list lives in exactly one bucket
+    * directory, so a query touches ≤ |query terms| shards.
+    */
+  val PostingsBuckets = 16
+
+  private def bucketOfCol(token: Column): Column =
+    pmod(xxhash64(token), lit(PostingsBuckets.toLong)).cast("int")
+
+  /** Driver-side twin of [[bucketOfCol]] for building the literal
+    * IN-list prune ([[graft.functions.XxHash64Ref]] reproduces Spark's
+    * seed-42 xxhash64 bit-exactly; XxHashRefSpec asserts it).
+    */
+  def bucketOf(token: String): Int = {
+    val h = graft.functions.XxHash64Ref.hashBytes(
+      token.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      graft.functions.XxHash64Ref.SparkSeed)
+    (((h % PostingsBuckets) + PostingsBuckets) % PostingsBuckets).toInt
+  }
+
+  /** Build the sharded lexical index: postings (+ denormalized df and
+    * doc length) partitioned by token-hash bucket at `path`, the
+    * one-row corpus stats at `statsPath`. At 100 TB this is the
+    * inverted-index build — two hash aggregations and one
+    * token-keyed join, written once, queried forever; incremental
+    * maintenance composes via [[Similarity.storeUpsert]] on the same
+    * bucket layout.
+    */
+  def bm25IndexWrite(docs: DataFrame, path: String, statsPath: String): Unit = {
+    val (postings, stats) = postingsAndStats(docs)
+    postings
+      .withColumn("bucket", bucketOfCol(col("token")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    stats.write.mode("overwrite").parquet(statsPath)
+  }
+
+  /** Answer the panel FROM the stored index: the panel's terms select
+    * their shard directories via a literal `bucket IN (...)` that lands
+    * in the scan's PartitionFilters (file-level pruning — the
+    * [[Similarity.ivfStoredTopK]] contract, spec-asserted), the `token
+    * IN (...)` literal prunes further via parquet min/max, and the
+    * ranking is [[rankBm25]]'s — storage must be result-invisible, so
+    * the stored entry shares `bm25_topk`'s oracle. The panel-term
+    * collect is bounded (≤ [[PanelQueries]]·[[QueryTermCount]] strings),
+    * the same class as the probe-list boundary.
+    */
+  /** INCREMENTAL index maintenance — the daily-crawl shape for the
+    * lexical index, mirroring [[Similarity.ivfStoreUpsert]]'s
+    * semantics: a batch document REPLACES its old postings everywhere
+    * they live (a re-crawled doc's token set can change, so its stale
+    * postings may sit in buckets the new text never touches — the
+    * old-home pass below is required for correctness, and the gate's
+    * re-texted doc makes skipping it a hash mismatch); new documents
+    * append.
+    *
+    * Why this can be bucket-local at all: a token's ENTIRE postings
+    * list lives in its one hash bucket, so df — denormalized onto the
+    * posting rows — is recomputable from the merged content of the
+    * touched buckets alone, and untouched buckets' df cannot have
+    * changed (no posting of a batch doc lives there, by the definition
+    * of touched). The corpus stats update is exact long arithmetic:
+    * (n_docs, sum_len) − replaced + batch. Cost ∝ batch + touched-
+    * bucket bytes + one (doc_id, bucket)-projected old-home pass —
+    * never corpus bytes. Returns the touched bucket ids.
+    */
+  def bm25IndexUpsert(
+      spark: org.apache.spark.sql.SparkSession,
+      docsBatch: DataFrame,
+      path: String,
+      statsPath: String): Seq[Int] = {
+    val store = spark.read.parquet(path)
+    val batchIds = docsBatch.select(col("doc_id")).distinct()
+    val batchRaw = rawPostings(docsBatch)
+    val oldOfBatch = store.join(broadcast(batchIds), Seq("doc_id"))
+    val oldHomes = oldOfBatch
+      .select(col("bucket").cast("int")).distinct().collect().map(_.getInt(0))
+    val newHomes = batchRaw
+      .select(bucketOfCol(col("token")).as("bucket")).distinct().collect().map(_.getInt(0))
+    val touched = (oldHomes ++ newHomes).distinct.sorted.toSeq
+    if (touched.isEmpty) return touched
+
+    // exact stats update BEFORE the swap: each replaced doc leaves once
+    // (its len is constant across its posting rows), each batch doc
+    // arrives once. One-row frames → one driver row → rewritten stats.
+    val replaced = oldOfBatch.select(col("doc_id"), col("len")).distinct()
+      .agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_rep"),
+        coalesce(sum(col("len").cast("long")), lit(0L)).as("len_rep"))
+    val batchStats = corpusStats(docsBatch)
+      .select(col("n_docs").as("n_b"), col("sum_len").as("len_b"))
+    val old = spark.read.parquet(statsPath).select(col("n_docs"), col("sum_len"))
+    val Array(nDocs, sumLen) = {
+      val o = old.collect()(0)
+      val r = replaced.collect()(0)
+      val b = batchStats.collect()(0)
+      Array(
+        o.getLong(0) - r.getLong(0) + b.getLong(0),
+        o.getLong(1) - r.getLong(1) + b.getLong(1))
+    }
+    import spark.implicits._
+    Seq((nDocs, sumLen, sumLen.toDouble / nDocs))
+      .toDF("n_docs", "sum_len", "avg_len")
+      .write.mode("overwrite").parquet(statsPath)
+
+    // merged content of the touched buckets: surviving old postings
+    // (batch docs' rows dropped wherever they live) ∪ batch postings —
+    // then df recomputed WITHIN the merge, valid because every merged
+    // token's full postings list is present
+    val survivors = store
+      .filter(col("bucket").isin(touched.map(Int.box): _*))
+      .join(batchIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("len"), col("token"), col("tf"))
+    val mergedRaw = survivors.unionByName(batchRaw.select(col("doc_id"), col("len"), col("token"), col("tf")))
+    // column order matches bm25IndexWrite's files (token-first from the
+    // df join) so every bucket directory carries one field layout
+    val merged = mergedRaw
+      .join(mergedRaw.groupBy(col("token")).agg(count(lit(1)).as("df")), "token")
+      .select(col("token"), col("doc_id"), col("len"), col("tf"), col("df"),
+        bucketOfCol(col("token")).as("bucket"))
+    Similarity.swapTouchedPartitions(spark, merged, path, touched)
+    touched
+  }
+
+  def bm25StoredTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      path: String,
+      statsPath: String,
+      k: Int = RetrievalTopK): DataFrame = {
+    val qt = queryTerms(docs)
+    val terms = qt.select(col("token")).distinct().collect().map(_.getString(0)).toSeq
+    val buckets = terms.map(bucketOf).distinct
+    val candidates = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(terms: _*))
+      .join(broadcast(qt), "token")
+    rankBm25(candidates, spark.read.parquet(statsPath), k)
+  }
+
+  /** Shared SQL: BM25 candidate ranking CTEs, ending in a `lex` relation
+    * `(query_id, doc_id, score_raw, rnk)` already cut to `k`.
+    */
+  private def bm25Ctes(k: Int, src: String = "documents"): String =
+    s"""u AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+       |  FROM $src),
+       |tf AS (
+       |  SELECT doc_id, len(tk) AS doc_len, unnest(tk) AS token
+       |  FROM u),
+       |tfg AS (SELECT doc_id, doc_len, token, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT token, count(*) AS df FROM tfg GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avg_len
+       |  FROM u),
+       |q AS (
+       |  SELECT DISTINCT doc_id AS query_id,
+       |         unnest(list_slice(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), 1, $QueryTermCount)) AS token
+       |  FROM $src WHERE doc_id < $PanelQueries),
+       |scored AS (
+       |  SELECT q.query_id, tfg.doc_id,
+       |         sum(ln(1.0 + CAST(stats.n_docs - dfreq.df + 0.5 AS DOUBLE) / (dfreq.df + 0.5)) *
+       |             CAST(tfg.tf AS DOUBLE) * ${Bm25K1 + 1.0} /
+       |             (tfg.tf + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * tfg.doc_len / stats.avg_len))
+       |         ) AS score_raw
+       |  FROM tfg JOIN q USING (token) JOIN dfreq USING (token) CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT * FROM (
+       |    SELECT query_id, doc_id, score_raw,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, doc_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= $k)""".stripMargin
+
+  def bm25TopKSql(k: Int = RetrievalTopK): String =
+    s"""WITH ${bm25Ctes(k)}
+       |SELECT query_id, rnk, doc_id, round(score_raw, 6) AS bm25
+       |FROM lex ORDER BY query_id, rnk""".stripMargin
+
+  /** The incremental gate's replay: the full BM25 recompute over the
+    * corpus AS THE STORE SHOULD SEE IT after the upsert — doc 0
+    * re-texted (uppercased), every other doc unchanged. Storage,
+    * replacement, old-home deletion and the stats delta must all be
+    * result-invisible against this.
+    */
+  def bm25RetextedSql(k: Int = RetrievalTopK): String =
+    s"""WITH docs_mod AS (
+       |  SELECT doc_id, CASE WHEN doc_id = 0 THEN upper(text) ELSE text END AS text
+       |  FROM documents),
+       |${bm25Ctes(k, "docs_mod")}
+       |SELECT query_id, rnk, doc_id, round(score_raw, 6) AS bm25
+       |FROM lex ORDER BY query_id, rnk""".stripMargin
+
+  /** Brute-force cosine ranks of the embedding corpus against the panel
+    * query vectors: `(query_id, vec_id, rnk)` cut to `k`. The panel
+    * frame (≤ [[PanelQueries]] rows) broadcasts onto the corpus via the
+    * non-foldable constant key, so this is a BroadcastHashJoin producing
+    * panel×corpus candidate rows — the documented brute-force twin of
+    * the IVF panel path ([[Similarity.ivfTopK]]).
+    */
+  private def semanticRanks(embeddings: DataFrame, k: Int): DataFrame = {
+    val queries = embeddings
+      .filter(col("vec_id") < PanelQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("one", CorpusSignals.one(col("query_id")))
+    embeddings
+      .withColumn("one", CorpusSignals.one(col("vec_id")))
+      .join(broadcast(queries), "one")
+      .withColumn("sim", expr(cosinePair(SparkDialect, "q_emb", "embedding")))
+      .filter(col("sim").isNotNull)
+      .withColumn(
+        "rnk",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"))
+  }
+
+  /** Reciprocal-rank fusion of the BM25 lexical list and the cosine
+    * semantic list, per panel query:
+    * `(query_id, rnk, doc_id, rrf, lex_rnk, sem_rnk)`.
+    *
+    * `rrf = Σ_sides 1/(RrfK + rank)`, a side contributing 0 when the
+    * document is outside its top-k (the full-outer-join convention).
+    * Both inputs are already cut to `k`, so the fused candidate set is
+    * ≤ 2k rows per query — the fusion itself is corpus-size-free.
+    * `doc_id`/`vec_id` are fused as one id space by convention (in a
+    * real deployment the embedding row IS the document's vector; the
+    * synthetic tables share the 0-based id domain, which is all RRF
+    * needs — it fuses ranks, never features).
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, k: Int = RetrievalTopK): DataFrame = {
+    val lex = bm25TopK(docs, k).select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val sem = semanticRanks(embeddings, k)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk").as("sem_rnk"))
+    val rrf = coalesce(lit(1.0) / (lit(RrfK) + col("lex_rnk")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfK) + col("sem_rnk")), lit(0.0))
+    lex
+      .join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_raw", rrf)
+      .withColumn(
+        "rnk",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("rrf_raw").desc, col("doc_id"))))
+      .filter(col("rnk") <= k)
+      .select(
+        col("query_id"),
+        col("rnk"),
+        col("doc_id"),
+        round(col("rrf_raw"), 6).as("rrf"),
+        col("lex_rnk"),
+        col("sem_rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  def hybridRrfSql(k: Int = RetrievalTopK): String =
+    s"""WITH ${bm25Ctes(k)},
+       |qv AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $PanelQueries),
+       |simr AS (
+       |  SELECT qv.query_id, e.vec_id,
+       |         ${cosinePair(DuckDialect, "qv.q_emb", "e.embedding")} AS sim
+       |  FROM embeddings e CROSS JOIN qv),
+       |sem AS (
+       |  SELECT * FROM (
+       |    SELECT query_id, vec_id AS doc_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM simr WHERE sim IS NOT NULL)
+       |  WHERE rnk <= $k),
+       |fused AS (
+       |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+       |         coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |         coalesce(CAST(1 AS DOUBLE) / ($RrfK + lex.rnk), 0.0) +
+       |           coalesce(CAST(1 AS DOUBLE) / ($RrfK + sem.rnk), 0.0) AS rrf_raw,
+       |         lex.rnk AS lex_rnk, sem.rnk AS sem_rnk
+       |  FROM lex FULL OUTER JOIN sem
+       |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+       |SELECT query_id, rnk, doc_id, round(rrf_raw, 6) AS rrf, lex_rnk, sem_rnk
+       |FROM (
+       |  SELECT query_id, doc_id, rrf_raw, lex_rnk, sem_rnk,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY rrf_raw DESC, doc_id) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+}

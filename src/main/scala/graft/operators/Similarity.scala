@@ -787,6 +787,24 @@ object Similarity {
     // partition discovery at all. Removed in a finally once the
     // dynamic-overwrite swap (and the emptied-bucket sweep that reads
     // it) is done.
+    swapTouchedPartitions(spark, merged.select(outCols: _*), path, touched)
+    touched
+  }
+
+  /** The staged touched-partition swap shared by every bucket-
+    * partitioned store (float index, PQ code store, BM25 postings):
+    * write `merged` (which must carry a `bucket` column and contain the
+    * full new content of every `touched` bucket) to a staging dir, swap
+    * it in under dynamic partition overwrite, and sweep any touched
+    * bucket that ended up empty (dynamic overwrite leaves a
+    * no-longer-written partition's old directory standing — the emptied
+    * cell would keep serving stale rows).
+    */
+  private[operators] def swapTouchedPartitions(
+      spark: SparkSession,
+      merged: DataFrame,
+      path: String,
+      touched: Seq[Int]): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stageDir = new org.apache.hadoop.fs.Path(
@@ -797,21 +815,16 @@ object Similarity {
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try
-        staged.select(col("vec_id") +: payloadCols.map(col) :+ col("bucket"): _*)
-          .write.mode("overwrite").partitionBy("bucket").parquet(path)
+        staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      // a touched bucket whose rows ALL moved away writes no partition in
-      // `merged`, so dynamic overwrite leaves its old directory standing —
-      // drop those explicitly or the emptied cell keeps serving stale rows
       val mergedBuckets =
         staged.select(col("bucket").cast("int")).distinct().collect().map(_.getInt(0)).toSet
       touched.filterNot(mergedBuckets).foreach { b =>
         fs.delete(new org.apache.hadoop.fs.Path(hadoopPath, s"bucket=$b"), true)
       }
-      touched
     } finally fs.delete(stageDir, true)
   }
 
@@ -1766,9 +1779,14 @@ object Similarity {
         col("vec_id").as("anchor_id"),
         col("label").cast("long").as("a_label"),
         col("embedding").as("a_emb"))
-    val bridge = labels.toDF("c_label")
+    // label mismatch as an EQUI-join: the bridge enumerates the ordered
+    // label PAIRS (a, c) with a != c — vocab² rows, driver-built — so
+    // both hops are BroadcastHashJoins (an inequality condition on the
+    // single-column bridge would plan as the banned BNLJ)
+    val bridge = (for { a <- labels; c <- labels if a != c } yield (a, c))
+      .toDF("a_label", "c_label")
     val expanded = anchors
-      .join(broadcast(bridge), col("c_label") =!= col("a_label"))
+      .join(broadcast(bridge), Seq("a_label"))
       .select(col("anchor_id"), col("a_emb"), col("c_label"))
     val cands = embeddings
       .filter(col("vec_id") >= cap)

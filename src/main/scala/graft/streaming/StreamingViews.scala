@@ -301,6 +301,43 @@ object StreamingViews {
     q.awaitTermination()
   }
 
+  /** Lexical-index maintenance on the documents STREAM — the crawl
+    * loop's storage side: each micro-batch MERGE-upserts the sharded
+    * BM25 postings store (first batch bootstraps; later batches pay
+    * touched shards + the old-home pass, never corpus bytes, via
+    * [[graft.operators.Retrieval.bm25IndexUpsert]]'s incremental df and
+    * exact stats delta). Index freshness tracks ingest; the serving
+    * path ([[graft.operators.Retrieval.bm25StoredTopK]]) reads the
+    * same store the stream maintains.
+    */
+  def runBm25StoreAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      path: String,
+      statsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/documents.parquet")
+    val reader = spark.readStream.schema(schema)
+    val q = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$sfDir/{documents.parquet}")
+      .writeStream
+      .outputMode("append")
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_bm25_store_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) {
+          graft.operators.Retrieval.bm25IndexUpsert(spark, batch, path, statsPath); ()
+        } else graft.operators.Retrieval.bm25IndexWrite(batch, path, statsPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-static enrichment: the per-metric anomaly filter run under
     * incremental execution. The (mu, sigma) reference table is computed
     * from a BATCH read and broadcast into every micro-batch — the

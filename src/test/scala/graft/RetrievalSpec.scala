@@ -1,0 +1,237 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Retrieval
+
+/** BM25 and reciprocal-rank fusion checked against independent in-test
+  * arithmetic on hand-sized fixtures (the driver gate then replays both
+  * against DuckDB at sf0.01): exact scores on a 3-doc corpus, fusion
+  * recomputed from brute-force cosine ranks in plain Scala, and the
+  * broadcast shape of the panel joins.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // plain-Scala BM25 for the fixture: same formula, same constants
+  private def bm25Ref(corpus: Seq[(Long, String)], qid: Long): Map[Long, Double] = {
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgLen = toks.values.map(_.size).sum / n
+    val df = toks.values.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val qTerms = toks(qid).take(Retrieval.QueryTermCount).distinct
+    corpus.flatMap { case (id, _) =>
+      val tf = toks(id).groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val score = qTerms.collect {
+        case t if tf.contains(t) =>
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          val norm = tf(t) * (Retrieval.Bm25K1 + 1.0) /
+            (tf(t) + Retrieval.Bm25K1 *
+              (1.0 - Retrieval.Bm25B + Retrieval.Bm25B * toks(id).size / avgLen))
+          idf * norm
+      }.sum
+      if (score > 0) Some(id -> score) else None
+    }.toMap
+  }
+
+  test("bm25TopK matches the in-test reference exactly on a 3-doc corpus") {
+    val corpus = Seq(
+      0L -> "apple banana apple",
+      1L -> "banana cherry",
+      2L -> "apple cherry cherry date")
+    val got = Retrieval.bm25TopK(docs(corpus: _*)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // every query doc is in the panel (ids < PanelQueries); per query the
+    // candidates are exactly the docs sharing >=1 query term, ranked by
+    // the reference score
+    for (q <- corpus.map(_._1)) {
+      val want = bm25Ref(corpus, q).toSeq
+        .sortBy { case (id, s) => (-s, id) }
+        .map { case (id, s) => (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      val have = got.filter(_._1 == q).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(have === want, s"query $q")
+    }
+    // ranks are 1..n and scores non-increasing within each query
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to rs.length))
+      assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("hybridRrf fuses exactly the reciprocal ranks of both legs") {
+    val corpus = Seq(
+      0L -> "alpha beta gamma",
+      1L -> "alpha delta",
+      2L -> "beta beta epsilon",
+      3L -> "gamma delta epsilon zeta")
+    import spark.implicits._
+    // deterministic 64-dim embeddings, ids matching the doc ids
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (((i * 31 + seed * 17) % 23) - 11).toFloat / 7f)
+    val embRows = (0L to 3L).map(i => (i, vec(i.toInt), s"l${i % 2}"))
+    val emb = embRows.toDF("vec_id", "embedding", "label")
+
+    val fused = Retrieval.hybridRrf(docs(corpus: _*), emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    // independent fusion: lexical ranks from the reference scorer,
+    // semantic ranks from plain-Scala cosine, RRF recomputed directly
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i)).sum
+      val na = math.sqrt(a.indices.map(i => a(i).toDouble * a(i)).sum)
+      val nb = math.sqrt(b.indices.map(i => b(i).toDouble * b(i)).sum)
+      dot / (na * nb)
+    }
+    for (q <- corpus.map(_._1)) {
+      val lexRanks = bm25Ref(corpus, q).toSeq
+        .sortBy { case (id, s) => (-s, id) }
+        .take(Retrieval.RetrievalTopK).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1) }.toMap
+      val qv = embRows(q.toInt)._2
+      val semRanks = embRows.map { case (id, v, _) => id -> cos(qv, v) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(Retrieval.RetrievalTopK).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1) }.toMap
+      val want = (lexRanks.keySet ++ semRanks.keySet).toSeq
+        .map { id =>
+          val r = lexRanks.get(id).map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0) +
+            semRanks.get(id).map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0)
+          id -> r
+        }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(Retrieval.RetrievalTopK)
+        .map { case (id, s) => (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      val have = fused.filter(_._1 == q).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(have === want, s"query $q")
+    }
+    // a doc on BOTH legs' lists outranks single-leg docs at similar
+    // positions: the fused top score is bounded by 2/(RrfK+1)
+    // 5e-7 slack: the column is rounded to 6dp, the bound is exact
+    assert(fused.map(_._4).max <= 2.0 / (Retrieval.RrfK + 1) + 5e-7)
+  }
+
+  test("stored index is result-invisible and prunes to the panel terms' shards") {
+    val d = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val path = java.nio.file.Files.createTempDirectory("bm25_index_spec").toString
+    val statsPath = java.nio.file.Files.createTempDirectory("bm25_stats_spec").toString
+    Retrieval.bm25IndexWrite(d, path, statsPath)
+    val stored = Retrieval.bm25StoredTopK(spark, d, path, statsPath)
+    val rows = stored.collect() // execute so scan metrics populate
+    assert(rows.toSeq === Retrieval.bm25TopK(d).collect().toSeq)
+    // the executed postings scan reads EXACTLY the files under the
+    // panel terms' bucket directories
+    // under AQE the postings scan lives inside a materialized query
+    // stage (a leaf to TreeNode.collect) — descend explicitly
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case o => o.children.flatMap(allScans)
+      }
+      here ++ p.subqueries.flatMap(allScans)
+    }
+    val scan = allScans(stored.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("bm25_index_spec")))
+      .getOrElse(fail("postings scan not found in executed plan"))
+    val panelBuckets = d
+      .filter(org.apache.spark.sql.functions.col("doc_id") < Retrieval.PanelQueries)
+      .collect()
+      .flatMap(_.getString(1).split("\\s+").filter(_.nonEmpty).take(Retrieval.QueryTermCount))
+      .map(Retrieval.bucketOf).toSet
+    def filesUnder(buckets: Iterable[Int]): Int = buckets.toSeq.map { b =>
+      val dir = new java.io.File(s"$path/bucket=$b")
+      Option(dir.listFiles).toSeq.flatten.count(_.getName.endsWith(".parquet"))
+    }.sum
+    val filesInPanel = filesUnder(panelBuckets)
+    val filesTotal = filesUnder(0 until Retrieval.PostingsBuckets)
+    val numFiles = scan.metrics("numFiles").value
+    info(s"scan read $numFiles of $filesTotal files ($filesInPanel in panel shards)")
+    assert(scan.partitionFilters.nonEmpty, "bucket IN-list did not reach PartitionFilters")
+    assert(numFiles === filesInPanel.toLong, "scan did not prune to the panel shards")
+    assert(numFiles < filesTotal.toLong, "nothing was pruned — all shards were read")
+  }
+
+  test("incremental upsert == full rebuild over the modified corpus; untouched shards byte-identical") {
+    import org.apache.spark.sql.functions.{col, upper, when}
+    val d = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val modDocs = d.withColumn(
+      "text", when(col("doc_id") === 0, upper(col("text"))).otherwise(col("text")))
+    val path = java.nio.file.Files.createTempDirectory("bm25_inc_spec").toString
+    val statsPath = java.nio.file.Files.createTempDirectory("bm25_inc_stats_spec").toString
+    Retrieval.bm25IndexWrite(d.filter(col("doc_id") % 5 =!= 4), path, statsPath)
+
+    def dirDigests(bucket: Int): Map[String, Long] = {
+      val dir = new java.io.File(s"$path/bucket=$bucket")
+      Option(dir.listFiles).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          f.getName -> java.util.Arrays.hashCode(bytes).toLong
+        }.toMap
+    }
+    val before = (0 until Retrieval.PostingsBuckets).map(b => b -> dirDigests(b)).toMap
+
+    val batch = modDocs.filter(col("doc_id") % 5 === 4 || col("doc_id") === 0)
+    val touched = Retrieval.bm25IndexUpsert(spark, batch, path, statsPath)
+    assert(touched.nonEmpty)
+    // untouched bucket directories are byte-identical
+    (0 until Retrieval.PostingsBuckets).filterNot(touched.contains).foreach { b =>
+      assert(dirDigests(b) === before(b), s"untouched bucket $b changed")
+    }
+    // a re-texted doc's OLD postings are gone: doc 0's lowercase tokens
+    // must not appear under doc_id 0 anywhere in the store
+    val store = spark.read.parquet(path)
+    val doc0Tokens = store.filter(col("doc_id") === 0)
+      .select(col("token")).collect().map(_.getString(0))
+    assert(doc0Tokens.nonEmpty && doc0Tokens.forall(t => t == t.toUpperCase),
+      s"stale lowercase postings for doc 0: ${doc0Tokens.filterNot(t => t == t.toUpperCase).take(5).toSeq}")
+    // merged store answers exactly like a fresh full-corpus rebuild
+    // (and like the in-flight path over the modified corpus)
+    val freshPath = java.nio.file.Files.createTempDirectory("bm25_inc_fresh").toString
+    val freshStats = java.nio.file.Files.createTempDirectory("bm25_inc_fresh_stats").toString
+    Retrieval.bm25IndexWrite(modDocs, freshPath, freshStats)
+    val merged = Retrieval.bm25StoredTopK(spark, modDocs, path, statsPath).collect().toSeq
+    assert(merged === Retrieval.bm25StoredTopK(spark, modDocs, freshPath, freshStats).collect().toSeq)
+    assert(merged === Retrieval.bm25TopK(modDocs).collect().toSeq)
+    // the stats delta is exact: incremental stats == rebuilt stats
+    val incStats = spark.read.parquet(statsPath).collect()(0)
+    val refStats = spark.read.parquet(freshStats).collect()(0)
+    assert(incStats.getLong(0) === refStats.getLong(0))
+    assert(incStats.getLong(1) === refStats.getLong(1))
+    assert(incStats.getDouble(2) === refStats.getDouble(2))
+  }
+
+  test("streaming maintenance: 4 micro-batches bootstrap+upsert == batch index") {
+    val d = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val srcDir = java.nio.file.Files.createTempDirectory("bm25_stream_src").toString
+    d.repartition(4) // 4 files -> 4 micro-batches at maxFilesPerTrigger=1
+      .write.parquet(s"$srcDir/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("bm25_stream_store").toString
+    graft.streaming.StreamingViews.runBm25StoreAvailableNow(
+      spark, srcDir, s"$base/store", s"$base/stats", Some(1))
+    // the stream-built store answers exactly like the in-flight batch
+    // path over the full corpus (first batch bootstrapped, later three
+    // exercised the incremental df + stats delta in-stream)
+    val got = Retrieval.bm25StoredTopK(spark, d, s"$base/store", s"$base/stats").collect().toSeq
+    assert(got === Retrieval.bm25TopK(d).collect().toSeq)
+  }
+
+  test("panel joins broadcast (no shuffle of the query side)") {
+    val d = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val e = graft.sources.Tables.load(spark, Sf0001, "embeddings")
+    val bm25Plan = Retrieval.bm25TopK(d).queryExecution.executedPlan.toString
+    assert(bm25Plan.contains("BroadcastHashJoin"), "query panel should broadcast")
+    val rrfPlan = Retrieval.hybridRrf(d, e).queryExecution.executedPlan.toString
+    assert(rrfPlan.contains("BroadcastHashJoin"))
+    assert(!rrfPlan.contains("BroadcastNestedLoopJoin") && !rrfPlan.contains("CartesianProduct"))
+  }
+}

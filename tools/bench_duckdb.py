@@ -61,6 +61,14 @@ HEADLINE = [
     # streaming_view_retained likewise (oracle IS view_min's SQL);
     # http_* likewise (their oracles ARE the history/snapshot SQL —
     # anchoring them would double-count the same queries)
+    # round-11 additions (real recomputing SQL):
+    "hard_negatives", "streaming_join_watermarked", "pq_drift",
+    "pq_codebooks_sampled", "ivfpq_stored", "ivfpq_stored_full",
+    "bm25_topk", "hybrid_rrf", "bm25_incremental",
+    # bm25_stored / streaming_bm25_store intentionally absent: their
+    # oracle IS bm25_topk's SQL (storage/stream must be result-
+    # invisible), already anchored; streaming_pq_store's IS the
+    # ivfpq_topk replay at its own budget
 ]
 # intentionally absent: bpe_encode / dedup_minhash_lsh and the other
 # *_xx production twins use precomputed VALUES oracles, not real queries
