@@ -1266,6 +1266,15 @@ object SparkEntry {
       Retrieval.hybridRrf(
         Tables.load(s, d, "documents"),
         Tables.load(s, d, "embeddings"))),
+    // the AT-SCALE hybrid: semantic leg answered by the fixed-centroid
+    // IVF probe (per-query top-nprobe cells by centroid dot, candidates
+    // via an equi-join on bucket) instead of the brute-force scan —
+    // certifies the composed serving stack; the brute-force twin above
+    // measures what the probe trades
+    "hybrid_rrf_ivf" -> ((s, d) =>
+      Retrieval.hybridRrfIvf(
+        Tables.load(s, d, "documents"),
+        Tables.load(s, d, "embeddings"))),
     // ---- streaming: one-shot AvailableNow run of the view builder;
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
@@ -2150,6 +2159,7 @@ object SparkEntry {
     "bm25_incremental" -> Retrieval.bm25RetextedSql(),
     "streaming_bm25_store" -> Retrieval.bm25TopKSql(),
     "hybrid_rrf" -> Retrieval.hybridRrfSql(),
+    "hybrid_rrf_ivf" -> Retrieval.hybridRrfIvfSql(),
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "ann_recall" -> Similarity.annRecallSql(20, 4),

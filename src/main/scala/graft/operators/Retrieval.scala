@@ -353,6 +353,48 @@ object Retrieval {
     * panel×corpus candidate rows — the documented brute-force twin of
     * the IVF panel path ([[Similarity.ivfTopK]]).
     */
+  /** Probed cells per panel query — the in-cell ranking of
+    * [[semanticRanksIvf]]. */
+  val HybridNprobe = 2
+
+  /** IVF semantic ranks: each panel query's top-`nprobe` cells by
+    * centroid dot (ties to the lower index, the [[Similarity]]
+    * convention), candidates reached by an equi-join on `bucket`
+    * against the corpus assignment frame — per-query cost ∝ probed-cell
+    * occupancy, never corpus size. Fixed geometry ([[Similarity
+    * .Centroids]]) so the replay's centroid literals are static; the
+    * trained-centroid variants certify the training separately.
+    */
+  private def semanticRanksIvf(embeddings: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val queries = embeddings
+      .filter(col("vec_id") < PanelQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val withSims = Similarity.Centroids.zipWithIndex.foldLeft(queries) { case (df, (c, j)) =>
+      df.withColumn(s"s$j", expr(Similarity.SparkDialect.dotConst("q_emb", c)))
+    }
+    val probes = withSims
+      .select(
+        col("query_id"),
+        col("q_emb"),
+        posexplode(array(Similarity.Centroids.indices.map(j => col(s"s$j")): _*)).as(Seq("j", "d")))
+      .withColumn(
+        "pr",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("j"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("j").cast("int").as("bucket"))
+    Similarity.ivfAssignments(embeddings)
+      .join(broadcast(probes), "bucket")
+      .withColumn("sim", expr(cosinePair(SparkDialect, "q_emb", "embedding")))
+      .filter(col("sim").isNotNull)
+      .withColumn(
+        "rnk",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"))
+  }
+
   private def semanticRanks(embeddings: DataFrame, k: Int): DataFrame = {
     val queries = embeddings
       .filter(col("vec_id") < PanelQueries)
@@ -384,9 +426,32 @@ object Retrieval {
     * synthetic tables share the 0-based id domain, which is all RRF
     * needs — it fuses ranks, never features).
     */
-  def hybridRrf(docs: DataFrame, embeddings: DataFrame, k: Int = RetrievalTopK): DataFrame = {
-    val lex = bm25TopK(docs, k).select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
-    val sem = semanticRanks(embeddings, k)
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, k: Int = RetrievalTopK): DataFrame =
+    fuseRrf(bm25TopK(docs, k), semanticRanks(embeddings, k), k)
+
+  /** [[hybridRrf]] with the semantic leg answered by the fixed-centroid
+    * IVF probe instead of the brute-force scan — the at-scale
+    * composition: each panel query ranks only its `nprobe` cells'
+    * candidates (cells chosen per query by centroid dot, an equi-join
+    * on `bucket` against the assignment frame), and the fusion is
+    * unchanged. The brute-force twin (`hybrid_rrf`) measures what the
+    * probe trades; this entry certifies the composed serving stack
+    * end-to-end.
+    */
+  def hybridRrfIvf(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      k: Int = RetrievalTopK,
+      nprobe: Int = HybridNprobe): DataFrame =
+    fuseRrf(bm25TopK(docs, k), semanticRanksIvf(embeddings, k, nprobe), k)
+
+  /** Reciprocal-rank fusion of a BM25 frame and a semantic-rank frame
+    * (both already cut to k): the shared tail of the brute-force and
+    * IVF hybrids.
+    */
+  private def fuseRrf(bm25: DataFrame, semRanks: DataFrame, k: Int): DataFrame = {
+    val lex = bm25.select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val sem = semRanks
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rnk").as("sem_rnk"))
     val rrf = coalesce(lit(1.0) / (lit(RrfK) + col("lex_rnk")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(RrfK) + col("sem_rnk")), lit(0.0))
@@ -408,22 +473,11 @@ object Retrieval {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  def hybridRrfSql(k: Int = RetrievalTopK): String =
-    s"""WITH ${bm25Ctes(k)},
-       |qv AS (
-       |  SELECT vec_id AS query_id, embedding AS q_emb
-       |  FROM embeddings WHERE vec_id < $PanelQueries),
-       |simr AS (
-       |  SELECT qv.query_id, e.vec_id,
-       |         ${cosinePair(DuckDialect, "qv.q_emb", "e.embedding")} AS sim
-       |  FROM embeddings e CROSS JOIN qv),
-       |sem AS (
-       |  SELECT * FROM (
-       |    SELECT query_id, vec_id AS doc_id,
-       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
-       |    FROM simr WHERE sim IS NOT NULL)
-       |  WHERE rnk <= $k),
-       |fused AS (
+  /** The `qv` panel CTE + fusion tail shared by both hybrid replays —
+    * expects `lex` and `sem` CTEs in scope.
+    */
+  private def fusedSqlTail(k: Int): String =
+    s"""fused AS (
        |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
        |         coalesce(lex.doc_id, sem.doc_id) AS doc_id,
        |         coalesce(CAST(1 AS DOUBLE) / ($RrfK + lex.rnk), 0.0) +
@@ -438,4 +492,70 @@ object Retrieval {
        |  FROM fused)
        |WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
+
+  private val QvCte: String =
+    s"""qv AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $PanelQueries)""".stripMargin
+
+  def hybridRrfSql(k: Int = RetrievalTopK): String =
+    s"""WITH ${bm25Ctes(k)},
+       |$QvCte,
+       |simr AS (
+       |  SELECT qv.query_id, e.vec_id,
+       |         ${cosinePair(DuckDialect, "qv.q_emb", "e.embedding")} AS sim
+       |  FROM embeddings e CROSS JOIN qv),
+       |sem AS (
+       |  SELECT * FROM (
+       |    SELECT query_id, vec_id AS doc_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM simr WHERE sim IS NOT NULL)
+       |  WHERE rnk <= $k),
+       |${fusedSqlTail(k)}""".stripMargin
+
+  /** [[hybridRrfIvf]]'s replay: per-query probed cells (top-`nprobe`
+    * centroid dots, ties to the lower index), candidates restricted to
+    * those cells via the assignment, then the shared fusion.
+    */
+  def hybridRrfIvfSql(k: Int = RetrievalTopK, nprobe: Int = HybridNprobe): String = {
+    val cents = Similarity.Centroids
+    val qSims = cents.zipWithIndex
+      .map { case (c, j) => s"${DuckDialect.dotConst("q_emb", c)} AS s$j" }
+      .mkString(",\n  ")
+    val unpivot = cents.indices
+      .map(j => s"SELECT query_id, q_emb, $j AS j, s$j AS d FROM qs")
+      .mkString("\n  UNION ALL ")
+    val cSims = cents.zipWithIndex
+      .map { case (c, j) => s"${DuckDialect.dotConst("embedding", c)} AS s$j" }
+      .mkString(",\n  ")
+    s"""WITH ${bm25Ctes(k)},
+       |$QvCte,
+       |qs AS (SELECT query_id, q_emb,
+       |  $qSims
+       |FROM qv),
+       |qd AS (
+       |  $unpivot),
+       |probe AS (
+       |  SELECT query_id, q_emb, j AS bucket FROM (
+       |    SELECT query_id, q_emb, j,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d DESC, j) AS pr
+       |    FROM qd)
+       |  WHERE pr <= $nprobe),
+       |cs AS (SELECT vec_id, embedding,
+       |  $cSims
+       |FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, embedding, ${Similarity.bucketCase(cents.length)} AS bucket FROM cs),
+       |simr AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         ${cosinePair(DuckDialect, "p.q_emb", "a.embedding")} AS sim
+       |  FROM assigned a JOIN probe p USING (bucket)),
+       |sem AS (
+       |  SELECT * FROM (
+       |    SELECT query_id, vec_id AS doc_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM simr WHERE sim IS NOT NULL)
+       |  WHERE rnk <= $k),
+       |${fusedSqlTail(k)}""".stripMargin
+  }
 }

@@ -116,6 +116,57 @@ class RetrievalSpec extends AnyFunSuite {
     assert(fused.map(_._4).max <= 2.0 / (Retrieval.RrfK + 1) + 5e-7)
   }
 
+  test("IVF hybrid: semantic leg is brute force restricted to each query's probed cells") {
+    import graft.operators.Similarity
+    val d = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val e = graft.sources.Tables.load(spark, Sf0001, "embeddings")
+    val fused = Retrieval.hybridRrfIvf(d, e).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    // independent recompute in plain Scala: centroid dots, bucketCase
+    // tie semantics (lowest index wins), per-query probed cells, cosine
+    // ranks inside them, BM25 ranks from the reference scorer, fusion
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def dot(a: Array[Double], b: Array[Double]) = a.indices.map(i => a(i) * b(i)).sum
+    def cosv(a: Array[Double], b: Array[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = Similarity.Centroids
+    def bucketOf(v: Array[Double]): Int = {
+      val dots = cents.map(c => dot(v, c))
+      dots.indices.find(j => dots.indices.forall(o => dots(j) >= dots(o))).get
+    }
+    val assignment = vecs.map { case (id, v) => id -> bucketOf(v) }.toMap
+    val corpus = d.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    for (q <- 0L until Retrieval.PanelQueries.toLong) {
+      val qv = vecs.find(_._1 == q).get._2
+      val qDots = cents.map(c => dot(qv, c))
+      val probed = qDots.indices.sortBy(j => (-qDots(j), j)).take(Retrieval.HybridNprobe).toSet
+      val semRanks = vecs
+        .filter { case (id, _) => probed(assignment(id)) }
+        .map { case (id, v) => id -> cosv(qv, v) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(Retrieval.RetrievalTopK).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1) }.toMap
+      val lexRanks = bm25Ref(corpus, q).toSeq
+        .sortBy { case (id, s) => (-s, id) }
+        .take(Retrieval.RetrievalTopK).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1) }.toMap
+      val want = (lexRanks.keySet ++ semRanks.keySet).toSeq
+        .map { id =>
+          val r = lexRanks.get(id).map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0) +
+            semRanks.get(id).map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0)
+          id -> r
+        }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(Retrieval.RetrievalTopK)
+        .map { case (id, s) => (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      val have = fused.filter(_._1 == q).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(have === want, s"query $q (probed cells ${probed.toSeq.sorted})")
+    }
+  }
+
   test("stored index is result-invisible and prunes to the panel terms' shards") {
     val d = graft.sources.Tables.load(spark, Sf0001, "documents")
     val path = java.nio.file.Files.createTempDirectory("bm25_index_spec").toString
