@@ -1275,6 +1275,14 @@ object SparkEntry {
       Retrieval.hybridRrfIvf(
         Tables.load(s, d, "documents"),
         Tables.load(s, d, "embeddings"))),
+    // Count-Min heavy hitters CERTIFIED against exact counts: the
+    // sketch is 4×1024 longs of total state (partial+final agg — the
+    // only affordable frequency plan when the vocabulary doesn't fit),
+    // and the oracle recomputes the whole sketch from raw text, so the
+    // estimate column itself is hash-gated — no probabilistic
+    // tolerance; never_under pins the CM theorem
+    "heavy_hitters_cm" -> ((s, d) =>
+      CorpusSignals.heavyHittersCm(Tables.load(s, d, "documents"))),
     // ---- streaming: one-shot AvailableNow run of the view builder;
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
@@ -2160,6 +2168,7 @@ object SparkEntry {
     "streaming_bm25_store" -> Retrieval.bm25TopKSql(),
     "hybrid_rrf" -> Retrieval.hybridRrfSql(),
     "hybrid_rrf_ivf" -> Retrieval.hybridRrfIvfSql(),
+    "heavy_hitters_cm" -> CorpusSignals.heavyHittersCmSql(),
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "ann_recall" -> Similarity.annRecallSql(20, 4),

@@ -362,4 +362,87 @@ object CorpusSignals {
       |SELECT lang, source, obs, round(ex, 6) AS expected,
       |       round((CAST(obs AS DOUBLE) - ex) * (CAST(obs AS DOUBLE) - ex) / ex, 6) AS contrib
       |FROM e ORDER BY 1, 2""".stripMargin
+
+  // ---- Count-Min heavy hitters --------------------------------------
+
+  /** Count-Min sketch geometry: [[CmDepth]] independent hash rows of
+    * [[CmWidth]] counters — 4×1024 longs of TOTAL state regardless of
+    * vocabulary size, built by one partial+final hash aggregation over
+    * the token stream. At 100 TB the exact `token_top20` pays a
+    * vocabulary-wide shuffle; the sketch's map-side combine emits at
+    * most d·w rows per partition, which is the only affordable
+    * frequency plan when the vocabulary itself doesn't fit — same
+    * argument as [[sketchCertify]]'s HLL++/percentile certificates.
+    */
+  val CmDepth = 4
+  val CmWidth = 1024
+
+  /** Row-`i` counter index of a token: the first 8 md5 hex digits of
+    * `"cm<i>|" || token`, mod [[CmWidth]] — md5 so DuckDB (and the
+    * in-test plain-Scala reference) replay the arithmetic bit-exactly;
+    * a production twin would ride xxhash64 like the dedup family.
+    */
+  private def cmBucket(i: Int, token: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(s"cm$i|"), token)), 1, 8), 16, 10)
+      .cast("long") % CmWidth
+
+  /** Certify Count-Min estimates against the exact top-k counts:
+    * `(token, exact_cnt, cm_est, never_under)`.
+    *
+    * Both the estimate AND the exact count ride the gate hash — the
+    * oracle recomputes the full sketch from raw text, so there is no
+    * probabilistic tolerance anywhere; `never_under` additionally
+    * pins the deterministic Count-Min theorem (an estimate can only
+    * overcount). The exact side is the certificate's cost, paid to
+    * measure the sketch — the production query reads the d·w counters
+    * alone.
+    */
+  def heavyHittersCm(docs: DataFrame, k: Int = 20): DataFrame = {
+    val toksCol = Dedup.TokensExpr
+    val tok = graft.sources.Tables.fanOut(docs)
+      .select(explode(expr(toksCol)).as("token"))
+    def buckets(frame: DataFrame) = frame.select(
+      frame.columns.map(col) :+
+        posexplode(array((0 until CmDepth).map(i => cmBucket(i, col("token"))): _*))
+          .as(Seq("i", "bucket")): _*)
+    val counters = buckets(tok)
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+      .limit(k)
+    buckets(exact)
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy(col("token"), col("exact_cnt"))
+      .agg(min(col("c")).as("cm_est"))
+      .select(
+        col("token"),
+        col("exact_cnt"),
+        col("cm_est"),
+        (col("cm_est") >= col("exact_cnt")).as("never_under"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  def heavyHittersCmSql(k: Int = 20): String =
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
+       |  FROM documents),
+       |rows_i AS (SELECT unnest([${(0 until CmDepth).mkString(", ")}]) AS i),
+       |buck AS (
+       |  SELECT token, i,
+       |         CAST(('0x' || substr(md5('cm' || i || '|' || token), 1, 8)) AS BIGINT) % $CmWidth AS bucket
+       |  FROM tok CROSS JOIN rows_i),
+       |counters AS (SELECT i, bucket, count(*) AS c FROM buck GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT token, count(*) AS exact_cnt FROM tok GROUP BY 1
+       |  ORDER BY exact_cnt DESC, token LIMIT $k),
+       |est AS (
+       |  SELECT e.token, e.exact_cnt, min(c.c) AS cm_est
+       |  FROM exact e CROSS JOIN rows_i t
+       |  JOIN counters c
+       |    ON c.i = t.i
+       |   AND c.bucket = CAST(('0x' || substr(md5('cm' || t.i || '|' || e.token), 1, 8)) AS BIGINT) % $CmWidth
+       |  GROUP BY 1, 2)
+       |SELECT token, exact_cnt, cm_est, cm_est >= exact_cnt AS never_under
+       |FROM est ORDER BY exact_cnt DESC, token""".stripMargin
 }

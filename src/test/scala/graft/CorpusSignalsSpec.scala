@@ -223,4 +223,33 @@ class CorpusSignalsSpec extends AnyFunSuite {
       .toDF("doc_id", "lang", "source")
     assert(CorpusSignals.langSourceChi2(u).collect().forall(_.getAs[Double]("contrib") === 0.0))
   }
+
+  test("heavyHittersCm matches a plain-Scala Count-Min recompute; never underestimates") {
+    val d = graft.sources.Tables.load(spark, SparkTestBase.Sf0001, "documents")
+    val got = CorpusSignals.heavyHittersCm(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+
+    // independent reference: JVM MessageDigest md5, same "cm<i>|" seeds,
+    // same first-8-hex bucket arithmetic, full counters from the corpus
+    val tokens = d.select("text").collect()
+      .flatMap(_.getString(0).split("\\s+").filter(_.nonEmpty)).toSeq
+    def bucket(i: Int, t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"cm$i|$t".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % CorpusSignals.CmWidth
+    }
+    val counters = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+    tokens.foreach { t =>
+      (0 until CorpusSignals.CmDepth).foreach(i => counters((i, bucket(i, t))) += 1)
+    }
+    val exact = tokens.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(20)
+    val want = exact.map { case (t, c) =>
+      val est = (0 until CorpusSignals.CmDepth).map(i => counters((i, bucket(i, t)))).min
+      (t, c, est, est >= c)
+    }
+    assert(got === want)
+    assert(got.forall(_._4), "Count-Min underestimated — theorem violated")
+  }
 }
