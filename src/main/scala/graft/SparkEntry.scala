@@ -1283,6 +1283,16 @@ object SparkEntry {
     // tolerance; never_under pins the CM theorem
     "heavy_hitters_cm" -> ((s, d) =>
       CorpusSignals.heavyHittersCm(Tables.load(s, d, "documents"))),
+    // the sketch DEPLOYED at ingest: per-micro-batch partial counters
+    // appended to the counter log (additive — no read-modify-write),
+    // certificate answered from the stream-built log; same oracle as
+    // heavy_hitters_cm (stream == batch for an additive sketch)
+    "streaming_heavy_hitters" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_cm_stream").toString + "/counters"
+      graft.streaming.StreamingViews.runCmCountersAvailableNow(s, d, path)
+      CorpusSignals.cmCertifyAgainst(s.read.parquet(path), Tables.load(s, d, "documents"))
+    }),
     // ---- streaming: one-shot AvailableNow run of the view builder;
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
@@ -2169,6 +2179,7 @@ object SparkEntry {
     "hybrid_rrf" -> Retrieval.hybridRrfSql(),
     "hybrid_rrf_ivf" -> Retrieval.hybridRrfIvfSql(),
     "heavy_hitters_cm" -> CorpusSignals.heavyHittersCmSql(),
+    "streaming_heavy_hitters" -> CorpusSignals.heavyHittersCmSql(),
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "ann_recall" -> Similarity.annRecallSql(20, 4),

@@ -397,21 +397,42 @@ object CorpusSignals {
     * measure the sketch — the production query reads the d·w counters
     * alone.
     */
-  def heavyHittersCm(docs: DataFrame, k: Int = 20): DataFrame = {
-    val toksCol = Dedup.TokensExpr
-    val tok = graft.sources.Tables.fanOut(docs)
-      .select(explode(expr(toksCol)).as("token"))
-    def buckets(frame: DataFrame) = frame.select(
-      frame.columns.map(col) :+
-        posexplode(array((0 until CmDepth).map(i => cmBucket(i, col("token"))): _*))
-          .as(Seq("i", "bucket")): _*)
-    val counters = buckets(tok)
+  def heavyHittersCm(docs: DataFrame, k: Int = 20): DataFrame =
+    cmCertifyAgainst(cmCounters(docs), docs, k)
+
+  private def cmRows(frame: DataFrame) = frame.select(
+    frame.columns.map(col) :+
+      posexplode(array((0 until CmDepth).map(i => cmBucket(i, col("token"))): _*))
+        .as(Seq("i", "bucket")): _*)
+
+  private def tokenStream(docs: DataFrame) =
+    graft.sources.Tables.fanOut(docs)
+      .select(explode(expr(Dedup.TokensExpr)).as("token"))
+
+  /** The sketch itself: `(i, bucket, c)` — at most [[CmDepth]]·
+    * [[CmWidth]] rows after the final merge. PARTIAL counter frames are
+    * additive (sum-merge), which is what lets the streaming path keep
+    * an append-only log of per-batch partials and serve with one
+    * fixed-size aggregation.
+    */
+  def cmCounters(docs: DataFrame): DataFrame =
+    cmRows(tokenStream(docs))
       .groupBy(col("i"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+
+  /** Certify ARBITRARY counter partials (merged here by sum) against
+    * the exact top-k of `docs` — shared by the batch entry and the
+    * stream-built counter store, which must be indistinguishable.
+    */
+  def cmCertifyAgainst(counterPartials: DataFrame, docs: DataFrame, k: Int = 20): DataFrame = {
+    val counters = counterPartials
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    val exact = tokenStream(docs)
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token"))
       .limit(k)
-    buckets(exact)
+    cmRows(exact)
       .join(broadcast(counters), Seq("i", "bucket"))
       .groupBy(col("token"), col("exact_cnt"))
       .agg(min(col("c")).as("cm_est"))

@@ -338,6 +338,42 @@ object StreamingViews {
     q.awaitTermination()
   }
 
+  /** Count-Min maintenance on the documents STREAM: each micro-batch
+    * APPENDS its partial counter frame (≤ d·w rows) to the counter log
+    * — no read-modify-write at all, because Count-Min partials are
+    * additive and the serving side merges with one fixed-size
+    * `(i, bucket)` aggregation ([[graft.operators.CorpusSignals
+    * .cmCertifyAgainst]]). This is the sketch deployment shape at
+    * 100 TB: ingest cost per batch is one partial aggregation, state
+    * on disk grows by ≤ 4096 rows per batch until a trivial compaction,
+    * and the estimate is always exactly the batch sketch of everything
+    * ingested (append-only logs can't lose or double counts on replay
+    * boundaries the way in-place merges can).
+    */
+  def runCmCountersAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      countersPath: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/documents.parquet")
+    val reader = spark.readStream.schema(schema)
+    val q = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$sfDir/{documents.parquet}")
+      .writeStream
+      .outputMode("append")
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cm_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.CorpusSignals.cmCounters(batch)
+          .write.mode("append").parquet(countersPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-static enrichment: the per-metric anomaly filter run under
     * incremental execution. The (mu, sigma) reference table is computed
     * from a BATCH read and broadcast into every micro-batch — the

@@ -252,4 +252,24 @@ class CorpusSignalsSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.forall(_._4), "Count-Min underestimated — theorem violated")
   }
+
+  test("streaming Count-Min: appended per-batch partials merge to the batch sketch") {
+    val d = graft.sources.Tables.load(spark, SparkTestBase.Sf0001, "documents")
+    val srcDir = java.nio.file.Files.createTempDirectory("cm_stream_src").toString
+    d.repartition(4) // 4 files -> 4 micro-batches at maxFilesPerTrigger=1
+      .write.parquet(s"$srcDir/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("cm_stream").toString + "/counters"
+    graft.streaming.StreamingViews.runCmCountersAvailableNow(spark, srcDir, path, Some(1))
+    // the log holds one partial frame per batch; merged it IS the batch
+    // sketch, and the certificate built from it matches exactly
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val merged = spark.read.parquet(path)
+      .groupBy(col("i"), col("bucket")).agg(fsum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = CorpusSignals.cmCounters(d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged === batch, "merged streamed partials != batch sketch")
+    val streamed = CorpusSignals.cmCertifyAgainst(spark.read.parquet(path), d).collect().toSeq
+    assert(streamed === CorpusSignals.heavyHittersCm(d).collect().toSeq)
+  }
 }
