@@ -1275,6 +1275,14 @@ object SparkEntry {
       Retrieval.hybridRrfIvf(
         Tables.load(s, d, "documents"),
         Tables.load(s, d, "embeddings"))),
+    // the probe's MEASURED trade (pq_recall convention): overlap@k of
+    // the IVF semantic and fused lists vs their brute-force twins, as
+    // permille floors recomputed end-to-end by the oracle — the
+    // approximation is hash-gated every run, not assumed
+    "hybrid_recall" -> ((s, d) =>
+      Retrieval.hybridRecallAudit(
+        Tables.load(s, d, "documents"),
+        Tables.load(s, d, "embeddings"))),
     // Count-Min heavy hitters CERTIFIED against exact counts: the
     // sketch is 4×1024 longs of total state (partial+final agg — the
     // only affordable frequency plan when the vocabulary doesn't fit),
@@ -2179,6 +2187,7 @@ object SparkEntry {
     "hybrid_rrf" -> Retrieval.hybridRrfSql(),
     "hybrid_rrf_ivf" -> Retrieval.hybridRrfIvfSql(),
     "heavy_hitters_cm" -> CorpusSignals.heavyHittersCmSql(),
+    "hybrid_recall" -> Retrieval.hybridRecallSql(),
     "streaming_heavy_hitters" -> CorpusSignals.heavyHittersCmSql(),
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),

@@ -275,6 +275,18 @@ object Retrieval {
     touched
   }
 
+  /** Bound the small files that streaming/daily upserts leave in the
+    * postings shards — the same maintenance pass as the IVF float and
+    * PQ code stores ([[Similarity.ivfStoreCompact]]), result-invisible
+    * by construction and idempotent. Returns the rewritten partitions.
+    */
+  def bm25IndexCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      maxFilesPerBucket: Int = 1): Seq[String] =
+    graft.streaming.StreamingViews.compactViews(
+      spark, path, partitionCols = Seq("bucket"), maxFilesPerPartition = maxFilesPerBucket)
+
   def bm25StoredTopK(
       spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame,
@@ -471,6 +483,113 @@ object Retrieval {
         col("lex_rnk"),
         col("sem_rnk"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The measured trade of the IVF leg (the `pq_recall` convention for
+    * retrieval): overlap@k of the IVF-probed semantic list and the
+    * fused list against their brute-force twins, as integer permille
+    * floors — one row, every term recomputed by the oracle from raw
+    * floats and text, so the probe's quality is hash-gated on every
+    * run, not assumed.
+    */
+  def hybridRecallAudit(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      k: Int = RetrievalTopK,
+      nprobe: Int = HybridNprobe): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val semB = semanticRanks(embeddings, k).select(col("query_id"), col("vec_id"))
+    val semI = semanticRanksIvf(embeddings, k, nprobe).select(col("query_id"), col("vec_id"))
+    val fB = hybridRrf(docs, embeddings, k).select(col("query_id"), col("doc_id"))
+    val fI = hybridRrfIvf(docs, embeddings, k, nprobe).select(col("query_id"), col("doc_id"))
+    // four bounded counts (panel×k rows each side) — the certificate
+    // boundary, same class as ann_recall's
+    val semOverlap = semB.join(semI, Seq("query_id", "vec_id")).count()
+    val semTotal = semB.count()
+    val fOverlap = fB.join(fI, Seq("query_id", "doc_id")).count()
+    val fTotal = fB.count()
+    Seq((k, nprobe, 1000L * semOverlap / semTotal, 1000L * fOverlap / fTotal))
+      .toDF("k", "nprobe", "sem_overlap_permille", "fused_overlap_permille")
+  }
+
+  /** [[hybridRecallAudit]]'s replay: both semantic legs, both fusions,
+    * and the permille floors — entirely from raw tables.
+    */
+  def hybridRecallSql(k: Int = RetrievalTopK, nprobe: Int = HybridNprobe): String = {
+    val cents = Similarity.Centroids
+    val qSims = cents.zipWithIndex
+      .map { case (c, j) => s"${DuckDialect.dotConst("q_emb", c)} AS s$j" }
+      .mkString(",\n  ")
+    val unpivot = cents.indices
+      .map(j => s"SELECT query_id, q_emb, $j AS j, s$j AS d FROM qs")
+      .mkString("\n  UNION ALL ")
+    val cSims = cents.zipWithIndex
+      .map { case (c, j) => s"${DuckDialect.dotConst("embedding", c)} AS s$j" }
+      .mkString(",\n  ")
+    def fusedList(sem: String, out: String): String =
+      s"""$out AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY rrf_raw DESC, doc_id) AS rnk
+         |    FROM (
+         |      SELECT coalesce(lex.query_id, $sem.query_id) AS query_id,
+         |             coalesce(lex.doc_id, $sem.doc_id) AS doc_id,
+         |             coalesce(CAST(1 AS DOUBLE) / ($RrfK + lex.rnk), 0.0) +
+         |               coalesce(CAST(1 AS DOUBLE) / ($RrfK + $sem.rnk), 0.0) AS rrf_raw
+         |      FROM lex FULL OUTER JOIN $sem
+         |        ON lex.query_id = $sem.query_id AND lex.doc_id = $sem.doc_id))
+         |  WHERE rnk <= $k)""".stripMargin
+    s"""WITH ${bm25Ctes(k)},
+       |$QvCte,
+       |simr_b AS (
+       |  SELECT qv.query_id, e.vec_id,
+       |         ${cosinePair(DuckDialect, "qv.q_emb", "e.embedding")} AS sim
+       |  FROM embeddings e CROSS JOIN qv),
+       |sem_b AS (
+       |  SELECT * FROM (
+       |    SELECT query_id, vec_id AS doc_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM simr_b WHERE sim IS NOT NULL)
+       |  WHERE rnk <= $k),
+       |qs AS (SELECT query_id, q_emb,
+       |  $qSims
+       |FROM qv),
+       |qd AS (
+       |  $unpivot),
+       |probe AS (
+       |  SELECT query_id, q_emb, j AS bucket FROM (
+       |    SELECT query_id, q_emb, j,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d DESC, j) AS pr
+       |    FROM qd)
+       |  WHERE pr <= $nprobe),
+       |cs AS (SELECT vec_id, embedding,
+       |  $cSims
+       |FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, embedding, ${Similarity.bucketCase(cents.length)} AS bucket FROM cs),
+       |simr_i AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         ${cosinePair(DuckDialect, "p.q_emb", "a.embedding")} AS sim
+       |  FROM assigned a JOIN probe p USING (bucket)),
+       |sem_i AS (
+       |  SELECT * FROM (
+       |    SELECT query_id, vec_id AS doc_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM simr_i WHERE sim IS NOT NULL)
+       |  WHERE rnk <= $k),
+       |${fusedList("sem_b", "list_b")},
+       |${fusedList("sem_i", "list_i")},
+       |counts AS (
+       |  SELECT
+       |    (SELECT count(*) FROM sem_b) AS sem_total,
+       |    (SELECT count(*) FROM sem_b b JOIN sem_i i USING (query_id, doc_id)) AS sem_overlap,
+       |    (SELECT count(*) FROM list_b) AS f_total,
+       |    (SELECT count(*) FROM list_b b JOIN list_i i USING (query_id, doc_id)) AS f_overlap)
+       |SELECT $k AS k, $nprobe AS nprobe,
+       |       (1000 * sem_overlap) // sem_total AS sem_overlap_permille,
+       |       (1000 * f_overlap) // f_total AS fused_overlap_permille
+       |FROM counts""".stripMargin
   }
 
   /** The `qv` panel CTE + fusion tail shared by both hybrid replays —

@@ -276,6 +276,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got === Retrieval.bm25TopK(d).collect().toSeq)
   }
 
+  test("shard compaction bounds files per bucket and is result-invisible") {
+    val d = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val srcDir = java.nio.file.Files.createTempDirectory("bm25_compact_src").toString
+    d.repartition(4).write.parquet(s"$srcDir/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("bm25_compact_store").toString
+    graft.streaming.StreamingViews.runBm25StoreAvailableNow(
+      spark, srcDir, s"$base/store", s"$base/stats", Some(1))
+    def maxFiles: Int = (0 until Retrieval.PostingsBuckets).map { b =>
+      Option(new java.io.File(s"$base/store/bucket=$b").listFiles).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    }.max
+    val before = Retrieval.bm25StoredTopK(spark, d, s"$base/store", s"$base/stats").collect().toSeq
+    assert(maxFiles > 1, "fixture did not produce multi-file buckets — compaction untested")
+    val rewritten = Retrieval.bm25IndexCompact(spark, s"$base/store")
+    assert(rewritten.nonEmpty && maxFiles === 1)
+    val after = Retrieval.bm25StoredTopK(spark, d, s"$base/store", s"$base/stats").collect().toSeq
+    assert(after === before, "compaction changed query results")
+  }
+
+  test("hybrid recall audit: probing every cell is exact (1000 permille)") {
+    val d = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val e = graft.sources.Tables.load(spark, Sf0001, "embeddings")
+    val full = Retrieval
+      .hybridRecallAudit(d, e, nprobe = graft.operators.Similarity.Centroids.length)
+      .collect()(0)
+    assert(full.getLong(2) === 1000L, "sem overlap must be exact at nprobe=C")
+    assert(full.getLong(3) === 1000L, "fused overlap must be exact at nprobe=C")
+    // at the default probe budget the floors are measured, bounded, and
+    // no better than exact
+    val dflt = Retrieval.hybridRecallAudit(d, e).collect()(0)
+    assert(dflt.getLong(2) <= 1000L && dflt.getLong(2) > 0L)
+    assert(dflt.getLong(3) <= 1000L && dflt.getLong(3) > 0L)
+  }
+
   test("panel joins broadcast (no shuffle of the query side)") {
     val d = graft.sources.Tables.load(spark, Sf0001, "documents")
     val e = graft.sources.Tables.load(spark, Sf0001, "embeddings")
