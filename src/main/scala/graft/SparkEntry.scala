@@ -1275,6 +1275,18 @@ object SparkEntry {
       Retrieval.hybridRrfIvf(
         Tables.load(s, d, "documents"),
         Tables.load(s, d, "embeddings"))),
+    // term-pruned BM25 (the WAND-family scale guard, self-tuning form):
+    // each query scores only its most-informative HALF of terms (lowest
+    // df) — a common term's posting list is the one per-query cost that
+    // grows with the corpus while its idf shrinks; selection is in-plan
+    // from the df frame
+    "bm25_informative" -> ((s, d) =>
+      Retrieval.bm25TopKInformative(Tables.load(s, d, "documents"))),
+    // nDCG@k against label-match relevance — the evaluation-metric
+    // operator run after every index/model change; IDCG closed-form
+    // via a sequence fold, metric cost scales with the panel
+    "retrieval_ndcg" -> ((s, d) =>
+      Retrieval.retrievalNdcg(Tables.load(s, d, "embeddings"))),
     // the probe's MEASURED trade (pq_recall convention): overlap@k of
     // the IVF semantic and fused lists vs their brute-force twins, as
     // permille floors recomputed end-to-end by the oracle — the
@@ -2188,6 +2200,8 @@ object SparkEntry {
     "hybrid_rrf_ivf" -> Retrieval.hybridRrfIvfSql(),
     "heavy_hitters_cm" -> CorpusSignals.heavyHittersCmSql(),
     "hybrid_recall" -> Retrieval.hybridRecallSql(),
+    "bm25_informative" -> Retrieval.bm25InformativeSql(),
+    "retrieval_ndcg" -> Retrieval.retrievalNdcgSql(),
     "streaming_heavy_hitters" -> CorpusSignals.heavyHittersCmSql(),
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),

@@ -89,17 +89,45 @@ object Retrieval {
     rankBm25(postings.join(broadcast(queryTerms(docs)), "token"), stats, k)
   }
 
+  /** [[bm25TopK]] scoring only each query's most-INFORMATIVE half of
+    * terms — rank the query's terms by df ascending (rarest first, ties
+    * on the token) and keep the top ⌈n/2⌉. This is the WAND-family
+    * lexical scale guard in its self-tuning form: a common term's
+    * posting list is the one per-query cost that grows with the corpus
+    * while its idf contribution shrinks, so dropping each query's
+    * commonest half bounds the candidate join by the rare terms —
+    * whatever the corpus's df distribution looks like (an absolute
+    * df-ratio cap is either vacuous or total on a corpus whose
+    * vocabulary sits in one df band, as the synthetic one does). The
+    * selection is evaluated in-plan from the df frame, no driver
+    * statistics.
+    */
+  def bm25TopKInformative(docs: DataFrame, k: Int = RetrievalTopK): DataFrame = {
+    val (postings, stats) = postingsAndStats(docs)
+    val informative = dfFrame(docs)
+      .join(broadcast(queryTerms(docs)), "token")
+      .withColumn("nq", count(lit(1)).over(Window.partitionBy(col("query_id"))))
+      .withColumn(
+        "r",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("df"), col("token"))))
+      .filter(col("r") <= expr("(nq + 1) div 2"))
+      .select(col("query_id"), col("token"))
+    rankBm25(postings.join(broadcast(informative), "token"), stats, k)
+  }
+
   /** `(doc_id, len, token, tf, df)` postings (df denormalized onto each
     * row — a token's postings live together, so df rides along for free
     * in the sharded layout) plus the one-row corpus stats frame.
     * Integer sums only, so `avg_len` is the same double in both engines
     * regardless of row order.
     */
-  private def postingsAndStats(docs: DataFrame): (DataFrame, DataFrame) = {
-    val tf = rawPostings(docs)
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    (tf.join(df, "token"), corpusStats(docs))
-  }
+  private def postingsAndStats(docs: DataFrame): (DataFrame, DataFrame) =
+    (rawPostings(docs).join(dfFrame(docs), "token"), corpusStats(docs))
+
+  /** `(token, df)` — the document-frequency frame. */
+  private def dfFrame(docs: DataFrame): DataFrame =
+    rawPostings(docs).groupBy(col("token")).agg(count(lit(1)).as("df"))
 
   /** `(doc_id, len, token, tf)` — postings without the df column. */
   private def rawPostings(docs: DataFrame): DataFrame =
@@ -344,6 +372,34 @@ object Retrieval {
        |SELECT query_id, rnk, doc_id, round(score_raw, 6) AS bm25
        |FROM lex ORDER BY query_id, rnk""".stripMargin
 
+  /** [[bm25TopKInformative]]'s replay: the bm25 CTEs with the scored
+    * stage joined against the informative-half term selection instead
+    * of the full query panel.
+    */
+  def bm25InformativeSql(k: Int = RetrievalTopK): String =
+    s"""WITH ${bm25Ctes(k)},
+       |qsel AS (
+       |  SELECT query_id, token FROM (
+       |    SELECT q.query_id, q.token,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY dfreq.df, q.token) AS r,
+       |           count(*) OVER (PARTITION BY q.query_id) AS nq
+       |    FROM q JOIN dfreq USING (token))
+       |  WHERE r <= (nq + 1) // 2),
+       |scored_i AS (
+       |  SELECT qsel.query_id, tfg.doc_id,
+       |         sum(ln(1.0 + CAST(stats.n_docs - dfreq.df + 0.5 AS DOUBLE) / (dfreq.df + 0.5)) *
+       |             CAST(tfg.tf AS DOUBLE) * ${Bm25K1 + 1.0} /
+       |             (tfg.tf + $Bm25K1 * ((1.0 - $Bm25B) + $Bm25B * tfg.doc_len / stats.avg_len))
+       |         ) AS score_raw
+       |  FROM tfg JOIN qsel USING (token) JOIN dfreq USING (token) CROSS JOIN stats
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rnk, doc_id, round(score_raw, 6) AS bm25 FROM (
+       |  SELECT query_id, doc_id, score_raw,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY score_raw DESC, doc_id) AS rnk
+       |  FROM scored_i)
+       |WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** The incremental gate's replay: the full BM25 recompute over the
     * corpus AS THE STORE SHOULD SEE IT after the upsert — doc 0
     * re-texted (uppercased), every other doc unchanged. Storage,
@@ -484,6 +540,80 @@ object Retrieval {
         col("sem_rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** nDCG@k of the semantic retrieval against label-match relevance —
+    * the evaluation-metric operator an IR pipeline runs after every
+    * index/model change: a retrieved vector is relevant iff it carries
+    * the query vector's label, DCG = Σ rel/log₂(rank+1), ideal DCG from
+    * the per-label corpus counts (capped at k), nDCG = DCG/IDCG. One
+    * corpus-sized equi-join for candidate labels, broadcast panel and
+    * label-count frames, closed-form IDCG via a sequence fold — no
+    * per-query driver work, so the metric scales with the panel, not
+    * the corpus.
+    */
+  def retrievalNdcg(embeddings: DataFrame, k: Int = RetrievalTopK): DataFrame = {
+    val ranks = semanticRanks(embeddings, k)
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val qLabels = embeddings
+      .filter(col("vec_id") < PanelQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val labelCounts = embeddings.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val dcg = ranks
+      .join(labels, "vec_id")
+      .join(broadcast(qLabels), "query_id")
+      .withColumn("rel", when(col("label") === col("q_label"), lit(1.0)).otherwise(lit(0.0)))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel") / log2(col("rnk") + lit(1))).as("dcg_raw"))
+    val idcg = qLabels
+      .join(broadcast(labelCounts), col("q_label") === col("label"))
+      .withColumn("m", least(lit(k), col("n_label")))
+      .withColumn(
+        "idcg_raw",
+        expr("aggregate(transform(sequence(1, m), i -> CAST(1 AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1)), 0D, (a, x) -> a + x)"))
+      .select(col("query_id"), col("idcg_raw"))
+    dcg
+      .join(idcg, "query_id")
+      .select(
+        col("query_id"),
+        round(col("dcg_raw"), 6).as("dcg"),
+        round(col("idcg_raw"), 6).as("idcg"),
+        round(col("dcg_raw") / col("idcg_raw"), 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  def retrievalNdcgSql(k: Int = RetrievalTopK): String =
+    s"""WITH $QvCte,
+       |simr AS (
+       |  SELECT qv.query_id, e.vec_id,
+       |         ${cosinePair(DuckDialect, "qv.q_emb", "e.embedding")} AS sim
+       |  FROM embeddings e CROSS JOIN qv),
+       |ranks AS (
+       |  SELECT * FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+       |    FROM simr WHERE sim IS NOT NULL)
+       |  WHERE rnk <= $k),
+       |ql AS (
+       |  SELECT vec_id AS query_id, label AS q_label
+       |  FROM embeddings WHERE vec_id < $PanelQueries),
+       |lc AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+       |dcg AS (
+       |  SELECT r.query_id,
+       |         sum(CASE WHEN l.label = q.q_label THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+       |             / log2(r.rnk + 1)) AS dcg_raw
+       |  FROM ranks r
+       |  JOIN embeddings l ON l.vec_id = r.vec_id
+       |  JOIN ql q ON q.query_id = r.query_id
+       |  GROUP BY 1),
+       |idcg AS (
+       |  SELECT q.query_id,
+       |         list_sum(list_transform(range(1, least($k, lc.n_label) + 1),
+       |                                 i -> CAST(1 AS DOUBLE) / log2(i + 1))) AS idcg_raw
+       |  FROM ql q JOIN lc ON lc.label = q.q_label)
+       |SELECT d.query_id, round(d.dcg_raw, 6) AS dcg, round(i.idcg_raw, 6) AS idcg,
+       |       round(d.dcg_raw / i.idcg_raw, 6) AS ndcg
+       |FROM dcg d JOIN idcg i USING (query_id)
+       |ORDER BY query_id""".stripMargin
 
   /** The measured trade of the IVF leg (the `pq_recall` convention for
     * retrieval): overlap@k of the IVF-probed semantic list and the

@@ -18,13 +18,18 @@ class RetrievalSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
-  // plain-Scala BM25 for the fixture: same formula, same constants
-  private def bm25Ref(corpus: Seq[(Long, String)], qid: Long): Map[Long, Double] = {
+  // plain-Scala BM25 for the fixture: same formula, same constants;
+  // termsOverride restricts the scored query terms WITHOUT touching the
+  // corpus statistics (for the informative-half test)
+  private def bm25Ref(
+      corpus: Seq[(Long, String)],
+      qid: Long,
+      termsOverride: Option[Seq[String]] = None): Map[Long, Double] = {
     val toks = corpus.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
     val n = corpus.size.toDouble
     val avgLen = toks.values.map(_.size).sum / n
     val df = toks.values.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size }
-    val qTerms = toks(qid).take(Retrieval.QueryTermCount).distinct
+    val qTerms = termsOverride.getOrElse(toks(qid).take(Retrieval.QueryTermCount).distinct)
     corpus.flatMap { case (id, _) =>
       val tf = toks(id).groupBy(identity).map { case (t, xs) => t -> xs.size }
       val score = qTerms.collect {
@@ -308,6 +313,64 @@ class RetrievalSpec extends AnyFunSuite {
     val dflt = Retrieval.hybridRecallAudit(d, e).collect()(0)
     assert(dflt.getLong(2) <= 1000L && dflt.getLong(2) > 0L)
     assert(dflt.getLong(3) <= 1000L && dflt.getLong(3) > 0L)
+  }
+
+  test("informative BM25 scores exactly the rarest half of each query's terms") {
+    // "the" is in every doc (df=4), "data" in three, "apple"/"zebra" in
+    // one: query 0's informative half of {the, data, apple, zebra} is
+    // {apple, zebra} — the two rarest
+    val corpus = Seq(
+      0L -> "the data apple zebra",
+      1L -> "the data engine",
+      2L -> "the data pipeline",
+      3L -> "the cluster")
+    val got = Retrieval.bm25TopKInformative(docs(corpus: _*)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // reference: BM25 restricted to the selected terms per query
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).map { case (t, x) => t -> x.size }
+    for (q <- corpus.map(_._1)) {
+      val terms = toks(q).take(Retrieval.QueryTermCount).distinct
+      val kept = terms.sortBy(t => (dfm(t), t)).take((terms.size + 1) / 2).toSet
+      // full corpus statistics, scored terms restricted to the kept set
+      val scores = bm25Ref(corpus, q, Some(kept.toSeq))
+      val want = scores.toSeq.sortBy { case (id, s) => (-s, id) }
+        .map { case (id, s) => (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      val have = got.filter(_._1 == q).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(have === want, s"query $q kept=$kept")
+    }
+  }
+
+  test("retrievalNdcg matches a plain-Scala recompute on labeled embeddings") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (((i * 29 + seed * 13) % 19) - 9).toFloat / 5f)
+    val rows = (0L until 12L).map(i => (i, vec(i.toInt), s"l${i % 3}"))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Retrieval.retrievalNdcg(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.indices.map(i => a(i).toDouble * b(i)).sum
+      d / (math.sqrt(a.indices.map(i => a(i).toDouble * a(i)).sum) *
+        math.sqrt(b.indices.map(i => b(i).toDouble * b(i)).sum))
+    }
+    val labelOf = rows.map(r => r._1 -> r._3).toMap
+    val nOf = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    for (q <- 0L until Retrieval.PanelQueries.toLong) {
+      val qv = rows(q.toInt)._2
+      val ranked = rows.map { case (id, v, _) => id -> cos(qv, v) }
+        .sortBy { case (id, s) => (-s, id) }.take(Retrieval.RetrievalTopK)
+      val dcg = ranked.zipWithIndex.map { case ((id, _), i) =>
+        (if (labelOf(id) == labelOf(q)) 1.0 else 0.0) / (math.log(i + 2) / math.log(2))
+      }.sum
+      val m = math.min(Retrieval.RetrievalTopK, nOf(labelOf(q)))
+      val idcg = (1 to m).map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val have = got.find(_._1 == q).get
+      assert(have._2 === r6(dcg), s"dcg q=$q")
+      assert(have._3 === r6(idcg), s"idcg q=$q")
+      assert(have._4 === r6(dcg / idcg), s"ndcg q=$q")
+    }
   }
 
   test("panel joins broadcast (no shuffle of the query side)") {

@@ -65,7 +65,8 @@ HEADLINE = [
     "hard_negatives", "streaming_join_watermarked", "pq_drift",
     "pq_codebooks_sampled", "ivfpq_stored", "ivfpq_stored_full",
     "bm25_topk", "hybrid_rrf", "bm25_incremental", "hybrid_rrf_ivf",
-    "heavy_hitters_cm", "hybrid_recall",
+    "heavy_hitters_cm", "hybrid_recall", "bm25_informative",
+    "retrieval_ndcg",
     # bm25_stored / streaming_bm25_store intentionally absent: their
     # oracle IS bm25_topk's SQL (storage/stream must be result-
     # invisible), already anchored; streaming_pq_store's IS the
