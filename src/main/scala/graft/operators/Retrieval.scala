@@ -452,8 +452,13 @@ object Retrieval {
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("j").cast("int").as("bucket"))
     Similarity.ivfAssignments(embeddings)
-      .join(broadcast(probes), "bucket")
-      .withColumn("sim", expr(cosinePair(SparkDialect, "q_emb", "embedding")))
+      .withColumn("c_norm", sqrt(expr(SparkDialect.dotSelf("embedding"))))
+      .join(broadcast(probes.withColumn(
+        "q_norm", sqrt(expr(SparkDialect.dotSelf("q_emb"))))), "bucket")
+      .withColumn(
+        "sim",
+        expr(SparkDialect.dotPair("q_emb", "embedding")) /
+          nullif(col("q_norm") * col("c_norm"), lit(0d)))
       .filter(col("sim").isNotNull)
       .withColumn(
         "rnk",
@@ -464,14 +469,23 @@ object Retrieval {
   }
 
   private def semanticRanks(embeddings: DataFrame, k: Int): DataFrame = {
+    // norms per side, not per pair (the hardNegatives lesson: the
+    // isNotNull chain otherwise pushes the full cosine into the join's
+    // residual condition and re-evaluates it)
     val queries = embeddings
       .filter(col("vec_id") < PanelQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        sqrt(expr(SparkDialect.dotSelf("embedding"))).as("q_norm"))
       .withColumn("one", CorpusSignals.one(col("query_id")))
     embeddings
+      .withColumn("c_norm", sqrt(expr(SparkDialect.dotSelf("embedding"))))
       .withColumn("one", CorpusSignals.one(col("vec_id")))
       .join(broadcast(queries), "one")
-      .withColumn("sim", expr(cosinePair(SparkDialect, "q_emb", "embedding")))
+      .withColumn(
+        "sim",
+        expr(SparkDialect.dotPair("q_emb", "embedding")) /
+          nullif(col("q_norm") * col("c_norm"), lit(0d)))
       .filter(col("sim").isNotNull)
       .withColumn(
         "rnk",

@@ -1785,19 +1785,32 @@ object Similarity {
     // single-column bridge would plan as the banned BNLJ)
     val bridge = (for { a <- labels; c <- labels if a != c } yield (a, c))
       .toDF("a_label", "c_label")
+    // norms precomputed PER SIDE (100 + n rows), not per pair: the
+    // naive per-pair cosinePair + isNotNull chain gets the full cosine
+    // pushed into the join's residual condition and re-evaluated — dot
+    // plus BOTH self-norms per candidate pair, measured ~2× the whole
+    // query's cost at sf0.1. With side norms the pair cost is ONE
+    // zip_with dot and the null guard is a cheap column product (same
+    // doubles: sim = dot/(‖a‖·‖b‖) either way, nullif-0 identical)
     val expanded = anchors
       .join(broadcast(bridge), Seq("a_label"))
-      .select(col("anchor_id"), col("a_emb"), col("c_label"))
+      .select(
+        col("anchor_id"), col("a_emb"), col("c_label"),
+        sqrt(dotSelfCol(col("a_emb"))).as("a_norm"))
     val cands = embeddings
       .filter(col("vec_id") >= cap)
       .select(
         col("vec_id").as("neg_id"),
         col("label").cast("long").as("c_label"),
-        col("embedding").as("c_emb"))
+        col("embedding").as("c_emb"),
+        sqrt(dotSelfCol(col("embedding"))).as("c_norm"))
     import org.apache.spark.sql.expressions.Window
     cands
       .join(broadcast(expanded), Seq("c_label"))
-      .withColumn("sim", expr(cosinePair(SparkDialect, "a_emb", "c_emb")))
+      .withColumn(
+        "sim",
+        expr(SparkDialect.dotPair("a_emb", "c_emb")) /
+          nullif(col("a_norm") * col("c_norm"), lit(0d)))
       .filter(col("sim").isNotNull)
       .withColumn(
         "rank",
