@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, LanguageModel, Multimodal, Packing, Pq, Profiling, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
+import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, LanguageModel, Multimodal, Packing, Pq, Privacy, Profiling, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -930,6 +930,25 @@ object SparkEntry {
       Similarity.ivfStoreWrite(ivfTrainedAssigned(s, d), path)
       Similarity.ivfStoredTopK(s, kmeansSpherical(s, d)._1, 20, 4, path)
     }),
+    // right-to-be-forgotten: erase a pinned id set (vec_id % 17 == 3 —
+    // ~6% of the corpus, so erased vectors WOULD rank in the panel's
+    // top-k) from the bucket-partitioned store — only the buckets the
+    // erased ids live in are rewritten (SimilaritySpec asserts untouched
+    // directories byte-identical; an emptied bucket's directory is
+    // swept) — then answer the probe from the post-deletion files. The
+    // oracle recomputes the ranking from raw embeddings WITHOUT the
+    // erased ids, so a ghost row anywhere in the store is a hash
+    // mismatch
+    "ann_ivf_delete" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+      Similarity.ivfStoreWrite(ivfTrainedAssigned(s, d), path)
+      Similarity.storeDelete(
+        s,
+        Tables.load(s, d, "embeddings")
+          .filter(pmod(col("vec_id"), lit(17L)) === 3).select(col("vec_id")),
+        path)
+      Similarity.ivfStoredTopK(s, kmeansSpherical(s, d)._1, 20, 4, path)
+    }),
     // INCREMENTAL index maintenance certified result-invisible: write
     // the store from 4/5 of the corpus, upsert the remaining fifth as a
     // daily batch (only its buckets' partitions rewritten — the MERGE
@@ -1258,6 +1277,22 @@ object SparkEntry {
         s, modDocs.filter(col("doc_id") % 5 === 4 || col("doc_id") === 0), path, statsPath)
       Retrieval.bm25StoredTopK(s, modDocs, path, statsPath)
     }),
+    // right-to-be-forgotten for the LEXICAL index: erase doc_id % 9 == 4
+    // (~11% of the corpus, panel doc 4 included — the panel shrinks too)
+    // from the sharded postings store: old-home removal, df recomputed
+    // within the touched shards, stats shrunk by exact long deltas
+    // (RetrievalSpec asserts untouched shards byte-identical); panel
+    // answered from the post-deletion store against the full recompute
+    // over the corpus minus the erased docs
+    "bm25_delete" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25_del").toString
+      val statsPath = java.nio.file.Files.createTempDirectory("graft_bm25_del_stats").toString
+      val docs = Tables.load(s, d, "documents")
+      val erased = pmod(col("doc_id"), lit(9L)) === 4
+      Retrieval.bm25IndexWrite(docs, path, statsPath)
+      Retrieval.bm25IndexDelete(s, docs.filter(erased).select(col("doc_id")), path, statsPath)
+      Retrieval.bm25StoredTopK(s, docs.filter(!erased), path, statsPath)
+    }),
     // hybrid lexical+semantic retrieval: reciprocal-rank fusion of the
     // BM25 list with the brute-force cosine list (both cut to k, so the
     // fusion joins ≤2k rows/query); full-outer on (query, doc) with
@@ -1313,6 +1348,27 @@ object SparkEntry {
       graft.streaming.StreamingViews.runCmCountersAvailableNow(s, d, path)
       CorpusSignals.cmCertifyAgainst(s.read.parquet(path), Tables.load(s, d, "documents"))
     }),
+    // decontamination at 100 TB: the small eval split's distinct grams
+    // fold into Spark's own BloomFilterAggregate, shipped as a foldable
+    // binary literal so might_contain prunes the train gram stream
+    // INSIDE the scan stage before any shuffle; the exact equi-join
+    // behind it keeps the result bit-identical to `decontaminate`
+    // (no false negatives by construction, false positives removed by
+    // the join) — same oracle, pre-filter result-invisible
+    "decontaminate_bloom" -> ((s, d) =>
+      Decontamination.contaminatedBloomFrom(docGrams5(s, d))),
+    // GPT-style sequence packing (concatenate-and-chunk): prefix-sum
+    // window per (source, shard) + bounded bin-range explode — the
+    // packed-sequence manifest a tokenizer shard-writer consumes;
+    // shards are the scale dial (each packs independently)
+    "sequence_pack" -> ((s, d) =>
+      Packing.packBins(Tables.load(s, d, "documents"))),
+    // PII scrub, phone/IP classes (complements pii_redact's email+URL
+    // audit): deterministic doc_id-derived plant + real regex
+    // detect/redact (codegen builtins, scan-only plan); counts AND the
+    // md5 of every redacted doc are hash-gated by the replaying oracle
+    "pii_scrub" -> ((s, d) =>
+      Privacy.piiRedact(Tables.load(s, d, "documents"))),
     // ---- streaming: one-shot AvailableNow run of the view builder;
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
@@ -2195,6 +2251,7 @@ object SparkEntry {
     "bm25_topk" -> Retrieval.bm25TopKSql(),
     "bm25_stored" -> Retrieval.bm25TopKSql(),
     "bm25_incremental" -> Retrieval.bm25RetextedSql(),
+    "bm25_delete" -> Retrieval.bm25DeletedSql("doc_id % 9 = 4"),
     "streaming_bm25_store" -> Retrieval.bm25TopKSql(),
     "hybrid_rrf" -> Retrieval.hybridRrfSql(),
     "hybrid_rrf_ivf" -> Retrieval.hybridRrfIvfSql(),
@@ -2203,6 +2260,11 @@ object SparkEntry {
     "bm25_informative" -> Retrieval.bm25InformativeSql(),
     "retrieval_ndcg" -> Retrieval.retrievalNdcgSql(),
     "streaming_heavy_hitters" -> CorpusSignals.heavyHittersCmSql(),
+    // Bloom pre-filter is result-invisible: same oracle as the exact
+    // decontamination join
+    "decontaminate_bloom" -> Decontamination.contaminatedSql(),
+    "sequence_pack" -> Packing.packBinsSql(),
+    "pii_scrub" -> Privacy.piiRedactSql(),
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "ann_recall" -> Similarity.annRecallSql(20, 4),
@@ -2733,7 +2795,7 @@ object SparkEntry {
     }
     if (sel("kmeans_centroids") || sel("kmeans_inertia") || sel("kmeans_spherical") ||
       sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
-      sel("ann_ivf_incremental") || sel("ann_ivf_drift") ||
+      sel("ann_ivf_incremental") || sel("ann_ivf_drift") || sel("ann_ivf_delete") ||
       sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
       sel("pq_topk_rerank") || sel("ivfpq_topk") || sel("ivfpq_stored") ||
       sel("ivfpq_stored_full") || sel("pq_drift") || sel("pq_codebooks_sampled") ||
@@ -2776,7 +2838,7 @@ object SparkEntry {
         }
       }
       if (sel("kmeans_spherical") || sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
-        sel("ann_ivf_incremental") || sel("ann_ivf_drift")) {
+        sel("ann_ivf_incremental") || sel("ann_ivf_drift") || sel("ann_ivf_delete")) {
         val (sphCents, _) =
           graft.operators.KMeansRef.sphericalTrace(vecs, KmeansK, KmeansIters)
         if (sel("kmeans_spherical"))
@@ -2791,6 +2853,12 @@ object SparkEntry {
           // embeddings: Spark's parquet round-trip and file-level
           // partition pruning must be result-invisible
           out += ("ann_ivf_stored" -> Similarity.ivfTopKTrainedSql(sphCents, 20, 4))
+        if (sel("ann_ivf_delete"))
+          // the post-erasure replay: ranking recomputed from raw
+          // embeddings WITHOUT the erased ids — any ghost row still
+          // served from the store is a hash mismatch
+          out += ("ann_ivf_delete" ->
+            Similarity.ivfTopKTrainedSql(sphCents, 20, 4, "vec_id % 17 <> 3"))
         if (sel("ann_ivf_incremental"))
           // the FULL-corpus replay: the incrementally-maintained store
           // (base write + batch upsert) must serve the same ranking a

@@ -76,6 +76,57 @@ object Decontamination {
       .orderBy(col("doc_id"))
   }
 
+  /** Bits of Bloom state per distinct eval gram — 16 bits/item puts the
+    * false-positive rate around 4e-4 at the optimal hash count, so the
+    * pre-filter passes essentially only true overlaps; the exact join
+    * behind it removes even those, keeping the RESULT bit-identical to
+    * [[contaminatedFrom]].
+    */
+  val BloomBitsPerItem = 16L
+
+  /** [[contaminatedFrom]] with a Bloom pre-filter on the train-side gram
+    * stream — the 100 TB plan. The eval split is small and fixed (a few
+    * benchmarks), so its distinct grams fold into a Bloom filter of a
+    * few MB built with Spark's own `BloomFilterAggregate`; the filter
+    * ships to every task as a foldable binary literal and
+    * `might_contain` runs INSIDE the scan-side codegen stage, so the
+    * train corpus' exploded gram stream — the term that grows with the
+    * corpus — is pruned to (true overlaps + ~4e-4 false positives)
+    * BEFORE the shuffle. The exact equi-join then runs over only the
+    * survivors: same result as the unfiltered plan (Bloom has no false
+    * negatives; the join removes false positives), but the shuffle
+    * carries thousandths of the gram volume. This is Catalyst's
+    * `InjectRuntimeFilter` pattern made explicit and unconditional —
+    * the optimizer's own heuristics won't inject one across the
+    * explode, so the operator does it deliberately.
+    */
+  def contaminatedBloomFrom(
+      sh: DataFrame,
+      evalSources: Seq[String] = EvalSources): DataFrame = {
+    val grams = sh.filter(col("source").isin(evalSources: _*))
+      .select(explode(col("shingles")).as("s"))
+      .distinct()
+    // Size the filter on the true distinct-gram count: one count job on
+    // the SMALL side (eval grams), then one aggregate job producing the
+    // single binary row. Both are bounded by eval-corpus size, never by
+    // the training corpus.
+    val est = math.max(1L, grams.count())
+    val bloom = grams
+      .agg(graft.functions.SketchFunctions
+        .bloom_agg(xxhash64(col("s")), est, math.max(64L, est * BloomBitsPerItem))
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val train = sh.filter(!col("source").isin(evalSources: _*))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .filter(graft.functions.SketchFunctions
+        .might_contain(lit(bloom), xxhash64(col("s"))))
+    train
+      .join(grams, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_leaked"))
+      .orderBy(col("doc_id"))
+  }
+
   def contaminatedSql(evalSources: Seq[String] = EvalSources, n: Int = DefaultN): String = {
     val evalList = evalSources.map(s => s"'$s'").mkString(", ")
     val grams = (1 to n).map(j => s"t[i+$j]").mkString(", ")

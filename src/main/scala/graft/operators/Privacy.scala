@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PII detection + redaction — the scrubbing pass every training-data
+  * pipeline runs before tokenization (emails, phone numbers, IPs →
+  * typed placeholder tokens). Pure per-row codegen'd regex work
+  * (`regexp_extract_all` / `regexp_replace` builtins): embarrassingly
+  * parallel, no shuffle at all until the deterministic output ORDER BY,
+  * so the plan is a single scan-project stage at any corpus size.
+  *
+  * The synthetic corpus carries no organic PII, so the gated entry
+  * PLANTS it deterministically from `doc_id` (emails on every 3rd doc,
+  * phones on every 5th, IPs on every 7th — including overlaps) and then
+  * runs the real detector/redactor over the augmented text. The oracle
+  * replays plant + detect + redact end-to-end from the raw table, so
+  * the match counts AND the md5 of every redacted document are
+  * hash-gated. The regexes stay inside the RE2 ∩ java.util.regex
+  * common dialect (no backrefs, no lookaround) so both engines compile
+  * identical semantics.
+  */
+object Privacy {
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+  val IpRe = "\\b10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Deterministic PII plant (see object doc): `text2` = text plus the
+    * doc_id-derived fragments.
+    */
+  def withPlantedPii(docs: DataFrame): DataFrame =
+    docs.withColumn(
+      "text2",
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+            lit("."), pmod(col("doc_id"), lit(100L)).cast("string")))
+          .otherwise(lit(""))))
+
+  /** Per-doc PII hit counts + md5 of the fully redacted text. Redaction
+    * replaces every match with a typed placeholder; emails first (the
+    * widest pattern), then phones, then IPs — the patterns are mutually
+    * non-overlapping on their own output so the order is cosmetic, but
+    * it is pinned for bit-exact replay.
+    */
+  def piiRedact(docs: DataFrame): DataFrame =
+    withPlantedPii(docs)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text2"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text2"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("text2"), lit(IpRe), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text2"), lit(EmailRe), lit("<EMAIL>")),
+              lit(PhoneRe), lit("<PHONE>")),
+            lit(IpRe), lit("<IP>"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+
+  def piiRedactSql(): String = {
+    // RE2 string literals: DuckDB standard strings pass backslashes
+    // through untouched, so \b / \. appear singly here (EmailRe's Scala
+    // escaping already yields single backslashes at runtime).
+    val email = EmailRe
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |         text
+       |         || CASE WHEN doc_id % 3 = 0
+       |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |              ELSE '' END
+       |         || CASE WHEN doc_id % 5 = 0
+       |              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |              ELSE '' END
+       |         || CASE WHEN doc_id % 7 = 0
+       |              THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       |                   || '.' || CAST(doc_id % 100 AS VARCHAR)
+       |              ELSE '' END AS text2
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text2, '$email')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text2, '\\b555-[0-9]{4}\\b')) AS BIGINT) AS n_phones,
+       |       CAST(len(regexp_extract_all(text2, '\\b10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ips,
+       |       md5(regexp_replace(regexp_replace(regexp_replace(text2,
+       |             '$email', '<EMAIL>', 'g'),
+       |             '\\b555-[0-9]{4}\\b', '<PHONE>', 'g'),
+       |             '\\b10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')) AS redacted_md5
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+}

@@ -303,6 +303,60 @@ object Retrieval {
     touched
   }
 
+  /** Right-to-be-forgotten DELETION from the sharded lexical index —
+    * [[Similarity.storeDelete]]'s semantics on the postings layout. A
+    * deleted doc's postings live exactly in its tokens' buckets, so the
+    * old-home probe's bucket set covers every row that must go;
+    * df — denormalized per posting row — is recomputed WITHIN the
+    * touched buckets (valid for the same reason as the upsert: a
+    * token's full postings list lives in its one shard, and untouched
+    * shards hold no deleted rows so their df cannot have changed), and
+    * the corpus stats shrink by exact long deltas. Untouched shard
+    * directories stay byte-identical; a shard emptied by the deletion
+    * is swept. Cost ∝ touched-shard bytes, never corpus bytes.
+    */
+  def bm25IndexDelete(
+      spark: org.apache.spark.sql.SparkSession,
+      deleteIds: DataFrame,
+      path: String,
+      statsPath: String): Seq[Int] = {
+    val store = spark.read.parquet(path)
+    val ids = deleteIds.select(col("doc_id")).distinct()
+    val oldOfBatch = store.join(broadcast(ids), Seq("doc_id"))
+    val touched = oldOfBatch
+      .select(col("bucket").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return touched
+
+    // exact stats shrink BEFORE the swap (the upsert's discipline with
+    // no arriving side): each deleted doc leaves once
+    val removed = oldOfBatch.select(col("doc_id"), col("len")).distinct()
+      .agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_rm"),
+        coalesce(sum(col("len").cast("long")), lit(0L)).as("len_rm"))
+    val old = spark.read.parquet(statsPath).select(col("n_docs"), col("sum_len"))
+    val (nDocs, sumLen) = {
+      val o = old.collect()(0)
+      val r = removed.collect()(0)
+      (o.getLong(0) - r.getLong(0), o.getLong(1) - r.getLong(1))
+    }
+    import spark.implicits._
+    Seq((nDocs, sumLen, sumLen.toDouble / nDocs))
+      .toDF("n_docs", "sum_len", "avg_len")
+      .write.mode("overwrite").parquet(statsPath)
+
+    val survivors = store
+      .filter(col("bucket").isin(touched.map(Int.box): _*))
+      .join(ids, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("len"), col("token"), col("tf"))
+    val merged = survivors
+      .join(survivors.groupBy(col("token")).agg(count(lit(1)).as("df")), "token")
+      .select(col("token"), col("doc_id"), col("len"), col("tf"), col("df"),
+        bucketOfCol(col("token")).as("bucket"))
+    Similarity.swapTouchedPartitions(spark, merged, path, touched)
+    touched
+  }
+
   /** Bound the small files that streaming/daily upserts leave in the
     * postings shards — the same maintenance pass as the IVF float and
     * PQ code stores ([[Similarity.ivfStoreCompact]]), result-invisible
@@ -406,6 +460,19 @@ object Retrieval {
     * replacement, old-home deletion and the stats delta must all be
     * result-invisible against this.
     */
+  /** The deletion gate's replay: the full BM25 recompute over the
+    * corpus WITHOUT the erased docs (`deleteWhere` rows removed —
+    * panel queries included, if the predicate hits one). Old-home
+    * postings removal, the touched-shard df recompute, and the stats
+    * shrink must all be result-invisible against this.
+    */
+  def bm25DeletedSql(deleteWhere: String, k: Int = RetrievalTopK): String =
+    s"""WITH docs_del AS (
+       |  SELECT doc_id, text FROM documents WHERE NOT ($deleteWhere)),
+       |${bm25Ctes(k, "docs_del")}
+       |SELECT query_id, rnk, doc_id, round(score_raw, 6) AS bm25
+       |FROM lex ORDER BY query_id, rnk""".stripMargin
+
   def bm25RetextedSql(k: Int = RetrievalTopK): String =
     s"""WITH docs_mod AS (
        |  SELECT doc_id, CASE WHEN doc_id = 0 THEN upper(text) ELSE text END AS text

@@ -791,6 +791,43 @@ object Similarity {
     touched
   }
 
+  /** Right-to-be-forgotten DELETION from a bucket-partitioned store —
+    * the maintenance operation a privacy request (GDPR erasure, consent
+    * withdrawal) triggers against the serving index, completing the
+    * store lifecycle: write → upsert → compact → DELETE. Works on any
+    * `(vec_id, payload..., bucket)` layout (float index and PQ code
+    * store alike — the [[storeUpsert]] genericity carried over).
+    *
+    * Only the buckets where a deleted id CURRENTLY lives are touched
+    * (one (vec_id, bucket)-projected pass with the id set broadcast —
+    * the upsert's old-home probe reused as the whole plan); their
+    * surviving rows are staged and swapped back, untouched buckets stay
+    * byte-identical, and a bucket emptied by the deletion has its
+    * directory swept (the [[swapTouchedPartitions]] contract) so it
+    * cannot keep serving ghost rows. Cost ∝ touched-bucket bytes —
+    * never corpus bytes. Returns the touched bucket ids.
+    */
+  def storeDelete(
+      spark: SparkSession,
+      deleteIds: DataFrame,
+      path: String): Seq[Int] = {
+    val store = spark.read.parquet(path)
+    val ids = deleteIds.select(col("vec_id")).distinct()
+    val touched = store
+      .join(broadcast(ids), Seq("vec_id"))
+      .select(col("bucket").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return touched
+    val outCols = store.columns.filterNot(_ == "bucket").map(col) :+
+      col("bucket").cast("int").as("bucket")
+    val survivors = store
+      .filter(col("bucket").isin(touched.map(Int.box): _*))
+      .join(ids, Seq("vec_id"), "left_anti")
+      .select(outCols: _*)
+    swapTouchedPartitions(spark, survivors, path, touched)
+    touched
+  }
+
   /** The staged touched-partition swap shared by every bucket-
     * partitioned store (float index, PQ code store, BM25 postings):
     * write `merged` (which must carry a `bucket` column and contain the
@@ -1255,12 +1292,20 @@ object Similarity {
     * be result-invisible. The probe IN-list comes from the same
     * [[probedBucketsFor]] both engines share.
     */
-  def ivfTopKTrainedSql(cents: Array[Array[Double]], k: Int, nprobe: Int): String = {
+  /** `corpusWhere` restricts the replayed corpus (e.g. the deletion
+    * gate's "everything except the erased ids") — empty = full corpus.
+    */
+  def ivfTopKTrainedSql(
+      cents: Array[Array[Double]],
+      k: Int,
+      nprobe: Int,
+      corpusWhere: String = ""): String = {
     val sims = cents.zipWithIndex
       .map { case (c, j) => s"${DuckDialect.dotConst("embedding", c)} AS s$j" }
       .mkString(",\n  ")
     val probes = probedBucketsFor(cents, nprobe).mkString(", ")
-    s"""WITH s AS (SELECT vec_id, embedding,\n  $sims\nFROM embeddings),
+    val where = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
+    s"""WITH s AS (SELECT vec_id, embedding,\n  $sims\nFROM embeddings$where),
        |b AS (SELECT vec_id, embedding, ${bucketCase(cents.length)} AS bucket FROM s)
        |SELECT vec_id, round(sim_raw, 6) AS sim FROM (
        |  SELECT vec_id, ${cosineToQuery(DuckDialect, "embedding")} AS sim_raw

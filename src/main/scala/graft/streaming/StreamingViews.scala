@@ -32,6 +32,32 @@ object StreamingViews {
 
   private val sinkId = new AtomicInteger(0)
 
+  /** Shuffle-partition width for the HARNESS runs of stateful queries
+    * that sink to memory (sessions, stream-stream joins). Each stateful
+    * operator commits one state store per shuffle partition per
+    * micro-batch (a stream-stream join commits FOUR), so the session's
+    * 32-partition default pays >1000 store commits for a few thousand
+    * rows of state across an AvailableNow replay. Results are
+    * partitioning-independent; the width is pinned into the checkpoint
+    * at first batch, making this a per-query deployment dial —
+    * production at 100 TB sets cluster width instead. Store-writing
+    * sinks (MERGE upserts) keep the session default: their output FILE
+    * layout is partition-derived and spec-pinned.
+    */
+  private val StatefulHarnessPartitions = "4"
+
+  /** Run `body` (a streaming start+await) with the session's shuffle
+    * partitions narrowed to [[StatefulHarnessPartitions]], restoring
+    * the previous value after — the conf is read at the query's first
+    * micro-batch, so it must stay set through `awaitTermination`.
+    */
+  private def withNarrowState[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StatefulHarnessPartitions)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Normalize the events `ts` column to a timestamp on a STREAMING
     * frame: the driver's testdata parquet has carried nanos-as-long,
     * naive micros (TIMESTAMP_NTZ), and proper timestamp-micros across
@@ -438,18 +464,21 @@ object StreamingViews {
       gapSeconds: Long,
       maxFilesPerTrigger: Option[Int]): (DataFrame, Seq[Long]) = {
     val name = s"stream_sessions_${sinkId.incrementAndGet()}"
-    val q = eventsStream(spark, sfDir, maxFilesPerTrigger)
-      .groupBy(
-        col("user_id"),
-        session_window(timestamp_seconds(col("ts").cast("long")), s"$gapSeconds seconds"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = withNarrowState(spark) {
+      val started = eventsStream(spark, sfDir, maxFilesPerTrigger)
+        .groupBy(
+          col("user_id"),
+          session_window(timestamp_seconds(col("ts").cast("long")), s"$gapSeconds seconds"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      started.awaitTermination()
+      started
+    }
     val durations = q.recentProgress.toSeq.map(_.batchDuration)
     val out = spark.table(name)
       .select(
@@ -480,18 +509,20 @@ object StreamingViews {
       gapSeconds: Long,
       delaySeconds: Long): DataFrame = {
     val name = s"stream_sessions_append_${sinkId.incrementAndGet()}"
-    val q = eventsStream(spark, sfDir)
-      .withColumn("tss", timestamp_seconds(col("ts").cast("long")))
-      .withWatermark("tss", s"$delaySeconds seconds")
-      .groupBy(col("user_id"), session_window(col("tss"), s"$gapSeconds seconds"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withNarrowState(spark) {
+      val q = eventsStream(spark, sfDir)
+        .withColumn("tss", timestamp_seconds(col("ts").cast("long")))
+        .withWatermark("tss", s"$delaySeconds seconds")
+        .groupBy(col("user_id"), session_window(col("tss"), s"$gapSeconds seconds"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(
         col("user_id"),
@@ -581,19 +612,21 @@ object StreamingViews {
         col("event_id").as("purchase_id"),
         col("ts").cast("long").as("p_ts"))
     val name = s"stream_join_${sinkId.incrementAndGet()}"
-    val q = clicks
-      .join(
-        purchases,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("c_ts") && col("p_ts") < col("c_ts") + windowSec,
-        "inner")
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withNarrowState(spark) {
+      val q = clicks
+        .join(
+          purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") && col("p_ts") < col("c_ts") + windowSec,
+          "inner")
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(col("user_id"), col("click_id"), col("purchase_id"), (col("p_ts") - col("c_ts")).as("lag_s"))
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
@@ -685,22 +718,29 @@ object StreamingViews {
     val stageRoot = java.nio.file.Files.createTempDirectory("graft_join_chunks")
     val chunkIds = ev.select(col("arr")).distinct().collect().map(_.getLong(0)).sorted
     val mtimeBase = java.lang.System.currentTimeMillis() - 86400000L
+    // ONE write job for every chunk: repartition on the chunk key routes
+    // each chunk to exactly one task, so partitionBy yields exactly one
+    // part file per arr=... directory; the driver then just renames the
+    // parts into mtime-ordered chunk files. (The previous per-chunk
+    // filter+coalesce(1) loop paid chunkCount full write jobs — half
+    // this entry's wall time at sf0.1.)
+    val buildDir = stageRoot.resolve("_build")
+    ev.repartition(col("arr")).write.partitionBy("arr")
+      .mode("overwrite").parquet(buildDir.toString)
+    ev.unpersist()
     chunkIds.zipWithIndex.foreach { case (c, i) =>
-      val tmp = stageRoot.resolve(f"_build_$i%04d")
-      ev.filter(col("arr") === c).drop("arr")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
+      val dir = buildDir.resolve(s"arr=$c")
+      val part = java.nio.file.Files.list(dir).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet"))
         .getOrElse(sys.error(s"chunk $c wrote no parquet part"))
       val dest = stageRoot.resolve(f"chunk_$i%04d.parquet")
       java.nio.file.Files.move(part, dest)
       dest.toFile.setLastModified(mtimeBase + i * 2000L)
-      scala.util.Using.resource(java.nio.file.Files.walk(tmp)) { w =>
-        w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.delete(p))
-      }
     }
-    ev.unpersist()
+    scala.util.Using.resource(java.nio.file.Files.walk(buildDir)) { w =>
+      w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
     val schema = spark.read.parquet(stageRoot.toString).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -720,23 +760,26 @@ object StreamingViews {
         col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("tss").as("p_tss"), col("ts_s").as("p_ts"))
     val name = s"stream_join_wm_${sinkId.incrementAndGet()}"
-    val q = clicks
-      .join(
-        purchases,
-        col("user_id") === col("p_user") &&
-          // the range condition on the WATERMARKED columns is what lets
-          // Spark derive each side's state watermark (evict clicks once
-          // wm > c_tss + window, purchases once wm > p_tss)
-          col("p_tss") >= col("c_tss") &&
-          col("p_tss") < col("c_tss") + expr(s"INTERVAL $windowSec SECONDS"),
-        "inner")
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = withNarrowState(spark) {
+      val started = clicks
+        .join(
+          purchases,
+          col("user_id") === col("p_user") &&
+            // the range condition on the WATERMARKED columns is what lets
+            // Spark derive each side's state watermark (evict clicks once
+            // wm > c_tss + window, purchases once wm > p_tss)
+            col("p_tss") >= col("c_tss") &&
+            col("p_tss") < col("c_tss") + expr(s"INTERVAL $windowSec SECONDS"),
+          "inner")
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      started.awaitTermination()
+      started
+    }
     val removedPerBatch = q.recentProgress.toSeq
       .map(p => p.stateOperators.map(_.numRowsRemoved).sum)
     val out = spark.table(name)

@@ -175,6 +175,104 @@ class CorpusSignalsSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminatedBloomFrom: bit-identical to the exact join; bloom semantics hold") {
+    // parity on real data: the Bloom pre-filter must be result-invisible
+    val d = Tables.load(spark, Sf0001, "documents")
+    val sh = graft.operators.Decontamination.gramSets(d)
+    val exact = graft.operators.Decontamination.contaminatedFrom(sh).collect()
+    val bloomed = graft.operators.Decontamination.contaminatedBloomFrom(sh).collect()
+    assert(exact.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      bloomed.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(exact.nonEmpty) // the parity claim is vacuous on an empty frame
+
+    // bloom semantics on a crafted set: every member hits (no false
+    // negatives — the correctness precondition), non-members mostly miss
+    // (the pruning that makes the pre-filter worth running)
+    import spark.implicits._
+    val members = (0 until 500).map(i => s"member_$i").toDF("s")
+    val bloom = members
+      .agg(graft.functions.SketchFunctions
+        .bloom_agg(xxhash64(col("s")), 500L, 500L * 16).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val memberHits = members
+      .filter(graft.functions.SketchFunctions.might_contain(lit(bloom), xxhash64(col("s"))))
+      .count()
+    assert(memberHits === 500L, "bloom false negative — breaks exactness")
+    val strangers = (0 until 2000).map(i => s"stranger_$i").toDF("s")
+    val fp = strangers
+      .filter(graft.functions.SketchFunctions.might_contain(lit(bloom), xxhash64(col("s"))))
+      .count()
+    assert(fp < 100L, s"false-positive rate implausibly high for 16 bits/item: $fp/2000")
+  }
+
+  test("packBins: chunked packing == driver brute-force; bins hold exactly ctx tokens") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // crafted: 2 sources x uneven doc sizes, ctx small enough that docs
+    // straddle bin boundaries and each shard ends with a partial bin
+    val crafted = (0L until 120L)
+      .map(i => (i, Seq.fill((i % 13 + 1).toInt)("tok").mkString(" "), s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val ctx = 16L
+    val shards = 4L
+    val out = Packing.packBins(crafted.select("doc_id", "text", "source"), ctx, shards)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    // driver brute force: concatenate each (source, shard) stream in
+    // doc_id order, cut at ctx, count contributing docs per bin
+    val expected = scala.collection.mutable.Map[(String, Long, Long), (Long, Long)]()
+    (0L until 120L).groupBy(i => (s"s${i % 2}", i % shards)).foreach { case ((src, sh), ids) =>
+      var pos = 0L
+      val docBins = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+      ids.sorted.foreach { i =>
+        val nt = i % 13 + 1
+        (pos / ctx to (pos + nt - 1) / ctx).foreach { b =>
+          docBins.getOrElseUpdate(b, scala.collection.mutable.Set()) += i
+        }
+        pos += nt
+      }
+      docBins.foreach { case (b, ds) =>
+        expected((src, sh, b)) = (ds.size.toLong, math.min(ctx, pos - b * ctx))
+      }
+    }
+    assert(out === expected.toMap)
+    // interior bins carry exactly ctx tokens (nothing padded or dropped)
+    out.foreach { case ((src, sh, b), (_, nt)) =>
+      val isLast = !out.contains((src, sh, b + 1))
+      if (!isLast) assert(nt === ctx, s"interior bin ($src,$sh,$b) not full")
+    }
+  }
+
+  test("piiRedact: detects and redacts planted + organic PII, counts exact") {
+    import spark.implicits._
+    import graft.operators.Privacy
+    // doc 1: organic PII only (1 is coprime to 3/5/7 — nothing planted);
+    // doc 15: plant adds an email (15%3=0) and a phone (15%5=0), no IP;
+    // doc 2: clean
+    val d = Seq(
+      (1L, "reach me at bob@test.org or 555-1234 from 10.0.1.2"),
+      (15L, "plain words only"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = Privacy.piiRedact(d).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 1L) // n_emails
+    assert(out(1L).getLong(2) === 1L) // n_phones
+    assert(out(1L).getLong(3) === 1L) // n_ips
+    assert(out(15L).getLong(1) === 1L && out(15L).getLong(2) === 1L && out(15L).getLong(3) === 0L)
+    assert(out(2L).getLong(1) === 0L && out(2L).getLong(2) === 0L && out(2L).getLong(3) === 0L)
+    // the md5 is of the fully redacted text — recompute doc 1's on the
+    // driver with the same replacement order
+    val redacted1 = "reach me at <EMAIL> or <PHONE> from <IP>"
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(redacted1.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getString(4) === md5)
+    // planted fragments redact cleanly too: doc 15's redaction ends with
+    // the two placeholders
+    val d15 = Privacy.withPlantedPii(d).filter(col("doc_id") === 15L)
+      .select("text2").head().getString(0)
+    assert(d15 === "plain words only contact user15@example.com call 555-0015")
+  }
+
   test("streaming dedup == batch dedup (incremental execution parity)") {
     val streamed = graft.streaming.StreamingViews
       .runDedupAvailableNow(spark, Sf0001).collect().map(_.getLong(0))

@@ -266,6 +266,51 @@ class RetrievalSpec extends AnyFunSuite {
     assert(incStats.getDouble(2) === refStats.getDouble(2))
   }
 
+  test("bm25IndexDelete: deletion == rebuild on the filtered corpus; untouched shards byte-identical; stats shrink exactly") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val d = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val path = java.nio.file.Files.createTempDirectory("bm25_del_spec").toString
+    val statsPath = java.nio.file.Files.createTempDirectory("bm25_del_stats_spec").toString
+    Retrieval.bm25IndexWrite(d, path, statsPath)
+
+    def dirDigests(bucket: Int): Map[String, Long] = {
+      val dir = new java.io.File(s"$path/bucket=$bucket")
+      Option(dir.listFiles).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          f.getName -> java.util.Arrays.hashCode(bytes).toLong
+        }.toMap
+    }
+    val before = (0 until Retrieval.PostingsBuckets).map(b => b -> dirDigests(b)).toMap
+
+    val erased = pmod(col("doc_id"), lit(9L)) === 4
+    val touched =
+      Retrieval.bm25IndexDelete(spark, d.filter(erased).select(col("doc_id")), path, statsPath)
+    assert(touched.nonEmpty)
+    (0 until Retrieval.PostingsBuckets).filterNot(touched.contains).foreach { b =>
+      assert(dirDigests(b) === before(b), s"untouched bucket $b changed")
+    }
+    // no ghost postings: erased doc ids appear nowhere in the store
+    val store = spark.read.parquet(path)
+    assert(store.filter(pmod(col("doc_id"), lit(9L)) === 4).count() === 0L)
+    // post-deletion store answers exactly like a rebuild on the
+    // filtered corpus (and like the in-flight path over it)
+    val keep = d.filter(!erased)
+    val freshPath = java.nio.file.Files.createTempDirectory("bm25_del_fresh").toString
+    val freshStats = java.nio.file.Files.createTempDirectory("bm25_del_fresh_stats").toString
+    Retrieval.bm25IndexWrite(keep, freshPath, freshStats)
+    val got = Retrieval.bm25StoredTopK(spark, keep, path, statsPath).collect().toSeq
+    assert(got === Retrieval.bm25StoredTopK(spark, keep, freshPath, freshStats).collect().toSeq)
+    assert(got === Retrieval.bm25TopK(keep).collect().toSeq)
+    // the stats shrink is exact
+    val delStats = spark.read.parquet(statsPath).collect()(0)
+    val refStats = spark.read.parquet(freshStats).collect()(0)
+    assert(delStats.getLong(0) === refStats.getLong(0))
+    assert(delStats.getLong(1) === refStats.getLong(1))
+    assert(delStats.getDouble(2) === refStats.getDouble(2))
+  }
+
   test("streaming maintenance: 4 micro-batches bootstrap+upsert == batch index") {
     val d = graft.sources.Tables.load(spark, Sf0001, "documents")
     val srcDir = java.nio.file.Files.createTempDirectory("bm25_stream_src").toString

@@ -545,6 +545,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dump(path).sameElements(dump(fullPath)))
   }
 
+  test("storeDelete: erased ids gone, untouched buckets byte-identical, emptied bucket swept") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map(i => (i.toLong, baseVec(rnd)))
+    val cents = Similarity.Centroids
+    val path = java.nio.file.Files.createTempDirectory("spec_ivf_del").toString
+    val assigned = Similarity.ivfAssignmentsWith(toDf(rows), cents)
+    Similarity.ivfStoreWrite(assigned, path)
+    val before = snapshotStore(path)
+
+    // erase ONE bucket's entire population (the sweep case) plus two
+    // ids from another bucket (the partial-rewrite case)
+    val byBucket = assigned.select(col("vec_id"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("bucket")))
+      .groupBy(_._2).map { case (b, xs) => b -> xs.map(_._1).sorted }
+    val sweepBucket = byBucket.minBy { case (b, ids) => (ids.length, b) }._1
+    val partialBucket = byBucket.keys.filter(_ != sweepBucket).min
+    val delIds = byBucket(sweepBucket) ++ byBucket(partialBucket).take(2)
+    assert(delIds.length < byBucket(partialBucket).length + byBucket(sweepBucket).length,
+      "partial bucket must keep survivors")
+    import spark.implicits._
+    val touched = Similarity.storeDelete(spark, delIds.toSeq.toDF("vec_id"), path)
+    assert(touched.sorted === Seq(sweepBucket, partialBucket).sorted)
+
+    // emptied bucket's directory is swept — no ghost-serving dir
+    assert(!new java.io.File(s"$path/bucket=$sweepBucket").exists,
+      "emptied bucket directory must be deleted")
+    // untouched buckets byte-identical
+    val after = snapshotStore(path)
+    def bucketOf(rel: String): Option[Int] =
+      "bucket=(\\d+)".r.findFirstMatchIn(rel).map(_.group(1).toInt)
+    before.keys.filter(k => bucketOf(k).exists(b => !touched.contains(b))).foreach { k =>
+      assert(after.get(k).contains(before(k)), s"$k changed bytes")
+    }
+    // served content == full rebuild on the survivors
+    val survivors = rows.filterNot { case (id, _) => delIds.contains(id) }
+    val fullPath = java.nio.file.Files.createTempDirectory("spec_ivf_del_full").toString
+    Similarity.ivfStoreWrite(Similarity.ivfAssignmentsWith(toDf(survivors), cents), fullPath)
+    def dump(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getAs[Int]("bucket")))
+      .sortBy(_._1)
+    assert(dump(path).sameElements(dump(fullPath)))
+    // deleting ids that are not in the store touches nothing
+    assert(Similarity.storeDelete(spark, Seq(99999L).toDF("vec_id"), path).isEmpty)
+  }
+
   test("ivfStoreCompact: repeated upserts bloat buckets, compaction collapses to 1 file, result-invisible") {
     val rnd = new scala.util.Random(13)
     val cents = Similarity.Centroids
