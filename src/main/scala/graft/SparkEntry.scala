@@ -1761,6 +1761,16 @@ object SparkEntry {
           Multimodal.wavResample(
             Multimodal.materialize(
               Multimodal.synthesizeWavAssets(Tables.load(s, d, "documents"))), 3)))),
+    // REAL video frame sampling: synthesize spec-correct minimal AVIs
+    // (RIFF hdrl/avih/movi, uncompressed 8-bit-gray '00db' frames),
+    // parse dims + frame count from the avih header bytes and fold
+    // luminance stats over every SECOND frame's actual pixel bytes —
+    // the decode-every-Nth-frame video-pipeline primitive; closed-form
+    // oracle replays the sampled-frame pixel formula
+    "multimodal_avi_frames" -> ((s, d) =>
+      Multimodal.aviFrameStats(
+        Multimodal.materialize(
+          Multimodal.synthesizeAviAssets(Tables.load(s, d, "documents"))), 2)),
     // REAL compressed-format pixel decode: synthesize valid zlib-IDAT
     // PNGs, then inflate + unfilter the actual bytes back (JDK-only
     // codec in a typed map — no builtin can inflate). The oracle
@@ -2505,6 +2515,7 @@ object SparkEntry {
         |ORDER BY fmt""".stripMargin,
     "multimodal_resize_stats" -> Multimodal.bmpResizeStatsSql(2),
     "wav_resample_stats" -> Multimodal.wavResampleStatsSql(3),
+    "multimodal_avi_frames" -> Multimodal.aviFrameStatsSql(2),
     "winnow_stats" -> Winnowing.fingerprintStatsSql(),
     "winnow_pairs" -> Winnowing.sharedFingerprintPairsSql(),
     "source_report" -> CorpusSignals.SourceReportSql,

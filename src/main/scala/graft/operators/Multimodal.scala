@@ -977,6 +977,138 @@ object Multimodal {
       |       CAST(doc_id % 7 + 3 AS INT) AS height, TRUE AS certified
       |FROM documents WHERE doc_id >= 0 ORDER BY id""".stripMargin
 
+  // ---- video: RIFF/AVI container, REAL byte-level frame sampling ----
+
+  /** RIFF....'AVI ' with the hdrl LIST leading. */
+  private def isAvi(p: Column): Column =
+    hexEq(p, 1, "52494646") && hexEq(p, 9, "41564920") && hexEq(p, 13, "4C495354")
+
+  /** Synthesized AVI shape (id-derived, closed-form on both engines):
+    * tiny uncompressed 8-bit-gray frames so the movi chunk's pixel
+    * bytes are raw and the frame sampler below can be REAL without a
+    * codec library (the BMP argument, one dimension up).
+    */
+  private def aviW(idc: Column): Column = (idc % 4 + 2).cast("long")
+  private def aviH(idc: Column): Column = (idc % 3 + 2).cast("long")
+  private def aviFrames(idc: Column): Column = (idc % 6 + 2).cast("long")
+
+  /** One spec-correct minimal AVI per document: RIFF header, hdrl LIST
+    * with the 56-byte avih main header (dwTotalFrames / dwWidth /
+    * dwHeight carried for real), movi LIST of `00db` uncompressed
+    * frame chunks whose pixel byte (f, i) is
+    * `(id·31 + f·17 + i·7) mod 256`. Layout is fixed (hdrl at 13, movi
+    * LIST at 89, first frame chunk at 101), so every field the decoder
+    * reads sits at a closed-form offset — the canonical-layout contract
+    * every other container here uses.
+    */
+  def synthesizeAviAssets(docs: DataFrame): DataFrame = {
+    val d = graft.sources.Tables.fanOut(docs)
+      .filter(col("doc_id") >= 0) // the synthesizeBmpAssets id contract
+      .withColumn("w", aviW(col("doc_id")))
+      .withColumn("h", aviH(col("doc_id")))
+      .withColumn("nf", aviFrames(col("doc_id")))
+      .withColumn("wh", col("w") * col("h"))
+    // all frame chunks, concatenated: '00db' + le32(wh) + wh gray bytes
+    val framesHex = expr(
+      "array_join(transform(sequence(0, cast(nf - 1 AS INT)), f -> concat(" +
+        "'30306462', " + // '00db'
+        "concat(substring(lpad(hex(wh), 8, '0'), 7, 2), substring(lpad(hex(wh), 8, '0'), 5, 2), " +
+        "substring(lpad(hex(wh), 8, '0'), 3, 2), substring(lpad(hex(wh), 8, '0'), 1, 2)), " +
+        "array_join(transform(sequence(0, cast(wh - 1 AS INT)), " +
+        "i -> lpad(hex(pmod(doc_id * 31 + f * 17 + i * 7, 256)), 2, '0')), ''))), '')")
+    d.select(
+      col("doc_id").as("id"),
+      lit("video").as("modality"),
+      concat(
+        unhex(lit("52494646")), // "RIFF"
+        le32(lit(92) + col("nf") * (col("wh") + 8)), // total - 8
+        unhex(lit("41564920")), // "AVI "
+        unhex(lit("4C495354")), // "LIST"
+        le32(lit(68)),
+        unhex(lit("6864726C")), // "hdrl"
+        unhex(lit("61766968")), // "avih"
+        le32(lit(56)),
+        le32(lit(33333)), // dwMicroSecPerFrame (~30 fps)
+        le32(lit(0)), // dwMaxBytesPerSec
+        le32(lit(0)), // dwPaddingGranularity
+        le32(lit(0)), // dwFlags
+        le32(col("nf")), // dwTotalFrames
+        le32(lit(0)), // dwInitialFrames
+        le32(lit(1)), // dwStreams
+        le32(col("wh")), // dwSuggestedBufferSize
+        le32(col("w")), // dwWidth
+        le32(col("h")), // dwHeight
+        unhex(lit("00" * 16)), // reserved[4]
+        unhex(lit("4C495354")), // "LIST"
+        le32(lit(4) + col("nf") * (col("wh") + 8)),
+        unhex(lit("6D6F7669")), // "movi"
+        unhex(framesHex)).as("payload"))
+  }
+
+  /** REAL strided frame sampling from the payload BYTES — the
+    * video-pipeline primitive (decode every `stride`-th frame, skip the
+    * rest): dimensions and frame count parsed from the avih header,
+    * sampled frames' pixel bytes read from their movi chunks, per-clip
+    * luminance statistics folded over plain longs. All-integer output,
+    * exact on both engines. Contract: canonical layout (first `00db`
+    * chunk at 101), asserted by the filter.
+    */
+  def aviFrameStats(assets: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
+    val p = col("payload")
+    // pixel i (0-based) of frame f lives at 109 + f*(wh+8) + i (1-based)
+    val pxExpr =
+      "CAST(conv(hex(substring(payload, CAST(109 + j * " + stride + " * (wh + 8) + i AS INT), 1)), 16, 10) AS BIGINT)"
+    def fold(body: String) =
+      expr(s"aggregate(lum, 0L, (acc, x) -> $body)")
+    assets
+      .filter(isAvi(p) && hexEq(p, 97, "6D6F7669") && hexEq(p, 101, "30306462"))
+      .withColumn("w", le(p, 65, 4).cast("long"))
+      .withColumn("h", le(p, 69, 4).cast("long"))
+      .withColumn("wh", col("w") * col("h"))
+      .withColumn("nf", le(p, 49, 4).cast("long"))
+      .filter(col("nf") > 0 && col("wh") > 0) // descending-sequence guard
+      .withColumn("nf2", expr(s"(nf + ${stride - 1}) div $stride"))
+      .withColumn(
+        "lum",
+        expr(
+          s"flatten(transform(sequence(0, cast(nf2 - 1 AS INT)), j -> " +
+            s"transform(sequence(0, cast(wh - 1 AS INT)), i -> $pxExpr)))"))
+      .withColumn("sum_lum", fold("acc + x"))
+      .withColumn("peak_lum", fold("greatest(acc, x)"))
+      .select(
+        col("id"),
+        col("w").cast("int").as("width"),
+        col("h").cast("int").as("height"),
+        col("nf").as("n_frames"),
+        col("nf2").as("n_sampled"),
+        col("sum_lum"),
+        col("peak_lum"))
+      .orderBy(col("id"))
+  }
+
+  /** Closed-form DuckDB twin of synthesize→[[aviFrameStats]]: sampled
+    * frame j is source frame j·stride; pixel i of it is
+    * `(id·31 + j·stride·17 + i·7) mod 256`.
+    */
+  def aviFrameStatsSql(stride: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id AS id, doc_id % 4 + 2 AS w, doc_id % 3 + 2 AS h,
+       |         doc_id % 6 + 2 AS nf
+       |  FROM documents WHERE doc_id >= 0),
+       |e AS (SELECT id, w, h, nf, (nf + ${stride - 1}) // $stride AS nf2 FROM d),
+       |j AS (SELECT id, w, h, nf, nf2, unnest(range(0, nf2)) AS jj FROM e),
+       |px AS (SELECT id, w, h, nf, nf2, jj, unnest(range(0, w * h)) AS i FROM j),
+       |v AS (
+       |  SELECT id, w, h, nf, nf2,
+       |         (id * 31 + jj * $stride * 17 + i * 7) % 256 AS g
+       |  FROM px)
+       |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |       CAST(nf AS BIGINT) AS n_frames, CAST(nf2 AS BIGINT) AS n_sampled,
+       |       CAST(sum(g) AS BIGINT) AS sum_lum, CAST(max(g) AS BIGINT) AS peak_lum
+       |FROM v GROUP BY id, w, h, nf, nf2
+       |ORDER BY id""".stripMargin
+
   /** STUB frame sampling: every `stride`-th byte of the payload as a
     * "frame" id list (a real implementation samples decoded frames).
     * Bounded output per row — safe to explode downstream.

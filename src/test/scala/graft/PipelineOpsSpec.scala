@@ -368,6 +368,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI frame sampling: container structurally valid, strided stats match driver brute-force") {
+    import SparkTestBase.spark.implicits._
+    val ids = Seq(0L, 1L, 5L, 11L, 23L) // covers w 2..5 × h 2..4 × nf 2..7 corners
+    val assets = Multimodal.synthesizeAviAssets(ids.map(i => (i, "")).toDF("doc_id", "text"))
+
+    // container structure: declared RIFF size + 8 == actual byte length,
+    // movi chunk count and sizes consistent with the avih header
+    assets.collect().foreach { row =>
+      val id = row.getLong(0)
+      val p = row.getAs[Array[Byte]](2)
+      def le32(off0: Int) = // 0-based offset
+        (0 until 4).map(k => (p(off0 + k) & 0xffL) << (8 * k)).sum
+      assert(new String(p.slice(0, 4), "US-ASCII") === "RIFF")
+      assert(new String(p.slice(8, 12), "US-ASCII") === "AVI ")
+      assert(le32(4) + 8 === p.length, s"id=$id declared RIFF size inconsistent")
+      val (w, h, nf) = (id % 4 + 2, id % 3 + 2, id % 6 + 2)
+      assert(le32(64) === w && le32(68) === h && le32(48) === nf)
+      assert(new String(p.slice(96, 100), "US-ASCII") === "movi")
+      // each frame chunk: '00db' + size + wh bytes at its closed-form slot
+      (0L until nf).foreach { f =>
+        val base = 100 + f.toInt * (w * h + 8).toInt
+        assert(new String(p.slice(base, base + 4), "US-ASCII") === "00db", s"id=$id frame $f")
+        assert(le32(base + 4) === w * h)
+      }
+    }
+
+    // strided stats == driver brute-force over the same pixel formula
+    val stride = 2
+    val stats = Multimodal.aviFrameStats(assets, stride).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(stats.keySet === ids.toSet)
+    ids.foreach { id =>
+      val (w, h, nf) = (id % 4 + 2, id % 3 + 2, id % 6 + 2)
+      val sampled = (0L until nf by stride.toLong)
+      val pix = for (f <- sampled; i <- 0L until w * h)
+        yield (id * 31 + f * 17 + i * 7) % 256
+      val r = stats(id)
+      assert(r.getInt(1) === w.toInt && r.getInt(2) === h.toInt)
+      assert(r.getLong(3) === nf && r.getLong(4) === sampled.size.toLong)
+      assert(r.getLong(5) === pix.sum, s"id=$id sum_lum")
+      assert(r.getLong(6) === pix.max, s"id=$id peak_lum")
+    }
+  }
+
   test("PNG decoder handles ImageIO-written files (adaptive filters) and all 5 filter types") {
     // 1) ImageIO WRITES a gradient image (its encoder picks per-row
     //    filters adaptively — exercising Sub/Up/Average/Paeth in our

@@ -71,7 +71,7 @@ HEADLINE = [
     # oracle IS bm25_topk's SQL (storage/stream must be result-
     # invisible), already anchored; streaming_pq_store's IS the
     # ivfpq_topk replay at its own budget
-    "sequence_pack", "pii_scrub", "ann_ivf_delete", "bm25_delete",
+    "sequence_pack", "pii_scrub", "ann_ivf_delete", "bm25_delete", "multimodal_avi_frames",
     # decontaminate_bloom intentionally absent: its oracle IS
     # decontaminate's SQL (the Bloom pre-filter is result-invisible),
     # already anchored
