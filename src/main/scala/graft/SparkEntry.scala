@@ -949,6 +949,21 @@ object SparkEntry {
         path)
       Similarity.ivfStoredTopK(s, kmeansSpherical(s, d)._1, 20, 4, path)
     }),
+    // the erasure QUEUE: the same id set arrives as a 3-batch stream,
+    // each micro-batch storeDelete'd against the store (per-batch cost
+    // ∝ that batch's buckets); deletion is idempotent+commutative so
+    // the final store is arrival-order-independent — same oracle as
+    // ann_ivf_delete (stream == batch for erasure)
+    "streaming_store_delete" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_del_stream").toString
+      Similarity.ivfStoreWrite(ivfTrainedAssigned(s, d), path)
+      graft.streaming.StreamingViews.runStoreDeleteAvailableNow(
+        s,
+        Tables.load(s, d, "embeddings")
+          .filter(pmod(col("vec_id"), lit(17L)) === 3).select(col("vec_id")),
+        path)
+      Similarity.ivfStoredTopK(s, kmeansSpherical(s, d)._1, 20, 4, path)
+    }),
     // INCREMENTAL index maintenance certified result-invisible: write
     // the store from 4/5 of the corpus, upsert the remaining fifth as a
     // daily batch (only its buckets' partitions rewritten — the MERGE
@@ -2807,6 +2822,7 @@ object SparkEntry {
     if (sel("kmeans_centroids") || sel("kmeans_inertia") || sel("kmeans_spherical") ||
       sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
       sel("ann_ivf_incremental") || sel("ann_ivf_drift") || sel("ann_ivf_delete") ||
+      sel("streaming_store_delete") ||
       sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
       sel("pq_topk_rerank") || sel("ivfpq_topk") || sel("ivfpq_stored") ||
       sel("ivfpq_stored_full") || sel("pq_drift") || sel("pq_codebooks_sampled") ||
@@ -2849,7 +2865,8 @@ object SparkEntry {
         }
       }
       if (sel("kmeans_spherical") || sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
-        sel("ann_ivf_incremental") || sel("ann_ivf_drift") || sel("ann_ivf_delete")) {
+        sel("ann_ivf_incremental") || sel("ann_ivf_drift") || sel("ann_ivf_delete") ||
+        sel("streaming_store_delete")) {
         val (sphCents, _) =
           graft.operators.KMeansRef.sphericalTrace(vecs, KmeansK, KmeansIters)
         if (sel("kmeans_spherical"))
@@ -2869,6 +2886,11 @@ object SparkEntry {
           // embeddings WITHOUT the erased ids — any ghost row still
           // served from the store is a hash mismatch
           out += ("ann_ivf_delete" ->
+            Similarity.ivfTopKTrainedSql(sphCents, 20, 4, "vec_id % 17 <> 3"))
+        if (sel("streaming_store_delete"))
+          // stream == batch for erasure: the queue-applied deletions
+          // must leave exactly the store the one-shot deletion leaves
+          out += ("streaming_store_delete" ->
             Similarity.ivfTopKTrainedSql(sphCents, 20, 4, "vec_id % 17 <> 3"))
         if (sel("ann_ivf_incremental"))
           // the FULL-corpus replay: the incrementally-maintained store

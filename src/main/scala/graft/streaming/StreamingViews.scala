@@ -327,6 +327,46 @@ object StreamingViews {
     q.awaitTermination()
   }
 
+  /** Erasure requests applied to a serving store as they ARRIVE — the
+    * streaming side of right-to-be-forgotten (a privacy queue is a
+    * stream: requests trickle in and each must be honored promptly, not
+    * batched into the next full rebuild). The id frame is staged into
+    * `batches` files (keyed `pmod(vec_id, batches)` — deterministic
+    * replay), streamed one file per trigger, and each micro-batch runs
+    * [[graft.operators.Similarity.storeDelete]] against the store:
+    * per-batch cost ∝ the buckets THAT BATCH's ids live in. Deletion is
+    * idempotent and commutative across batches (each id's rows leave
+    * exactly once), so arrival order cannot change the final store —
+    * which is what lets the streaming entry share the batch deletion
+    * oracle (stream == batch).
+    */
+  def runStoreDeleteAvailableNow(
+      spark: SparkSession,
+      idsDf: DataFrame,
+      storePath: String,
+      batches: Int = 3): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_del_stream").toString
+    idsDf.select(col("vec_id"))
+      .withColumn("chunk", pmod(col("vec_id"), lit(batches.toLong)))
+      .repartition(col("chunk"))
+      .write.partitionBy("chunk").mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .writeStream
+      .outputMode("append")
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_del_stream_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.storeDelete(spark, batch, storePath); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Lexical-index maintenance on the documents STREAM — the crawl
     * loop's storage side: each micro-batch MERGE-upserts the sharded
     * BM25 postings store (first batch bootstraps; later batches pay

@@ -370,6 +370,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored.size === 200)
   }
 
+  test("streaming erasure: queue-applied deletions leave exactly the one-shot deletion's store") {
+    import SparkTestBase.spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val cents = graft.operators.Similarity.Centroids
+    def freshStore(): String = {
+      val p = Files.createTempDirectory("graft-delstream").toString + "/store"
+      graft.operators.Similarity.ivfStoreWrite(
+        graft.operators.Similarity.ivfAssignmentsWith(
+          rows.toDF("vec_id", "embedding"), cents), p)
+      p
+    }
+    val erased = (0 until 200 by 7).map(_.toLong) // hits all 3 stream chunks
+    val streamPath = freshStore()
+    StreamingViews.runStoreDeleteAvailableNow(
+      spark, erased.toDF("vec_id"), streamPath, batches = 3)
+    val batchPath = freshStore()
+    graft.operators.Similarity.storeDelete(spark, erased.toDF("vec_id"), batchPath)
+    def dump(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getAs[Int]("bucket")))
+      .sortBy(_._1).toSeq
+    assert(dump(streamPath) === dump(batchPath),
+      "stream-applied erasure != one-shot erasure")
+    assert(dump(streamPath).map(_._1).toSet.intersect(erased.toSet).isEmpty,
+      "ghost rows survived the erasure stream")
+  }
+
   /** RELATIVE batch-cost bound (ADVICE r10: the previous fixed 30 s cap
     * flakes on loaded multi-tenant boxes even when state merging is
     * linear): if per-batch cost grew with the hot key's ACCUMULATED
