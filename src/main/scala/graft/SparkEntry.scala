@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, LanguageId, LanguageModel, Multimodal, Packing, Pq, Privacy, Profiling, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
+import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, Graph, LanguageId, LanguageModel, Layout, Multimodal, Packing, Pq, Privacy, Profiling, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1468,6 +1468,25 @@ object SparkEntry {
           round(col("sum_val"), 6).as("sum_val"),
           round(col("avg_val"), 6).as("avg_val"))
         .orderBy(col("event_type"))),
+    // ---- Z-order clustered layout (Layout): events written
+    //      partitionBy(Morton cell of (user-bucket, day-bucket)); a
+    //      (user, day) rectangle is answered from the matched cell
+    //      DIRECTORIES only (LayoutSpec asserts numFiles == the
+    //      rectangle's files). The output's z_cell comes from the
+    //      directory tree, so the oracle's arithmetic replay of the
+    //      interleave gates the routing itself ----
+    "zorder_stored" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      Layout.zorderWrite(Tables.load(s, d, "events"), path)
+      Layout.zorderRectAgg(s, path, 3, 9, 5, 12)
+    }),
+    // ---- link-graph importance (Graph): 4-iteration damped PageRank
+    //      over the part co-purchase graph — the curation importance
+    //      prior; every iterate rounded 12dp in BOTH engines so the
+    //      fixed-point chain replays bit-exactly; one co-partitionable
+    //      equi-join + one map-combined aggregation per iteration ----
+    "pagerank_topk" -> ((s, d) =>
+      Graph.pageRankTopK(s, Tables.load(s, d, "lineitem"), 20)),
     // forward-fill resample of the sparse minute view onto each cell's
     // dense minute grid (grid generated per key from its own bounds)
     "ts_gap_fill" -> ((s, d) =>
@@ -2084,6 +2103,20 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt, round(sum(value), 6) AS sum_val,
         | round(sum(value) / count(*), 6) AS avg_val
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "zorder_stored" -> {
+      val z = Layout.mortonSql("x_bucket", "y_bucket")
+      s"""WITH b AS (
+         |  SELECT CAST(user_id % 16 AS INT) AS x_bucket,
+         |         CAST(((epoch_ns(ts) // 1000000000) // 86400) % 16 AS INT) AS y_bucket,
+         |         value
+         |  FROM events)
+         |SELECT $z AS z_cell, x_bucket, y_bucket,
+         |       count(*) AS cnt, round(sum(value), 6) AS sum_value
+         |FROM b
+         |WHERE x_bucket BETWEEN 3 AND 9 AND y_bucket BETWEEN 5 AND 12
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+    },
+    "pagerank_topk" -> Graph.pageRankTopKSql(20),
     "ts_gap_fill" ->
       s"""$Cte, v AS (
          |  SELECT $Gh6Expr AS geo, ${truncS("min")} AS ts_s,
