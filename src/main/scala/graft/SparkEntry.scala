@@ -1136,6 +1136,13 @@ object SparkEntry {
     // not silent corruption.
     "classifier_score" -> ((s, d) =>
       TextClassifier.scoreTable(Tables.load(s, d, "documents"), clfWeights(s, d))),
+    // active-learning labeling queue: the 40 docs the trained filter is
+    // least sure about (smallest |z|), ties by doc_id — the serving
+    // projection + one TakeOrderedAndProject on a rounded key; oracle
+    // replays features, score, margin and the cut in DuckDB
+    "uncertainty_sample" -> ((s, d) =>
+      TextClassifier.uncertaintySample(
+        Tables.load(s, d, "documents"), clfWeights(s, d), 40)),
     // the same filter DEPLOYED on the stream: stateless append-mode
     // projection under incremental execution, model = five literals in
     // codegen (train offline, filter at ingest); same oracle
@@ -1622,6 +1629,25 @@ object SparkEntry {
           expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))").as("n_bpe"),
           size(expr(Dedup.TokensExpr)).as("n_ws"))
         .orderBy(col("doc_id"))),
+    // tokenizer-fertility audit per (lang, source): tokens emitted per
+    // character — the compression dial a tokenizer swap moves, measured
+    // per corpus slice so a regressing slice is visible; one narrow
+    // codegen projection + one grouped sum
+    "token_fertility" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(
+          col("lang"),
+          col("source"),
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+            .cast("long").as("n_bpe"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("n_bpe")).as("tokens"),
+          sum(col("nc")).as("chars"),
+          round(sum(col("n_bpe")) / sum(col("nc")), 6).as("fertility"))
+        .orderBy(col("lang"), col("source"))),
     // ---- JSON reading serde + TSExtractor (S2/S4): wire-format JSON
     //      built from events, parsed through the reading schema
     //      (extra "junk" field proves ignore-unknown), aggregated ----
@@ -2434,6 +2460,17 @@ object SparkEntry {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "user_sessions" -> Sessionize.userStatsSql(1800),
     "lang_id" -> LanguageId.predictSql,
+    "token_fertility" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+        |         length(text) AS nc
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS docs,
+        |       CAST(sum(n_bpe) AS BIGINT) AS tokens,
+        |       CAST(sum(nc) AS BIGINT) AS chars,
+        |       round(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(nc) AS DOUBLE), 6) AS fertility
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "token_count_bpe" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
@@ -2660,7 +2697,8 @@ object SparkEntry {
       "classifier_train", "classifier_score", "streaming_classifier_score",
       "classifier_train_hashed", "classifier_score_hashed",
       "streaming_classifier_score_hashed", "classifier_compare",
-      "corpus_pipeline_trained", "corpus_pipeline_fuzzy")
+      "corpus_pipeline_trained", "corpus_pipeline_fuzzy",
+      "uncertainty_sample")
     if (anyClf.exists(sel)) {
       // ONE reference training per feature space feeds every classifier
       // oracle (the bpe_merges/bpe_encode rule): the sequential
@@ -2727,6 +2765,21 @@ object SparkEntry {
         if (sel("classifier_score")) out += ("classifier_score" -> scoreSql)
         if (sel("streaming_classifier_score"))
           out += ("streaming_classifier_score" -> scoreSql)
+      }
+      if (sel("uncertainty_sample")) {
+        // margin sampling over the same char-ratio score: both engines
+        // rank on the ROUNDED margin with doc_id ties, so the k-cut is
+        // deterministic cross-engine
+        out += ("uncertainty_sample" ->
+          s"""WITH f AS (
+             |  SELECT doc_id,
+             |         $charFeatCols
+             |  FROM documents
+             |  WHERE length(text) > 0
+             |    AND regexp_matches(text, '${TextClassifier.NonWsClassSql}')),
+             |s AS (SELECT doc_id, round(${zCharExpr(wChar)}, 6) AS z FROM f)
+             |SELECT doc_id, z, round(abs(z), 6) AS margin
+             |FROM s ORDER BY margin, doc_id LIMIT 40""".stripMargin)
       }
       if (sel("classifier_score_hashed") || sel("streaming_classifier_score_hashed")) {
         val hashedScoreSql =

@@ -218,6 +218,21 @@ object TextClassifier {
     feats.select(col("doc_id"), round(z, 6).as("z"), (z >= 0.0).as("keep"))
   }
 
+  /** Active-learning margin sampling: the k docs the trained filter is
+    * LEAST sure about (|z| smallest ⟺ σ(z) nearest ½) — the labeling
+    * queue for the next annotation round, the loop that actually
+    * improves a quality classifier at 100 TB (annotate where the model
+    * is uncertain, not uniformly). Plan = the serving projection of
+    * [[scoreUnordered]] plus one global top-k on a ROUNDED key
+    * (TakeOrderedAndProject — k rows cross the wire, never the corpus),
+    * ties broken by doc_id so both engines cut the same boundary.
+    */
+  def uncertaintySample(docs: DataFrame, w: Array[Double], k: Int): DataFrame =
+    scoreUnordered(docs, w)
+      .select(col("doc_id"), col("z"), round(abs(col("z")), 6).as("margin"))
+      .orderBy(col("margin"), col("doc_id"))
+      .limit(k)
+
   /** Score with trained HASHED-space weights — the serving plan of
     * [[TextAnalysis.classifierScore]] (per-token hash → weight), here
     * with weights the distillation actually produced. Tokenization is
