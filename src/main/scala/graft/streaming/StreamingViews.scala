@@ -715,6 +715,63 @@ object StreamingViews {
     * gate SFs (27/33 pairs kept at sf0.01, ~330/372 at sf0.1;
     * sf0.001 has too few pairs to lose one).
     */
+  /** Stage the events table as one parquet FILE per ARRIVAL chunk,
+    * mtime-ordered so the file source (sorted by modification time,
+    * oldest first) replays the chunks deterministically — one file per
+    * trigger in the watermarked entries that consume it. The chunk
+    * count is bounded by the corpus time span / chunkSec (5 for the
+    * 30-day test corpus) — the driver-side loop is over chunk ids, not
+    * rows. Columns staged: (user_id, event_id, event_type, ts_s); the
+    * arrival key `arr = (ts + jitter·(event_id % 2)) / chunkSec` is the
+    * partition column and is consumed by the directory layout (odd
+    * events reach the pipeline `jitterSec` late — "one ingest shard
+    * lagged five days", the failure shape watermarks exist for).
+    */
+  private[graft] def stageArrivalChunks(
+      spark: SparkSession,
+      sfDir: String,
+      chunkSec: Long,
+      jitterSec: Long): java.nio.file.Path = {
+    // cached for the staging loop: one distinct-chunks probe + one
+    // write would otherwise re-scan the events parquet twice
+    val ev = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("ts_s"))
+      .withColumn(
+        "arr",
+        ((col("ts_s") + lit(jitterSec) * pmod(col("event_id"), lit(2))) / lit(chunkSec))
+          .cast("long"))
+      .cache()
+    val stageRoot = java.nio.file.Files.createTempDirectory("graft_join_chunks")
+    val chunkIds = ev.select(col("arr")).distinct().collect().map(_.getLong(0)).sorted
+    val mtimeBase = java.lang.System.currentTimeMillis() - 86400000L
+    // ONE write job for every chunk: repartition on the chunk key routes
+    // each chunk to exactly one task, so partitionBy yields exactly one
+    // part file per arr=... directory; the driver then just renames the
+    // parts into mtime-ordered chunk files. (A per-chunk
+    // filter+coalesce(1) loop pays chunkCount full write jobs — half
+    // the consuming entry's wall time at sf0.1.)
+    val buildDir = stageRoot.resolve("_build")
+    ev.repartition(col("arr")).write.partitionBy("arr")
+      .mode("overwrite").parquet(buildDir.toString)
+    ev.unpersist()
+    chunkIds.zipWithIndex.foreach { case (c, i) =>
+      val dir = buildDir.resolve(s"arr=$c")
+      val part = java.nio.file.Files.list(dir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"chunk $c wrote no parquet part"))
+      val dest = stageRoot.resolve(f"chunk_$i%04d.parquet")
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified(mtimeBase + i * 2000L)
+    }
+    scala.util.Using.resource(java.nio.file.Files.walk(buildDir)) { w =>
+      w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    stageRoot
+  }
+
   def runStreamStreamJoinWatermarked(
       spark: SparkSession,
       sfDir: String,
@@ -737,50 +794,7 @@ object StreamingViews {
       delaySec: Long,
       chunkSec: Long = 345600L,
       jitterSec: Long = 432000L): (DataFrame, Seq[Long]) = {
-    // stage: one parquet FILE per arrival chunk, mtime-ordered so the
-    // file source (sorted by modification time, oldest first) replays
-    // the chunks deterministically; one file per trigger below. The
-    // chunk count is bounded by the corpus time span / chunkSec (5 for
-    // the 30-day test corpus) — a driver-side loop over chunk ids, not
-    // over rows.
-    // cached for the staging loop: one distinct-chunks probe + one
-    // filtered write per chunk would otherwise re-scan the events
-    // parquet chunkCount+1 times
-    val ev = graft.sources.Tables.load(spark, sfDir, "events")
-      .select(
-        col("user_id"), col("event_id"), col("event_type"),
-        col("ts").cast("long").as("ts_s"))
-      .withColumn(
-        "arr",
-        ((col("ts_s") + lit(jitterSec) * pmod(col("event_id"), lit(2))) / lit(chunkSec))
-          .cast("long"))
-      .cache()
-    val stageRoot = java.nio.file.Files.createTempDirectory("graft_join_chunks")
-    val chunkIds = ev.select(col("arr")).distinct().collect().map(_.getLong(0)).sorted
-    val mtimeBase = java.lang.System.currentTimeMillis() - 86400000L
-    // ONE write job for every chunk: repartition on the chunk key routes
-    // each chunk to exactly one task, so partitionBy yields exactly one
-    // part file per arr=... directory; the driver then just renames the
-    // parts into mtime-ordered chunk files. (The previous per-chunk
-    // filter+coalesce(1) loop paid chunkCount full write jobs — half
-    // this entry's wall time at sf0.1.)
-    val buildDir = stageRoot.resolve("_build")
-    ev.repartition(col("arr")).write.partitionBy("arr")
-      .mode("overwrite").parquet(buildDir.toString)
-    ev.unpersist()
-    chunkIds.zipWithIndex.foreach { case (c, i) =>
-      val dir = buildDir.resolve(s"arr=$c")
-      val part = java.nio.file.Files.list(dir).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"chunk $c wrote no parquet part"))
-      val dest = stageRoot.resolve(f"chunk_$i%04d.parquet")
-      java.nio.file.Files.move(part, dest)
-      dest.toFile.setLastModified(mtimeBase + i * 2000L)
-    }
-    scala.util.Using.resource(java.nio.file.Files.walk(buildDir)) { w =>
-      w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
-    }
+    val stageRoot = stageArrivalChunks(spark, sfDir, chunkSec, jitterSec)
     val schema = spark.read.parquet(stageRoot.toString).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
