@@ -91,6 +91,34 @@ object SparkEntry {
     m
   }
 
+  /** One streaming run feeds BOTH late-sink gate entries (view +
+    * dead-letter): memoized per (session, sfDir) with the same weak-key
+    * discipline as [[viewCaches]].
+    */
+  private val lateSinkCaches =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
+
+  private def lateSinkRun(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val m = lateSinkCaches.synchronized {
+      var t = lateSinkCaches.get(s)
+      if (t == null) {
+        t = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+        lateSinkCaches.put(s, t)
+      }
+      t
+    }
+    m.getOrElseUpdate(
+      dir,
+      graft.streaming.StreamingViews.runViewLateSink(s, dir, LateSinkDelaySec))
+  }
+
+  /** Watermark delay of the late-sink entries — one hour, like the
+    * watermarked join, against 4-day arrival chunks with 5-day jitter
+    * on odd event_ids: the dead-letter log is non-trivially populated
+    * at every gate SF.
+    */
+  private val LateSinkDelaySec = 3600L
+
   private def cachedView(s: SparkSession, dir: String, kind: String, res: String)(
       build: => DataFrame): DataFrame =
     cacheFor(s).getOrElseUpdate(
@@ -1615,6 +1643,15 @@ object SparkEntry {
     // at sf0.001/0.01/0.1 — the certificate measurably bites)
     "streaming_join_watermarked" -> ((s, d) =>
       graft.streaming.StreamingViews.runStreamStreamJoinWatermarked(s, d, 3600L, 3600L)),
+    // late-data DEAD-LETTER side-output: the watermark admission
+    // decision run in foreachBatch against a driver-tracked watermark
+    // so late rows are ROUTED to an append-only dead-letter log (with
+    // their lateness) instead of silently dropped, while admitted rows
+    // additively MERGE into the (event_type, day) view store — the two
+    // entries share one streaming run (memoized) and their oracles
+    // certify they PARTITION the input
+    "streaming_late_view" -> ((s, d) => lateSinkRun(s, d)._1),
+    "streaming_late_deadletter" -> ((s, d) => lateSinkRun(s, d)._2),
     // per-source percentile calibration of the quality score (filter on
     // within-source percentile, not the raw cross-source threshold)
     "quality_calibration" -> ((s, d) =>
@@ -2187,6 +2224,10 @@ object SparkEntry {
         |ORDER BY 1, 2, 3""".stripMargin,
     "streaming_join_watermarked" ->
       graft.streaming.StreamingViews.streamStreamJoinWatermarkedSql(3600L, 3600L),
+    "streaming_late_view" ->
+      graft.streaming.StreamingViews.lateSinkViewSql(LateSinkDelaySec),
+    "streaming_late_deadletter" ->
+      graft.streaming.StreamingViews.lateSinkDeadLetterSql(LateSinkDelaySec),
     "quality_calibration" -> TextAnalysis.QualityCalibrationSql,
     // session_window semantics: events merge when the gap is <= the
     // window duration (boundary INCLUSIVE — verified on the one

@@ -731,13 +731,16 @@ object StreamingViews {
       spark: SparkSession,
       sfDir: String,
       chunkSec: Long,
-      jitterSec: Long): java.nio.file.Path = {
+      jitterSec: Long,
+      withValue: Boolean = false): java.nio.file.Path = {
     // cached for the staging loop: one distinct-chunks probe + one
     // write would otherwise re-scan the events parquet twice
+    val baseCols = Seq(
+      col("user_id"), col("event_id"), col("event_type"),
+      col("ts").cast("long").as("ts_s")) ++
+      (if (withValue) Seq(col("value")) else Nil)
     val ev = graft.sources.Tables.load(spark, sfDir, "events")
-      .select(
-        col("user_id"), col("event_id"), col("event_type"),
-        col("ts").cast("long").as("ts_s"))
+      .select(baseCols: _*)
       .withColumn(
         "arr",
         ((col("ts_s") + lit(jitterSec) * pmod(col("event_id"), lit(2))) / lit(chunkSec))
@@ -876,6 +879,169 @@ object StreamingViews {
        | AND c.event_type = 'click' AND p.event_type = 'purchase'
        | AND p.ts_s >= c.ts_s AND p.ts_s < c.ts_s + $windowSec
        |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Late-data DEAD-LETTER side-output — the production answer to the
+    * one thing `withWatermark` cannot do: a watermarked aggregation
+    * silently DROPS late rows, but an audit/backfill pipeline needs
+    * them routed somewhere instead. Spark exposes no side-output for
+    * watermark-dropped rows, so this runs the admission decision in
+    * `foreachBatch` against a DRIVER-tracked watermark (max event time
+    * over COMPLETED batches − delaySec — the same quantity Spark's
+    * watermark tracker advances between batches, readable before the
+    * batch runs) and ROUTES each micro-batch instead of filtering it:
+    *
+    *   late (ts_s ≤ wm) → APPENDED to a dead-letter parquet log with
+    *     its lateness (`late_by_s = wm − ts_s`) — an O(late rows)
+    *     append per batch, never a rewrite;
+    *   on-time → partial-aggregated to (event_type, day) cells and
+    *     ADDITIVELY merged into the view store: existing cell + batch
+    *     partial summed under the mergeable algebra (count/sum; avg
+    *     derives last), touched `event_type=` partitions only read and
+    *     only rewritten (dynamic overwrite) — per-batch cost O(changed
+    *     cells + touched partitions), NOT O(view age).
+    *
+    * Determinism contract (same staged replay as the watermarked join,
+    * [[stageArrivalChunks]]): one file per arrival chunk, one chunk per
+    * trigger, so the watermark during chunk i's batch is exactly
+    * `max ts over chunks 0..i−1 − delaySec` — one window over
+    * per-chunk maxima (`1 PRECEDING`, tighter by one batch than the
+    * engine-internal late filter of the watermarked join, because the
+    * driver-side tracker updates synchronously after every batch). The
+    * DuckDB oracle replays both outputs from that single WHERE clause:
+    * view rows == aggregate of admitted rows, dead-letter == the late
+    * complement — together a PARTITION of the input, which the spec
+    * asserts (no row is both dropped and counted, none vanishes).
+    */
+  def runViewLateSink(
+      spark: SparkSession,
+      sfDir: String,
+      delaySec: Long,
+      chunkSec: Long = 345600L,
+      jitterSec: Long = 432000L): (DataFrame, DataFrame) = {
+    val (view, dead, _) =
+      runViewLateSinkInstrumented(spark, sfDir, delaySec, chunkSec, jitterSec)
+    (view, dead)
+  }
+
+  /** [[runViewLateSink]] plus per-batch routed-late counts — the spec
+    * surface: batch 0 must route nothing (no watermark yet), and the
+    * total routed count must equal the input minus the view's events.
+    */
+  def runViewLateSinkInstrumented(
+      spark: SparkSession,
+      sfDir: String,
+      delaySec: Long,
+      chunkSec: Long = 345600L,
+      jitterSec: Long = 432000L): (DataFrame, DataFrame, Seq[Long]) = {
+    val stageRoot = stageArrivalChunks(spark, sfDir, chunkSec, jitterSec, withValue = true)
+    val schema = spark.read.parquet(stageRoot.toString).schema
+    val viewPath = stageRoot.resolve("_view_store").toString
+    val deadPath = stageRoot.resolve("_dead_letter").toString
+    val lateCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // driver-tracked watermark state: foreachBatch bodies run on the
+    // driver, and AvailableNow triggers batches strictly in sequence,
+    // so a plain var is race-free here
+    var maxTs = Long.MinValue
+    var deadWritten = false
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageRoot.toString)
+      .writeStream
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_late_sink_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val wm = if (maxTs == Long.MinValue) Long.MinValue else maxTs - delaySec
+          val late = b.filter(col("ts_s") <= lit(wm))
+            .select(
+              col("user_id"), col("event_id"), col("event_type"), col("ts_s"),
+              (lit(wm) - col("ts_s")).as("late_by_s"))
+          val nLate = late.count()
+          if (nLate > 0) { late.write.mode("append").parquet(deadPath); deadWritten = true }
+          lateCounts += nLate
+          val partial = b.filter(col("ts_s") > lit(wm))
+            .groupBy(
+              col("event_type"),
+              floor(col("ts_s") / lit(86400L)).cast("long").as("day_no"))
+            .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+          upsertAdditive(
+            partial, viewPath,
+            keys = Seq("event_type", "day_no"),
+            partitionCols = Seq("event_type"),
+            sumCols = Seq("n_events", "sum_value"))
+          val mx = b.agg(max(col("ts_s"))).head
+          if (!mx.isNullAt(0)) maxTs = math.max(maxTs, mx.getLong(0))
+        } finally { b.unpersist(); () }
+      }
+      .start()
+    q.awaitTermination()
+    val view = spark.read.parquet(viewPath)
+      .select(
+        col("event_type"), col("day_no"), col("n_events"),
+        round(col("sum_value"), 6).as("sum_value"))
+      .orderBy(col("event_type"), col("day_no"))
+    val dead =
+      if (deadWritten)
+        spark.read.parquet(deadPath)
+          .select(
+            col("user_id"), col("event_id"), col("event_type"),
+            col("ts_s"), col("late_by_s"))
+          .orderBy(col("event_id"))
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("ts_s", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("late_by_s", org.apache.spark.sql.types.LongType))))
+    (view, dead, lateCounts.toSeq)
+  }
+
+  private def lateSinkCte(chunkSec: Long, jitterSec: Long, delaySec: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |         epoch_ns(ts) // 1000000000 AS ts_s FROM events),
+       |a AS (
+       |  SELECT *, CAST((ts_s + $jitterSec * (event_id % 2)) // $chunkSec AS BIGINT) AS arr
+       |  FROM e),
+       |mx AS (SELECT arr, max(ts_s) AS mts FROM a GROUP BY 1),
+       |wm AS (
+       |  SELECT arr, max(mts) OVER (
+       |    ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - $delaySec AS wm_late
+       |  FROM mx),
+       |b AS (SELECT a.*, wm_late FROM a JOIN wm USING (arr))""".stripMargin
+
+  /** DuckDB twin of the dead-letter log: the late complement of the
+    * admitted set — `wm_late` is the driver-tracked watermark of each
+    * chunk's batch (running max over chunks up to 1 PRECEDING, minus
+    * delay) and a row is routed iff it does NOT strictly clear it.
+    */
+  def lateSinkDeadLetterSql(
+      delaySec: Long,
+      chunkSec: Long = 345600L,
+      jitterSec: Long = 432000L): String =
+    s"""${lateSinkCte(chunkSec, jitterSec, delaySec)}
+       |SELECT user_id, event_id, event_type, ts_s, wm_late - ts_s AS late_by_s
+       |FROM b WHERE wm_late IS NOT NULL AND ts_s <= wm_late
+       |ORDER BY event_id""".stripMargin
+
+  /** DuckDB twin of the additively-merged view store: the batch
+    * aggregate over exactly the admitted rows.
+    */
+  def lateSinkViewSql(
+      delaySec: Long,
+      chunkSec: Long = 345600L,
+      jitterSec: Long = 432000L): String =
+    s"""${lateSinkCte(chunkSec, jitterSec, delaySec)},
+       |adm AS (SELECT * FROM b WHERE wm_late IS NULL OR ts_s > wm_late)
+       |SELECT event_type, ts_s // 86400 AS day_no,
+       |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       |FROM adm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Production-shaped sink (S5): an UPDATE-mode MERGE upsert keyed on
     * (metric, geo, ts) into a parquet view table partitioned by metric.
@@ -1029,6 +1195,61 @@ object StreamingViews {
     * (keep ∪ batch) with dynamic partition overwrite. With a lakehouse
     * format this collapses to a real `MERGE INTO … ON keys`.
     */
+  /** ADDITIVE variant of [[upsertKeyed]] for mergeable aggregates: the
+    * batch frame carries PARTIAL (count/sum) cells, and a cell already
+    * in the store is SUMMED with its partial rather than replaced —
+    * `MERGE ... WHEN MATCHED THEN UPDATE SET v = v + batch.v` on plain
+    * parquet. Same scale bounds as upsertKeyed: only the touched
+    * partitions are read (partition-pruned filter) and only they are
+    * rewritten (dynamic overwrite); the aggregate runs over (touched
+    * existing ∪ batch), O(touched cells), never the whole table.
+    */
+  private[graft] def upsertAdditive(
+      batch: DataFrame,
+      outPath: String,
+      keys: Seq[String],
+      partitionCols: Seq[String],
+      sumCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    if (partitionCols.nonEmpty)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(outPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val merged =
+      if (!exists) batch
+      else {
+        val existing0 = spark.read.parquet(outPath)
+        val pruned =
+          if (partitionCols.isEmpty) existing0
+          else {
+            val touched = batch.select(partitionCols.map(col): _*).distinct().collect()
+            val pred = touched.map { r =>
+              partitionCols.zipWithIndex
+                .map { case (c, i) => col(c) === lit(r.get(i)) }
+                .reduce(_ && _)
+            }.reduce(_ || _)
+            existing0.filter(pred)
+          }
+        pruned.select(batch.columns.map(col): _*)
+          .unionByName(batch)
+          .groupBy(keys.map(col): _*)
+          .agg(
+            sum(col(sumCols.head)).as(sumCols.head),
+            sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+      }
+    val clustered =
+      if (partitionCols.isEmpty) merged
+      else merged.repartition(partitionCols.map(col): _*)
+    val writer = clustered.localCheckpoint(eager = true)
+      .write
+      .mode("overwrite")
+    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
+      .parquet(outPath)
+  }
+
   private[graft] def upsertKeyed(
       batch: DataFrame,
       outPath: String,

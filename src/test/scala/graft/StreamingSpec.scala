@@ -343,6 +343,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(removed.sum > 0, s"no state rows evicted across batches: $removed")
   }
 
+  test("late-data dead-letter: late rows routed with their lateness, admitted rows merged, input partitioned") {
+    val dir = Files.createTempDirectory("graft-latesink").toString
+    import SparkTestBase.spark.implicits._
+    import StreamingViews._
+    val base = 1700000000L
+    // chunks of 10000s with 20000s jitter on odd event_ids; delay 600s.
+    // wm during chunk 2's batch = max ts over chunks 0..1 − 600.
+    val rows = Seq(
+      (90L, base + 9999L, 3L, "click"),    // chunk-0 definer: wm for chunk 1 = 9999-600
+      (92L, base + 19999L, 9L, "click"),   // chunk-1 definer: wm for chunk 2 = 19999-600
+      (94L, base + 29999L, 9L, "click"),   // chunk-2 even filler, on time
+      (11L, base + 19399L, 1L, "view"),    // odd -> chunk 3 (19399+20000), ts <= 29399-600? no: chunk-3 wm = 29999-600=29399; 19399 <= 29399: LATE by 10000
+      (21L, base + 9300L, 2L, "view"),     // odd -> chunk 2, wm=19399; 9300 <= 19399: LATE by 10099
+      (31L, base + 19500L, 2L, "view"))    // odd -> chunk 3, wm=29399; 19500 <= 29399: LATE by 9899
+    rows.toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(2.5)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val (view, dead, lateCounts) =
+      runViewLateSinkInstrumented(spark, dir, 600L, 10000L, 20000L)
+    val deadRows = dead.collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toList // (event_id, ts_s, late_by_s)
+    // exactly the three jittered-late rows are routed, with exact lateness
+    assert(deadRows.map(_._1).toSet === Set(11L, 21L, 31L), s"wrong dead-letter set: $deadRows")
+    val byId = deadRows.map(t => t._1 -> t._3).toMap
+    assert(byId(21L) === (base + 19999L - 600L) - (base + 9300L), s"lateness wrong: $byId")
+    assert(byId(11L) === (base + 29999L - 600L) - (base + 19399L), s"lateness wrong: $byId")
+    // batch 0 can never route (no watermark yet)
+    assert(lateCounts.head === 0L, s"batch 0 routed late rows: $lateCounts")
+    assert(lateCounts.sum === 3L, s"late totals wrong: $lateCounts")
+    // PARTITION property: view events + dead-letter rows == input rows,
+    // and the admitted sum reflects only admitted values
+    val nView = view.agg(sum(col("n_events"))).head.getLong(0)
+    assert(nView + deadRows.size === rows.size, s"rows lost or double-counted: $nView + ${deadRows.size}")
+    val sumView = view.agg(sum(col("sum_value"))).head.getDouble(0)
+    assert(math.abs(sumView - 2.5 * nView) < 1e-6, s"admitted sum drifted: $sumView")
+  }
+
   test("streaming PQ store: multi-batch upserts build exactly the store a batch write would") {
     val dir = Files.createTempDirectory("graft-pqstream").toString
     import SparkTestBase.spark.implicits._
