@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, Graph, LanguageId, LanguageModel, Layout, Multimodal, Packing, Pq, Privacy, Profiling, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
+import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, Graph, LanguageId, LanguageModel, Layout, Multimodal, Packing, Pq, Privacy, Profiling, RandomProjection, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -918,6 +918,34 @@ object SparkEntry {
     // onto a narrow transform+fold encode; integer-only output
     "embedding_quantize" -> ((s, d) =>
       Similarity.quantizeAudit(Tables.load(s, d, "embeddings"))),
+    // ---- Johnson-Lindenstrauss random projection (the 4x GEOMETRY
+    //      compression tier: data-independent Rademacher sketch, no
+    //      training, no staleness; complements PQ which compresses
+    //      codes) ----
+    "rp_project" -> ((s, d) =>
+      RandomProjection.project(Tables.load(s, d, "embeddings"), 300L)),
+    "rp_topk" -> ((s, d) =>
+      RandomProjection.projTopK(Tables.load(s, d, "embeddings"), 20)),
+    // sketch shortlist at the AUTO width (16%-of-corpus knee, floored
+    // at 16k) -> exact cosine polish: the serving path
+    "rp_topk_rerank" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      RandomProjection.projTopKRerankFor(
+        emb, 20, Similarity.QueryVec,
+        RandomProjection.autoRerankMult(emb.count(), 20))
+    }),
+    // dual recall audit (sketch + reranked vs exact, query panel);
+    // floors deliberately low -- near-tie geometry, see scaladoc
+    "rp_recall" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      RandomProjection.projRecall(
+        emb, 20, RandomProjection.autoRerankMult(emb.count(), 20))
+    }),
+    // the JL lemma itself under the gate: |cos_sketch - cos| over a
+    // fixed 64-pair panel vs the 1/sqrt(k)-scale theory bounds --
+    // corpus-size-independent, unlike top-k recall
+    "rp_distortion" -> ((s, d) =>
+      RandomProjection.projDistortion(Tables.load(s, d, "embeddings"))),
     // Lloyd-trained IVF centroids (distributed: one scan + one hash agg
     // per iteration, only k×64 doubles reach the driver); ONE training
     // (k=8, shared via kmeansTrained) feeds this gate, the inertia
@@ -2393,6 +2421,12 @@ object SparkEntry {
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "ann_recall" -> Similarity.annRecallSql(20, 4),
+    "rp_project" -> RandomProjection.projectSql(300L),
+    "rp_topk" -> RandomProjection.projTopKSql(20),
+    // rp_topk_rerank / rp_recall carry the auto-chosen shortlist width:
+    // their oracles are emitted by oracleSqlFor from the same corpus
+    // count both engines read
+    "rp_distortion" -> RandomProjection.projDistortionSql,
     "embedding_quantize" -> Similarity.QuantizeAuditSql,
     // embedding_neardup_lsh / semantic_clusters / knn_join_lsh_auto /
     // semantic_decontaminate_prod ride the AUTO band width, which
@@ -2718,6 +2752,17 @@ object SparkEntry {
       if (sel("semantic_decontaminate_prod"))
         out += ("semantic_decontaminate_prod" ->
           Similarity.semanticDecontaminateProdSql(0.35, w))
+    }
+    // JL auto-width rerank family: same discipline — the oracle replays
+    // the shortlist width RandomProjection.autoRerankMult picks from
+    // the corpus count, so the selection rule is itself gate-checked
+    if (sel("rp_topk_rerank") || sel("rp_recall")) {
+      val m = RandomProjection.autoRerankMult(
+        Tables.load(spark, dir, "embeddings").count(), 20)
+      if (sel("rp_topk_rerank"))
+        out += ("rp_topk_rerank" -> RandomProjection.projTopKRerankSql(20, m))
+      if (sel("rp_recall"))
+        out += ("rp_recall" -> RandomProjection.projRecallSql(20, m))
     }
     if (sel("dedup_minhash_lsh")) {
       val pairs = graft.operators.MinHashRef.lshPairs(docsFull.map(t => (t._1, t._2)), 3, 16, 4, 0.5)
