@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, Graph, LanguageId, LanguageModel, Layout, Multimodal, Packing, Pq, Privacy, Profiling, RandomProjection, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
+import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, Graph, LanguageId, LanguageModel, Layout, Multimodal, Packing, Pca, Pq, Privacy, Profiling, RandomProjection, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -303,6 +303,25 @@ object SparkEntry {
     kmeansTraceCached(s, s"l2:$dir") {
       Similarity.kmeansTrace(Tables.load(s, dir, "embeddings"), KmeansK, KmeansIters)
     }
+
+  /** ONE distributed PCA training per (session, dir) feeds all three
+    * `pca_*` gates — the [[kmeansTraceCached]] discipline (moments are
+    * one scan; the eigensolve is driver-side O(d³)).
+    */
+  private val pcaModels =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Pca.Model]]()
+
+  private def pcaTrained(s: SparkSession, dir: String): Pca.Model = {
+    val m = pcaModels.synchronized {
+      var t = pcaModels.get(s)
+      if (t == null) {
+        t = scala.collection.concurrent.TrieMap.empty[String, Pca.Model]
+        pcaModels.put(s, t)
+      }
+      t
+    }
+    m.getOrElseUpdate(dir, Pca.train(Tables.load(s, dir, "embeddings")))
+  }
 
   /** Spherical (cosine-metric) training — the variant the IVF index
     * composes with: the quantizer metric must equal the search metric
@@ -946,6 +965,23 @@ object SparkEntry {
     // corpus-size-independent, unlike top-k recall
     "rp_distortion" -> ((s, d) =>
       RandomProjection.projDistortion(Tables.load(s, d, "embeddings"))),
+    // ---- distributed PCA (one-pass exact moments -> driver-side 64x64
+    //      eigensolve; gates pin only rotation-STABLE quantities because
+    //      the near-isotropic corpus makes eigenvector coordinates
+    //      ill-conditioned -- see Pca scaladoc) ----
+    "pca_variance" -> ((s, d) =>
+      Pca.pcaVariance(s, pcaTrained(s, d))),
+    // Pythagorean identity under the gate: distributed mean residual^2
+    // after projecting onto the top 8 components == sum of the dropped
+    // eigenvalues (rescaled) -- proves basis + projection machinery at
+    // once; oracle recomputes residuals from raw floats with the
+    // sequential ref's basis
+    "pca_reconstruction" -> ((s, d) =>
+      Pca.pcaReconstruction(Tables.load(s, d, "embeddings"), pcaTrained(s, d))),
+    // whitening audit: sample covariance of z_j/sqrt(lambda_j) replayed
+    // as 36 upper-triangle rows, expected EXACTLY I_8 after rounding
+    "pca_whiten" -> ((s, d) =>
+      Pca.pcaWhiten(Tables.load(s, d, "embeddings"), pcaTrained(s, d))),
     // Lloyd-trained IVF centroids (distributed: one scan + one hash agg
     // per iteration, only k×64 doubles reach the driver); ONE training
     // (k=8, shared via kmeansTrained) feeds this gate, the inertia
@@ -2998,7 +3034,8 @@ object SparkEntry {
       sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
       sel("pq_topk_rerank") || sel("ivfpq_topk") || sel("ivfpq_stored") ||
       sel("ivfpq_stored_full") || sel("pq_drift") || sel("pq_codebooks_sampled") ||
-      sel("streaming_pq_encode") || sel("streaming_pq_store")) {
+      sel("streaming_pq_encode") || sel("streaming_pq_store") ||
+      sel("pca_variance") || sel("pca_reconstruction") || sel("pca_whiten")) {
       // oracle generation: collecting the embeddings at correctness
       // scale (500×64 floats at sf0.01) feeds the sequential references —
       // the same boundary as docsFull above, never part of a query plan.
@@ -3018,6 +3055,19 @@ object SparkEntry {
            |SELECT CAST(bucket AS INTEGER) AS bucket, CAST(dim AS INTEGER) AS dim,
            |       CAST(value AS DOUBLE) AS value
            |FROM expected ORDER BY bucket, dim""".stripMargin
+      }
+      if (sel("pca_variance") || sel("pca_reconstruction") || sel("pca_whiten")) {
+        // sequential-ref PCA: independent covariance loop + independent
+        // cyclic-Jacobi solver (PcaRef) — only rotation-stable outputs
+        // reach the gate (see Pca scaladoc for the conditioning argument)
+        val (rn, rmean, reig, revs) = graft.operators.PcaRef.train(vecs.map(_._2))
+        val refModel = Pca.Model(rn, rmean, reig, revs)
+        if (sel("pca_variance"))
+          out += ("pca_variance" -> Pca.pcaVarianceSql(reig))
+        if (sel("pca_reconstruction"))
+          out += ("pca_reconstruction" -> Pca.pcaReconstructionSql(refModel))
+        if (sel("pca_whiten"))
+          out += ("pca_whiten" -> Pca.pcaWhitenSql(refModel))
       }
       if (sel("kmeans_centroids") || sel("kmeans_inertia")) {
         val (cents, inertias) =
