@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, ExploraQueries, Graph, LanguageId, LanguageModel, Layout, Multimodal, Packing, Pca, Pq, Privacy, Profiling, RandomProjection, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
+import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, Drift, ExploraQueries, Graph, LanguageId, LanguageModel, Layout, Multimodal, Packing, Pca, Pq, Privacy, Profiling, RandomProjection, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
 import graft.sources.{ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1483,6 +1483,17 @@ object SparkEntry {
     // md5 of every redacted doc are hash-gated by the replaying oracle
     "pii_scrub" -> ((s, d) =>
       Privacy.piiRedact(Tables.load(s, d, "documents"))),
+    // k-anonymity generalization ladder: (event_type, truncated ts)
+    // quasi-identifier groups audited at day/month/year; ONE events
+    // scan — coarser levels regroup the day-level counts (additive
+    // under coarsening). Release rule: finest level with meets_k
+    "k_anonymity" -> ((s, d) =>
+      Privacy.kAnonymityLadder(Tables.load(s, d, "events"))),
+    // PSI ingestion-drift monitor: even-id half (reference crawl) vs
+    // odd-id half (current) per embedding dim over FIXED bins —
+    // one scan + one (dim x bin x side) aggregate, state O(dims*bins)
+    "psi_drift" -> ((s, d) =>
+      Drift.psiEmbeddingDrift(s, Tables.load(s, d, "embeddings"))),
     // ---- streaming: one-shot AvailableNow run of the view builder;
     //      same oracle as the batch view_min (stream==batch parity) ----
     "streaming_view_min" -> ((s, d) =>
@@ -2454,6 +2465,8 @@ object SparkEntry {
     "decontaminate_bloom" -> Decontamination.contaminatedSql(),
     "sequence_pack" -> Packing.packBinsSql(),
     "pii_scrub" -> Privacy.piiRedactSql(),
+    "k_anonymity" -> Privacy.kAnonymityLadderSql(),
+    "psi_drift" -> Drift.psiEmbeddingDriftSql,
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "ann_recall" -> Similarity.annRecallSql(20, 4),

@@ -99,4 +99,76 @@ object Privacy {
        |             '\\b10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')) AS redacted_md5
        |FROM a ORDER BY doc_id""".stripMargin
   }
+
+  // ---- k-anonymity generalization ladder ---------------------------------
+
+  /** Group-size floor for the k-anonymity audit (Sweeney 2002: a
+    * release is k-anonymous when every quasi-identifier combination
+    * covers at least k records).
+    */
+  val KAnonK = 5
+
+  /** Ladder levels, finest first: the audit generalizes the timestamp
+    * quasi-identifier until every (event_type, truncated ts) group
+    * reaches [[KAnonK]]. Week is excluded (engine week-start semantics
+    * differ); day/month/year truncate identically in Spark and DuckDB.
+    */
+  val KAnonLevels: Seq[String] = Seq("day", "month", "year")
+
+  /** k-anonymity audit over the events table with quasi-identifiers
+    * (event_type, ts truncated at each ladder level): one row per
+    * level with group counts, risky-group counts (size < k), the rows
+    * those groups expose, and whether the level meets k. The release
+    * decision is the FINEST level with meets_k — generalize until
+    * anonymous, the standard ladder.
+    *
+    * Scale: ONE events scan builds the day-level aggregate; month and
+    * year REGROUP those day counts (counts are additive under
+    * coarsening), so corpus cost is a single shuffle at day
+    * granularity no matter how many ladder levels are audited.
+    */
+  def kAnonymityLadder(events: DataFrame, k: Int = KAnonK): DataFrame = {
+    val day = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("t"))
+      .agg(count(lit(1)).as("cnt"))
+    def summarize(level: String, ord: Int, groups: DataFrame): DataFrame =
+      groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("cnt") < k, 1L).otherwise(0L)).as("n_risky_groups"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L)).as("n_risky_rows"))
+        .select(
+          lit(ord).cast("int").as("level_ord"),
+          lit(level).as("level"),
+          col("n_groups"),
+          col("n_risky_groups"),
+          col("n_risky_rows"),
+          (col("n_risky_rows") === 0L).as("meets_k"))
+    val month = day
+      .groupBy(col("event_type"), date_trunc("month", col("t")).as("t"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val year = day
+      .groupBy(col("event_type"), date_trunc("year", col("t")).as("t"))
+      .agg(sum(col("cnt")).as("cnt"))
+    summarize("day", 0, day)
+      .unionAll(summarize("month", 1, month))
+      .unionAll(summarize("year", 2, year))
+      .orderBy(col("level_ord"))
+  }
+
+  /** DuckDB twin of [[kAnonymityLadder]]: recomputes every ladder level
+    * from the raw events table.
+    */
+  def kAnonymityLadderSql(k: Int = KAnonK): String = {
+    def level(name: String, ord: Int): String =
+      s"""SELECT CAST($ord AS INTEGER) AS level_ord, '$name' AS level,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(coalesce(sum(CASE WHEN cnt < $k THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_risky_groups,
+         |  CAST(coalesce(sum(CASE WHEN cnt < $k THEN cnt ELSE 0 END), 0) AS BIGINT) AS n_risky_rows,
+         |  coalesce(sum(CASE WHEN cnt < $k THEN cnt ELSE 0 END), 0) = 0 AS meets_k
+         |FROM (SELECT event_type, date_trunc('$name', ts) AS t, count(*) AS cnt
+         |      FROM events GROUP BY 1, 2)""".stripMargin
+    KAnonLevels.zipWithIndex
+      .map { case (n, o) => level(n, o) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY level_ord")
+  }
 }
