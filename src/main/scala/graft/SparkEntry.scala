@@ -5,7 +5,7 @@ import java.time.Instant
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
 import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, Drift, ExploraQueries, Graph, LanguageId, LanguageModel, Layout, Multimodal, Packing, Pca, Pq, Privacy, Profiling, RandomProjection, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
-import graft.sources.{ReadingJson, SensorGrid, Tables}
+import graft.sources.{Ingest, ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1489,6 +1489,18 @@ object SparkEntry {
     // under coarsening). Release rule: finest level with meets_k
     "k_anonymity" -> ((s, d) =>
       Privacy.kAnonymityLadder(Tables.load(s, d, "events"))),
+    // differentially-private histogram release: exact counts are the
+    // distributed agg; md5-seeded Laplace noise attaches as per-key
+    // literals (release-time, bounded domain), integer rounding +
+    // >=0 clamp are free post-processing. True counts never released
+    "dp_event_counts" -> ((s, d) =>
+      Privacy.dpEventCounts(Tables.load(s, d, "events"))),
+    // robust JSONL ingestion: every 13th synthesized line is corrupted;
+    // PERMISSIVE from_json routes bad lines to quarantine (null-struct
+    // signal, no UDFs), conservation certified in-row and the
+    // quarantined BYTES md5-pinned by the oracle
+    "jsonl_quarantine" -> ((s, d) =>
+      Ingest.quarantineSummary(Tables.load(s, d, "documents"))),
     // PSI ingestion-drift monitor: even-id half (reference crawl) vs
     // odd-id half (current) per embedding dim over FIXED bins —
     // one scan + one (dim x bin x side) aggregate, state O(dims*bins)
@@ -2467,6 +2479,9 @@ object SparkEntry {
     "pii_scrub" -> Privacy.piiRedactSql(),
     "k_anonymity" -> Privacy.kAnonymityLadderSql(),
     "psi_drift" -> Drift.psiEmbeddingDriftSql,
+    "jsonl_quarantine" -> Ingest.quarantineSummarySql,
+    // dp_event_counts rides oracleSqlFor: its noise literals derive from
+    // the event-type domain read at oracle-generation time
     "ann_buckets" -> Similarity.ivfBucketsSql,
     "ann_ivf_topk" -> Similarity.ivfTopKSql(5),
     "ann_recall" -> Similarity.annRecallSql(20, 4),
@@ -2801,6 +2816,14 @@ object SparkEntry {
       if (sel("semantic_decontaminate_prod"))
         out += ("semantic_decontaminate_prod" ->
           Similarity.semanticDecontaminateProdSql(0.35, w))
+    }
+    if (sel("dp_event_counts")) {
+      // noise literals derive from the event-type domain both engines
+      // read; the deterministic md5 seed makes the release replayable
+      val keys = Tables.load(spark, dir, "events")
+        .select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      out += ("dp_event_counts" -> Privacy.dpEventCountsSql(keys))
     }
     // JL auto-width rerank family: same discipline — the oracle replays
     // the shortlist width RandomProjection.autoRerankMult picks from

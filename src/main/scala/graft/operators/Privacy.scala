@@ -171,4 +171,71 @@ object Privacy {
       .map { case (n, o) => level(n, o) }
       .mkString("", "\nUNION ALL\n", "\nORDER BY level_ord")
   }
+
+  // ---- differentially-private count release -------------------------------
+
+  /** Privacy budget of the released histogram (Laplace mechanism,
+    * sensitivity 1 per count — disjoint groups, one row changes one
+    * count by one).
+    */
+  val DpEpsilon = 1.0
+
+  /** Laplace noise via the inverse CDF over a DETERMINISTIC md5-seeded
+    * uniform — the replayable-release variant: the seed is pinned so
+    * the pipeline (and the oracle) can reproduce the exact release
+    * bytes; a production deployment swaps the seed derivation for a
+    * secret release-time key, leaving every other line unchanged. The
+    * 52-bit uniform is centered ((bits+0.5)/2⁵², so u ∈ (0,1) strictly
+    * and the inverse CDF can never hit log 0).
+    */
+  def laplaceNoise(key: String, eps: Double, sensitivity: Double = 1.0): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"dp:$key".getBytes("UTF-8"))
+    val bits = BigInt(1, d.take(7)).toLong & ((1L << 52) - 1)
+    val u = (bits.toDouble + 0.5) / (1L << 52).toDouble
+    val c = u - 0.5
+    val b = sensitivity / eps
+    -b * math.signum(c) * math.log(1.0 - 2.0 * math.abs(c))
+  }
+
+  /** DP release of the per-event-type histogram: exact counts are the
+    * distributed work (one hash aggregate); the Laplace noise attaches
+    * as per-key literals (the release has as many rows as the bounded
+    * key domain — noise is inherently a driver-side, release-time
+    * step), then integer rounding and a ≥0 clamp (post-processing,
+    * free under DP). Output never carries the true count.
+    */
+  def dpEventCounts(events: DataFrame, eps: Double = DpEpsilon): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keys = events.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val noise = keys.map(k => (k, laplaceNoise(k, eps))).toDF("event_type", "nz")
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(noise), Seq("event_type"))
+      .select(
+        col("event_type"),
+        greatest(lit(0.0), round(col("cnt") + col("nz"), 0)).cast("long")
+          .as("released_count"),
+        lit(eps).as("epsilon"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin: counts recomputed from raw events, the SAME noise
+    * literals (the deterministic function of the pinned seed).
+    */
+  def dpEventCountsSql(keys: Seq[String], eps: Double = DpEpsilon): String = {
+    val rows = keys.sorted
+      .map(k => s"('$k', ${laplaceNoise(k, eps)})")
+      .mkString(", ")
+    s"""WITH noise(event_type, nz) AS (SELECT * FROM (VALUES $rows)),
+       |c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)
+       |SELECT c.event_type,
+       |  CAST(GREATEST(0.0, round(cnt + nz, 0)) AS BIGINT) AS released_count,
+       |  CAST($eps AS DOUBLE) AS epsilon
+       |FROM c JOIN noise USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
 }
