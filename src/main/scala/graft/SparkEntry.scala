@@ -1462,6 +1462,16 @@ object SparkEntry {
       graft.streaming.StreamingViews.runCmCountersAvailableNow(s, d, path)
       CorpusSignals.cmCertifyAgainst(s.read.parquet(path), Tables.load(s, d, "documents"))
     }),
+    // drift monitoring AT INGEST: per-micro-batch PSI cell counts
+    // append to a counter log (additive partials — the CM pattern);
+    // the report served from the stream-built log must equal the batch
+    // PSI exactly (same oracle, stream == batch for additive state)
+    "streaming_psi_drift" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_psi_stream").toString + "/cells"
+      graft.streaming.StreamingViews.runPsiCellsAvailableNow(s, d, path)
+      graft.operators.Drift.psiFromCellCounts(s, s.read.parquet(path))
+    }),
     // decontamination at 100 TB: the small eval split's distinct grams
     // fold into Spark's own BloomFilterAggregate, shipped as a foldable
     // binary literal so might_contain prunes the train gram stream
@@ -2090,6 +2100,16 @@ object SparkEntry {
     "label_centroid_cos" -> ((s, d) =>
       Similarity.labelCentroidCos(Tables.load(s, d, "embeddings"))),
     // per-dimension embedding drift audit (Dim-sized output at any SF)
+    // corpus-stats feature standardization: per-dim z-scores for the
+    // pinned panel with mean/std computed in-plan and broadcast back —
+    // raw z values ARE gate-safe (moments are rotation-free, unlike
+    // eigenvectors; see Pca scaladoc)
+    "embedding_standardize" -> ((s, d) =>
+      Similarity.standardizeAudit(Tables.load(s, d, "embeddings"), 300L)),
+    // feature-redundancy audit: pairwise Pearson correlation of the
+    // first 8 dims in ONE wide corr aggregate, unpivoted in-plan
+    "dim_correlation" -> ((s, d) =>
+      Similarity.dimCorrelation(Tables.load(s, d, "embeddings"))),
     "embedding_dim_stats" -> ((s, d) =>
       Similarity.embeddingDimStats(Tables.load(s, d, "embeddings"))),
     // ---- dataset profiling (Profiling) ----
@@ -2480,6 +2500,7 @@ object SparkEntry {
     "k_anonymity" -> Privacy.kAnonymityLadderSql(),
     "psi_drift" -> Drift.psiEmbeddingDriftSql,
     "jsonl_quarantine" -> Ingest.quarantineSummarySql,
+    "streaming_psi_drift" -> Drift.psiEmbeddingDriftSql,
     // dp_event_counts rides oracleSqlFor: its noise literals derive from
     // the event-type domain read at oracle-generation time
     "ann_buckets" -> Similarity.ivfBucketsSql,
@@ -2687,6 +2708,8 @@ object SparkEntry {
     "value_quartiles" -> Profiling.ValueQuartilesSql,
     "label_centroid_cos" -> Similarity.LabelCentroidCosSql,
     "embedding_dim_stats" -> Similarity.EmbeddingDimStatsSql,
+    "embedding_standardize" -> Similarity.standardizeAuditSql(300L),
+    "dim_correlation" -> Similarity.dimCorrelationSql(),
     "source_js_divergence" -> LanguageModel.SourceJsDivergenceSql,
     "corpus_entropy" -> LanguageModel.CorpusEntropySql,
     "streaming_anomalies" -> Profiling.valueAnomaliesSql(),

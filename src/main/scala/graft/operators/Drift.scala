@@ -40,12 +40,14 @@ object Drift {
   /** PSI above this is "drifted" (the conventional 0.2 threshold). */
   val DriftThreshold = 0.2
 
-  /** Per-dimension PSI between the even-id reference half and the
-    * odd-id current half: (dim, n_ref, n_cur, psi·6dp, drifted).
+  /** The ADDITIVE monitoring state: per-(dim, bucket) reference/current
+    * counts. Additivity is the streaming contract — per-micro-batch
+    * cell frames APPEND to a counter log and merge by summation, so
+    * replay boundaries can never lose or double mass (the Count-Min
+    * ingest pattern), and stream == batch holds exactly.
     */
-  def psiEmbeddingDrift(spark: SparkSession, emb: DataFrame): DataFrame = {
-    import spark.implicits._
-    val cells = emb
+  def psiCells(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .filter(col("dim") < AuditDims)
       .select(
@@ -56,6 +58,22 @@ object Drift {
       .agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("r"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c"))
+
+  /** Per-dimension PSI between the even-id reference half and the
+    * odd-id current half: (dim, n_ref, n_cur, psi·6dp, drifted).
+    */
+  def psiEmbeddingDrift(spark: SparkSession, emb: DataFrame): DataFrame =
+    psiFromCellCounts(spark, psiCells(emb))
+
+  /** PSI report from (possibly fragmented) additive cell counts — the
+    * serving half shared by the batch entry and the stream-built
+    * counter log: merge by summation, fill the full grid, smooth, sum.
+    */
+  def psiFromCellCounts(spark: SparkSession, rawCells: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cells = rawCells
+      .groupBy(col("dim"), col("bucket"))
+      .agg(sum(col("r")).as("r"), sum(col("c")).as("c"))
     val grid = (for { d <- 0 until AuditDims; b <- 0 until Bins } yield (d, b))
       .toDF("dim", "bucket")
     val filled = broadcast(grid)

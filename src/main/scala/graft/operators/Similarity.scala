@@ -1997,6 +1997,94 @@ object Similarity {
       |       round(min(x), 6) AS lo, round(max(x), 6) AS hi
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- feature standardization + correlation audits ---------------------
+
+  /** Per-dimension z-scores for the pinned id panel, standardized with
+    * CORPUS statistics computed in-plan (one per-dim aggregate broadcast
+    * back onto the panel rows — the feature-scaling step a training
+    * pipeline runs before any distance-based model). Long format
+    * (vec_id, dim, z); means/stds are cross-row sums whose ~1e-15
+    * engine-order noise is absorbed by the 6 dp rounding, so raw z
+    * VALUES are gate-safe (unlike eigenvector coordinates — see Pca).
+    */
+  def standardizeAudit(emb: DataFrame, maxVecId: Long, dims: Int = 8): DataFrame = {
+    val vals = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .filter(col("dim") < dims)
+      .withColumn("xd", col("x").cast("double"))
+    val stats = vals
+      .groupBy(col("dim"))
+      .agg(avg(col("xd")).as("mu"), stddev_samp(col("xd")).as("sigma"))
+    vals
+      .filter(col("vec_id") < maxVecId)
+      .join(broadcast(stats), Seq("dim"))
+      .select(
+        col("vec_id"),
+        col("dim").cast("int").as("dim"),
+        (round((col("xd") - col("mu")) / nullif(col("sigma"), lit(0d)), 6) + lit(0d))
+          .as("z"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  def standardizeAuditSql(maxVecId: Long, dims: Int = 8): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |v AS (SELECT vec_id, dim, x FROM e WHERE dim < $dims),
+       |s AS (SELECT dim, avg(x) AS mu, stddev_samp(x) AS sigma FROM v GROUP BY dim)
+       |SELECT v.vec_id, CAST(v.dim AS INTEGER) AS dim,
+       |       round((v.x - s.mu) / nullif(s.sigma, 0), 6) + 0 AS z
+       |FROM v JOIN s ON v.dim = s.dim
+       |WHERE v.vec_id < $maxVecId
+       |ORDER BY v.vec_id, v.dim""".stripMargin
+
+  /** Pairwise Pearson correlation of the first `dims` embedding
+    * dimensions — the feature-redundancy audit (a highly-correlated
+    * pair is a candidate for dropping before distance models; on this
+    * corpus the off-diagonals certify near-independence). ONE wide
+    * aggregate of dims(dims+1)/2 `corr` states over a narrow
+    * projection, unpivoted in-plan; both engines compute textbook
+    * sample correlation, order noise absorbed at 6 dp.
+    */
+  def dimCorrelation(emb: DataFrame, dims: Int = 8): DataFrame = {
+    val pairsIdx = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+    val proj = emb.select(
+      (0 until dims).map(i =>
+        element_at(col("embedding"), i + 1).cast("double").as(s"x$i")): _*)
+    val aggs = pairsIdx.map { case (i, j) =>
+      (round(corr(col(s"x$i"), col(s"x$j")), 6) + lit(0d)).as(s"c_${i}_$j")
+    }
+    val stackArgs = pairsIdx.map { case (i, j) => s"$i, $j, c_${i}_$j" }.mkString(", ")
+    proj
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${pairsIdx.size}, $stackArgs) AS (i, j, corr_v)")
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"), col("corr_v"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  def dimCorrelationSql(dims: Int = 8): String = {
+    val pairsIdx = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+    val cols = (0 until dims)
+      .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) AS x$i")
+      .mkString(",\n  ")
+    val sums = pairsIdx
+      .map { case (i, j) => s"round(corr(x$i, x$j), 6) + 0 AS c_${i}_$j" }
+      .mkString(",\n  ")
+    val rows = pairsIdx.map { case (i, j) =>
+      s"SELECT CAST($i AS INTEGER) AS i, CAST($j AS INTEGER) AS j, c_${i}_$j AS corr_v FROM a"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH p AS (SELECT
+       |  $cols
+       |FROM embeddings),
+       |a AS (SELECT
+       |  $sums
+       |FROM p)
+       |SELECT i, j, corr_v FROM (
+       |$rows
+       |) ORDER BY i, j""".stripMargin
+  }
+
   // ---- per-label centroid cohesion ------------------------------------
 
   /** Cluster-cohesion report per label: the label's centroid (dimension-

@@ -440,6 +440,38 @@ object StreamingViews {
     q.awaitTermination()
   }
 
+  /** Drift monitoring AT INGEST: each embedding micro-batch folds into
+    * its own (dim, bucket, side) cell-count frame and APPENDS it to the
+    * counter log — the [[runCmCountersAvailableNow]] additive-partials
+    * shape (no read-modify-write, so replay boundaries can never lose
+    * or double mass). Serving merges the log by summation and computes
+    * the PSI report; stream == batch holds exactly because the
+    * monitoring state is additive.
+    */
+  def runPsiCellsAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      cellsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/embeddings.parquet")
+    val reader = spark.readStream.schema(schema)
+    val q = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$sfDir/{embeddings.parquet}")
+      .writeStream
+      .outputMode("append")
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_psi_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Drift.psiCells(batch)
+          .write.mode("append").parquet(cellsPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-static enrichment: the per-metric anomaly filter run under
     * incremental execution. The (mu, sigma) reference table is computed
     * from a BATCH read and broadcast into every micro-batch — the

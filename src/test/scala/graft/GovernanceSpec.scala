@@ -75,6 +75,46 @@ class GovernanceSpec extends AnyFunSuite {
     assert(d0.getAs[Boolean]("drifted"))
   }
 
+  test("streaming PSI: 4-file source, one batch each — merged counter log == batch PSI exactly") {
+    val rows = (0 until 240).map(t => (t.toLong, vec(3000 + t)))
+    val flat = java.nio.file.Files.createTempDirectory("psi_flat").toString
+    embDf(rows).repartition(4).write.parquet(s"$flat/embeddings.parquet")
+    val cells = java.nio.file.Files.createTempDirectory("psi_cells").toString + "/cells"
+    graft.streaming.StreamingViews.runPsiCellsAvailableNow(
+      spark, flat, cells, maxFilesPerTrigger = Some(1))
+    // the log is fragmented (multiple partial rows per cell)...
+    val log = spark.read.parquet(cells)
+    val merged = log.groupBy("dim", "bucket").count()
+    assert(log.count() > merged.count(), "expected fragmented per-batch partials")
+    // ...but serving merges to EXACTLY the batch report
+    val streamed = Drift.psiFromCellCounts(spark, log)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = Drift.psiEmbeddingDrift(spark, embDf(rows))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("standardize: panel==corpus gives per-dim mean ~0 and std ~1; corr diag is exactly 1") {
+    val rows = (0 until 200).map(t => (t.toLong, vec(4000 + t)))
+    val df = embDf(rows)
+    val z = Similarity.standardizeAudit(df, 200L).collect()
+    assert(z.length == 200 * 8)
+    (0 until 8).foreach { d =>
+      val zs = z.filter(_.getAs[Int]("dim") == d).map(_.getAs[Double]("z"))
+      val m = zs.sum / zs.length
+      val v = zs.map(x => (x - m) * (x - m)).sum / (zs.length - 1)
+      assert(math.abs(m) < 1e-4, s"dim $d mean $m")
+      assert(math.abs(v - 1.0) < 1e-3, s"dim $d var $v")
+    }
+    val corr = Similarity.dimCorrelation(df).collect()
+    assert(corr.length == 36)
+    corr.foreach { r =>
+      val c = r.getAs[Double]("corr_v")
+      if (r.getAs[Int]("i") == r.getAs[Int]("j")) assert(c == 1.0)
+      else assert(math.abs(c) < 0.35, s"iid dims should be near-uncorrelated, got $c")
+    }
+  }
+
   private def eventsDf(rows: Seq[(String, String)]): DataFrame = {
     val schema = StructType(Seq(
       StructField("event_type", StringType, nullable = false),
