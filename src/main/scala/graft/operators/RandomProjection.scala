@@ -96,13 +96,24 @@ object RandomProjection {
   /** Top-k by SKETCH-space cosine — the candidate generator. Rank on
     * the raw double, present rounded (shared topK convention).
     */
+  /** Null handling NOTE (shared by every ranking in this file): the
+    * null guard runs AFTER the limit, never before. A pre-limit
+    * `filter(sim.isNotNull)` looks natural but is a plan bomb — the
+    * filter condition inlines the full 16-projection expression tree,
+    * and Catalyst's constraint propagation then walks that tree across
+    * the downstream join (measured: 37 s of pure DRIVER time at any
+    * corpus size). DESC NULLS LAST ordering admits a null only when
+    * fewer than k non-null rows exist, so limit-then-filter returns
+    * exactly the same min(k, n_nonnull) rows as filter-then-limit —
+    * with a constant-size filter above TakeOrderedAndProject.
+    */
   def projTopKFor(embeddings: DataFrame, k: Int, q: Array[Double]): DataFrame =
     embeddings
       .select(col("vec_id") +: yCols: _*)
       .withColumn("sim_raw", projSimCol(projectQuery(q)))
-      .filter(col("sim_raw").isNotNull)
-      .orderBy(col("sim_raw").desc, col("vec_id"))
+      .orderBy(col("sim_raw").desc_nulls_last, col("vec_id"))
       .limit(k)
+      .filter(col("sim_raw").isNotNull)
       .select(col("vec_id"), round(col("sim_raw"), 6).as("sim"))
 
   def projTopK(embeddings: DataFrame, k: Int): DataFrame =
@@ -138,19 +149,22 @@ object RandomProjection {
       k: Int,
       q: Array[Double],
       mult: Int = RerankShortlistMult): DataFrame = {
+    // limit-then-filter: see the projTopKFor null-handling note — a
+    // pre-limit null filter re-inlines the sketch tree and detonates
+    // constraint propagation across the join
     val short = embeddings
       .select(col("vec_id") +: yCols: _*)
       .withColumn("sim_p", projSimCol(projectQuery(q)))
-      .filter(col("sim_p").isNotNull)
-      .orderBy(col("sim_p").desc, col("vec_id"))
+      .orderBy(col("sim_p").desc_nulls_last, col("vec_id"))
       .limit(k * mult)
+      .filter(col("sim_p").isNotNull)
       .select(col("vec_id"))
     embeddings
       .join(broadcast(short), Seq("vec_id"))
       .withColumn("sim_raw", Similarity.cosineToCol(col("embedding"), q))
-      .filter(col("sim_raw").isNotNull)
-      .orderBy(col("sim_raw").desc, col("vec_id"))
+      .orderBy(col("sim_raw").desc_nulls_last, col("vec_id"))
       .limit(k)
+      .filter(col("sim_raw").isNotNull)
       .select(col("vec_id"), round(col("sim_raw"), 6).as("sim"))
   }
 

@@ -80,9 +80,6 @@ object Ingest {
     */
   def quarantineSummary(docs: DataFrame): DataFrame = {
     val routed = parseAndRoute(syntheticFeed(docs))
-    // 1-row total joined on a dummy key: BroadcastHashJoin, never a
-    // nested-loop product (PlanAuditSpec bans those across all entries)
-    val total = routed.agg(count(lit(1)).as("n_total")).withColumn("jk", lit(1))
     val okRows = routed
       .filter(col("status") === "ok")
       .groupBy(col("lang"))
@@ -103,11 +100,17 @@ object Ingest {
       .select(
         lit("quarantine").as("status"), lit("__bad__").as("key"),
         col("cnt"), lit(null).cast("long").as("sum_chars"), col("bad_md5"))
+    // n_total on the Spark side is Σ cnt over the ROUTED rows (a
+    // whole-frame window over ≤|langs|+1 rows — a literal-key join
+    // would constant-fold into the banned nested-loop product); the
+    // DuckDB twin computes n_total from the raw INPUT count, so the
+    // cross-engine hash can only match when routing lost nothing —
+    // the conservation certificate is the comparison itself.
     okRows
       .unionAll(quarantined)
-      .withColumn("jk", lit(1))
-      .join(broadcast(total), Seq("jk"))
-      .drop("jk")
+      .withColumn(
+        "n_total",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .orderBy(col("status"), col("key"))
   }
 
