@@ -33,11 +33,36 @@ if "--skip-verify" not in sys.argv:
     if r.returncode != 0:
         print("VERIFY RUN FAILED"); print(r.stdout[-3000:]); print(r.stderr[-2000:]); sys.exit(1)
 
-con = duckdb.connect()
-for t in TABLES:
-    p = f"{SF}/{t}.parquet"
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+# Long-replay allocator hygiene (diagnosed round 11): a 217-query replay
+# on one 32-thread connection exhausts vm.max_map_count (65 530) — glibc
+# mmap fragmentation under DuckDB's threaded allocation churn climbs past
+# 62k regions and then 16 KB mallocs fail ("Out of Memory Error: Failed
+# to allocate block ... (bad allocation)" with >100 GB of real RAM free).
+# threads=8 keeps the map count ~1k across the full suite (measured), and
+# a periodic fresh connection caps any per-connection accumulation.
+# Correctness unchanged; oracle wall time at this scale is IO-bound.
+_RECONNECT_EVERY = 20
+_executed = 0
+con = None
+
+def _connect():
+    c = duckdb.connect()
+    c.execute("SET threads=8")
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c
+
+def run_oracle(sql):
+    global con, _executed
+    if con is None or _executed >= _RECONNECT_EVERY:
+        if con is not None:
+            con.close()
+        con = _connect()
+        _executed = 0
+    _executed += 1
+    return con.execute(sql).fetchdf()
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 ok = fail = 0
@@ -51,7 +76,7 @@ for name in sorted(oracle):
         report[name] = {"ok": False, "detail": "no spark result written"}; continue
     try:
         mine = pd.read_parquet(res_dir)
-        want = con.execute(sql).fetchdf()
+        want = run_oracle(sql)
     except Exception as e:
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}"); fail += 1
         report[name] = {"ok": False, "detail": f"{type(e).__name__}: {str(e)[:200]}"}; continue
