@@ -79,13 +79,17 @@ object Drift {
     val filled = broadcast(grid)
       .join(cells, Seq("dim", "bucket"), "left")
       .na.fill(0L, Seq("r", "c"))
-    val totals = filled
-      .groupBy(col("dim"))
-      .agg(sum(col("r")).as("n_ref"), sum(col("c")).as("n_cur"))
+    // per-dim totals as a WINDOW over the (dims·bins)-row cell frame —
+    // a groupBy-and-join-back here re-plans the whole cells subtree and
+    // re-SCANS the corpus (measured: 2 parquet scans); the window keeps
+    // the plan at one corpus scan + tiny-frame arithmetic
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dim"))
+    val withTotals = filled
+      .withColumn("n_ref", sum(col("r")).over(w))
+      .withColumn("n_cur", sum(col("c")).over(w))
     val p = (col("r") + lit(1L)) / (col("n_ref") + lit(Bins.toLong))
     val q = (col("c") + lit(1L)) / (col("n_cur") + lit(Bins.toLong))
-    filled
-      .join(broadcast(totals), Seq("dim"))
+    withTotals
       .withColumn("contrib", (p - q) * log(p / q))
       .groupBy(col("dim"), col("n_ref"), col("n_cur"))
       .agg(sum(col("contrib")).as("psi_raw"))

@@ -128,9 +128,15 @@ object Privacy {
     * granularity no matter how many ladder levels are audited.
     */
   def kAnonymityLadder(events: DataFrame, k: Int = KAnonK): DataFrame = {
+    // localCheckpoint materializes the day-level aggregate (bounded:
+    // |event types| × |days| rows) so the month/year regroups and the
+    // three summaries run off it — without it each union branch
+    // re-plans the aggregate subtree and re-SCANS events (measured:
+    // 3 parquet scans for a "one-scan" ladder)
     val day = events
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("t"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     def summarize(level: String, ord: Int, groups: DataFrame): DataFrame =
       groups.agg(
         count(lit(1)).as("n_groups"),
