@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The external bench harness parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as JSON; sbt's "[success] Total time..."
+// epilogue lands after the program's output and broke that parse in
+// rounds 10/11 (BENCH_r11.json `parsed: null`). Suppressing the success
+// banner makes the bench's single JSON line the final stdout line.
+// (rc-based failure detection is unaffected.)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

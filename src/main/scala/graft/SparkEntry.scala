@@ -3357,7 +3357,35 @@ object SparkEntry {
     // that doesn't re-filter (Verify does) must not emit an oracle the
     // run never dumped (ADVICE round 5)
     out.filter { case (k, _) => sel(k) }
+      .map { case (k, v) => k -> (OracleSessionPrefix + v) }
   }
+
+  /** Allocator-hygiene preamble prepended to every dumped oracle.
+    *
+    * Root cause (diagnosed round 11, PERF.md): a 217-query DuckDB replay
+    * on one default-threaded (=nproc=32) connection exhausts
+    * `vm.max_map_count` (65 530) through glibc mmap fragmentation —
+    * thread-local allocation churn accumulates ~60k+ small mappings over
+    * the alphabetical run and then 16 KB mallocs fail ("Out of Memory
+    * Error: Failed to allocate block ..." with >100 GB of RAM free). In
+    * round 11 every entry sorting after `salted_rollup` errored this way
+    * in the external gate while the same queries replay hash-exact on a
+    * `threads=8` connection (CHECKLOCAL_r11_sf0.01/sf0.1: 217/217).
+    *
+    * DuckDB `SET`s are connection-scoped and persist, so carrying the
+    * hygiene settings inside each oracle makes the replay robust on ANY
+    * harness that `execute`s the dumped SQL verbatim, regardless of its
+    * connection management. Multi-statement `execute(sql).fetchdf()`
+    * returns the final SELECT's result (verified against duckdb 1.0.0).
+    * `threads=8` caps the mmap count ~1k for the full suite (measured);
+    * the lowered `allocator_flush_threshold` returns freed blocks to the
+    * OS eagerly between queries. Correctness is unaffected — both are
+    * executor settings, not semantics. `tools/bench_duckdb.py` strips
+    * this preamble before timing so the DuckDB anchor still runs at its
+    * natural thread count.
+    */
+  val OracleSessionPrefix: String =
+    "SET threads=8; SET allocator_flush_threshold='64MB'; "
 
   /** Unpersist and drop every shared cached frame bound to `s` — for
     * long-lived sessions (a real deployment, the bench harness) that

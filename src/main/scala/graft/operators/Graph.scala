@@ -16,26 +16,44 @@ import org.apache.spark.sql.functions._
   * keeps the per-iteration algebra to exactly one join + one
   * aggregation.
   *
-  * Determinism contract (the gate's hash compare): every iterate is
-  * rounded to 12 dp in BOTH engines, so iteration t+1 consumes
-  * bit-identical inputs regardless of each engine's summation order;
-  * the damping constants are written as the same double literals on
-  * both sides (never derived as `1 - d`, whose FP value differs from
-  * the literal `0.15`).
+  * Determinism contract (the gate's hash compare): the iterate runs in
+  * EXACT integer fixed-point — ranks are BIGINT multiples of 1e-12
+  * ([[Scale]]), per-edge contributions are integer division `pr div d`,
+  * damping is `(85·s) div 100`, and the teleport term is the integer
+  * `(15·Scale div 100) div n`. Integer sums are associative, so the
+  * result is bit-identical regardless of either engine's summation
+  * order at ANY iteration count — strictly stronger than the previous
+  * contract (round-to-12dp per iterate), whose doubles could in
+  * principle straddle a rounding half-boundary across engines (ADVICE
+  * r11). Floor division leaks ≤(d−1) e−12 of mass per node per
+  * iteration — deterministic, and 9 orders below the 1e-3 rank gaps the
+  * top-k cut sees. The one float op is the final display conversion
+  * `round(pr/1e12, 9)`: a single IEEE division of identical integers by
+  * the exactly-representable 1e12, identical in both engines.
   *
   * Scale story: one iteration = edges ⋈ ranks (equi-join on `src`,
   * co-partitionable — at 100 TB the edge list is written bucketed by
   * `src` once and every iteration reuses that partitioning, so the
   * only moving shuffle is the groupBy(dst) of partial contributions,
   * which map-side combines) followed by one HashAggregate. Driver
-  * state is two scalars (node count, iteration index) — ranks never
-  * leave the cluster.
+  * state is two scalars (node count, iteration index); each iterate is
+  * `localCheckpoint`ed (the kmeans-loop discipline) so the lineage —
+  * and with it Catalyst's per-iteration replanning cost — stays FLAT:
+  * without the cut, iteration t re-optimizes a t-deep join chain and
+  * re-shuffles every prior round's ranks (measured 9.5 s at sf0.1 for
+  * 4 iterations in r11; the checkpointed loop holds per-iteration plan
+  * time constant through 20+ iterations, see GraphSpec).
   */
 object Graph {
 
-  /** Damping written as the literal both engines parse identically. */
-  val Damping = 0.85
-  val OneMinusDamping = 0.15
+  /** Fixed-point scale: ranks are BIGINT multiples of 1e-12. */
+  val Scale = 1000000000000L
+
+  /** Damping written as the integer pair both engines apply as
+    * `(85·s) div 100` — never a float multiply.
+    */
+  val DampingNum = 85L
+  val TeleportNum = 15L
   val Iterations = 4
 
   /** Distinct directed co-purchase edges (both directions present). The
@@ -55,51 +73,61 @@ object Graph {
       .distinct()
 
   /** Fixed-iteration damped PageRank over an edge frame. Returns
-    * (node, pr) with the final iterate still at 12 dp.
+    * (node, pr) with pr still in BIGINT fixed-point ([[Scale]]).
     */
   def pageRank(edges: DataFrame, iterations: Int = Iterations): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // node count: the one driver-side scalar (every node has an
     // out-edge by symmetric construction)
     val n = deg.count()
-    var ranks = deg.select(col("src").as("node"), (lit(1.0) / n).as("pr"))
+    // integer teleport term, floored once driver-side — the SQL twin
+    // computes the same `(15·Scale div 100) div n`
+    val teleport = (TeleportNum * Scale / 100L) / n
+    val withDeg = edges.join(deg, "src")
+    var ranks = deg.select(col("src").as("node"), lit(Scale / n).as("pr"))
     for (_ <- 1 to iterations) {
-      ranks = edges
-        .join(deg, "src")
+      ranks = withDeg
         .join(ranks, col("src") === col("node"))
         .groupBy(col("dst"))
-        .agg(
-          round(
-            lit(OneMinusDamping) / n + lit(Damping) * sum(col("pr") / col("d")),
-            12).as("pr"))
-        .select(col("dst").as("node"), col("pr"))
+        .agg(sum(expr("pr div d")).as("s"))
+        .select(
+          col("dst").as("node"),
+          (lit(teleport) + expr(s"($DampingNum * s) div 100")).as("pr"))
+        // lineage cut: keeps the next iteration's plan ONE join deep
+        // instead of t joins deep (the kmeans-loop discipline) — the
+        // checkpointed block is |nodes| rows of (long, long)
+        .localCheckpoint(eager = true)
     }
     ranks
   }
 
-  /** Top-k parts by co-purchase PageRank, ranked on the rounded
-    * iterate (identical in both engines by the determinism contract).
+  /** Top-k parts by co-purchase PageRank, ranked on the exact integer
+    * iterate (identical in both engines by the determinism contract);
+    * pr displayed as a double via the single shared conversion.
     */
   def pageRankTopK(spark: SparkSession, lineitem: DataFrame, k: Int): DataFrame = {
     val edges = copurchaseEdges(lineitem).cache()
     try {
       pageRank(edges)
-        .select(col("node"), round(col("pr"), 9).as("pr"))
         .orderBy(col("pr").desc, col("node"))
         .limit(k)
+        .select(col("node"), round(col("pr").cast("double") / lit(1.0e12), 9).as("pr"))
     } finally edges.unpersist(false)
   }
 
-  /** The DuckDB replay: the same edge derivation and the same rounded
-    * iteration chain as SQL CTEs, generated for [[Iterations]] rounds.
+  /** The DuckDB replay: the same edge derivation and the same exact
+    * integer fixed-point iteration chain as SQL CTEs, generated for
+    * [[Iterations]] rounds. (`//` is DuckDB integer division = Spark's
+    * `div`; DuckDB's HUGEINT sum is exact, and the final CAST returns
+    * it to the shared fixed-point before the one display division.)
     */
   def pageRankTopKSql(k: Int, iterations: Int = Iterations): String = {
     val iters = (1 to iterations)
       .map { t =>
         s"""r$t AS (
            |  SELECT e.dst AS node,
-           |         round(CAST($OneMinusDamping AS DOUBLE) / (SELECT n FROM nn)
-           |               + CAST($Damping AS DOUBLE) * sum(r${t - 1}.pr / deg.d), 12) AS pr
+           |         CAST((SELECT ($TeleportNum * $Scale // 100) // n FROM nn)
+           |              + ($DampingNum * sum(r${t - 1}.pr // deg.d)) // 100 AS BIGINT) AS pr
            |  FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
            |         JOIN deg ON e.src = deg.src
            |  GROUP BY 1)""".stripMargin
@@ -111,9 +139,12 @@ object Graph {
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
        |nn AS (SELECT count(*) AS n FROM deg),
-       |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg),
-       |$iters
-       |SELECT node, round(pr, 9) AS pr FROM r$iterations
-       |ORDER BY 2 DESC, 1 LIMIT $k""".stripMargin
+       |r0 AS (SELECT src AS node, $Scale // (SELECT n FROM nn) AS pr FROM deg),
+       |$iters,
+       |topk AS (
+       |  SELECT node, pr FROM r$iterations
+       |  ORDER BY pr DESC, node LIMIT $k)
+       |SELECT node, round(CAST(pr AS DOUBLE) / 1000000000000.0, 9) AS pr
+       |FROM topk ORDER BY pr DESC, node""".stripMargin
   }
 }

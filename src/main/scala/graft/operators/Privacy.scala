@@ -233,8 +233,10 @@ object Privacy {
     * literals (the deterministic function of the pinned seed).
     */
   def dpEventCountsSql(keys: Seq[String], eps: Double = DpEpsilon): String = {
+    // keys are data-driven: escape embedded quotes so a key containing
+    // ' cannot break (or inject into) the generated oracle (ADVICE r11)
     val rows = keys.sorted
-      .map(k => s"('$k', ${laplaceNoise(k, eps)})")
+      .map(k => s"('${k.replace("'", "''")}', ${laplaceNoise(k, eps)})")
       .mkString(", ")
     s"""WITH noise(event_type, nz) AS (SELECT * FROM (VALUES $rows)),
        |c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)

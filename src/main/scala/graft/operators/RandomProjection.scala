@@ -159,8 +159,15 @@ object RandomProjection {
       .limit(k * mult)
       .filter(col("sim_p").isNotNull)
       .select(col("vec_id"))
+    // broadcast only when the shortlist is the FIXED floor (k·16 rows,
+    // corpus-size-free). An autoRerankMult shortlist is ~16% of the
+    // corpus — linear in n — and an explicit broadcast hint there would
+    // hit the driver/broadcast ceiling at scale; leave that side
+    // unhinted so AQE picks broadcast vs shuffle from the measured size
+    // (ADVICE r11).
+    val shortHinted = if (mult <= RerankShortlistMult) broadcast(short) else short
     embeddings
-      .join(broadcast(short), Seq("vec_id"))
+      .join(shortHinted, Seq("vec_id"))
       .withColumn("sim_raw", Similarity.cosineToCol(col("embedding"), q))
       .orderBy(col("sim_raw").desc_nulls_last, col("vec_id"))
       .limit(k)

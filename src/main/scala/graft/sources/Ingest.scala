@@ -92,10 +92,15 @@ object Ingest {
       .agg(
         count(lit(1)).as("cnt"),
         // feed-order concatenation made deterministic IN the aggregate
-        // (collect_list order is not guaranteed): sort by feed_id inside
-        md5(expr(
+        // (collect_list order is not guaranteed): sort by feed_id inside.
+        // NULL (not md5('')) when nothing was quarantined: concat_ws over
+        // an empty collect_list yields '' while the DuckDB twin's
+        // string_agg over zero rows yields NULL — the nullness would
+        // mismatch on any corpus with no corrupt lines (ADVICE r11).
+        when(count(lit(1)) > 0, md5(expr(
           "concat_ws('\n', transform(" +
-            "sort_array(collect_list(struct(feed_id, raw_line))), x -> x.raw_line))"))
+            "sort_array(collect_list(struct(feed_id, raw_line))), x -> x.raw_line))")))
+          .otherwise(lit(null).cast("string"))
           .as("bad_md5"))
       .select(
         lit("quarantine").as("status"), lit("__bad__").as("key"),

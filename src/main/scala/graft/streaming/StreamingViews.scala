@@ -1236,6 +1236,23 @@ object StreamingViews {
     * rewritten (dynamic overwrite); the aggregate runs over (touched
     * existing ∪ batch), O(touched cells), never the whole table.
     */
+  /** Run `body` with `partitionOverwriteMode=dynamic`, restoring the
+    * session's previous value (or unsetting) afterwards — the shared
+    * session must not silently change semantics of LATER
+    * overwrite+partitionBy writes (the Similarity.swapTouchedPartitions
+    * save/restore discipline; ADVICE r11).
+    */
+  private def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private[graft] def upsertAdditive(
       batch: DataFrame,
       outPath: String,
@@ -1244,8 +1261,17 @@ object StreamingViews {
       sumCols: Seq[String]): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
-    if (partitionCols.nonEmpty)
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if (partitionCols.nonEmpty) { withDynamicOverwrite(spark) { upsertAdditiveBody(batch, outPath, keys, partitionCols, sumCols) }; return }
+    upsertAdditiveBody(batch, outPath, keys, partitionCols, sumCols)
+  }
+
+  private def upsertAdditiveBody(
+      batch: DataFrame,
+      outPath: String,
+      keys: Seq[String],
+      partitionCols: Seq[String],
+      sumCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
     val exists = {
       val p = new org.apache.hadoop.fs.Path(outPath)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -1294,8 +1320,16 @@ object StreamingViews {
     if (batch.isEmpty) return
     // dynamic overwrite is load-bearing for partitioned sinks: static
     // mode would wipe every partition the merged frame doesn't carry
-    if (partitionCols.nonEmpty)
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if (partitionCols.nonEmpty) { withDynamicOverwrite(spark) { upsertKeyedBody(batch, outPath, keys, partitionCols) }; return }
+    upsertKeyedBody(batch, outPath, keys, partitionCols)
+  }
+
+  private def upsertKeyedBody(
+      batch: DataFrame,
+      outPath: String,
+      keys: Seq[String],
+      partitionCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
     val exists = {
       val p = new org.apache.hadoop.fs.Path(outPath)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
