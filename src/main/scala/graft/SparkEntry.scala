@@ -641,6 +641,17 @@ object SparkEntry {
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
   }
 
+  /** GET that also captures 4xx bodies: (status, parsed JSON). */
+  private def httpGetStatusJson(url: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+    val conn = java.net.URI.create(url).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val bytes = try in.readAllBytes() finally { in.close(); conn.disconnect() }
+    (code, new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes))
+  }
+
   // ---- oracle-side building blocks (DuckDB SQL, same constants) ------
 
   private val Cte = SensorGrid.oracleReadingsCte
@@ -794,6 +805,42 @@ object SparkEntry {
         .map(i => (data.get(i).get(0).asText, data.get(i).get(1).asDouble))
         .toDF("geo", "avg_val")
         .orderBy(col("geo"))
+    }),
+    // ---- P12 promoted into the gate: the reference's FULL invalid-
+    //      param matrix (QueryingService.java:46-114 history, :145-222
+    //      snapshot, in the reference's check order), each case a real
+    //      GET against the live server; the hash gate certifies the
+    //      exact ErrorMessage{errorMessage, errorCode} envelope text
+    //      and the first-failure precedence a reference user sees ----
+    "http_validation_errors" -> ((s, d) => {
+      import s.implicits._
+      val base = httpBase(s, d)
+      val hist = s"$base/api/airquality/click/aggregate"
+      val snap = s"$base/api/airquality/click/aggregate"
+      val bbox = "51.31,4.31,51.17,4.50"
+      val cases: Seq[(String, String)] = Seq(
+        // history, QueryingService.java:47-131 order
+        "h01_no_geohashes" -> s"$hist/avg/history",
+        "h02_bad_aggregate" -> s"$hist/median/history?geohashes=u155kp&res=min",
+        "h03_bad_number" -> s"$hist/avg/history?geohashes=u155kp&gh_precision=abc&res=min",
+        "h04_from_future" -> s"$hist/avg/history?geohashes=u155kp&from=99999999999999&res=min",
+        "h05_from_ge_to" -> s"$hist/avg/history?geohashes=u155kp&from=5000&to=5000&res=min",
+        "h06_bad_precision" -> s"$hist/avg/history?geohashes=u15&gh_precision=3&res=min",
+        "h07_bad_res_and_interval" -> s"$hist/avg/history?geohashes=u155kp&res=decade&interval=2weeks",
+        // snapshot, QueryingService.java:146-222 order
+        "s01_no_ts" -> s"$snap/avg/snapshot",
+        "s02_ts_not_numeric" -> s"$snap/avg/snapshot?ts=abc",
+        "s03_no_bbox" -> s"$snap/avg/snapshot?ts=1000",
+        "s04_bbox_not_doubles" -> s"$snap/avg/snapshot?ts=1000&bbox=a,b,c,d",
+        "s05_bbox_wrong_arity" -> s"$snap/avg/snapshot?ts=1000&bbox=1,2,3",
+        "s06_bad_aggregate" -> s"$snap/median/snapshot?ts=1000&bbox=$bbox&res=min",
+        "s07_precision_not_numeric" -> s"$snap/avg/snapshot?ts=1000&bbox=$bbox&res=min&gh_precision=xyz",
+        "s08_bad_precision" -> s"$snap/avg/snapshot?ts=1000&bbox=$bbox&res=min&gh_precision=99")
+      cases.map { case (id, url) =>
+        val (status, json) = httpGetStatusJson(url)
+        (id, status, json.get("errorCode").asInt, json.get("errorMessage").asText)
+      }.toDF("case_id", "http_status", "error_code", "error_message")
+        .orderBy(col("case_id"))
     }),
     // src=raw path (§3.3 dead-in-reference, real here)
     "raw_readings" -> ((s, d) =>
@@ -1612,11 +1659,38 @@ object SparkEntry {
       Layout.zorderWrite(Tables.load(s, d, "events"), path)
       Layout.zorderRectAgg(s, path, 3, 9, 5, 12)
     }),
+    // ---- INCREMENTAL Z-order maintenance (Layout.zorderUpsert): the
+    //      store is seeded WITHOUT the decimated batch, the batch (new
+    //      events + corrected events whose shifted day MOVES their
+    //      Morton cell) is merged touched-cells-only, and the same
+    //      rectangle is answered from the maintained store. The oracle
+    //      recomputes the rectangle from the raw table with the same
+    //      correction algebra — so the gate certifies upsert ==
+    //      full-rebuild, including old-cell eviction of moved rows ----
+    "zorder_incremental" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_zorder_inc").toString
+      val ev = Tables.load(s, d, "events")
+      val isNew = col("event_id") % 10 === 0
+      val isMod = col("event_id") % 10 =!= 0 && col("event_id") % 17 === 3
+      // seed includes the ORIGINAL versions of the corrected rows — the
+      // upsert must replace them (and evict them from cells they move
+      // out of); only the genuinely-new rows are absent from the seed
+      Layout.zorderWrite(ev.filter(!isNew), path)
+      val batch = ev.filter(isNew).unionByName(
+        ev.filter(isMod)
+          .withColumn("ts", col("ts") + expr("INTERVAL 100 DAYS"))
+          .withColumn("value", col("value") + lit(1000.0)))
+      Layout.zorderUpsert(s, batch, path)
+      Layout.zorderRectAgg(s, path, 3, 9, 5, 12)
+    }),
     // ---- link-graph importance (Graph): 4-iteration damped PageRank
     //      over the part co-purchase graph — the curation importance
-    //      prior; every iterate rounded 12dp in BOTH engines so the
-    //      fixed-point chain replays bit-exactly; one co-partitionable
-    //      equi-join + one map-combined aggregation per iteration ----
+    //      prior; the iterate runs in EXACT BIGINT fixed-point (1e-12
+    //      units, integer div for contributions and damping) so the
+    //      chain replays bit-identically at any depth; lineage is
+    //      localCheckpoint-cut per iteration (flat plan, GraphSpec's
+    //      20-iteration proof); one co-partitionable equi-join + one
+    //      map-combined aggregation per iteration ----
     "pagerank_topk" -> ((s, d) =>
       Graph.pageRankTopK(s, Tables.load(s, d, "lineitem"), 20)),
     // forward-fill resample of the sparse minute view onto each cell's
@@ -2286,6 +2360,32 @@ object SparkEntry {
          |WHERE x_bucket BETWEEN 3 AND 9 AND y_bucket BETWEEN 5 AND 12
          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
     },
+    "zorder_incremental" -> {
+      // final logical table = base \ corrected ∪ batch, recomputed from
+      // raw events with the same correction algebra (+100 days, +1000)
+      // the Spark entry applies before upserting — a hash match proves
+      // the touched-cell merge (incl. old-cell eviction of moved rows)
+      // equals a full rebuild
+      val z = Layout.mortonSql("x_bucket", "y_bucket")
+      s"""WITH final AS (
+         |  SELECT ts, user_id, value FROM events
+         |  WHERE event_id % 10 <> 0 AND NOT (event_id % 17 = 3)
+         |  UNION ALL
+         |  SELECT ts + INTERVAL 100 DAY AS ts, user_id, value + 1000.0 AS value
+         |  FROM events WHERE event_id % 10 <> 0 AND event_id % 17 = 3
+         |  UNION ALL
+         |  SELECT ts, user_id, value FROM events WHERE event_id % 10 = 0),
+         |b AS (
+         |  SELECT CAST(user_id % 16 AS INT) AS x_bucket,
+         |         CAST(((epoch_ns(ts) // 1000000000) // 86400) % 16 AS INT) AS y_bucket,
+         |         value
+         |  FROM final)
+         |SELECT $z AS z_cell, x_bucket, y_bucket,
+         |       count(*) AS cnt, round(sum(value), 6) AS sum_value
+         |FROM b
+         |WHERE x_bucket BETWEEN 3 AND 9 AND y_bucket BETWEEN 5 AND 12
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+    },
     "pagerank_topk" -> Graph.pageRankTopKSql(20),
     "ts_gap_fill" ->
       s"""$Cte, v AS (
@@ -2417,6 +2517,29 @@ object SparkEntry {
          |WHERE metric = 'click' AND substr(gh12, 1, 4) IN (${sqlList(GhPrefixCover)})
          |  AND ${truncS("hour")} = ${ExploraQueries.truncateTs(SnapGhTs, "hour").getEpochSecond}
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the expected envelopes are constants BY DESIGN: the reference's
+    // error texts ARE the spec (QueryingService.java:46-222), so the
+    // oracle is the literal matrix and the Spark side must reproduce it
+    // through live GETs (routing, param parsing, check precedence, JSON)
+    "http_validation_errors" ->
+      """SELECT * FROM (VALUES
+        |  ('h01_no_geohashes', 400, 400, '[getAirQualityHistory] You need to provide a list of comma-separated geohash prefixes'),
+        |  ('h02_bad_aggregate', 400, 400, '[getAirQualityHistory] aggregate median is not yet supported'),
+        |  ('h03_bad_number', 400, 400, 'For input string: "abc"'),
+        |  ('h04_from_future', 400, 400, '[getAirQualityHistory] fromDate cannot be set to a future date'),
+        |  ('h05_from_ge_to', 400, 400, '[getAirQualityHistory] fromDate parameter should be less than toDate'),
+        |  ('h06_bad_precision', 400, 400, '[getAirQualityHistory] precision 3 is not yet supported'),
+        |  ('h07_bad_res_and_interval', 400, 400, '[getAirQualityHistory] Invalid values for resolution (decade) or interval (2weeks)'),
+        |  ('s01_no_ts', 400, 400, '[getAirQualitySnapshot] You need to provide a valid timestamp in milliseconds'),
+        |  ('s02_ts_not_numeric', 400, 400, '[getAirQualitySnapshot] You need to provide a valid timestamp in milliseconds'),
+        |  ('s03_no_bbox', 400, 400, '[getAirQualitySnapshot] You need to provide a set of coordinates corresponding to a valid bounding box: (N,W,S,E)'),
+        |  ('s04_bbox_not_doubles', 400, 400, '[getAirQualitySnapshot] You need to provide valid double values for the bounding box coordinates'),
+        |  ('s05_bbox_wrong_arity', 400, 400, '[getAirQualitySnapshot] You need to provide a set of coordinates corresponding to a valid bounding box: (N,W,S,E)'),
+        |  ('s06_bad_aggregate', 400, 400, '[getAirQualitySnapshot] aggregate median is not yet supported'),
+        |  ('s07_precision_not_numeric', 400, 400, 'For input string: "xyz"'),
+        |  ('s08_bad_precision', 400, 400, '[getAirQualitySnapshot] geohash precision 99 is not yet supported')
+        |) AS t(case_id, http_status, error_code, error_message)
+        |ORDER BY case_id""".stripMargin,
     "snapshot_polygon_sum" ->
       s"""$Cte SELECT $Gh6Expr AS geo, round(sum(value), 6) AS sum_val
          |FROM readings

@@ -19,7 +19,14 @@ object QueryValidation {
   private def req(cond: Boolean, msg: => String): Unit =
     if (!cond) throw new IllegalArgumentException(msg)
 
-  /** History-query parameters (QueryingService.java:46-114). */
+  /** History-query parameters, checked in the REFERENCE'S order so a
+    * request violating several conditions surfaces the same first
+    * failure a reference user would see (QueryingService.java:46-114:
+    * geohashes → aggregate → [numeric parse, caller-side] → from-in-
+    * future → from≥to (only when to is set) → precision → the
+    * resolution-WINS dispatch). Extension checks with no reference
+    * analogue (geohash length) come last.
+    */
   def validateHistory(
       geohashes: Seq[String],
       precision: Int,
@@ -29,32 +36,51 @@ object QueryValidation {
       fromMs: Long,
       toMs: Long,
       nowMs: Long): Unit = {
-    req(geohashes.nonEmpty, "at least one geohash prefix is required")
+    // QueryingService.java:47-56 (exact reference error text)
+    req(geohashes.nonEmpty, "You need to provide a list of comma-separated geohash prefixes")
+    // :59-68
+    req(
+      ExploraQueries.SupportedAggregates.contains(aggregate),
+      s"aggregate $aggregate is not yet supported")
+    // :88-95
+    req(fromMs <= nowMs, "fromDate cannot be set to a future date")
+    // :97-106 — only enforced when a `to` bound was actually given
+    if (toMs > 0)
+      req(fromMs < toMs, "fromDate parameter should be less than toDate")
+    // :109-116
+    req(
+      SupportedPrecisions.contains(precision),
+      s"precision $precision is not yet supported")
+    // :118-131 — the dispatch itself: a VALID resolution selects the
+    // spatial branch (interval ignored), else a VALID interval selects
+    // the spatio-temporal branch, else 400. Both-set is legal,
+    // resolution wins — matching the reference's if/else-if.
+    req(
+      historyBranch(resolution, interval).isDefined,
+      s"Invalid values for resolution (${resolution.getOrElse("")}) or interval (${interval.getOrElse("")})")
+    // extension (no reference analogue — ordered last)
     req(
       geohashes.forall(_.length == precision),
       s"every geohash must have length $precision (got ${geohashes.map(_.length).distinct.mkString(",")})")
-    req(
-      ExploraQueries.SupportedAggregates.contains(aggregate),
-      s"aggregate '$aggregate' not in ${ExploraQueries.SupportedAggregates.mkString(",")}")
-    req(
-      SupportedPrecisions.contains(precision),
-      s"precision $precision not in ${SupportedPrecisions.mkString(",")}")
-    req(
-      resolution.isDefined ^ interval.isDefined,
-      "exactly one of resolution or interval must be given")
-    resolution.foreach(r =>
-      req(
-        SupportedResolutions.contains(r),
-        s"resolution '$r' not in ${SupportedResolutions.mkString(",")}"))
-    interval.foreach(i =>
-      req(
-        ExploraQueries.IntervalResolution.contains(i),
-        s"interval '$i' not in ${ExploraQueries.IntervalResolution.keys.toSeq.sorted.mkString(",")}"))
-    req(fromMs < toMs, s"from ($fromMs) must be before to ($toMs)")
-    req(fromMs <= nowMs, s"from ($fromMs) must not be in the future")
   }
 
-  /** Snapshot-query parameters (QueryingService.java:145-222). */
+  /** The reference's history dispatch (QueryingService.java:118-131):
+    * Left(resolution) = the spatial branch, Right(interval) = the
+    * spatio-temporal branch, None = neither parameter is usable.
+    */
+  def historyBranch(
+      resolution: Option[String],
+      interval: Option[String]): Option[Either[String, String]] =
+    resolution.filter(SupportedResolutions.contains).map(Left(_))
+      .orElse(interval.filter(ExploraQueries.IntervalResolution.contains).map(Right(_)))
+
+  /** Snapshot-query parameters, checked in the REFERENCE'S order with
+    * its exact error texts (QueryingService.java:145-222: ts →
+    * [bbox presence/shape, caller-side] → aggregate → precision).
+    * Extension checks the reference never makes (resolution validity,
+    * bbox orientation/range — it would fail later with a raw exception)
+    * come last.
+    */
   def validateSnapshot(
       tsMs: Long,
       north: Double,
@@ -64,13 +90,13 @@ object QueryValidation {
       precision: Int,
       aggregate: String,
       resolution: String): Unit = {
-    req(tsMs >= 0, s"timestamp must be non-negative (got $tsMs)")
+    req(tsMs >= 0, "You need to provide a valid timestamp in milliseconds")
     req(
       ExploraQueries.SupportedAggregates.contains(aggregate),
-      s"aggregate '$aggregate' not in ${ExploraQueries.SupportedAggregates.mkString(",")}")
+      s"aggregate $aggregate is not yet supported")
     req(
       SupportedPrecisions.contains(precision),
-      s"precision $precision not in ${SupportedPrecisions.mkString(",")}")
+      s"geohash precision $precision is not yet supported")
     req(
       SupportedResolutions.contains(resolution),
       s"resolution '$resolution' not in ${SupportedResolutions.mkString(",")}")

@@ -841,26 +841,27 @@ object Similarity {
       spark: SparkSession,
       merged: DataFrame,
       path: String,
-      touched: Seq[Int]): Unit = {
+      touched: Seq[Int],
+      partCol: String = "bucket"): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stageDir = new org.apache.hadoop.fs.Path(
       s"${path.stripSuffix("/")}.staging-${java.util.UUID.randomUUID()}")
     try {
-      merged.write.mode("overwrite").partitionBy("bucket").parquet(stageDir.toString)
+      merged.write.mode("overwrite").partitionBy(partCol).parquet(stageDir.toString)
       val staged = spark.read.parquet(stageDir.toString)
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try
-        staged.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        staged.write.mode("overwrite").partitionBy(partCol).parquet(path)
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
       val mergedBuckets =
-        staged.select(col("bucket").cast("int")).distinct().collect().map(_.getInt(0)).toSet
+        staged.select(col(partCol).cast("int")).distinct().collect().map(_.getInt(0)).toSet
       touched.filterNot(mergedBuckets).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(hadoopPath, s"bucket=$b"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(hadoopPath, s"$partCol=$b"), true)
       }
     } finally fs.delete(stageDir, true)
   }

@@ -79,4 +79,50 @@ class LayoutSpec extends AnyFunSuite {
     assert(numFiles === filesUnder(rectCells).toLong, "scan did not prune to the rectangle's directories")
     assert(numFiles < total.toLong, "nothing was pruned")
   }
+
+  test("zorderUpsert == full rebuild; untouched cell directories byte-identical") {
+    val events = Tables.load(spark, Sf0001, "events")
+    val isNew = col("event_id") % 10 === 0
+    val isMod = col("event_id") % 10 =!= 0 && col("event_id") % 17 === 3
+    val batch = events.filter(isNew).unionByName(
+      events.filter(isMod)
+        .withColumn("ts", col("ts") + expr("INTERVAL 100 DAYS"))
+        .withColumn("value", col("value") + lit(1000.0)))
+
+    // seed INCLUDES the original versions of the to-be-corrected rows —
+    // the upsert must evict them from their old cells by event_id
+    val incPath = java.nio.file.Files.createTempDirectory("graft_zorder_inc_spec").toString
+    Layout.zorderWrite(events.filter(!isNew), incPath)
+    // fingerprint every cell dir BEFORE the upsert (name, length, bytes-md5)
+    def cellFingerprint(path: String, c: Int): Seq[(String, Long, String)] = {
+      val dir = new java.io.File(s"$path/z_cell=$c")
+      Option(dir.listFiles).toSeq.flatten.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+            .map("%02x".format(_)).mkString
+          (f.getName, f.length(), md5)
+        }
+    }
+    val before = (0 until 256).map(c => c -> cellFingerprint(incPath, c)).toMap
+    val touched = Layout.zorderUpsert(spark, batch, incPath)
+    assert(touched.nonEmpty)
+    // a corrected event shifted +100 days MOVES cells: its old home must
+    // be in the touched set (eviction is exercised, not vacuous)
+    val movedOld = Layout.bucketized(events.filter(isMod))
+      .select(col("z_cell")).distinct().collect().map(_.getInt(0)).toSet
+    assert(movedOld.subsetOf(touched.toSet), "old cells of moved rows not touched")
+    // untouched cells: byte-identical files
+    (0 until 256).filterNot(touched.contains).foreach { c =>
+      assert(cellFingerprint(incPath, c) === before(c), s"untouched cell $c changed")
+    }
+    // equivalence with a full rebuild of the final logical table
+    val fullPath = java.nio.file.Files.createTempDirectory("graft_zorder_full_spec").toString
+    Layout.zorderWrite(events.filter(!isNew && !isMod).unionByName(batch), fullPath)
+    def snap(path: String) = spark.read.parquet(path)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("x_bucket"), col("y_bucket"), col("z_cell").cast("int"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(snap(incPath).toSeq === snap(fullPath).toSeq)
+  }
 }

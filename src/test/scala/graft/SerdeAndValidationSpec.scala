@@ -56,15 +56,21 @@ class SerdeAndValidationSpec extends AnyFunSuite {
     def bad(f: => Unit): String =
       intercept[IllegalArgumentException](f).getMessage
     assert(bad(QueryValidation.validateHistory(Nil, 6, "avg", Some("min"), None, 0, 1, 2))
-      .contains("at least one geohash"))
+      .contains("comma-separated geohash prefixes"))
     assert(bad(QueryValidation.validateHistory(Seq("u155"), 6, "avg", Some("min"), None, 0, 1, 2))
       .contains("length 6"))
     assert(bad(QueryValidation.validateHistory(Seq("u155kp"), 6, "median", Some("min"), None, 0, 1, 2))
       .contains("median"))
-    assert(bad(QueryValidation.validateHistory(Seq("u155kp"), 6, "avg", Some("min"), Some("1day"), 0, 1, 2))
-      .contains("exactly one"))
+    // both given is LEGAL in the reference (if/else-if dispatch,
+    // QueryingService.java:118-131): resolution wins, interval ignored
+    QueryValidation.validateHistory(Seq("u155kp"), 6, "avg", Some("min"), Some("1day"), 0, 1, 2)
+    assert(QueryValidation.historyBranch(Some("min"), Some("1day")) === Some(Left("min")))
+    // an unusable resolution falls through to a usable interval
+    assert(QueryValidation.historyBranch(Some("nope"), Some("1day")) === Some(Right("1day")))
+    assert(bad(QueryValidation.validateHistory(Seq("u155kp"), 6, "avg", Some("nope"), Some("junk"), 0, 1, 2))
+      .contains("Invalid values"))
     assert(bad(QueryValidation.validateHistory(Seq("u155kp"), 6, "avg", Some("min"), None, 5, 5, 9))
-      .contains("before"))
+      .contains("less than toDate"))
     assert(bad(QueryValidation.validateHistory(Seq("u155kp"), 6, "avg", None, Some("2weeks"), 0, 1, 2))
       .contains("2weeks"))
   }
@@ -77,9 +83,9 @@ class SerdeAndValidationSpec extends AnyFunSuite {
     assert(bad(QueryValidation.validateSnapshot(1000L, 51.31, 4.50, 51.17, 4.31, 6, "avg", "min"))
       .contains("east"))
     assert(bad(QueryValidation.validateSnapshot(1000L, 51.31, 4.31, 51.17, 4.50, 3, "avg", "min"))
-      .contains("precision 3"))
+      .contains("geohash precision 3 is not yet supported"))
     assert(bad(QueryValidation.validateSnapshot(-5L, 51.31, 4.31, 51.17, 4.50, 6, "avg", "min"))
-      .contains("non-negative"))
+      .contains("valid timestamp in milliseconds"))
   }
 
   // ---- streaming serde (S1/S4/S7 shape minus the Kafka connector) ----
