@@ -19,6 +19,10 @@ run / fork := true
 // (rc-based failure detection is unaffected.)
 ThisBuild / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// ... and the forked run must INHERIT stdout rather than route through
+// sbt's logger, which prefixes every line with "[info] " — the bench
+// JSON has to reach the harness as a BARE line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1260,9 +1260,16 @@ object StreamingViews {
       partitionCols: Seq[String],
       sumCols: Seq[String]): Unit = {
     val spark = batch.sparkSession
-    if (batch.isEmpty) return
-    if (partitionCols.nonEmpty) { withDynamicOverwrite(spark) { upsertAdditiveBody(batch, outPath, keys, partitionCols, sumCols) }; return }
-    upsertAdditiveBody(batch, outPath, keys, partitionCols, sumCols)
+    // a foreachBatch frame is a STATE-STORE READOUT recomputed on every
+    // action, and the upsert runs three (isEmpty, touched-partition
+    // probe, merge) — persist for the upsert's scope so the stateful
+    // readout executes once per micro-batch
+    val b = batch.persist()
+    try {
+      if (b.isEmpty) return
+      if (partitionCols.nonEmpty) { withDynamicOverwrite(spark) { upsertAdditiveBody(b, outPath, keys, partitionCols, sumCols) }; return }
+      upsertAdditiveBody(b, outPath, keys, partitionCols, sumCols)
+    } finally { b.unpersist(); () }
   }
 
   private def upsertAdditiveBody(
@@ -1314,14 +1321,21 @@ object StreamingViews {
       keys: Seq[String],
       partitionCols: Seq[String]): Unit = {
     val spark = batch.sparkSession
-    // a watermarked update-mode stream fires a final batch that only
-    // advances the watermark — nothing to merge, and the touched-tuple
-    // predicate below would reduce over an empty list
-    if (batch.isEmpty) return
-    // dynamic overwrite is load-bearing for partitioned sinks: static
-    // mode would wipe every partition the merged frame doesn't carry
-    if (partitionCols.nonEmpty) { withDynamicOverwrite(spark) { upsertKeyedBody(batch, outPath, keys, partitionCols) }; return }
-    upsertKeyedBody(batch, outPath, keys, partitionCols)
+    // the update-mode batch is a state-store readout recomputed on
+    // every action; the upsert runs three (the empty-batch probe below,
+    // the touched-partition probe, the merge itself) — persist for the
+    // upsert's scope so the stateful readout executes once
+    val b = batch.persist()
+    try {
+      // a watermarked update-mode stream fires a final batch that only
+      // advances the watermark — nothing to merge, and the touched-tuple
+      // predicate below would reduce over an empty list
+      if (b.isEmpty) return
+      // dynamic overwrite is load-bearing for partitioned sinks: static
+      // mode would wipe every partition the merged frame doesn't carry
+      if (partitionCols.nonEmpty) { withDynamicOverwrite(spark) { upsertKeyedBody(b, outPath, keys, partitionCols) }; return }
+      upsertKeyedBody(b, outPath, keys, partitionCols)
+    } finally { b.unpersist(); () }
   }
 
   private def upsertKeyedBody(
