@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Bpe, CorpusSignals, Curation, Decontamination, Dedup, Drift, ExploraQueries, Graph, LanguageId, LanguageModel, Layout, Multimodal, Packing, Pca, Pq, Privacy, Profiling, RandomProjection, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
+import graft.operators.{Bpe, Cardinality, CorpusSignals, Curation, Decontamination, Dedup, Drift, ExploraQueries, Graph, LanguageId, LanguageModel, Layout, Multimodal, Packing, Pca, Pq, Privacy, Profiling, RandomProjection, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
 import graft.sources.{Ingest, ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1509,6 +1509,27 @@ object SparkEntry {
       graft.streaming.StreamingViews.runCmCountersAvailableNow(s, d, path)
       CorpusSignals.cmCertifyAgainst(s.read.parquet(path), Tables.load(s, d, "documents"))
     }),
+    // ---- deterministic HyperLogLog (Cardinality): the OPEN mergeable
+    //      distinct-count sketch — md5-derived registers both engines
+    //      recompute bit-exactly, so hash/register/harmonic-sum/estimate
+    //      all ride the gate with ZERO probabilistic tolerance (the
+    //      sketch_certify HLL++ band is the engine-internal cousin);
+    //      scan folds to ≤256 partial rows per task, one 256-row
+    //      shuffle, O(1) state — the exact count is the certificate's
+    //      measurement cost, not the production query ----
+    "hll_orderkeys" -> ((s, d) =>
+      Cardinality.hllCertify(Tables.load(s, d, "lineitem"), col("l_orderkey"))),
+    // the sketch DEPLOYED at ingest: per-micro-batch register partials
+    // appended to the register log; merge = per-idx MAX (idempotent +
+    // commutative, stronger than additive under replay), so the served
+    // certificate equals the batch sketch exactly — same oracle
+    "streaming_hll" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_hll_stream").toString + "/registers"
+      graft.streaming.StreamingViews.runHllRegistersAvailableNow(s, d, path)
+      Cardinality.hllServeFromLog(
+        s.read.parquet(path), Tables.load(s, d, "lineitem"), col("l_orderkey"))
+    }),
     // drift monitoring AT INGEST: per-micro-batch PSI cell counts
     // append to a counter log (additive partials — the CM pattern);
     // the report served from the stream-built log must equal the batch
@@ -2611,6 +2632,9 @@ object SparkEntry {
     "hybrid_rrf" -> Retrieval.hybridRrfSql(),
     "hybrid_rrf_ivf" -> Retrieval.hybridRrfIvfSql(),
     "heavy_hitters_cm" -> CorpusSignals.heavyHittersCmSql(),
+    "hll_orderkeys" -> Cardinality.hllOrderKeysSql,
+    // stream == batch for a max-mergeable sketch: same replay
+    "streaming_hll" -> Cardinality.hllOrderKeysSql,
     "hybrid_recall" -> Retrieval.hybridRecallSql(),
     "bm25_informative" -> Retrieval.bm25InformativeSql(),
     "retrieval_ndcg" -> Retrieval.retrievalNdcgSql(),

@@ -440,6 +440,39 @@ object StreamingViews {
     q.awaitTermination()
   }
 
+  /** HyperLogLog maintenance on the lineitem STREAM: each micro-batch
+    * APPENDS its ≤ m register partials (idx, r) to the register log —
+    * the [[runCmCountersAvailableNow]] shape for the MAX-mergeable
+    * sketch family (registers merge by per-idx max, which is idempotent
+    * AND commutative, so replay/fragmentation can neither lose nor
+    * double cardinality mass — strictly more forgiving than the
+    * additive sketches). Serving merges the log with one ≤ m-row max
+    * aggregation ([[graft.operators.Cardinality.hllServeFromLog]]).
+    */
+  def runHllRegistersAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      registersPath: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/lineitem.parquet")
+    val reader = spark.readStream.schema(schema)
+    val q = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$sfDir/{lineitem.parquet}")
+      .writeStream
+      .outputMode("append")
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_hll_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Cardinality.hllRegisterPartials(batch, col("l_orderkey"))
+          .write.mode("append").parquet(registersPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drift monitoring AT INGEST: each embedding micro-batch folds into
     * its own (dim, bucket, side) cell-count frame and APPENDS it to the
     * counter log — the [[runCmCountersAvailableNow]] additive-partials

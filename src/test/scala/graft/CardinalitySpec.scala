@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Cardinality
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CardinalitySpec extends AnyFunSuite {
+  import SparkTestBase._
+
+  /** Pure-Scala twin of the register derivation — md5 prefix → 60-bit
+    * int → (idx, rho) — written independently of the Spark expressions.
+    */
+  private def refRegisters(keys: Seq[String]): Map[Long, Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    keys.foldLeft(Map.empty[Long, Int]) { (regs, k) =>
+      val hex = md.digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val idx = h % 256
+      val w = h >>> 8
+      val rho = if (w == 0) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      regs.updated(idx, math.max(regs.getOrElse(idx, 0), rho))
+    }
+  }
+
+  test("Spark register partials == independent pure-Scala reference") {
+    val li = Tables.load(spark, Sf0001, "lineitem")
+    val sparkRegs = Cardinality
+      .hllRegisterPartials(li, col("l_orderkey"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val keys = li.select(col("l_orderkey").cast("string"))
+      .collect().map(_.getString(0)).toSeq
+    assert(sparkRegs === refRegisters(keys))
+  }
+
+  test("certificate: estimate within the 20% bound at the gate SF, exact is exact") {
+    val li = Tables.load(spark, Sf0001, "lineitem")
+    val row = Cardinality.hllCertify(li, col("l_orderkey")).collect().head
+    val exact = li.select(col("l_orderkey")).distinct().count()
+    assert(row.getAs[Long]("exact") === exact)
+    assert(row.getAs[Boolean]("err_ok"))
+    assert(math.abs(row.getAs[Double]("est") - exact) <= 0.2 * exact)
+    assert(row.getAs[Long]("nonzero") > 0 && row.getAs[Long]("nonzero") <= 256)
+  }
+
+  test("registers are max-mergeable: 3-way split partials == one-shot sketch") {
+    val li = Tables.load(spark, Sf0001, "lineitem")
+    val parts = (0 until 3).map(i =>
+      Cardinality.hllRegisterPartials(
+        li.filter(pmod(col("l_linenumber") + col("l_orderkey"), lit(3)) === i),
+        col("l_orderkey")))
+    val mergedLog = parts.reduce(_ unionByName _)
+    val merged = Cardinality
+      .hllServeFromLog(mergedLog, li, col("l_orderkey"))
+      .collect().head
+    val oneShot = Cardinality.hllCertify(li, col("l_orderkey")).collect().head
+    assert(merged.toSeq === oneShot.toSeq)
+  }
+
+  test("streaming register log serves the exact batch certificate") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hll_spec").toString + "/registers"
+    graft.streaming.StreamingViews.runHllRegistersAvailableNow(spark, Sf0001, path)
+    val served = Cardinality
+      .hllServeFromLog(
+        spark.read.parquet(path), Tables.load(spark, Sf0001, "lineitem"), col("l_orderkey"))
+      .collect().head
+    val batch = Cardinality
+      .hllCertify(Tables.load(spark, Sf0001, "lineitem"), col("l_orderkey"))
+      .collect().head
+    assert(served.toSeq === batch.toSeq)
+  }
+}
