@@ -74,17 +74,28 @@ object Cardinality {
     * column identical in both engines by construction.
     */
   def hllSummarize(partials: DataFrame, exactDf: DataFrame): DataFrame = {
+    // combine the two one-row aggregates WITHOUT a join (a constant-key
+    // join of 1-row frames constant-folds into a nested-loop join,
+    // which the repo-wide plan audit forbids): pad each side with null
+    // columns, union, and fold with max-ignoring-nulls
     val s = partials
       .agg(
         count(lit(1)).as("nonzero"),
         sum(expr(s"shiftleft(1L, CAST($RhoCap - r AS INT))")).as("present_denom"))
-      .withColumn("j", lit(1))
-    val e = exactDf.withColumn("j", lit(1))
+      .withColumn("exact", lit(null).cast("long"))
+    val e = exactDf.select(
+      lit(null).cast("long").as("nonzero"),
+      lit(null).cast("long").as("present_denom"),
+      col("exact"))
+    val folded = s.unionByName(e).agg(
+      max(col("nonzero")).as("nonzero"),
+      max(col("present_denom")).as("present_denom"),
+      max(col("exact")).as("exact"))
     val denom =
       col("present_denom") + (lit(HllM.toLong) - col("nonzero")) * lit(EmptyTerm)
     val est = round(
       alphaExpr * lit(65536.0) * lit(EmptyTerm.toDouble) / denom.cast("double"), 3)
-    s.join(broadcast(e), Seq("j")).select(
+    folded.select(
       lit(HllM).as("m"),
       col("nonzero"),
       denom.as("denom"),
