@@ -76,14 +76,26 @@ object Graph {
     * (node, pr) with pr still in BIGINT fixed-point ([[Scale]]).
     */
   def pageRank(edges: DataFrame, iterations: Int = Iterations): DataFrame = {
+    // degree table materialized ONCE (|nodes| rows of two longs) — the
+    // iteration must never recompute the degree aggregation
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = true)
     // node count: the one driver-side scalar (every node has an
     // out-edge by symmetric construction)
     val n = deg.count()
     // integer teleport term, floored once driver-side — the SQL twin
     // computes the same `(15·Scale div 100) div n`
     val teleport = (TeleportNum * Scale / 100L) / n
+    // the loop-invariant (src, dst, d) frame: joined ONCE, shuffled to
+    // the join key ONCE, checkpointed — LogicalRDD keeps the hash
+    // partitioning, so every iteration's edges⋈ranks join re-shuffles
+    // only the |nodes|-row rank frame, never the edge list (this is the
+    // bucketed-edge-table plan the scaladoc promises, realized in the
+    // harness; r11 recomputed deg + this join every round and paid
+    // ~2 s/iteration at sf0.1 for it)
     val withDeg = edges.join(deg, "src")
+      .repartition(col("src"))
+      .localCheckpoint(eager = true)
     var ranks = deg.select(col("src").as("node"), lit(Scale / n).as("pr"))
     for (_ <- 1 to iterations) {
       ranks = withDeg
@@ -107,13 +119,21 @@ object Graph {
     */
   def pageRankTopK(spark: SparkSession, lineitem: DataFrame, k: Int): DataFrame = {
     val edges = copurchaseEdges(lineitem).cache()
-    try {
-      pageRank(edges)
-        .orderBy(col("pr").desc, col("node"))
-        .limit(k)
-        .select(col("node"), round(col("pr").cast("double") / lit(1.0e12), 9).as("pr"))
-    } finally edges.unpersist(false)
+    try pageRankTopKEdges(edges, k)
+    finally edges.unpersist(false)
   }
+
+  /** [[pageRankTopK]] over a pre-materialized edge frame — the
+    * production call shape (the edge table is built once and served to
+    * every ranking run, like the IVF/PQ stores; at 100 TB it would be
+    * bucketed by `src` on disk). Safe to pass lazily-derived frames
+    * too: [[pageRank]] checkpoints everything it keeps.
+    */
+  def pageRankTopKEdges(edges: DataFrame, k: Int): DataFrame =
+    pageRank(edges)
+      .orderBy(col("pr").desc, col("node"))
+      .limit(k)
+      .select(col("node"), round(col("pr").cast("double") / lit(1.0e12), 9).as("pr"))
 
   /** The DuckDB replay: the same edge derivation and the same exact
     * integer fixed-point iteration chain as SQL CTEs, generated for

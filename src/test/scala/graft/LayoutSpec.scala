@@ -82,8 +82,12 @@ class LayoutSpec extends AnyFunSuite {
 
   test("zorderUpsert == full rebuild; untouched cell directories byte-identical") {
     val events = Tables.load(spark, Sf0001, "events")
-    val isNew = col("event_id") % 10 === 0
-    val isMod = col("event_id") % 10 =!= 0 && col("event_id") % 17 === 3
+    // same user-sliced batch shape as the gate entry: inserts land in
+    // x_buckets 0/1, corrections in x_bucket 5 (moved +100 days), so
+    // most cells must be untouched — the byte-identity sweep is real
+    val isNew = col("event_id") % 10 === 0 && col("user_id") % 16 < 2
+    val isMod = col("event_id") % 10 =!= 0 && col("event_id") % 17 === 3 &&
+      col("user_id") % 16 === 5
     val batch = events.filter(isNew).unionByName(
       events.filter(isMod)
         .withColumn("ts", col("ts") + expr("INTERVAL 100 DAYS"))
@@ -107,6 +111,8 @@ class LayoutSpec extends AnyFunSuite {
     val before = (0 until 256).map(c => c -> cellFingerprint(incPath, c)).toMap
     val touched = Layout.zorderUpsert(spark, batch, incPath)
     assert(touched.nonEmpty)
+    // locality: the sliced batch must leave most of the store alone
+    assert(touched.size < 128, s"batch touched ${touched.size}/256 cells — no locality")
     // a corrected event shifted +100 days MOVES cells: its old home must
     // be in the touched set (eviction is exercised, not vacuous)
     val movedOld = Layout.bucketized(events.filter(isMod))
