@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Bpe, Cardinality, CorpusSignals, Curation, Decontamination, Dedup, Drift, ExploraQueries, Graph, LanguageId, LanguageModel, Layout, Multimodal, Packing, Pca, Pq, Privacy, Profiling, RandomProjection, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
+import graft.operators.{Bpe, Cardinality, CorpusSignals, Curation, Decontamination, Dedup, Drift, ExploraQueries, Graph, LanguageId, LanguageModel, Layout, Multimodal, Packing, Pca, Pq, Privacy, Profiling, QuantileSketch, RandomProjection, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
 import graft.sources.{Ingest, ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1592,6 +1592,26 @@ object SparkEntry {
       Cardinality.hllServeFromLog(
         s.read.parquet(path), Tables.load(s, d, "lineitem"), col("l_orderkey"))
     }),
+    // ---- mergeable quantile sketch (QuantileSketch): order statistics
+    //      join the open sketch family (CM=frequency, HLL=cardinality)
+    //      — fixed data-independent bin edges make the counts additive
+    //      across days/shards/engines; serve = one interpolation over
+    //      the ≤1026-row sketch; the certificate panel rides the gate
+    //      with both engines computing identical booleans ----
+    "quantile_sketch" -> ((s, d) =>
+      QuantileSketch.quantileCertify(Tables.load(s, d, "events"))),
+    // the sketch DEPLOYED at ingest: per-micro-batch bin counts append
+    // to the counter log; serving merges by summation — same oracle
+    // (stream == batch for additive fixed-edge counts)
+    "streaming_quantile_sketch" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_qsk_stream").toString + "/counts"
+      graft.streaming.StreamingViews.runQuantileCountsAvailableNow(s, d, path)
+      QuantileSketch.serveQuantiles(
+        s.read.parquet(path).groupBy(col("bin")).agg(sum(col("cnt")).as("cnt")),
+        Tables.load(s, d, "events"),
+        "value")
+    }),
     // drift monitoring AT INGEST: per-micro-batch PSI cell counts
     // append to a counter log (additive partials — the CM pattern);
     // the report served from the stream-built log must equal the batch
@@ -2709,6 +2729,9 @@ object SparkEntry {
     "hll_orderkeys" -> Cardinality.hllOrderKeysSql,
     // stream == batch for a max-mergeable sketch: same replay
     "streaming_hll" -> Cardinality.hllOrderKeysSql,
+    "quantile_sketch" -> QuantileSketch.quantileSketchSql,
+    // stream == batch for additive fixed-edge counts: same replay
+    "streaming_quantile_sketch" -> QuantileSketch.quantileSketchSql,
     "hybrid_recall" -> Retrieval.hybridRecallSql(),
     "bm25_informative" -> Retrieval.bm25InformativeSql(),
     "retrieval_ndcg" -> Retrieval.retrievalNdcgSql(),

@@ -473,6 +473,37 @@ object StreamingViews {
     q.awaitTermination()
   }
 
+  /** Quantile-sketch maintenance on the events STREAM: each micro-batch
+    * APPENDS its ≤ 1026-row fixed-edge bin-count frame to the counter
+    * log — additive partials, the [[runCmCountersAvailableNow]] shape —
+    * and serving merges by summation before the interpolation
+    * ([[graft.operators.QuantileSketch.serveQuantiles]]). stream ==
+    * batch exactly because fixed-edge counts are additive.
+    */
+  def runQuantileCountsAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      countsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/events.parquet")
+    val reader = spark.readStream.schema(schema)
+    val q = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$sfDir/{events.parquet}")
+      .writeStream
+      .outputMode("append")
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_qsk_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.QuantileSketch.binCounts(batch, col("value"))
+          .write.mode("append").parquet(countsPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drift monitoring AT INGEST: each embedding micro-batch folds into
     * its own (dim, bucket, side) cell-count frame and APPENDS it to the
     * counter log — the [[runCmCountersAvailableNow]] additive-partials
