@@ -78,10 +78,14 @@ object Cardinality {
     // join of 1-row frames constant-folds into a nested-loop join,
     // which the repo-wide plan audit forbids): pad each side with null
     // columns, union, and fold with max-ignoring-nulls
+    // coalesce: an EMPTY corpus has no partials — every register is
+    // empty, denom = m·2^53, est = alpha·m (the defined HLL zero point)
     val s = partials
       .agg(
         count(lit(1)).as("nonzero"),
-        sum(expr(s"shiftleft(1L, CAST($RhoCap - r AS INT))")).as("present_denom"))
+        coalesce(
+          sum(expr(s"shiftleft(1L, CAST($RhoCap - r AS INT))")),
+          lit(0L)).as("present_denom"))
       .withColumn("exact", lit(null).cast("long"))
     val e = exactDf.select(
       lit(null).cast("long").as("nonzero"),

@@ -290,5 +290,15 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(LanguageModel.corpusEntropy(emptyDocs).collect().length === 1) // one all-NULL row
     assert(Profiling.rateAnomalies(emptyEvents).collect().isEmpty)
     assert(TextAnalysis.lengthHistogram(emptyDocs).collect().isEmpty)
+    // open sketches: defined zero points, never a crash
+    val hll = graft.operators.Cardinality
+      .hllCertify(emptyEvents, org.apache.spark.sql.functions.col("user_id"))
+      .collect().head
+    assert(hll.getAs[Long]("nonzero") === 0L)
+    assert(hll.getAs[Long]("exact") === 0L)
+    // empty registers: denom = m * 2^53, est = the alpha*m zero point
+    assert(hll.getAs[Long]("denom") === 256L * 9007199254740992L)
+    assert(graft.operators.QuantileSketch.quantileCertify(emptyEvents)
+      .collect().length === 5) // one all-NULL estimate row per q
   }
 }
