@@ -99,8 +99,12 @@ object Layout {
     val assigned = bucketized(batch)
     val store = spark.read.parquet(path)
     val batchIds = assigned.select(col("event_id"))
+    // no broadcast hint on the id probe: a daily batch's id frame grows
+    // with the batch, and a forced broadcast would hit the driver
+    // ceiling at real increment sizes (the JL-rerank lesson, ADVICE
+    // r11) — AQE broadcasts it when it measures small
     val oldHomes = store
-      .join(broadcast(batchIds), Seq("event_id"))
+      .join(batchIds, Seq("event_id"))
       .select(col("z_cell").cast("int")).distinct()
       .collect().map(_.getInt(0))
     val newHomes = assigned.select(col("z_cell").cast("int"))
