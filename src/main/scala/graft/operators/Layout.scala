@@ -74,8 +74,13 @@ object Layout {
       .withColumn("z_cell", mortonCell(col("x_bucket"), col("y_bucket")))
 
   /** Cluster: one pass, cells become partition directories. */
-  def zorderWrite(events: DataFrame, path: String): Unit =
-    bucketized(events).write.mode("overwrite").partitionBy("z_cell").parquet(path)
+  def zorderWrite(events: DataFrame, path: String): Unit = {
+    val b = bucketized(events)
+    b.write.mode("overwrite").partitionBy("z_cell").parquet(path)
+    // event→cell manifest for the upsert's old-home probe — cost of a
+    // later batch's probe becomes ∝ batch, never layout bytes
+    StoreManifest.write(b, path, "event_id", bucketCol = "z_cell")
+  }
 
   /** INCREMENTAL layout maintenance: merge an event batch (inserts +
     * corrections keyed by `event_id`) into the clustered store,
@@ -102,10 +107,10 @@ object Layout {
     // no broadcast hint on the id probe: a daily batch's id frame grows
     // with the batch, and a forced broadcast would hit the driver
     // ceiling at real increment sizes (the JL-rerank lesson, ADVICE
-    // r11) — AQE broadcasts it when it measures small
-    val oldHomes = store
-      .join(batchIds, Seq("event_id"))
-      .select(col("z_cell").cast("int")).distinct()
+    // r11) — AQE broadcasts it when it measures small. The probe reads
+    // the event→cell manifest, never the layout's own bytes.
+    val oldHomes = StoreManifest
+      .probe(spark, path, batchIds, "event_id", storeBucketCol = "z_cell")
       .collect().map(_.getInt(0))
     val newHomes = assigned.select(col("z_cell").cast("int"))
       .distinct().collect().map(_.getInt(0))
@@ -119,6 +124,10 @@ object Layout {
       .select(outCols: _*)
     val merged = survivors.unionByName(assigned.select(outCols: _*))
     Similarity.swapTouchedPartitions(spark, merged, path, touched, partCol = "z_cell")
+    StoreManifest.update(
+      spark, path, batchIds, "event_id",
+      adds = Some(assigned.select(col("event_id"), col("z_cell"))),
+      bucketCol = "z_cell", storeBucketCol = "z_cell")
     touched
   }
 

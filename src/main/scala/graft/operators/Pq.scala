@@ -393,8 +393,12 @@ object Pq {
     * smaller than the float store's. At 100 TB of raw vectors this
     * table is ~1.6 TB — the tier that actually fits serving hardware.
     */
-  def pqStoreWrite(codes: DataFrame, path: String): Unit =
+  def pqStoreWrite(codes: DataFrame, path: String): Unit = {
     codes.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // id→bucket manifest for the upsert/delete old-home probes —
+    // the [[Similarity.ivfStoreWrite]] discipline on the code tier
+    StoreManifest.write(codes, path, "vec_id")
+  }
 
   /** Incremental code-store maintenance — [[Similarity.storeUpsert]]
     * pointed at the code payload: a daily batch re-encodes only its own

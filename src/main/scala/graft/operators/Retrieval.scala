@@ -210,9 +210,12 @@ object Retrieval {
     */
   def bm25IndexWrite(docs: DataFrame, path: String, statsPath: String): Unit = {
     val (postings, stats) = postingsAndStats(docs)
-    postings
-      .withColumn("bucket", bucketOfCol(col("token")))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val sharded = postings.withColumn("bucket", bucketOfCol(col("token")))
+    sharded.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // doc→shard manifest (one row per doc × shard its tokens hash
+    // into) — the upsert/delete old-home probes read this, not the
+    // full postings store
+    StoreManifest.write(sharded, path, "doc_id")
     stats.write.mode("overwrite").parquet(statsPath)
   }
 
@@ -253,9 +256,17 @@ object Retrieval {
     val store = spark.read.parquet(path)
     val batchIds = docsBatch.select(col("doc_id")).distinct()
     val batchRaw = rawPostings(docsBatch)
-    val oldOfBatch = store.join(broadcast(batchIds), Seq("doc_id"))
-    val oldHomes = oldOfBatch
-      .select(col("bucket").cast("int")).distinct().collect().map(_.getInt(0))
+    // old homes via the doc→shard manifest — cost ∝ batch, never
+    // store bytes (r12 verdict #2); the replaced-doc read below is
+    // then partition-pruned to exactly those shards. No broadcast
+    // hint anywhere: a daily batch's id frame grows with the batch
+    // (r12 verdict #1) — AQE broadcasts it when it measures small.
+    val oldHomes = StoreManifest
+      .probe(spark, path, batchIds, "doc_id")
+      .collect().map(_.getInt(0))
+    val oldOfBatch = store
+      .filter(col("bucket").isin(oldHomes.map(Int.box): _*))
+      .join(batchIds, Seq("doc_id"))
     val newHomes = batchRaw
       .select(bucketOfCol(col("token")).as("bucket")).distinct().collect().map(_.getInt(0))
     val touched = (oldHomes ++ newHomes).distinct.sorted.toSeq
@@ -300,6 +311,9 @@ object Retrieval {
       .select(col("token"), col("doc_id"), col("len"), col("tf"), col("df"),
         bucketOfCol(col("token")).as("bucket"))
     Similarity.swapTouchedPartitions(spark, merged, path, touched)
+    StoreManifest.update(
+      spark, path, batchIds, "doc_id",
+      adds = Some(batchRaw.select(col("doc_id"), bucketOfCol(col("token")).as("bucket"))))
     touched
   }
 
@@ -322,11 +336,15 @@ object Retrieval {
       statsPath: String): Seq[Int] = {
     val store = spark.read.parquet(path)
     val ids = deleteIds.select(col("doc_id")).distinct()
-    val oldOfBatch = store.join(broadcast(ids), Seq("doc_id"))
-    val touched = oldOfBatch
-      .select(col("bucket").cast("int")).distinct()
+    // old homes via the doc→shard manifest (cost ∝ delete set); the
+    // removed-doc stats read is then partition-pruned to those shards
+    val touched = StoreManifest
+      .probe(spark, path, ids, "doc_id")
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return touched
+    val oldOfBatch = store
+      .filter(col("bucket").isin(touched.map(Int.box): _*))
+      .join(ids, Seq("doc_id"))
 
     // exact stats shrink BEFORE the swap (the upsert's discipline with
     // no arriving side): each deleted doc leaves once
@@ -354,6 +372,7 @@ object Retrieval {
       .select(col("token"), col("doc_id"), col("len"), col("tf"), col("df"),
         bucketOfCol(col("token")).as("bucket"))
     Similarity.swapTouchedPartitions(spark, merged, path, touched)
+    StoreManifest.update(spark, path, ids, "doc_id", adds = None)
     touched
   }
 

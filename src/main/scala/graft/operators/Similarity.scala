@@ -692,8 +692,12 @@ object Similarity {
     * level and a search touches nprobe/k of the corpus bytes without
     * any shuffle or index structure beyond the directory tree.
     */
-  def ivfStoreWrite(assigned: DataFrame, path: String): Unit =
+  def ivfStoreWrite(assigned: DataFrame, path: String): Unit = {
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // one narrow projection of the frame just written: the id→bucket
+    // manifest every later upsert/delete probes instead of the store
+    StoreManifest.write(assigned, path, "vec_id")
+  }
 
   /** Answer the multi-probe top-k FROM STORAGE: read the persisted
     * index and rank within the probed buckets. The `isin` filter lands
@@ -754,14 +758,14 @@ object Similarity {
     // CURRENTLY lives: a re-embedded vector can move cells, and its
     // stale row in the OLD bucket must go too (caught by the verify
     // drive: skipping this left the store serving both embeddings).
-    // Finding the old homes costs one (vec_id, bucket)-projected pass
-    // over the store with the small id set broadcast — at 100 TB an
-    // update-heavy pipeline would keep a doc→bucket manifest instead;
-    // pure-append batches (all ids new) pay the scan and touch nothing
-    // extra.
-    val oldHomes = store
-      .join(broadcast(batchIds), Seq("vec_id"))
-      .select(col("bucket").cast("int")).distinct()
+    // No broadcast hint on the id probe: a daily batch's id frame grows
+    // with the batch, and a forced broadcast would hit the driver
+    // ceiling at real increment sizes (the Layout.zorderUpsert fix) —
+    // AQE broadcasts it when it measures small. The probe itself reads
+    // the (vec_id, bucket) manifest, not the store — cost ∝ batch +
+    // manifest partitions the batch ids hash into, never corpus bytes.
+    val oldHomes = StoreManifest
+      .probe(spark, path, batchIds, "vec_id")
       .collect().map(_.getInt(0))
     val newHomes = assignedBatch.select(col("bucket").cast("int"))
       .distinct().collect().map(_.getInt(0))
@@ -788,6 +792,11 @@ object Similarity {
     // dynamic-overwrite swap (and the emptied-bucket sweep that reads
     // it) is done.
     swapTouchedPartitions(spark, merged.select(outCols: _*), path, touched)
+    // manifest rides the same maintenance call: batch ids' old pairs
+    // out, their new homes in — touched manifest partitions only
+    StoreManifest.update(
+      spark, path, batchIds, "vec_id",
+      adds = Some(assignedBatch.select(col("vec_id"), col("bucket"))))
     touched
   }
 
@@ -813,9 +822,10 @@ object Similarity {
       path: String): Seq[Int] = {
     val store = spark.read.parquet(path)
     val ids = deleteIds.select(col("vec_id")).distinct()
-    val touched = store
-      .join(broadcast(ids), Seq("vec_id"))
-      .select(col("bucket").cast("int")).distinct()
+    // old homes via the id→bucket manifest (cost ∝ delete set, never
+    // store bytes); no broadcast hint — AQE decides (r12 verdict #1)
+    val touched = StoreManifest
+      .probe(spark, path, ids, "vec_id")
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return touched
     val outCols = store.columns.filterNot(_ == "bucket").map(col) :+
@@ -825,6 +835,7 @@ object Similarity {
       .join(ids, Seq("vec_id"), "left_anti")
       .select(outCols: _*)
     swapTouchedPartitions(spark, survivors, path, touched)
+    StoreManifest.update(spark, path, ids, "vec_id", adds = None)
     touched
   }
 

@@ -1178,7 +1178,10 @@ object StreamingViews {
       checkpoint: String,
       rocksDbState: Boolean = true,
       watermark: Option[String] = None): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // no session-level partitionOverwriteMode set here: the sink's
+    // upsert/upsertKeyed scope the dynamic mode themselves
+    // ([[withDynamicOverwrite]]), so the shared session's conf is
+    // never left changed for later writes (r12 verdict #3)
     // the reference keeps its views in RocksDB (IngestStream.java:375-393);
     // Spark's RocksDB state store provider is the same trade — state off
     // the JVM heap, bounded memory for unbounded-state parity mode
@@ -1245,7 +1248,6 @@ object StreamingViews {
       outPath: String,
       partitionCols: Seq[String] = Seq("metric", "ts_part"),
       maxFilesPerPartition: Int = 1): Seq[String] = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val root = new org.apache.hadoop.fs.Path(outPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
@@ -1272,11 +1274,17 @@ object StreamingViews {
     val compacted = spark.read.parquet(outPath)
       .filter(preds)
       .repartition(partitionCols.map(col): _*)
-    compacted.localCheckpoint(eager = true)
-      .write
-      .mode("overwrite")
-      .partitionBy(partitionCols: _*)
-      .parquet(outPath)
+    // dynamic overwrite scoped to this one write (and restored after):
+    // static mode would wipe every partition the compacted frame
+    // doesn't carry, and a session-level set would leak into later
+    // overwrite+partitionBy writes (r12 verdict #3)
+    withDynamicOverwrite(spark) {
+      compacted.localCheckpoint(eager = true)
+        .write
+        .mode("overwrite")
+        .partitionBy(partitionCols: _*)
+        .parquet(outPath)
+    }
     bloated.map(_.toString)
   }
 

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{Similarity, StoreManifest}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The id→bucket manifest behind every store's old-home probe (r12
+  * verdict #2): the probe must read ONLY the manifest partitions the
+  * batch ids hash into (never store bytes), and the manifest must stay
+  * exactly consistent with the store across upsert / delete / compact.
+  */
+class StoreManifestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** Synthetic id-unique store: 500 rows over 8 buckets. */
+  private def baseStore: DataFrame =
+    spark.range(500).select(
+      col("id").as("vec_id"),
+      (col("id") * 2).cast("double").as("val"),
+      pmod(col("id"), lit(8L)).cast("int").as("bucket"))
+
+  private def storePairs(path: String): Seq[(Long, Int)] =
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("bucket").cast("int"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(identity).toSeq
+
+  private def manifestPairs(path: String): Seq[(Long, Int)] =
+    spark.read.parquet(StoreManifest.manifestPath(path))
+      .select(col("id").cast("long"), col("bucket"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(identity).toSeq
+
+  test("probe reads only the manifest partitions the batch ids hash into") {
+    val path = java.nio.file.Files.createTempDirectory("graft_manifest_probe").toString + "/store"
+    Similarity.ivfStoreWrite(baseStore, path)
+    import spark.implicits._
+    val ids = Seq(7L, 123L).toDF("vec_id")
+    val probed = StoreManifest.probe(spark, path, ids, "vec_id")
+    val got = probed.collect().map(_.getInt(0)).toSet
+    assert(got === Set((7 % 8), (123 % 8)))
+
+    // the scan under the probe hits the manifest, with the mpart
+    // IN-list in PartitionFilters, reading exactly the ids' partitions
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case o => o.children.flatMap(allScans)
+      }
+      here ++ p.subqueries.flatMap(allScans)
+    }
+    val mp = StoreManifest.manifestPath(path)
+    val scan = allScans(probed.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains(".manifest")))
+      .getOrElse(fail("manifest scan not found in executed plan"))
+    // expected mparts via the same public hash the manifest routes on
+    val expectedParts = ids
+      .select(pmod(xxhash64(col("vec_id")), lit(StoreManifest.Parts.toLong)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    def filesUnder(parts: Iterable[Int]): Int = parts.toSeq.map { p =>
+      val dir = new java.io.File(s"$mp/mpart=$p")
+      Option(dir.listFiles).toSeq.flatten.count(_.getName.endsWith(".parquet"))
+    }.sum
+    val total = filesUnder(0 until StoreManifest.Parts)
+    val numFiles = scan.metrics("numFiles").value
+    info(s"probe read $numFiles of $total manifest files (${expectedParts.size} of ${StoreManifest.Parts} partitions)")
+    assert(scan.partitionFilters.nonEmpty, "mpart IN-list did not reach PartitionFilters")
+    assert(numFiles === filesUnder(expectedParts).toLong, "probe did not prune to the ids' manifest partitions")
+    assert(numFiles < total.toLong, "nothing was pruned — all manifest partitions were read")
+    // and NO scan of the store itself anywhere in the probe plan
+    assert(
+      !allScans(probed.queryExecution.executedPlan)
+        .exists(s => s.relation.location.rootPaths.exists(p =>
+          p.toString.contains(path) && !p.toString.contains(".manifest"))),
+      "probe plan scanned the store — the manifest exists to prevent exactly this")
+  }
+
+  test("manifest == store pairs after upsert, delete, and compact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_manifest_consist").toString + "/store"
+    Similarity.ivfStoreWrite(baseStore, path)
+    assert(manifestPairs(path) === storePairs(path))
+
+    // upsert: 20 moved ids (bucket changes) + 20 brand-new ids
+    val batch = spark.range(100, 120).select(
+      col("id").as("vec_id"),
+      lit(-1.0).as("val"),
+      pmod(col("id") + 3, lit(8L)).cast("int").as("bucket"))
+      .unionByName(spark.range(500, 520).select(
+        col("id").as("vec_id"),
+        lit(-2.0).as("val"),
+        pmod(col("id"), lit(8L)).cast("int").as("bucket")))
+    Similarity.storeUpsert(spark, batch, path, payloadCols = Seq("val"))
+    assert(manifestPairs(path) === storePairs(path), "manifest drifted after upsert")
+
+    // delete: some original, some moved, some never-present ids
+    import spark.implicits._
+    Similarity.storeDelete(spark, Seq(3L, 105L, 510L, 9999L).toDF("vec_id"), path)
+    assert(manifestPairs(path) === storePairs(path), "manifest drifted after delete")
+
+    // compact: buckets unchanged, manifest must still match
+    Similarity.ivfStoreCompact(spark, path)
+    assert(manifestPairs(path) === storePairs(path), "manifest drifted after compact")
+  }
+
+  test("legacy store (no manifest): probe falls back to the store scan; first upsert builds the manifest") {
+    val path = java.nio.file.Files.createTempDirectory("graft_manifest_legacy").toString + "/store"
+    Similarity.ivfStoreWrite(baseStore, path)
+    // simulate a pre-manifest store
+    val mp = new org.apache.hadoop.fs.Path(StoreManifest.manifestPath(path))
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, true)
+
+    import spark.implicits._
+    val ids = Seq(7L, 123L).toDF("vec_id")
+    val got = StoreManifest.probe(spark, path, ids, "vec_id").collect().map(_.getInt(0)).toSet
+    assert(got === Set((7 % 8), (123 % 8)), "legacy fallback probe wrong")
+
+    // first maintenance op on a legacy store performs the one-time
+    // manifest build (from post-swap content) — consistent afterwards
+    val batch = spark.range(0, 10).select(
+      col("id").as("vec_id"), lit(-3.0).as("val"),
+      pmod(col("id") + 1, lit(8L)).cast("int").as("bucket"))
+    Similarity.storeUpsert(spark, batch, path, payloadCols = Seq("val"))
+    assert(manifestPairs(path) === storePairs(path), "legacy upgrade left manifest inconsistent")
+  }
+}
