@@ -22,12 +22,12 @@ import org.apache.spark.sql.functions._
   *   - the cell id is pure codegen arithmetic (shifts + masks) — the
   *     clustering write is one pass, no shuffle beyond the
   *     `partitionBy` file routing;
-  *   - a rectangle decomposes into its covered cells DRIVER-SIDE (at
-  *     [[Bits]]=4 per axis the whole grid is 256 cells, so plain
-  *     enumeration; at production bit widths the standard BIGMIN/LITMAX
-  *     prefix-interval decomposition emits O(perimeter) Z-ranges
-  *     instead — same IN-list/range shape, still literal, still a
-  *     `PartitionFilters` entry);
+  *   - a rectangle decomposes into its covered Z-ranges DRIVER-SIDE
+  *     via [[zIntervalsForRect]] — the BIGMIN/LITMAX prefix-interval
+  *     decomposition, O(perimeter) coalesced intervals at ANY bit
+  *     width (LayoutSpec proves set-equality with plain enumeration at
+  *     8 bits/axis), emitted as a literal BETWEEN-disjunction that
+  *     lands in the scan's `PartitionFilters`;
   *   - the query reads exactly the matched cell directories
   *     (LayoutSpec asserts numFiles == the rectangle's directories'
   *     files) and nothing else — cost ∝ selected bytes, corpus-size
@@ -56,10 +56,53 @@ object Layout {
       .reduce(_ + _)
 
   /** Driver-side twin of [[mortonCell]] for decomposing rectangles. */
-  def mortonCellOf(x: Int, y: Int): Int =
-    (0 until Bits).map { i =>
+  def mortonCellOf(x: Int, y: Int, bits: Int = Bits): Int =
+    (0 until bits).map { i =>
       (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))
     }.sum
+
+  /** Prefix-interval decomposition of a rectangle into Z-value RANGES —
+    * the production-bit-width path [[Bits]]=4 only postponed (r12
+    * verdict #4): at 16+ bits per axis a rectangle covers billions of
+    * cells and a literal IN-list is impossible, but the Z-curve is
+    * self-similar, so the rectangle decomposes into O(perimeter)
+    * contiguous Z intervals via quadtree recursion (the BIGMIN/LITMAX
+    * result expressed as prefix squares: a quadrant fully inside the
+    * rectangle emits its whole Z range `[zBase, zBase+size²)` and
+    * recursion only continues along the boundary). Pure driver-side
+    * integer math, corpus-independent; adjacent intervals are
+    * coalesced so the predicate is minimal. The emitted
+    * `z BETWEEN lo AND hi OR …` disjunction is still a literal
+    * partition predicate — same `PartitionFilters` file pruning as the
+    * enumeration, at any bit width (LayoutSpec proves set-equality
+    * against the enumeration at 8 bits per axis and boundedness of the
+    * interval count).
+    */
+  def zIntervalsForRect(
+      xLo: Int, xHi: Int, yLo: Int, yHi: Int, bits: Int = Bits): Seq[(Long, Long)] = {
+    def go(x0: Long, y0: Long, size: Long, zBase: Long): Seq[(Long, Long)] = {
+      val x1 = x0 + size - 1
+      val y1 = y0 + size - 1
+      if (x1 < xLo || x0 > xHi || y1 < yLo || y0 > yHi) Seq.empty
+      else if (x0 >= xLo && x1 <= xHi && y0 >= yLo && y1 <= yHi)
+        Seq((zBase, zBase + size * size - 1))
+      else {
+        val h = size / 2
+        val q = h * h
+        // child quadrant (xHigh, yHigh) owns Z offset (yHigh·2 + xHigh)·h²
+        go(x0, y0, h, zBase) ++
+          go(x0 + h, y0, h, zBase + q) ++
+          go(x0, y0 + h, h, zBase + 2 * q) ++
+          go(x0 + h, y0 + h, h, zBase + 3 * q)
+      }
+    }
+    val raw = go(0, 0, 1L << bits, 0L).sortBy(_._1)
+    // coalesce Z-adjacent intervals (quadtree siblings along a boundary)
+    raw.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, (lo2, hi2)) if lo2 == hi + 1 => (lo, hi2) :: rest
+      case (acc, iv)                                       => iv :: acc
+    }.reverse
+  }
 
   /** The two layout dimensions on `events`: user bucket and epoch-day
     * bucket — the (who, when) rectangle an analytics backfill or a
@@ -138,7 +181,9 @@ object Layout {
     (for { x <- xLo to xHi; y <- yLo to yHi } yield mortonCellOf(x, y)).sorted
 
   /** Per-cell aggregate over a (user-bucket, day-bucket) rectangle,
-    * answered FROM the clustered files: the cell IN-list prunes the
+    * answered FROM the clustered files: the rectangle's prefix-interval
+    * decomposition ([[zIntervalsForRect]] — the production-bit-width
+    * machinery, live in the gate path at [[Bits]]=4 too) prunes the
     * scan to the rectangle's directories, and the returned `z_cell`
     * column comes from the DIRECTORY TREE — so the oracle, which
     * recomputes the interleave arithmetically from raw `events`, gates
@@ -151,10 +196,15 @@ object Layout {
       xHi: Int,
       yLo: Int,
       yHi: Int): DataFrame = {
-    val cells = cellsForRect(xLo, xHi, yLo, yHi)
+    val pred = zIntervalsForRect(xLo, xHi, yLo, yHi)
+      .map { case (lo, hi) =>
+        if (lo == hi) col("z_cell") === lit(lo.toInt)
+        else col("z_cell").between(lit(lo.toInt), lit(hi.toInt))
+      }
+      .reduce(_ || _)
     spark.read
       .parquet(path)
-      .filter(col("z_cell").isin(cells: _*))
+      .filter(pred)
       .groupBy(col("z_cell").cast("int").as("z_cell"), col("x_bucket"), col("y_bucket"))
       .agg(
         count(lit(1)).as("cnt"),

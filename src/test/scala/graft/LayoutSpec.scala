@@ -27,6 +27,40 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.values.toSeq.sorted === (0 until 256))
   }
 
+  test("zIntervalsForRect == plain enumeration at 8 bits/axis; interval count is perimeter-bounded") {
+    // production bit width: 2^8 x 2^8 = 65536 cells — IN-list
+    // enumeration of a large rectangle is exactly what the prefix
+    // intervals exist to avoid
+    val bits = 8
+    val rects = Seq(
+      (3, 200, 5, 180),   // large interior rectangle
+      (0, 255, 17, 17),   // full-width stripe
+      (250, 255, 250, 255), // aligned corner square
+      (1, 2, 3, 250),     // tall thin sliver
+      (7, 7, 9, 9),       // single cell
+      (0, 255, 0, 255))   // whole space
+    for ((xLo, xHi, yLo, yHi) <- rects) {
+      val ivs = Layout.zIntervalsForRect(xLo, xHi, yLo, yHi, bits)
+      // intervals are sorted, disjoint, non-adjacent (fully coalesced)
+      ivs.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1, s"rect ($xLo,$xHi,$yLo,$yHi): not coalesced")
+        case _ =>
+      }
+      val fromIntervals = ivs.flatMap { case (lo, hi) => lo to hi }.toSet
+      val enumerated = (for { x <- xLo to xHi; y <- yLo to yHi }
+        yield Layout.mortonCellOf(x, y, bits).toLong).toSet
+      assert(fromIntervals === enumerated, s"rect ($xLo,$xHi,$yLo,$yHi): cell sets differ")
+      // O(perimeter): each boundary row/column contributes a bounded
+      // number of quadtree squares per level
+      val perimeter = 2L * ((xHi - xLo + 1) + (yHi - yLo + 1))
+      assert(ivs.size <= 4 * perimeter,
+        s"rect ($xLo,$xHi,$yLo,$yHi): ${ivs.size} intervals for perimeter $perimeter")
+      info(s"rect ($xLo,$xHi)x($yLo,$yHi): ${enumerated.size} cells -> ${ivs.size} intervals")
+    }
+    // whole space must collapse to ONE interval
+    assert(Layout.zIntervalsForRect(0, 255, 0, 255, bits) === Seq((0L, 65535L)))
+  }
+
   test("rect query from the store == unclustered filter; scan pruned to the rectangle's directories") {
     val events = Tables.load(spark, Sf0001, "events")
     val path = java.nio.file.Files.createTempDirectory("graft_zorder_spec").toString
