@@ -1581,6 +1581,12 @@ object SparkEntry {
     //      measurement cost, not the production query ----
     "hll_orderkeys" -> ((s, d) =>
       Cardinality.hllCertify(Tables.load(s, d, "lineitem"), col("l_orderkey"))),
+    // the LINEAR-COUNTING serve branch gated on a genuinely small key
+    // domain (25 nations << 2.5·m): the raw harmonic estimator is
+    // invalid down here — the estimate must come from m·ln(m/V) and
+    // still clear the 20% certificate (r12 verdict #5)
+    "hll_nationkeys" -> ((s, d) =>
+      Cardinality.hllCertify(Tables.load(s, d, "customer"), col("c_nationkey"))),
     // the sketch DEPLOYED at ingest: per-micro-batch register partials
     // appended to the register log; merge = per-idx MAX (idempotent +
     // commutative, stronger than additive under replay), so the served
@@ -1612,6 +1618,13 @@ object SparkEntry {
         Tables.load(s, d, "events"),
         "value")
     }),
+    // per-metric geometry (r12 verdict #5): the SAME sketch pointed at
+    // document text length over [0, 1024) at width 1.0 — the domain is
+    // a per-column dial, not a fixture constant; out-of-domain mass
+    // would land in the counted sentinel bins either way
+    "quantile_sketch_doclen" -> ((s, d) =>
+      QuantileSketch.quantileCertifyExpr(
+        Tables.load(s, d, "documents"), "length(text)", bins = 1024, width = 1.0)),
     // drift monitoring AT INGEST: per-micro-batch PSI cell counts
     // append to a counter log (additive partials — the CM pattern);
     // the report served from the stream-built log must equal the batch
@@ -2729,9 +2742,14 @@ object SparkEntry {
     "hll_orderkeys" -> Cardinality.hllOrderKeysSql,
     // stream == batch for a max-mergeable sketch: same replay
     "streaming_hll" -> Cardinality.hllOrderKeysSql,
-    "quantile_sketch" -> QuantileSketch.quantileSketchSql,
+    // linear-counting branch on a 25-key domain
+    "hll_nationkeys" -> Cardinality.hllCertifySql("customer", "c_nationkey"),
+    "quantile_sketch" -> QuantileSketch.quantileSketchSql(),
     // stream == batch for additive fixed-edge counts: same replay
-    "streaming_quantile_sketch" -> QuantileSketch.quantileSketchSql,
+    "streaming_quantile_sketch" -> QuantileSketch.quantileSketchSql(),
+    // per-metric geometry: doc text length over [0, 1024) at width 1.0
+    "quantile_sketch_doclen" -> QuantileSketch.quantileSketchSql(
+      table = "documents", valueExpr = "length(text)", bins = 1024, width = 1.0),
     "hybrid_recall" -> Retrieval.hybridRecallSql(),
     "bm25_informative" -> Retrieval.bm25InformativeSql(),
     "retrieval_ndcg" -> Retrieval.retrievalNdcgSql(),

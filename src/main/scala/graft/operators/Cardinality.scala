@@ -24,12 +24,23 @@ import org.apache.spark.sql.functions._
   * [[CorpusSignals]] idiom). Low 8 bits index the register; the
   * remaining 52 bits w set the rank rho = 53 − bitlen(w) (w=0 → 53),
   * with bitlen via `length(bin(w))` — minimal-length binary strings in
-  * both engines. m=256 keeps every gate SF (1.5k+ distinct keys) above
-  * the 2.5·m linear-counting zone, so the RAW HLL estimator applies and
-  * no transcendental (ln) enters the replay — the estimate is one
-  * integer-exact harmonic sum followed by IEEE-deterministic double
-  * division (the exact-BIGINT-fixed-point lesson from
-  * [[Graph.pageRankTopK]]).
+  * both engines.
+  *
+  * Estimator branches (the full standard HLL serve path, r12 verdict
+  * #5 — the raw-only estimator was valid only above the 2.5·m
+  * linear-counting zone): when the raw estimate is ≤ 2.5·m and empty
+  * registers remain, serve LINEAR COUNTING `m·ln(m/V)` (V = empty
+  * registers); otherwise the raw harmonic estimate. Replay exactness
+  * is preserved on both branches: the branch DECISION compares a
+  * bit-identical double (integer-exact harmonic sum, shared literal
+  * constants) in both engines, and the LC value's one transcendental
+  * has only 255 possible inputs (V ∈ 1..255 at m=256) —
+  * CardinalitySpec proves every `round(m·ln(m/V), 3)` sits ≥ 10⁻⁶
+  * away from a rounding boundary, so a last-ulp libm difference
+  * between engines cannot flip the rounded gate value. The raw branch
+  * stays transcendental-free: one integer-exact harmonic sum followed
+  * by IEEE-deterministic double division (the exact-BIGINT-fixed-point
+  * lesson from [[Graph.pageRankTopK]]).
   *
   * 100 TB shape: the scan folds to ≤ m partial rows per task
   * (map-combined max), one m-row shuffle, O(1) state — the certificate's
@@ -97,8 +108,15 @@ object Cardinality {
       max(col("exact")).as("exact"))
     val denom =
       col("present_denom") + (lit(HllM.toLong) - col("nonzero")) * lit(EmptyTerm)
-    val est = round(
-      alphaExpr * lit(65536.0) * lit(EmptyTerm.toDouble) / denom.cast("double"), 3)
+    val rawEst =
+      alphaExpr * lit(65536.0) * lit(EmptyTerm.toDouble) / denom.cast("double")
+    val emptyRegs = lit(HllM.toLong) - col("nonzero")
+    // standard HLL serve: linear counting below the 2.5·m zone (both
+    // the branch predicate and the LC value replay exactly — scaladoc)
+    val est = when(
+      rawEst <= lit(2.5) * lit(HllM.toDouble) && emptyRegs > 0,
+      round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / emptyRegs.cast("double")), 3))
+      .otherwise(round(rawEst, 3))
     folded.select(
       lit(HllM).as("m"),
       col("nonzero"),
@@ -125,13 +143,24 @@ object Cardinality {
       log.groupBy(col("idx")).agg(max(col("r")).as("r")),
       batchDf.agg(countDistinct(key).as("exact")))
 
-  /** DuckDB replay of [[hllCertify]] over `lineitem.l_orderkey` — the
-    * whole estimator recomputed from raw rows.
+  /** DuckDB replay of [[hllCertify]] — the whole estimator (both
+    * serve branches) recomputed from raw rows, parameterized over the
+    * keyed table so small-cardinality corpora gate the linear-counting
+    * branch on a second entry.
     */
-  def hllOrderKeysSql: String =
+  def hllCertifySql(
+      table: String = "lineitem",
+      keyExpr: String = "l_orderkey"): String = {
+    val raw =
+      s"""0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * $EmptyTerm.0
+         |             / CAST(present_denom + ($HllM - nonzero) * $EmptyTerm AS DOUBLE)""".stripMargin
+    val est =
+      s"""CASE WHEN $raw <= 2.5 * 256.0 AND ($HllM - nonzero) > 0
+         |            THEN round(256.0 * ln(256.0 / CAST($HllM - nonzero AS DOUBLE)), 3)
+         |            ELSE round($raw, 3) END""".stripMargin
     s"""WITH h AS (
-       |  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-       |  FROM lineitem),
+       |  SELECT CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM $table),
        |p AS (
        |  SELECT h % $HllM AS idx,
        |         CASE WHEN h // $HllM = 0 THEN $RhoCap
@@ -141,14 +170,15 @@ object Cardinality {
        |s AS (SELECT count(*) AS nonzero,
        |             CAST(sum(1::BIGINT << ($RhoCap - r)) AS BIGINT) AS present_denom
        |      FROM r),
-       |e AS (SELECT count(DISTINCT l_orderkey) AS exact FROM lineitem)
+       |e AS (SELECT count(DISTINCT $keyExpr) AS exact FROM $table)
        |SELECT $HllM AS m, nonzero,
        |       present_denom + ($HllM - nonzero) * $EmptyTerm AS denom,
-       |       round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * $EmptyTerm.0
-       |             / CAST(present_denom + ($HllM - nonzero) * $EmptyTerm AS DOUBLE), 3) AS est,
+       |       $est AS est,
        |       exact,
-       |       abs(round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * $EmptyTerm.0
-       |             / CAST(present_denom + ($HllM - nonzero) * $EmptyTerm AS DOUBLE), 3)
+       |       abs($est
        |           - CAST(exact AS DOUBLE)) <= 0.2 * CAST(exact AS DOUBLE) AS err_ok
        |FROM s, e""".stripMargin
+  }
+
+  def hllOrderKeysSql: String = hllCertifySql()
 }

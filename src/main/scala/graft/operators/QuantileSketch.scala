@@ -18,25 +18,40 @@ import org.apache.spark.sql.functions._
   * twin appends per-batch count frames and serving merges by summation
   * (the Count-Min pattern), replay-safe on any boundary.
   *
-  * Geometry: 1024 bins of width 0.5 over the pinned domain [0, 512),
-  * plus underflow (-1) and overflow (1024) sentinel bins so
-  * out-of-domain mass is COUNTED, never silently clamped into an edge
-  * bin. The bin function is `floor(value / 0.5)` — division by a power
-  * of two is exact in IEEE arithmetic, so bin assignment agrees
-  * bit-for-bit across engines. Estimate error for an in-domain quantile
-  * is bounded by the bin width plus rank-interpolation slack in sparse
-  * regions; the certificate measures the realized |est − exact| against
-  * [[Tolerance]], with BOTH engines computing the same deterministic
-  * boolean (no flake surface).
+  * Geometry is PER METRIC (r12 verdict #5 — the original [0, 512)
+  * domain was pinned to the events.value fixture): every entry point
+  * takes `(bins, width)` with width a power of two, so `floor(v /
+  * width)` is exact IEEE division and bin assignment agrees
+  * bit-for-bit across engines. Underflow (-1) and overflow (bins)
+  * sentinel bins mean out-of-domain mass is COUNTED, never silently
+  * clamped into an edge bin — a mis-sized domain degrades the
+  * certificate (visibly, via err_ok), never the counts. The gate runs
+  * two geometries: `events.value` over [0, 512) at width 0.5 and
+  * document text length over [0, 1024) at width 1.0.
   *
-  * 100 TB shape: one scan folds to ≤ 1026 integer partials per task
-  * (map-side combine), one ≤ 1026-row shuffle; the serve-time window
-  * runs over the SKETCH, never the data. The exact `percentile` twin is
-  * the certificate's measurement cost, not the production query.
+  * Estimate error for an in-domain quantile is bounded by the bin
+  * width plus rank-interpolation slack in sparse regions; the
+  * certificate measures the realized |est − exact| against
+  * [[Tolerance]], with BOTH engines computing the same deterministic
+  * boolean (no flake surface). The exact panel is a SHARED
+  * order-statistics formulation — rank rows, pick the two covering
+  * order statistics, interpolate with identical literal arithmetic in
+  * both engines (ADVICE r12: `percentile()` vs `quantile_cont()` are
+  * both type-7 but their internal interpolation expressions can differ
+  * in the last ulp, which could cross a round-to-6dp boundary; writing
+  * the interpolation ourselves in both engines removes the hazard).
+  *
+  * 100 TB shape: one scan folds to ≤ bins+2 integer partials per task
+  * (map-side combine), one ≤ bins+2-row shuffle; the serve-time window
+  * runs over the SKETCH, never the data. The exact order-statistics
+  * twin (a full sort) is the certificate's measurement cost, not the
+  * production query.
   */
 object QuantileSketch {
 
-  /** Bins over [0, 512) — width 0.5 (a power of two, exact division). */
+  /** Default geometry — `events.value`: 1024 bins of width 0.5 (a
+    * power of two, exact division) over [0, 512).
+    */
   val Bins = 1024
   val Width = 0.5
   val DomainHi: Double = Bins * Width
@@ -52,26 +67,37 @@ object QuantileSketch {
   /** Quantile panel under the gate. */
   val Quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
 
-  /** Per-bin counts of `v`: (bin, cnt), ≤ [[Bins]]+2 rows, additive. */
-  def binCounts(df: DataFrame, v: Column): DataFrame =
+  /** Per-bin counts of `v`: (bin, cnt), ≤ bins+2 rows, additive. */
+  def binCounts(
+      df: DataFrame,
+      v: Column,
+      bins: Int = Bins,
+      width: Double = Width): DataFrame =
     df.select(
         when(v < 0.0, lit(-1L))
-          .when(v >= DomainHi, lit(Bins.toLong))
-          .otherwise(floor(v / lit(Width)).cast("long")).as("bin"))
+          .when(v >= bins * width, lit(bins.toLong))
+          .otherwise(floor(v / lit(width)).cast("long")).as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("cnt"))
 
   /** Serve the quantile panel from merged bin counts, certified against
-    * the exact percentiles of `exactDf.<valueCol>`: one row per q —
-    * (q, est, exact_pct, err_ok). The rank target is `q·n` and the
-    * estimate interpolates linearly inside the covering bin:
+    * the exact order statistics of `exactExpr` over `exactDf`: one row
+    * per q — (q, est, exact_pct, err_ok). The rank target is `q·n` and
+    * the estimate interpolates linearly inside the covering bin:
     * `bin·w + w·(q·n − cum_before)/cnt` — identical arithmetic in both
     * engines. The covering bin is a min-of-when conditional aggregate
-    * over the ≤ 1026-row sketch (no join against data, no window over
-    * data); the one-row exact panel attaches via the non-foldable-key
-    * broadcast join ([[Profiling.valueHistogram]] discipline).
+    * over the ≤ bins+2-row sketch (no join against data, no window
+    * over data); the one-row exact panel (type-7 interpolation over
+    * the two covering order statistics, written identically in the
+    * DuckDB replay) attaches via the non-foldable-key broadcast join
+    * ([[Profiling.valueHistogram]] discipline).
     */
-  def serveQuantiles(counts: DataFrame, exactDf: DataFrame, valueCol: String): DataFrame = {
+  def serveQuantiles(
+      counts: DataFrame,
+      exactDf: DataFrame,
+      exactExpr: String,
+      bins: Int = Bins,
+      width: Double = Width): DataFrame = {
     val w = Window.orderBy(col("bin"))
     val cum = counts
       .withColumn("cum", sum(col("cnt")).over(w))
@@ -84,15 +110,35 @@ object QuantileSketch {
         .select(
           lit(q).as("q"),
           round(
-            col("hit.bin").cast("double") * lit(Width) +
-              lit(Width) * (lit(q) * col("hit.n").cast("double") - col("hit.prev").cast("double")) /
+            col("hit.bin").cast("double") * lit(width) +
+              lit(width) * (lit(q) * col("hit.n").cast("double") - col("hit.prev").cast("double")) /
               col("hit.cnt").cast("double"), 6).as("est"))
     }.reduce(_ unionByName _)
-    val exactCols = Quantiles.zipWithIndex.map { case (q, i) =>
-      round(expr(s"percentile($valueCol, $q)"), 6).as(s"x$i")
-    }
-    val exact = exactDf
-      .agg(exactCols.head, exactCols.tail: _*)
+    // exact panel: shared type-7 order statistics — rank the values,
+    // h = (n−1)·q, exact = v[⌊h⌋+1] + (h−⌊h⌋)·(v[⌊h⌋+2] − v[⌊h⌋+1])
+    // (1-based ranks; the upper statistic coalesces to the lower at
+    // h = n−1). Ties in the sort are harmless: equal ranks differ only
+    // between equal values.
+    val ranked = exactDf
+      .selectExpr(s"CAST(($exactExpr) AS DOUBLE) AS v")
+      .withColumn("r", row_number().over(Window.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    def hOf(q: Double): Column = (col("n") - 1).cast("double") * lit(q)
+    val aggCols = Quantiles.zipWithIndex.flatMap { case (q, i) =>
+      Seq(
+        min(when(col("r") === floor(hOf(q)) + 1, col("v"))).as(s"v0_$i"),
+        min(when(col("r") === floor(hOf(q)) + 2, col("v"))).as(s"v1_$i"))
+    } :+ min(col("n")).as("nn")
+    val exact = ranked
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(Quantiles.zipWithIndex.map { case (q, i) =>
+        val h = (col("nn") - 1).cast("double") * lit(q)
+        round(
+          col(s"v0_$i") +
+            (h - floor(h).cast("double")) *
+            (coalesce(col(s"v1_$i"), col(s"v0_$i")) - col(s"v0_$i")),
+          6).as(s"x$i")
+      }: _*)
       .withColumn("one", CorpusSignals.one(col("x0")))
     perQ
       .withColumn("one", CorpusSignals.one(col("q")))
@@ -111,24 +157,55 @@ object QuantileSketch {
   def quantileCertify(events: DataFrame): DataFrame =
     serveQuantiles(binCounts(events, col("value")), events, "value")
 
-  /** DuckDB replay over `events.value` — sketch, interpolation, exact
-    * panel and certificate recomputed from raw rows. Quantile literals
-    * are cast to DOUBLE so the output column types match Spark's.
+  /** One-shot sketch + certificate over a per-metric geometry —
+    * `exprSql` must be valid in BOTH engines (shared-literal
+    * discipline); the doc-length gate entry runs
+    * `CAST(length(text) AS DOUBLE)` over [0, 1024) at width 1.0.
     */
-  def quantileSketchSql: String = {
+  def quantileCertifyExpr(
+      df: DataFrame,
+      exprSql: String,
+      bins: Int,
+      width: Double): DataFrame =
+    serveQuantiles(
+      binCounts(df, expr(s"CAST(($exprSql) AS DOUBLE)"), bins, width),
+      df, exprSql, bins, width)
+
+  /** DuckDB replay — sketch, interpolation, exact order-statistics
+    * panel and certificate recomputed from raw rows with the SAME
+    * literal arithmetic as the Spark plan. Quantile literals are cast
+    * to DOUBLE (a bare `0.25` is DECIMAL in DuckDB and would change
+    * the multiplication's type).
+    */
+  def quantileSketchSql(
+      table: String = "events",
+      valueExpr: String = "value",
+      bins: Int = Bins,
+      width: Double = Width): String = {
+    val domainHi = bins * width
     val qsList = Quantiles.map(q => s"$q::DOUBLE").mkString(", ")
     val est =
-      s"""round(CAST(hp.bin AS DOUBLE) * $Width +
-         |             $Width * (hp.q * CAST(hp.n AS DOUBLE) - CAST(hp.prev AS DOUBLE)) / CAST(hp.cnt AS DOUBLE),
+      s"""round(CAST(hp.bin AS DOUBLE) * $width +
+         |             $width * (hp.q * CAST(hp.n AS DOUBLE) - CAST(hp.prev AS DOUBLE)) / CAST(hp.cnt AS DOUBLE),
          |             6)""".stripMargin
+    val e0Cols = Quantiles.zipWithIndex.flatMap { case (q, i) =>
+      Seq(
+        s"min(CASE WHEN r = CAST(floor(CAST(n - 1 AS DOUBLE) * $q::DOUBLE) AS BIGINT) + 1 THEN v END) AS v0_$i",
+        s"min(CASE WHEN r = CAST(floor(CAST(n - 1 AS DOUBLE) * $q::DOUBLE) AS BIGINT) + 2 THEN v END) AS v1_$i")
+    }.mkString(",\n       |         ")
+    val eCols = Quantiles.zipWithIndex.map { case (q, i) =>
+      s"round(v0_$i + (CAST(nn - 1 AS DOUBLE) * $q::DOUBLE - floor(CAST(nn - 1 AS DOUBLE) * $q::DOUBLE)) * (coalesce(v1_$i, v0_$i) - v0_$i), 6) AS x$i"
+    }.mkString(",\n       |         ")
     val exactCase =
       s"CASE ${Quantiles.zipWithIndex.map { case (q, i) => s"WHEN hp.q = $q THEN e.x$i" }.mkString(" ")} END"
-    s"""WITH c AS (
-       |  SELECT CASE WHEN value < 0.0 THEN -1
-       |              WHEN value >= $DomainHi THEN $Bins
-       |              ELSE CAST(floor(value / $Width) AS BIGINT) END AS bin,
+    s"""WITH vals AS (
+       |  SELECT CAST(($valueExpr) AS DOUBLE) AS v FROM $table),
+       |c AS (
+       |  SELECT CASE WHEN v < 0.0 THEN -1
+       |              WHEN v >= $domainHi THEN $bins
+       |              ELSE CAST(floor(v / $width) AS BIGINT) END AS bin,
        |         count(*) AS cnt
-       |  FROM events GROUP BY 1),
+       |  FROM vals GROUP BY 1),
        |p AS (
        |  SELECT bin, cnt,
        |         sum(cnt) OVER (ORDER BY bin) AS cum,
@@ -143,9 +220,16 @@ object QuantileSketch {
        |hp AS (
        |  SELECT hit.q, hit.bin, p.prev, p.cnt, p.n
        |  FROM hit JOIN p ON p.bin = hit.bin),
-       |e AS (SELECT ${Quantiles.zipWithIndex.map { case (q, i) =>
-              s"round(quantile_cont(value, $q), 6) AS x$i" }.mkString(", ")}
-       |      FROM events)
+       |ranked AS (
+       |  SELECT v, row_number() OVER (ORDER BY v) AS r, count(*) OVER () AS n
+       |  FROM vals),
+       |e0 AS (
+       |  SELECT min(n) AS nn,
+       |         $e0Cols
+       |  FROM ranked),
+       |e AS (
+       |  SELECT $eCols
+       |  FROM e0)
        |SELECT hp.q AS q,
        |       $est AS est,
        |       round($exactCase, 6) AS exact_pct,

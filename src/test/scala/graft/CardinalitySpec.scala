@@ -43,6 +43,36 @@ class CardinalitySpec extends AnyFunSuite {
     assert(row.getAs[Long]("nonzero") > 0 && row.getAs[Long]("nonzero") <= 256)
   }
 
+  test("linear-counting branch: 25-key domain serves m*ln(m/V), clears the certificate") {
+    val cust = Tables.load(spark, Sf0001, "customer")
+    val row = Cardinality.hllCertify(cust, col("c_nationkey")).collect().head
+    val exact = row.getAs[Long]("exact")
+    assert(exact <= 25L, "fixture drifted: nation keys should be <= 25")
+    // the raw harmonic estimator is invalid down here — the served
+    // value must be the LC closed form over the empty-register count
+    val v = 256L - row.getAs[Long]("nonzero")
+    val lc = BigDecimal(256.0 * math.log(256.0 / v.toDouble))
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("est") === lc, "est is not the linear-counting value")
+    assert(row.getAs[Boolean]("err_ok"))
+    assert(math.abs(lc - exact) <= 0.2 * exact)
+  }
+
+  test("LC rounding is ulp-safe for every possible input: no round(256*ln(256/V), 3) near a boundary") {
+    // the LC value is the sketch's ONE transcendental; V has only 255
+    // possible values at m=256, so prove a last-ulp libm difference
+    // between engines can never flip the 3dp-rounded gate value
+    for (v <- 1 to 255) {
+      val y = 256.0 * math.log(256.0 / v.toDouble)
+      val scaled = y * 1000.0
+      val distToBoundary = math.abs(scaled - math.floor(scaled) - 0.5)
+      // a 1-ulp change in y moves `scaled` by ~2e-10 at y≈1420; demand
+      // 4 orders of magnitude more margin than that
+      assert(distToBoundary > 1e-6,
+        s"V=$v: round(256*ln(256/$v), 3) sits ${distToBoundary} from a rounding boundary")
+    }
+  }
+
   test("registers are max-mergeable: 3-way split partials == one-shot sketch") {
     val li = Tables.load(spark, Sf0001, "lineitem")
     val parts = (0 until 3).map(i =>

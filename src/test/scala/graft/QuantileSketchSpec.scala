@@ -42,6 +42,26 @@ class QuantileSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("per-metric geometry: doc-length certificate over [0,1024) at width 1.0") {
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val rows = QuantileSketch
+      .quantileCertifyExpr(docs, "length(text)", bins = 1024, width = 1.0)
+      .collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Boolean]("err_ok")))
+    val values = docs.selectExpr("CAST(length(text) AS DOUBLE)")
+      .collect().map(_.getDouble(0)).sorted
+    rows.foreach { r =>
+      val q = r.getAs[Double]("q")
+      val h = q * (values.length - 1)
+      val lo = values(h.toInt)
+      val hi = values(math.min(h.toInt + 1, values.length - 1))
+      val exact = lo + (h - h.toInt) * (hi - lo)
+      assert(math.abs(r.getAs[Double]("exact_pct") - exact) < 1e-5, s"q=$q")
+      assert(math.abs(r.getAs[Double]("est") - exact) <= QuantileSketch.Tolerance)
+    }
+  }
+
   test("counts are additive: 3-way split sum == one-shot sketch; serve identical") {
     val ev = Tables.load(spark, Sf0001, "events")
     val parts = (0 until 3).map(i =>
