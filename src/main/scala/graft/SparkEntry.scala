@@ -889,6 +889,13 @@ object SparkEntry {
         "h05_from_ge_to" -> s"$hist/avg/history?geohashes=u155kp&from=5000&to=5000&res=min",
         "h06_bad_precision" -> s"$hist/avg/history?geohashes=u15&gh_precision=3&res=min",
         "h07_bad_res_and_interval" -> s"$hist/avg/history?geohashes=u155kp&res=decade&interval=2weeks",
+        // past from > past to: the reference compares from against the
+        // REAL clock, so the from≥to text must win (ADVICE r12 — a
+        // nowMs=toMs conflation would fire the future text instead)
+        "h08_past_from_gt_to" -> s"$hist/avg/history?geohashes=u155kp&from=6000&to=5000&res=min",
+        // bad aggregate AND non-numeric precision: aggregate is checked
+        // second (QueryingService.java:57-84), before any numeric parse
+        "h09_bad_agg_and_number" -> s"$hist/median/history?geohashes=u155kp&gh_precision=abc&res=min",
         // snapshot, QueryingService.java:146-222 order
         "s01_no_ts" -> s"$snap/avg/snapshot",
         "s02_ts_not_numeric" -> s"$snap/avg/snapshot?ts=abc",
@@ -897,7 +904,9 @@ object SparkEntry {
         "s05_bbox_wrong_arity" -> s"$snap/avg/snapshot?ts=1000&bbox=1,2,3",
         "s06_bad_aggregate" -> s"$snap/median/snapshot?ts=1000&bbox=$bbox&res=min",
         "s07_precision_not_numeric" -> s"$snap/avg/snapshot?ts=1000&bbox=$bbox&res=min&gh_precision=xyz",
-        "s08_bad_precision" -> s"$snap/avg/snapshot?ts=1000&bbox=$bbox&res=min&gh_precision=99")
+        "s08_bad_precision" -> s"$snap/avg/snapshot?ts=1000&bbox=$bbox&res=min&gh_precision=99",
+        // aggregate precedes the precision parse (reference order)
+        "s09_bad_agg_and_number" -> s"$snap/median/snapshot?ts=1000&bbox=$bbox&res=min&gh_precision=xyz")
       cases.map { case (id, url) =>
         val (status, json) = httpGetStatusJson(url)
         (id, status, json.get("errorCode").asInt, json.get("errorMessage").asText)
@@ -2658,6 +2667,8 @@ object SparkEntry {
         |  ('h05_from_ge_to', 400, 400, '[getAirQualityHistory] fromDate parameter should be less than toDate'),
         |  ('h06_bad_precision', 400, 400, '[getAirQualityHistory] precision 3 is not yet supported'),
         |  ('h07_bad_res_and_interval', 400, 400, '[getAirQualityHistory] Invalid values for resolution (decade) or interval (2weeks)'),
+        |  ('h08_past_from_gt_to', 400, 400, '[getAirQualityHistory] fromDate parameter should be less than toDate'),
+        |  ('h09_bad_agg_and_number', 400, 400, '[getAirQualityHistory] aggregate median is not yet supported'),
         |  ('s01_no_ts', 400, 400, '[getAirQualitySnapshot] You need to provide a valid timestamp in milliseconds'),
         |  ('s02_ts_not_numeric', 400, 400, '[getAirQualitySnapshot] You need to provide a valid timestamp in milliseconds'),
         |  ('s03_no_bbox', 400, 400, '[getAirQualitySnapshot] You need to provide a set of coordinates corresponding to a valid bounding box: (N,W,S,E)'),
@@ -2665,7 +2676,8 @@ object SparkEntry {
         |  ('s05_bbox_wrong_arity', 400, 400, '[getAirQualitySnapshot] You need to provide a set of coordinates corresponding to a valid bounding box: (N,W,S,E)'),
         |  ('s06_bad_aggregate', 400, 400, '[getAirQualitySnapshot] aggregate median is not yet supported'),
         |  ('s07_precision_not_numeric', 400, 400, 'For input string: "xyz"'),
-        |  ('s08_bad_precision', 400, 400, '[getAirQualitySnapshot] geohash precision 99 is not yet supported')
+        |  ('s08_bad_precision', 400, 400, '[getAirQualitySnapshot] geohash precision 99 is not yet supported'),
+        |  ('s09_bad_agg_and_number', 400, 400, '[getAirQualitySnapshot] aggregate median is not yet supported')
         |) AS t(case_id, http_status, error_code, error_message)
         |ORDER BY case_id""".stripMargin,
     "snapshot_polygon_sum" ->

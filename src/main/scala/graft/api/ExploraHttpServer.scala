@@ -117,6 +117,14 @@ class ExploraHttpServer(service: ExploraService, requestedPort: Int = 0) {
       return respond(ex, 400, errorJson(
         "[getAirQualityHistory] You need to provide a list of comma-separated geohash prefixes", 400))
 
+    // aggregate BEFORE the numeric parses: the reference checks it
+    // second (QueryingService.java:57-84), so a request with both a
+    // bad aggregate and a non-numeric parameter must surface the
+    // aggregate error (ADVICE r12 — the parse used to run first)
+    if (!graft.operators.ExploraQueries.SupportedAggregates.contains(agg))
+      return respond(ex, 400, errorJson(
+        s"[getAirQualityHistory] aggregate $agg is not yet supported", 400))
+
     val resolution = q.getOrElse("res", "").toLowerCase
     val interval = q.getOrElse("interval", "").toLowerCase
     val src = q.getOrElse("src", "tiles").toLowerCase
@@ -190,6 +198,12 @@ class ExploraHttpServer(service: ExploraService, requestedPort: Int = 0) {
     if (coords.length != 4)
       return respond(ex, 400, errorJson(
         "[getAirQualitySnapshot] You need to provide a set of coordinates corresponding to a valid bounding box: (N,W,S,E)", 400))
+
+    // aggregate before the precision parse — the reference's
+    // statement order (ts → bbox → aggregate → precision)
+    if (!graft.operators.ExploraQueries.SupportedAggregates.contains(agg))
+      return respond(ex, 400, errorJson(
+        s"[getAirQualitySnapshot] aggregate $agg is not yet supported", 400))
 
     val resolution = q.getOrElse("res", "").toLowerCase
     val geoIndex = q.getOrElse("geo_index", "geohashing").toLowerCase

@@ -137,7 +137,12 @@ class ExploraService(
       p.interval,
       p.fromMs.getOrElse(0L),
       p.toMs,
-      nowMs = p.toMs)
+      // the REAL clock, not p.toMs: the reference compares fromDate
+      // against System.currentTimeMillis (QueryingService.java:86-104),
+      // and conflating now with an explicit past `to` would fire the
+      // from-in-future text where the reference reports from≥to
+      // (ADVICE r12)
+      nowMs = System.currentTimeMillis())
     val res = p.resolution.getOrElse(ExploraQueries.IntervalResolution(p.interval.get))
     val to = Instant.ofEpochMilli(p.toMs)
     val from = p.fromMs

@@ -165,6 +165,10 @@ object Graph {
        |  SELECT node, pr FROM r$iterations
        |  ORDER BY pr DESC, node LIMIT $k)
        |SELECT node, round(CAST(pr AS DOUBLE) / 1000000000000.0, 9) AS pr
-       |FROM topk ORDER BY pr DESC, node""".stripMargin
+       |FROM topk ORDER BY topk.pr DESC, node""".stripMargin
+  // ^ qualified: bare `pr` would resolve to the 9dp-ROUNDED output
+  // alias, so two near-tie integer ranks rounding to the same double
+  // would re-sort by node while Spark keeps exact-integer order
+  // (ADVICE r12) — `topk.pr` pins the sort to the shared BIGINT
   }
 }
