@@ -6,6 +6,9 @@
 #
 #   tools/preflight.sh          # compile main + tests + entry-count pin
 #   tools/preflight.sh --full   # + graft.Verify at sf0.01 replayed in DuckDB
+#   tools/preflight.sh --anchor # + DuckDB anchor vs the 2x bar (needs a
+#                               #   fresh sf0.1 oracle dump + Spark bench;
+#                               #   see ANCHOR_* env overrides below)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -50,5 +53,21 @@ fi
 
 if [[ "${1:-}" == "--full" ]]; then
   python3 tools/check_local.py /root/testdata/sf0.01 /tmp/verify_out
+fi
+
+# --anchor: the 2x acceptance bar as a one-command check (VERDICT r12
+# #7). Inputs default to the standard round-close artifacts; override
+# with ANCHOR_SF / ANCHOR_ORACLE / ANCHOR_BENCH / ANCHOR_OUT. NEVER run
+# concurrently with a Spark bench (the DuckDB replay mmap budget).
+if [[ "${1:-}" == "--anchor" ]]; then
+  ANCHOR_SF="${ANCHOR_SF:-/root/testdata/sf0.1}"
+  ANCHOR_ORACLE="${ANCHOR_ORACLE:-/tmp/verify_sf01/oracle_sql.json}"
+  ANCHOR_BENCH="${ANCHOR_BENCH:-bench_out.json}"
+  ANCHOR_OUT="${ANCHOR_OUT:-bench_history/anchor_latest.json}"
+  [[ -f "$ANCHOR_ORACLE" ]] || {
+    echo "preflight FAIL: no oracle dump at $ANCHOR_ORACLE (run graft.Verify at sf0.1 first)"; exit 1; }
+  [[ -f "$ANCHOR_BENCH" ]] || {
+    echo "preflight FAIL: no Spark bench at $ANCHOR_BENCH"; exit 1; }
+  python3 tools/anchor.py "$ANCHOR_SF" "$ANCHOR_ORACLE" "$ANCHOR_BENCH" "$ANCHOR_OUT"
 fi
 echo "preflight OK"
