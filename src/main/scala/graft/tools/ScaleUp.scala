@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  /** Rotated alphabet covers lowercase AND digits so numeric grams
+  /** Permuted alphabet covers lowercase AND digits so numeric grams
     * perturb too — a digits-only 40-char span left identical across
     * replicas would re-introduce exactly the cross-replica quadratic
     * growth the perturbation exists to remove. (The synthetic corpus is
@@ -36,15 +36,43 @@ object ScaleUp {
     */
   private val Alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
 
+  /** Per-replica alphabet permutations beyond the 36 Caesar rotations
+    * (r12 verdict #6 needs factor 100 for the sf10 decade; two stacked
+    * Caesar passes would NOT work — rotations compose additively, so
+    * replica pairs with equal rotation sums would be byte-identical
+    * text under different ids, reintroducing exactly the cross-replica
+    * duplicate mass the perturbation removes; affine maps are out too —
+    * two affine keys can agree on up to gcd(a₁−a₂, 36) = 18 characters,
+    * enough for a digit-heavy span to collide). Deterministic
+    * seeded-shuffle permutations instead, with the collision property
+    * ENFORCED at build time: every accepted permutation agrees with
+    * every previously accepted one (including the identity, replica 0)
+    * on ≤ [[MaxAgree]] alphabet characters, so no cross-replica text
+    * span of > MaxAgree distinct alphabet chars can ever collide.
+    * Fixed seeds + a deterministic accept loop → the fixture is
+    * reproducible byte-for-byte.
+    */
+  private val MaxAgree = 2
+  private[graft] def buildPerms(n: Int): Vector[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String](Alpha)
+    var seed = 1L
+    while (out.size < n) {
+      val cand =
+        new scala.util.Random(seed * 1000003L).shuffle(Alpha.toVector).mkString
+      if (out.forall(p => p.indices.count(i => p(i) == cand(i)) <= MaxAgree))
+        out += cand
+      seed += 1
+    }
+    out.toVector
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/root/repo/target/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
-    // a factor beyond the alphabet would REUSE rotations (replica 36 ==
-    // replica 0 byte-identical), silently reintroducing the cross-replica
-    // collisions the perturbation exists to remove
-    require(factor >= 1 && factor <= Alpha.length,
-      s"factor=$factor out of [1, ${Alpha.length}]: rotations would repeat")
+    require(factor >= 1 && factor <= 1000,
+      s"factor=$factor out of [1, 1000]")
+    val perms = buildPerms(factor)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,11 +96,9 @@ object ScaleUp {
     val dStride = stride(docs, "doc_id")
     write(
       (0 until factor).map { r =>
-        val k = r % Alpha.length
-        val rot = Alpha.drop(k) + Alpha.take(k)
         docs.select(
           (col("doc_id") + lit(r * dStride)).as("doc_id"),
-          (if (r == 0) col("text") else translate(col("text"), Alpha, rot)).as("text"),
+          (if (r == 0) col("text") else translate(col("text"), Alpha, perms(r))).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _),
       "documents")
