@@ -12,14 +12,22 @@ Ratio semantics (sf1 sec / sf0.1 sec) on a fixed local[32] box:
         fix. The threshold is deliberately the scale factor itself:
         anything <= 10x is at worst linear.
 
-Usage: python3 tools/scaling_report.py SF01.json SF1.json [--md]
+Usage: python3 tools/scaling_report.py SF01.json SF1.json [--md] [--factor=N]
+
+--factor=N sets the scale factor between the two runs (default 10):
+the super-linear line and the bucket edges scale with it, so the same
+tool reports the sf0.1->sf10 decade pair (--factor=100).
 """
 import json, signal, sys
 
 # default SIGPIPE so `... | head` truncates quietly instead of tracebacking
 signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
-SUPER = 10.0  # the scale factor: ratios above this are super-linear
+# the scale factor: ratios above this are super-linear
+SUPER = 10.0
+for arg in sys.argv[1:]:
+    if arg.startswith("--factor="):
+        SUPER = float(arg.split("=", 1)[1])
 
 def load(path):
     text = open(path).read()
@@ -52,11 +60,14 @@ if missing:
 ratios = {k: qb[k] / qa[k] for k in qa if k in qb and qa[k] > 0}
 setup_ratios = {k: sb[k] / sa[k] for k in sa if k in sb and sa[k] > 0}
 
+# bucket edges scale with the factor; at the default 10 they are the
+# historical 1.2 / 2.2 / 4 / 10 lines PERF.md has tracked since r6
+e1, e2, e3 = 1 + 0.02 * SUPER, 0.22 * SUPER, 0.4 * SUPER
 buckets = [
-    ("<= 1.2 (absorbed by parallelism)", lambda r: r <= 1.2),
-    ("1.2 - 2.2 (sub-linear)", lambda r: 1.2 < r <= 2.2),
-    ("2.2 - 4 (shuffle-bound, still sub-linear)", lambda r: 2.2 < r <= 4),
-    (f"4 - {SUPER:.0f} (near-linear)", lambda r: 4 < r <= SUPER),
+    (f"<= {e1:.1f} (absorbed by parallelism)", lambda r: r <= e1),
+    (f"{e1:.1f} - {e2:.1f} (sub-linear)", lambda r: e1 < r <= e2),
+    (f"{e2:.1f} - {e3:.1f} (shuffle-bound, still sub-linear)", lambda r: e2 < r <= e3),
+    (f"{e3:.1f} - {SUPER:.0f} (near-linear)", lambda r: e3 < r <= SUPER),
     (f"> {SUPER:.0f} (SUPER-LINEAR)", lambda r: r > SUPER),
 ]
 
