@@ -45,9 +45,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // SPARK_GRAFT_SHUFFLE overrides shuffle parallelism for scale
+    // experiments (e.g. the sf10 decade probe: 32 partitions sized for
+    // sf0.1 hit per-partition spill cliffs at 100x the bytes; a real
+    // cluster sizes this to data). Recorded in the output line when set.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
@@ -102,11 +107,24 @@ object Bench {
     // setup_errors (partial setup timings are kept) — never silently
     // dropped (ADVICE round 4): a zero-cost setup phase must mean
     // "nothing to build", not "everything failed".
+    // SPARK_GRAFT_SETUP_ONLY=a,b restricts the EAGER setup phase to the
+    // named builds, for profiling ONE shared build at scale without
+    // paying the other 39 (a consumer query still lazily builds any
+    // un-materialized dependency it needs — that time is then charged to
+    // the query, exactly the attribution the full setup phase exists to
+    // avoid, so this is a profiling knob, never a reporting default).
+    // Recorded in the output line like `only` so a filtered run can't
+    // masquerade as a full one.
+    val setupOnly = sys.env.get("SPARK_GRAFT_SETUP_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val setupTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val setupErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     (1 to passes).foreach { pass =>
       if (pass > 1) SparkEntry.clearCaches(spark)
-      SparkEntry.sharedBuilds(spark, sfDir).foreach { case (name, f) =>
+      SparkEntry.sharedBuilds(spark, sfDir)
+        .filter { case (name, _) => setupOnly.forall(_.contains(name)) }
+        .foreach { case (name, f) =>
         val t0 = System.nanoTime()
         try {
           f()
@@ -164,7 +182,9 @@ object Bench {
     def jerr(xs: Iterable[(String, String)]): String =
       xs.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = setupSec + best.values.sum
-    val onlyField = only.fold("")(f => s""""only":"${esc(f.toSeq.sorted.mkString(","))}",""")
+    val onlyField = only.fold("")(f => s""""only":"${esc(f.toSeq.sorted.mkString(","))}",""") +
+      setupOnly.fold("")(f => s""""setup_only":"${esc(f.toSeq.sorted.mkString(","))}",""") +
+      (if (shuffle != cpus) s""""shuffle":$shuffle,""" else "")
     // setup failures appear in `errors` too (prefixed) so that
     // n_errors == len(errors) always holds for consumers
     val allErrors = setupErrors.map { case (k, v) => s"setup:$k" -> v } ++ errors
