@@ -64,15 +64,44 @@ object Cardinality {
   private def alphaExpr: Column =
     lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
 
+  /** (idx, rho) expressions for `key` — the shared hash→register
+    * derivation every HLL variant (global, grouped, overlap) builds on.
+    */
+  private def hashCols(key: Column): (Column, Column) = {
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    val w = shiftright(h, 8) // h ≥ 0 (60-bit), so >> is the exact integer div
+    (h % HllM, when(w === 0, RhoCap).otherwise(lit(RhoCap) - length(bin(w))))
+  }
+
+  /** Exact scaled harmonic denominator from a summary's
+    * (nonzero, present_denom) — empty registers contribute 2^53 via the
+    * closed form, no grid join.
+    */
+  private def denomOf(nonzero: Column, presentDenom: Column): Column =
+    presentDenom + (lit(HllM.toLong) - nonzero) * lit(EmptyTerm)
+
+  /** The full serve estimator (raw harmonic + linear-counting branch)
+    * from a summary's (nonzero, present_denom) — the one expression
+    * [[hllSummarize]], [[hllGroupedCertify]] and [[hllOverlapCertify]]
+    * all serve from, so the replay-exactness argument (scaladoc above)
+    * is proven once.
+    */
+  private def estOf(nonzero: Column, presentDenom: Column): Column = {
+    val rawEst = alphaExpr * lit(65536.0) * lit(EmptyTerm.toDouble) /
+      denomOf(nonzero, presentDenom).cast("double")
+    val emptyRegs = lit(HllM.toLong) - nonzero
+    when(
+      rawEst <= lit(2.5) * lit(HllM.toDouble) && emptyRegs > 0,
+      round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / emptyRegs.cast("double")), 3))
+      .otherwise(round(rawEst, 3))
+  }
+
   /** Per-register partials of `key` over `df`: (idx, r) with r ≥ 1,
     * ≤ m rows, map-side combined. Mergeable: max per idx.
     */
   def hllRegisterPartials(df: DataFrame, key: Column): DataFrame = {
-    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
-    val w = shiftright(h, 8) // h ≥ 0 (60-bit), so >> is the exact integer div
-    df.select(
-        (h % HllM).as("idx"),
-        when(w === 0, RhoCap).otherwise(lit(RhoCap) - length(bin(w))).as("rho"))
+    val (idx, rho) = hashCols(key)
+    df.select(idx.as("idx"), rho.as("rho"))
       .groupBy(col("idx"))
       .agg(max(col("rho")).as("r"))
   }
@@ -106,21 +135,13 @@ object Cardinality {
       max(col("nonzero")).as("nonzero"),
       max(col("present_denom")).as("present_denom"),
       max(col("exact")).as("exact"))
-    val denom =
-      col("present_denom") + (lit(HllM.toLong) - col("nonzero")) * lit(EmptyTerm)
-    val rawEst =
-      alphaExpr * lit(65536.0) * lit(EmptyTerm.toDouble) / denom.cast("double")
-    val emptyRegs = lit(HllM.toLong) - col("nonzero")
     // standard HLL serve: linear counting below the 2.5·m zone (both
     // the branch predicate and the LC value replay exactly — scaladoc)
-    val est = when(
-      rawEst <= lit(2.5) * lit(HllM.toDouble) && emptyRegs > 0,
-      round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / emptyRegs.cast("double")), 3))
-      .otherwise(round(rawEst, 3))
+    val est = estOf(col("nonzero"), col("present_denom"))
     folded.select(
       lit(HllM).as("m"),
       col("nonzero"),
-      denom.as("denom"),
+      denomOf(col("nonzero"), col("present_denom")).as("denom"),
       est.as("est"),
       col("exact"),
       (abs(est - col("exact").cast("double")) <=
@@ -181,4 +202,209 @@ object Cardinality {
   }
 
   def hllOrderKeysSql: String = hllCertifySql()
+
+  /** GROUPED certificate: one sketch per `grp` value — the shape a
+    * per-language / per-source corpus monitor actually serves
+    * (registers keyed by (group, idx), merge still per-key MAX). Scale:
+    * register state is groups × m rows, the exact count is the
+    * certificate's measurement cost. On the gate fixture the groups
+    * sit BELOW the 2.5·m linear-counting zone at sf0.01 and above it
+    * at sf0.1, so the dual-SF replay exercises both serve branches of
+    * the same entry.
+    */
+  def hllGroupedCertify(
+      df: DataFrame,
+      grp: Column,
+      key: Column,
+      grpName: String): DataFrame = {
+    val (idx, rho) = hashCols(key)
+    val regs = df
+      .select(grp.as("grp"), idx.as("idx"), rho.as("rho"))
+      .groupBy(col("grp"), col("idx"))
+      .agg(max(col("rho")).as("r"))
+    val s = regs
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("nonzero"),
+        sum(expr(s"shiftleft(1L, CAST($RhoCap - r AS INT))")).as("present_denom"))
+    val e = df.groupBy(grp.as("grp")).agg(countDistinct(key).as("exact"))
+    val est = estOf(col("nonzero"), col("present_denom"))
+    s.join(e, Seq("grp"))
+      .select(
+        col("grp").as(grpName),
+        lit(HllM).as("m"),
+        col("nonzero"),
+        denomOf(col("nonzero"), col("present_denom")).as("denom"),
+        est.as("est"),
+        col("exact"),
+        (abs(est - col("exact").cast("double")) <=
+          lit(0.2) * col("exact").cast("double")).as("err_ok"))
+      .orderBy(col(grpName))
+  }
+
+  /** Set-operation serve: estimate the OVERLAP of two key populations
+    * (A = rows where `inA`, B = rows where `inB`) by
+    * inclusion–exclusion over three sketches — est(A) + est(B) −
+    * est(A∪B), where the UNION sketch is the per-idx MAX-MERGE of A's
+    * and B's registers, never a rescan: the estimate any two
+    * independently-sketched corpora (two days, two engines, two
+    * clusters) can serve without exchanging raw keys. One scan, one
+    * m-row shuffle (conditional per-side maxes), the exact panel is
+    * the certificate's measurement cost.
+    */
+  def hllOverlapCertify(
+      df: DataFrame,
+      key: Column,
+      inA: Column,
+      inB: Column): DataFrame = {
+    val rows = df.filter(inA || inB).select(key.as("k"), inA.as("a"), inB.as("b"))
+    // exact membership panel: distinct keys with side flags, then counts
+    val exact = rows
+      .groupBy(col("k"))
+      .agg(max(col("a")).as("a"), max(col("b")).as("b"))
+      .agg(
+        count(when(col("a"), 1)).as("exact_a"),
+        count(when(col("b"), 1)).as("exact_b"),
+        count(lit(1)).as("exact_union"),
+        count(when(col("a") && col("b"), 1)).as("exact_overlap"))
+    val (idx, rho) = hashCols(col("k"))
+    // per-side registers off ONE scan: conditional maxes per idx; the
+    // union register is the MAX-MERGE of the two (rho ≥ 1, so 0=absent)
+    val regs = rows
+      .select(idx.as("idx"), rho.as("rho"), col("a"), col("b"))
+      .groupBy(col("idx"))
+      .agg(
+        max(when(col("a"), col("rho"))).as("ra"),
+        max(when(col("b"), col("rho"))).as("rb"))
+      .withColumn(
+        "ru",
+        greatest(coalesce(col("ra"), lit(0)), coalesce(col("rb"), lit(0))))
+    // coalesce: the hllSummarize empty-corpus zero point — no rows →
+    // pd = 0, every register empty, LC serves V=m → est 0.0
+    def sh(c: String) =
+      coalesce(sum(expr(s"shiftleft(1L, CAST($RhoCap - $c AS INT))")), lit(0L))
+    val summ = regs.agg(
+      count(col("ra")).as("nz_a"),
+      sh("ra").as("pd_a"), // null rho → null term, sum skips it
+      count(col("rb")).as("nz_b"),
+      sh("rb").as("pd_b"),
+      count(lit(1)).as("nz_u"),
+      sh("ru").as("pd_u"))
+    // fold the two one-row aggregates WITHOUT a join (the hllSummarize
+    // pad-union-max discipline: constant-key 1-row joins constant-fold
+    // into nested-loop joins, forbidden suite-wide)
+    val summCols = Seq("nz_a", "pd_a", "nz_b", "pd_b", "nz_u", "pd_u")
+    val exactCols = Seq("exact_a", "exact_b", "exact_union", "exact_overlap")
+    val sPad = exactCols.foldLeft(summ)((d, c) => d.withColumn(c, lit(null).cast("long")))
+    val ePad = exact.select(
+      summCols.map(c => lit(null).cast("long").as(c)) ++ exactCols.map(col): _*)
+    val aggs = (summCols ++ exactCols).map(c => max(col(c)).as(c))
+    val folded = sPad.unionByName(ePad).agg(aggs.head, aggs.tail: _*)
+    val estA = estOf(col("nz_a"), col("pd_a"))
+    val estB = estOf(col("nz_b"), col("pd_b"))
+    val estU = estOf(col("nz_u"), col("pd_u"))
+    val overlapEst = round(estA + estB - estU, 3)
+    folded.select(
+      lit(HllM).as("m"),
+      estA.as("est_a"),
+      estB.as("est_b"),
+      estU.as("est_union"),
+      overlapEst.as("overlap_est"),
+      col("exact_a"),
+      col("exact_b"),
+      col("exact_union"),
+      col("exact_overlap"),
+      // inclusion–exclusion compounds three estimators' errors, so the
+      // certificate bound is relative to the UNION size (the standard
+      // sketch-intersection error model), not the overlap itself
+      (abs(overlapEst - col("exact_overlap").cast("double")) <=
+        lit(0.2) * col("exact_union").cast("double")).as("err_ok"))
+  }
+
+  // ---- DuckDB replays of the grouped / overlap certificates --------
+
+  /** SQL of the serve estimator over summary columns `nz`/`pd` — the
+    * textual twin of [[estOf]], shared by both replays below.
+    */
+  private def estSql(nz: String, pd: String): String = {
+    val raw =
+      s"""0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * $EmptyTerm.0
+         |             / CAST($pd + ($HllM - $nz) * $EmptyTerm AS DOUBLE)""".stripMargin
+    s"""CASE WHEN $raw <= 2.5 * 256.0 AND ($HllM - $nz) > 0
+       |            THEN round(256.0 * ln(256.0 / CAST($HllM - $nz AS DOUBLE)), 3)
+       |            ELSE round($raw, 3) END""".stripMargin
+  }
+
+  def hllGroupedCertifySql(
+      table: String,
+      grpExpr: String,
+      keyExpr: String,
+      grpName: String): String =
+    s"""WITH h AS (
+       |  SELECT $grpExpr AS grp, $keyExpr AS k,
+       |         CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM $table),
+       |p AS (
+       |  SELECT grp, h % $HllM AS idx,
+       |         CASE WHEN h // $HllM = 0 THEN $RhoCap
+       |              ELSE $RhoCap - length(bin(h // $HllM)) END AS rho
+       |  FROM h),
+       |r AS (SELECT grp, idx, max(rho) AS r FROM p GROUP BY 1, 2),
+       |s AS (SELECT grp, count(*) AS nonzero,
+       |             CAST(sum(1::BIGINT << ($RhoCap - r)) AS BIGINT) AS present_denom
+       |      FROM r GROUP BY 1),
+       |e AS (SELECT grp, count(DISTINCT k) AS exact FROM h GROUP BY 1)
+       |SELECT s.grp AS $grpName, $HllM AS m, nonzero,
+       |       present_denom + ($HllM - nonzero) * $EmptyTerm AS denom,
+       |       ${estSql("nonzero", "present_denom")} AS est,
+       |       exact,
+       |       abs(${estSql("nonzero", "present_denom")}
+       |           - CAST(exact AS DOUBLE)) <= 0.2 * CAST(exact AS DOUBLE) AS err_ok
+       |FROM s JOIN e USING (grp) ORDER BY 1""".stripMargin
+
+  def hllOverlapSql(
+      table: String,
+      keyExpr: String,
+      aExpr: String,
+      bExpr: String): String = {
+    val ov = s"round(${estSql("nz_a", "pd_a")} + ${estSql("nz_b", "pd_b")}" +
+      s" - ${estSql("nz_u", "pd_u")}, 3)"
+    s"""WITH rows0 AS (
+       |  SELECT $keyExpr AS k, $aExpr AS a, $bExpr AS b
+       |  FROM $table WHERE ($aExpr) OR ($bExpr)),
+       |keyed AS (SELECT k, max(a) AS a, max(b) AS b FROM rows0 GROUP BY k),
+       |ex AS (SELECT count(*) FILTER (a) AS exact_a,
+       |              count(*) FILTER (b) AS exact_b,
+       |              count(*) AS exact_union,
+       |              count(*) FILTER (a AND b) AS exact_overlap
+       |       FROM keyed),
+       |h AS (SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+       |             a, b
+       |      FROM rows0),
+       |p AS (SELECT h % $HllM AS idx,
+       |             CASE WHEN h // $HllM = 0 THEN $RhoCap
+       |                  ELSE $RhoCap - length(bin(h // $HllM)) END AS rho, a, b
+       |      FROM h),
+       |regs AS (SELECT idx,
+       |                max(rho) FILTER (a) AS ra,
+       |                max(rho) FILTER (b) AS rb
+       |         FROM p GROUP BY 1),
+       |s AS (SELECT count(ra) AS nz_a,
+       |             CAST(sum(1::BIGINT << ($RhoCap - ra)) AS BIGINT) AS pd_a,
+       |             count(rb) AS nz_b,
+       |             CAST(sum(1::BIGINT << ($RhoCap - rb)) AS BIGINT) AS pd_b,
+       |             count(*) AS nz_u,
+       |             CAST(sum(1::BIGINT << ($RhoCap -
+       |               greatest(coalesce(ra, 0), coalesce(rb, 0)))) AS BIGINT) AS pd_u
+       |      FROM regs)
+       |SELECT $HllM AS m,
+       |       ${estSql("nz_a", "pd_a")} AS est_a,
+       |       ${estSql("nz_b", "pd_b")} AS est_b,
+       |       ${estSql("nz_u", "pd_u")} AS est_union,
+       |       $ov AS overlap_est,
+       |       exact_a, exact_b, exact_union, exact_overlap,
+       |       abs($ov - CAST(exact_overlap AS DOUBLE))
+       |         <= 0.2 * CAST(exact_union AS DOUBLE) AS err_ok
+       |FROM s, ex""".stripMargin
+  }
 }

@@ -714,6 +714,26 @@ object Multimodal {
     * types/depths/interlacing loudly rather than guessing.
     */
   private[graft] def decodePngRgb(p: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val (w, h, img) = decodePngPixels(p)
+    var sr = 0L
+    var sg = 0L
+    var sb = 0L
+    var i = 0
+    while (i < img.length) {
+      sr += img(i)
+      sg += img(i + 1)
+      sb += img(i + 2)
+      i += 3
+    }
+    (w, h, sr, sg, sb)
+  }
+
+  /** The pixel-matrix core of [[decodePngRgb]]: chunk-walk, inflate and
+    * unfilter, returning (width, height, row-major RGB ints). Split out
+    * so per-pixel consumers ([[ImageHash]]'s perceptual hash) reuse the
+    * one certified codec instead of growing a second decode path.
+    */
+  private[graft] def decodePngPixels(p: Array[Byte]): (Int, Int, Array[Int]) = {
     require(
       p.length > 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P'.toByte &&
         p(2) == 'N'.toByte && p(3) == 'G'.toByte,
@@ -799,17 +819,7 @@ object Multimodal {
       }
       y += 1
     }
-    var sr = 0L
-    var sg = 0L
-    var sb = 0L
-    var i = 0
-    while (i < img.length) {
-      sr += img(i)
-      sg += img(i + 1)
-      sb += img(i + 2)
-      i += 3
-    }
-    (w, h, sr, sg, sb)
+    (w, h, img)
   }
 
   /** REAL PNG pixel statistics — same output shape as

@@ -87,6 +87,57 @@ class CardinalitySpec extends AnyFunSuite {
     assert(merged.toSeq === oneShot.toSeq)
   }
 
+  test("grouped certificate: each group's row == the global certificate of that group's slice") {
+    val docs = Tables.load(spark, Sf0001, "documents")
+    val grouped = Cardinality
+      .hllGroupedCertify(docs, col("lang"), col("text"), "lang")
+      .collect()
+    assert(grouped.nonEmpty)
+    grouped.foreach { row =>
+      val lang = row.getAs[String]("lang")
+      val solo = Cardinality
+        .hllCertify(docs.filter(col("lang") === lang), col("text"))
+        .collect().head
+      // same register derivation, same estimator: the grouped row must
+      // equal the single-group certificate column for column
+      assert(row.getAs[Long]("nonzero") === solo.getAs[Long]("nonzero"), lang)
+      assert(row.getAs[Long]("denom") === solo.getAs[Long]("denom"), lang)
+      assert(row.getAs[Double]("est") === solo.getAs[Double]("est"), lang)
+      assert(row.getAs[Long]("exact") === solo.getAs[Long]("exact"), lang)
+      assert(row.getAs[Boolean]("err_ok"), lang)
+    }
+  }
+
+  test("overlap certificate: exact panel is exact, per-side/union ests match solo sketches") {
+    val orders = Tables.load(spark, Sf0001, "orders")
+    val y = year(col("o_orderdate"))
+    val row = Cardinality
+      .hllOverlapCertify(orders, col("o_custkey"), y === 1996, y === 1997)
+      .collect().head
+    val a = orders.filter(y === 1996).select(col("o_custkey")).distinct()
+    val b = orders.filter(y === 1997).select(col("o_custkey")).distinct()
+    assert(row.getAs[Long]("exact_a") === a.count())
+    assert(row.getAs[Long]("exact_b") === b.count())
+    assert(row.getAs[Long]("exact_union") === a.unionByName(b).distinct().count())
+    assert(row.getAs[Long]("exact_overlap") === a.intersect(b).count())
+    // the union sketch is a MAX-MERGE of the two sides' registers —
+    // prove it serves the same estimate as sketching the union directly
+    val soloU = Cardinality
+      .hllCertify(orders.filter(y === 1996 || y === 1997), col("o_custkey"))
+      .collect().head
+    assert(row.getAs[Double]("est_union") === soloU.getAs[Double]("est"))
+    val soloA = Cardinality.hllCertify(orders.filter(y === 1996), col("o_custkey"))
+      .collect().head
+    assert(row.getAs[Double]("est_a") === soloA.getAs[Double]("est"))
+    // inclusion-exclusion identity over the served (rounded) values
+    val ie = BigDecimal(
+      row.getAs[Double]("est_a") + row.getAs[Double]("est_b") -
+        row.getAs[Double]("est_union"))
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("overlap_est") === ie)
+    assert(row.getAs[Boolean]("err_ok"))
+  }
+
   test("streaming register log serves the exact batch certificate") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_hll_spec").toString + "/registers"
