@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.functions.GeoFunctions
 import graft.geo.{GeoHash, QuadKey}
-import graft.operators.{Bpe, Cardinality, CorpusSignals, Curation, Decontamination, Dedup, Drift, ExploraQueries, Graph, ImageHash, LanguageId, LanguageModel, Layout, Multimodal, Packing, Pca, Pq, Privacy, Profiling, QuantileSketch, RandomProjection, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
+import graft.operators.{Bpe, Cardinality, CorpusSignals, Curation, Decontamination, Dedup, Drift, ExploraQueries, Graph, ImageHash, LanguageId, LanguageModel, Layout, Membership, Multimodal, Packing, Pca, Pq, Privacy, Profiling, QuantileSketch, RandomProjection, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextAnalysis, TextClassifier, UnitDedup, ViewBuilder, Winnowing}
 import graft.sources.{Ingest, ReadingJson, SensorGrid, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1613,6 +1613,27 @@ object SparkEntry {
       Cardinality.hllOverlapCertify(
         Tables.load(s, d, "orders"), col("o_custkey"), y === 1996, y === 1997)
     }),
+    // ---- deterministic Bloom filter (Membership): the open MEMBERSHIP
+    //      sketch completing the family (CM=frequency, HLL=cardinality,
+    //      QS=order stats) — md5-derived 16-bit positions both engines
+    //      recompute, sketch = distinct set-bit list (merge = union,
+    //      idempotent), no-false-negative THEOREM + false-positive
+    //      census both riding the gate as booleans ----
+    "bloom_membership" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Membership.bloomCertify(docs, col("text"), Membership.evalFixture(docs))
+    }),
+    // the sketch DEPLOYED at ingest: per-micro-batch set-bit partials
+    // appended to the bit log; serve = distinct — stream == batch
+    // exactly (set union is order-free), same oracle
+    "streaming_bloom" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bloom_stream").toString + "/bits"
+      graft.streaming.StreamingViews.runBloomBitsAvailableNow(s, d, path)
+      Membership.bloomCertifyFromLog(
+        s.read.parquet(path),
+        Membership.evalFixture(Tables.load(s, d, "documents")))
+    }),
     // the sketch DEPLOYED at ingest: per-micro-batch register partials
     // appended to the register log; merge = per-idx MAX (idempotent +
     // commutative, stronger than additive under replay), so the served
@@ -2803,6 +2824,11 @@ object SparkEntry {
     "hll_overlap_customers" -> Cardinality.hllOverlapSql(
       "orders", "o_custkey",
       "year(o_orderdate) = 1996", "year(o_orderdate) = 1997"),
+    // open Bloom filter: positions, bit union, probe verdicts and both
+    // certificate booleans recomputed from raw rows
+    "bloom_membership" -> Membership.BloomCertifySql,
+    // stream == batch for a distinct-union sketch: same replay
+    "streaming_bloom" -> Membership.BloomCertifySql,
     // perceptual-hash family: closed-form pixel replay (never bytes)
     "image_ahash" -> ImageHash.AHashesSql,
     "image_dedup_survivors" -> ImageHash.DedupSurvivorsSql,

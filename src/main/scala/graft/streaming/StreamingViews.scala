@@ -473,6 +473,38 @@ object StreamingViews {
     q.awaitTermination()
   }
 
+  /** Bloom-filter maintenance on the documents STREAM: each micro-batch
+    * APPENDS its distinct set-bit positions (≤ m rows) to the bit log —
+    * merge = distinct union, idempotent AND commutative (a replayed
+    * batch can never flip a bit off), the strongest merge discipline in
+    * the open-sketch family; serving distincts the log
+    * ([[graft.operators.Membership.bloomCertifyFromLog]]). stream ==
+    * batch exactly because set union is order-free.
+    */
+  def runBloomBitsAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      bitsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/documents.parquet")
+    val reader = spark.readStream.schema(schema)
+    val q = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$sfDir/{documents.parquet}")
+      .writeStream
+      .outputMode("append")
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_bloom_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Membership.bloomBitPartials(batch, col("text"))
+          .write.mode("append").parquet(bitsPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Quantile-sketch maintenance on the events STREAM: each micro-batch
     * APPENDS its ≤ 1026-row fixed-edge bin-count frame to the counter
     * log — additive partials, the [[runCmCountersAvailableNow]] shape —
