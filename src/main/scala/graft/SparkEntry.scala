@@ -2242,6 +2242,17 @@ object SparkEntry {
       ImageHash.nearDupHashPairs(
         ImageHash.aHashes(
           Multimodal.synthesizePngAssets(Tables.load(s, d, "documents"))))),
+    // signature extraction AT INGEST: per-micro-batch decode → aHash
+    // rows appended to the signature log (signatures are immutable per
+    // image, so the log is append-only and dedup is a QUERY over it —
+    // decode happens once per asset at arrival, never at query time);
+    // survivors served from the stream-built log == batch, same oracle
+    "streaming_image_sigs" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_imgsig_stream").toString + "/sigs"
+      graft.streaming.StreamingViews.runImageSigsAvailableNow(s, d, path)
+      ImageHash.dedupSurvivors(s.read.parquet(path))
+    }),
     // REAL lossy decode: synthesize baseline grayscale JPEGs (ImageIO
     // writer, quality 1.0), decode them back through the full JPEG
     // pipeline, certify the decoded mean within a measured bound of the
@@ -2832,6 +2843,8 @@ object SparkEntry {
     // perceptual-hash family: closed-form pixel replay (never bytes)
     "image_ahash" -> ImageHash.AHashesSql,
     "image_dedup_survivors" -> ImageHash.DedupSurvivorsSql,
+    // stream == batch for an append-only signature log: same replay
+    "streaming_image_sigs" -> ImageHash.DedupSurvivorsSql,
     "image_neardup_hashes" -> ImageHash.nearDupPairsSql(),
     "quantile_sketch" -> QuantileSketch.quantileSketchSql(),
     // stream == batch for additive fixed-edge counts: same replay

@@ -473,6 +473,40 @@ object StreamingViews {
     q.awaitTermination()
   }
 
+  /** Image-signature extraction AT INGEST: each micro-batch of
+    * documents synthesizes its PNG assets, decodes them and APPENDS the
+    * per-image aHash rows to the signature log — signatures are
+    * immutable per image (pure function of the bytes), so the log is
+    * append-only and any dedup view (survivors, near-dup pairs) is a
+    * QUERY over it; stream == batch exactly. This is the multimodal
+    * twin of the sketch-at-ingest pattern: the expensive step (decode)
+    * happens once per asset at arrival, never again at query time.
+    */
+  def runImageSigsAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      sigsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/documents.parquet")
+    val reader = spark.readStream.schema(schema)
+    val q = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$sfDir/{documents.parquet}")
+      .writeStream
+      .outputMode("append")
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_imgsig_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.ImageHash.aHashes(
+          graft.operators.Multimodal.synthesizePngAssets(batch))
+          .write.mode("append").parquet(sigsPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Bloom-filter maintenance on the documents STREAM: each micro-batch
     * APPENDS its distinct set-bit positions (≤ m rows) to the bit log —
     * merge = distinct union, idempotent AND commutative (a replayed

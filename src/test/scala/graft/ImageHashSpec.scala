@@ -107,6 +107,16 @@ class ImageHashSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("err_ok"))
   }
 
+  test("streaming signature log serves the exact batch survivors") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_imgsig_spec").toString + "/sigs"
+    graft.streaming.StreamingViews.runImageSigsAvailableNow(spark, Sf0001, path)
+    val served = ImageHash.dedupSurvivors(spark.read.parquet(path))
+      .collect().map(_.toSeq)
+    val batch = ImageHash.dedupSurvivors(hashes()).collect().map(_.toSeq)
+    assert(served.toSeq === batch.toSeq)
+  }
+
   test("budget outside [1, Slices-1] is rejected loudly") {
     val h = hashes()
     intercept[IllegalArgumentException](ImageHash.nearDupHashPairs(h, 0))
