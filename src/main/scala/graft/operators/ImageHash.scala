@@ -113,10 +113,14 @@ object ImageHash {
     */
   def nearDupHashPairs(hashes: DataFrame, budget: Int = 2): DataFrame = {
     require(budget >= 1 && budget < Slices, s"budget must be in [1, ${Slices - 1}]")
-    val dh = Multimodal.materialize(
-      hashes
-        .groupBy(col("ahash_hi"), col("ahash_lo"))
-        .agg(min(col("id")).as("rep"), count(lit(1)).as("n")))
+    // eager localCheckpoint: the distinct-signature frame is tiny
+    // (content-bounded, ~100 rows here) but its SUBTREE is the full
+    // decode scan — the two slice-join legs below must read the
+    // materialized rows, not re-decode the corpus twice
+    val dh = hashes
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
+      .localCheckpoint(true)
     def slices(side: String) =
       dh.select(
           col("ahash_hi").as(s"${side}_hi"),
