@@ -74,6 +74,12 @@ object StoreManifest {
       .select(col(idCol).as("id"), col(bucketCol).cast("int").as("bucket"))
       .distinct()
       .withColumn("mpart", mpartCol(col("id")))
+      // one task → one file per mpart dir: without this every shuffle
+      // task fans out into every partition dir (up to tasks×Parts tiny
+      // files per build), and the probe pays the listing/open cost on
+      // every later batch — same coalescing the compaction pass
+      // enforces for the view table
+      .repartition(col("mpart"))
       .write.mode("overwrite").partitionBy("mpart")
       .parquet(manifestPath(storePath))
 
@@ -155,6 +161,8 @@ object StoreManifest {
         survivors.unionByName(a.withColumn("mpart", mpartCol(col("id"))))
       case None => survivors
     }
-    Similarity.swapTouchedPartitions(spark, merged, mp, touched, partCol = "mpart")
+    // one file per touched mpart dir (same rationale as [[write]])
+    Similarity.swapTouchedPartitions(
+      spark, merged.repartition(col("mpart")), mp, touched, partCol = "mpart")
   }
 }
