@@ -107,6 +107,26 @@ class StoreManifestSpec extends AnyFunSuite {
     assert(manifestPairs(path) === storePairs(path), "manifest drifted after compact")
   }
 
+  test("manifest writes land ONE parquet file per mpart directory (build and update)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_manifest_files").toString + "/store"
+    Similarity.ivfStoreWrite(baseStore, path)
+    def filesPerDir(): Map[String, Int] = {
+      val root = new java.io.File(StoreManifest.manifestPath(path))
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("mpart="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val afterBuild = filesPerDir()
+    assert(afterBuild.nonEmpty)
+    // without the repartition every shuffle task fans into every dir:
+    // tasks×Parts tiny files that each later probe pays to list/open
+    afterBuild.foreach { case (d, n) => assert(n === 1, s"$d has $n files after build") }
+    import spark.implicits._
+    val moved = Seq((7L, 5), (123L, 5)).toDF("vec_id", "bucket")
+    StoreManifest.update(spark, path, moved.select(col("vec_id")), "vec_id", Some(moved))
+    filesPerDir().foreach { case (d, n) => assert(n === 1, s"$d has $n files after update") }
+  }
+
   test("legacy store (no manifest): probe falls back to the store scan; first upsert builds the manifest") {
     val path = java.nio.file.Files.createTempDirectory("graft_manifest_legacy").toString + "/store"
     Similarity.ivfStoreWrite(baseStore, path)
