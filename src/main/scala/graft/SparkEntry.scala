@@ -2310,6 +2310,13 @@ object SparkEntry {
     // top-20 adjacent-pair collocations with PMI (phrase-mining stat)
     "bigram_pmi" -> ((s, d) =>
       LanguageModel.bigramPmiFrom(vocabCached(s, d), bigramCountsCached(s, d))),
+    // interpolated-bigram LM scoring (Jelinek-Mercer λ=0.75 with the
+    // corpus unigram as back-off) — the full CCNet perplexity-filter
+    // shape: scores word ORDER fluency, which the unigram filter can't
+    // see; model tables ride the cached vocab + pair-count frames
+    "bigram_interp_logprob" -> ((s, d) =>
+      LanguageModel.bigramInterpLogprobFrom(
+        Tables.load(s, d, "documents"), vocabCached(s, d), bigramCountsCached(s, d))),
     // Gopher rule filters: five named per-doc quality rules + pass flag,
     // all integer counting in one narrow codegen stage
     "gopher_rules" -> ((s, d) =>
@@ -3065,6 +3072,7 @@ object SparkEntry {
     "repetition_stats" -> CorpusSignals.RepetitionStatsSql,
     "tfidf_top3" -> CorpusSignals.tfidfTopTermsSql(),
     "unigram_logprob" -> LanguageModel.UnigramLogprobSql,
+    "bigram_interp_logprob" -> LanguageModel.BigramInterpLogprobSql,
     "bigram_pmi" -> LanguageModel.bigramPmiSql(),
     "gopher_rules" -> TextAnalysis.GopherRulesSql,
     "train_split" -> Sampling.TrainSplitSql,

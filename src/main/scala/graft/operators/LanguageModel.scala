@@ -181,6 +181,98 @@ object LanguageModel {
       .limit(k)
   }
 
+  /** Interpolated-bigram LM document scoring — the full CCNet
+    * perplexity-filter shape (arXiv:1911.00359 filters on a KenLM
+    * n-gram model; [[unigramLogprob]] is its unigram degenerate): for
+    * each adjacent pair (w1, w2) in a document,
+    *
+    *   p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N
+    *
+    * (Jelinek-Mercer interpolation with the corpus unigram as the
+    * back-off — the standard fix for bigram sparsity without held-out
+    * tuning), and the score is the document's mean negative log
+    * probability (its bigram cross-entropy in nats). Low = fluent word
+    * ORDER under the corpus, not just fluent vocabulary — a shuffled
+    * bag of common words fools the unigram filter but not this one.
+    *
+    * Scale shape: one positional tokenize pass for the doc-level
+    * bigram stream (adjacency is already discarded in the cached token
+    * stream — see the family note above), then three lookup joins
+    * whose build sides are vocabulary-/observed-bigram-bounded tables
+    * (UNHINTED: broadcastable while they fit, shuffle joins beyond —
+    * AQE picks), one broadcast one-row totals frame, one per-doc hash
+    * aggregate. Every count is an exact integer through the shuffle;
+    * the float expression is written identically in both engines and
+    * rounded to 6 dp (the [[unigramLogprobFrom]] discipline).
+    *
+    * No unseen-bigram smoothing hole: the model is learned from the
+    * corpus being scored, so every scored pair has c(w1,w2) ≥ 1.
+    * Documents with < 2 tokens contribute no pairs and are absent.
+    */
+  val InterpLambda = 0.75
+
+  def bigramInterpLogprob(docs: DataFrame): DataFrame =
+    bigramInterpLogprobFrom(docs, vocabFrom(docTokens(docs)), bigramCounts(docs))
+
+  def bigramInterpLogprobFrom(
+      docs: DataFrame,
+      vocab: DataFrame,
+      pairCounts: DataFrame): DataFrame = {
+    val bg = graft.sources.Tables.fanOut(docs)
+      .withColumn("toks", expr(toks))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val total = vocab
+      .agg(sum(col("c")).as("n_total"))
+      .withColumn("one", one(col("n_total")))
+    val p =
+      lit(InterpLambda) * (col("c_xy").cast("double") / col("c1").cast("double")) +
+        lit(1.0 - InterpLambda) * (col("c2").cast("double") / col("n_total").cast("double"))
+    bg
+      .join(pairCounts, Seq("w1", "w2"))
+      .join(vocab.select(col("token").as("w1"), col("c").as("c1")), "w1")
+      .join(vocab.select(col("token").as("w2"), col("c").as("c2")), "w2")
+      .withColumn("one", one(col("c_xy")))
+      .join(broadcast(total), "one")
+      .drop("one")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 6).as("avg_neg_logprob_bi"))
+      .orderBy(col("doc_id"))
+  }
+
+  val BigramInterpLogprobSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |u AS (SELECT unnest(toks) AS token FROM d),
+       |uni AS (SELECT token, count(*) AS c FROM u GROUP BY 1),
+       |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+       |bg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM d, unnest(range(1, len(toks))) AS r(i)
+       |  WHERE len(toks) >= 2),
+       |pairs AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2)
+       |SELECT bg.doc_id, count(*) AS n_bigrams,
+       |       round(avg(-ln(
+       |         $InterpLambda * (CAST(p.c_xy AS DOUBLE) / CAST(c1.c AS DOUBLE)) +
+       |         ${1.0 - InterpLambda} * (CAST(c2.c AS DOUBLE) / CAST(n.n_total AS DOUBLE)))), 6)
+       |         AS avg_neg_logprob_bi
+       |FROM bg
+       |JOIN pairs p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+       |JOIN uni c1 ON bg.w1 = c1.token
+       |JOIN uni c2 ON bg.w2 = c2.token
+       |CROSS JOIN n
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def bigramPmiSql(k: Int = PmiTopK): String =
     s"""WITH d AS (
        |  SELECT doc_id,

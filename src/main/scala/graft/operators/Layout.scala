@@ -121,8 +121,12 @@ object Layout {
     val b = bucketized(events)
     b.write.mode("overwrite").partitionBy("z_cell").parquet(path)
     // event→cell manifest for the upsert's old-home probe — cost of a
-    // later batch's probe becomes ∝ batch, never layout bytes
-    StoreManifest.write(b, path, "event_id", bucketCol = "z_cell")
+    // later batch's probe becomes ∝ batch, never layout bytes. Built
+    // from a READBACK of the files just written (2-column pruned scan),
+    // not from `b`, whose re-evaluation would rescan the events source
+    StoreManifest.write(
+      events.sparkSession.read.parquet(path), path,
+      "event_id", bucketCol = "z_cell")
   }
 
   /** INCREMENTAL layout maintenance: merge an event batch (inserts +
@@ -144,7 +148,19 @@ object Layout {
     * corpus bytes. Returns the touched cell ids.
     */
   def zorderUpsert(spark: SparkSession, batch: DataFrame, path: String): Seq[Int] = {
-    val assigned = bucketized(batch)
+    // pin the bucketized batch for the call: it feeds the old-home
+    // probe, the new-home collect, the survivor anti-join, the merge
+    // union and the manifest adds — 5 evaluations of the batch's
+    // upstream scan without it. Memory ∝ batch; released in the finally.
+    val assigned = StoreManifest.pinBatch(bucketized(batch))
+    try zorderUpsertPinned(spark, assigned, path)
+    finally assigned.unpersist(blocking = false)
+  }
+
+  private def zorderUpsertPinned(
+      spark: SparkSession,
+      assigned: DataFrame,
+      path: String): Seq[Int] = {
     val store = spark.read.parquet(path)
     val batchIds = assigned.select(col("event_id"))
     // no broadcast hint on the id probe: a daily batch's id frame grows

@@ -396,8 +396,12 @@ object Pq {
   def pqStoreWrite(codes: DataFrame, path: String): Unit = {
     codes.write.mode("overwrite").partitionBy("bucket").parquet(path)
     // id→bucket manifest for the upsert/delete old-home probes —
-    // the [[Similarity.ivfStoreWrite]] discipline on the code tier
-    StoreManifest.write(codes, path, "vec_id")
+    // the [[Similarity.ivfStoreWrite]] discipline on the code tier.
+    // Built from a READBACK of the files just written (2-column pruned
+    // scan), not from `codes`, whose re-evaluation would rerun the
+    // full PQ encode + assignment a second time over the corpus
+    StoreManifest.write(
+      codes.sparkSession.read.parquet(path), path, "vec_id")
   }
 
   /** Incremental code-store maintenance — [[Similarity.storeUpsert]]

@@ -116,14 +116,28 @@ object Retrieval {
     rankBm25(postings.join(broadcast(informative), "token"), stats, k)
   }
 
-  /** `(doc_id, len, token, tf, df)` postings (df denormalized onto each
+  /** `(token, doc_id, len, tf, df)` postings (df denormalized onto each
     * row — a token's postings live together, so df rides along for free
     * in the sharded layout) plus the one-row corpus stats frame.
     * Integer sums only, so `avg_len` is the same double in both engines
     * regardless of row order.
+    *
+    * df arrives via a count window over the token partition, NOT a
+    * `rawPostings ⋈ dfFrame` self-join: the self-join's two branches
+    * each re-tokenize the corpus (the plan has no common-subexpression
+    * sharing across join sides), so the window halves the dominant
+    * tokenize cost and drops a shuffle — one explode+aggregate pass,
+    * one token-keyed exchange. df values are identical (each
+    * (doc, token) contributes exactly one postings row, so the
+    * partition count IS the document frequency). Token-hash skew is
+    * the same skew the join's token-keyed exchange had.
     */
-  private def postingsAndStats(docs: DataFrame): (DataFrame, DataFrame) =
-    (rawPostings(docs).join(dfFrame(docs), "token"), corpusStats(docs))
+  private def postingsAndStats(docs: DataFrame): (DataFrame, DataFrame) = {
+    val postings = rawPostings(docs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .select(col("token"), col("doc_id"), col("len"), col("tf"), col("df"))
+    (postings, corpusStats(docs))
+  }
 
   /** `(token, df)` — the document-frequency frame. */
   private def dfFrame(docs: DataFrame): DataFrame =
@@ -214,8 +228,11 @@ object Retrieval {
     sharded.write.mode("overwrite").partitionBy("bucket").parquet(path)
     // doc→shard manifest (one row per doc × shard its tokens hash
     // into) — the upsert/delete old-home probes read this, not the
-    // full postings store
-    StoreManifest.write(sharded, path, "doc_id")
+    // full postings store. Built from a READBACK of the files just
+    // written (2-column pruned scan), not from `sharded`, whose
+    // re-evaluation would re-tokenize the whole corpus a second time
+    StoreManifest.write(
+      docs.sparkSession.read.parquet(path), path, "doc_id")
     stats.write.mode("overwrite").parquet(statsPath)
   }
 
@@ -254,8 +271,34 @@ object Retrieval {
       path: String,
       statsPath: String): Seq[Int] = {
     val store = spark.read.parquet(path)
-    val batchIds = docsBatch.select(col("doc_id")).distinct()
-    val batchRaw = rawPostings(docsBatch)
+    // Pin the batch's tokenization ONCE: without it the batch is
+    // re-tokenized for the new-home collect, the merge union, the
+    // manifest adds AND the stats delta — 4 explode+aggregate jobs over
+    // the same rows, the dominant fixed cost of the whole upsert at
+    // tiny SF and 4 redundant batch-sized jobs at 100 TB. All three
+    // frames below are ∝ batch; released in the finally.
+    val tokenized = StoreManifest.pinBatch(
+      graft.sources.Tables.fanOut(docsBatch)
+        .select(col("doc_id"), expr(toks).as("tk")))
+    val batchIds = StoreManifest.pinBatch(
+      tokenized.select(col("doc_id")).distinct())
+    val batchRaw = StoreManifest.pinBatch(
+      tokenized
+        .select(col("doc_id"), size(col("tk")).as("len"), explode(col("tk")).as("token"))
+        .groupBy(col("doc_id"), col("len"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    try bm25IndexUpsertPinned(spark, store, tokenized, batchIds, batchRaw, path, statsPath)
+    finally Seq(tokenized, batchIds, batchRaw).foreach(_.unpersist(blocking = false))
+  }
+
+  private def bm25IndexUpsertPinned(
+      spark: org.apache.spark.sql.SparkSession,
+      store: DataFrame,
+      tokenized: DataFrame,
+      batchIds: DataFrame,
+      batchRaw: DataFrame,
+      path: String,
+      statsPath: String): Seq[Int] = {
     // old homes via the doc→shard manifest — cost ∝ batch, never
     // store bytes (r12 verdict #2); the replaced-doc read below is
     // then partition-pruned to exactly those shards. No broadcast
@@ -279,8 +322,10 @@ object Retrieval {
       .agg(
         coalesce(count(lit(1)), lit(0L)).as("n_rep"),
         coalesce(sum(col("len").cast("long")), lit(0L)).as("len_rep"))
-    val batchStats = corpusStats(docsBatch)
-      .select(col("n_docs").as("n_b"), col("sum_len").as("len_b"))
+    val batchStats = tokenized
+      .agg(
+        count(lit(1)).as("n_b"),
+        sum(size(col("tk")).cast("long")).as("len_b"))
     val old = spark.read.parquet(statsPath).select(col("n_docs"), col("sum_len"))
     val Array(nDocs, sumLen) = {
       val o = old.collect()(0)
@@ -304,10 +349,12 @@ object Retrieval {
       .join(batchIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("len"), col("token"), col("tf"))
     val mergedRaw = survivors.unionByName(batchRaw.select(col("doc_id"), col("len"), col("token"), col("tf")))
-    // column order matches bm25IndexWrite's files (token-first from the
-    // df join) so every bucket directory carries one field layout
+    // df via the token-partition count window (the postingsAndStats
+    // rationale: a self-join's two branches would each rescan the
+    // touched buckets); column order matches bm25IndexWrite's files so
+    // every bucket directory carries one field layout
     val merged = mergedRaw
-      .join(mergedRaw.groupBy(col("token")).agg(count(lit(1)).as("df")), "token")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .select(col("token"), col("doc_id"), col("len"), col("tf"), col("df"),
         bucketOfCol(col("token")).as("bucket"))
     Similarity.swapTouchedPartitions(spark, merged, path, touched)
@@ -335,7 +382,19 @@ object Retrieval {
       path: String,
       statsPath: String): Seq[Int] = {
     val store = spark.read.parquet(path)
-    val ids = deleteIds.select(col("doc_id")).distinct()
+    // pin the delete set (probe, removed-stats join, survivor anti-join,
+    // manifest update — 4 evaluations without it; memory ∝ delete set)
+    val ids = StoreManifest.pinBatch(deleteIds.select(col("doc_id")).distinct())
+    try bm25IndexDeletePinned(spark, store, ids, path, statsPath)
+    finally ids.unpersist(blocking = false)
+  }
+
+  private def bm25IndexDeletePinned(
+      spark: org.apache.spark.sql.SparkSession,
+      store: DataFrame,
+      ids: DataFrame,
+      path: String,
+      statsPath: String): Seq[Int] = {
     // old homes via the doc→shard manifest (cost ∝ delete set); the
     // removed-doc stats read is then partition-pruned to those shards
     val touched = StoreManifest
@@ -368,7 +427,7 @@ object Retrieval {
       .join(ids, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("len"), col("token"), col("tf"))
     val merged = survivors
-      .join(survivors.groupBy(col("token")).agg(count(lit(1)).as("df")), "token")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .select(col("token"), col("doc_id"), col("len"), col("tf"), col("df"),
         bucketOfCol(col("token")).as("bucket"))
     Similarity.swapTouchedPartitions(spark, merged, path, touched)

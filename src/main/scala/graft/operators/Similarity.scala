@@ -694,9 +694,13 @@ object Similarity {
     */
   def ivfStoreWrite(assigned: DataFrame, path: String): Unit = {
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    // one narrow projection of the frame just written: the id→bucket
-    // manifest every later upsert/delete probes instead of the store
-    StoreManifest.write(assigned, path, "vec_id")
+    // the id→bucket manifest every later upsert/delete probes instead
+    // of the store — built from a READBACK of the files just written
+    // (a 2-column pruned scan: vec_id + the partition value), not from
+    // `assigned`, whose re-evaluation would rerun the full upstream
+    // centroid-assignment plan a second time over the corpus
+    StoreManifest.write(
+      assigned.sparkSession.read.parquet(path), path, "vec_id")
   }
 
   /** Answer the multi-probe top-k FROM STORAGE: read the persisted
@@ -753,6 +757,22 @@ object Similarity {
       path: String,
       payloadCols: Seq[String]): Seq[Int] = {
     val store = spark.read.parquet(path)
+    // pin the batch for the call: the frame below feeds the old-home
+    // probe, the new-home collect, the survivor anti-join, the merge
+    // union and the manifest adds — 5 evaluations of the batch's
+    // upstream plan (centroid assignment / PQ encode) without the pin.
+    // Memory ∝ batch, never corpus; released in the finally.
+    val batch = StoreManifest.pinBatch(assignedBatch)
+    try storeUpsertPinned(spark, store, batch, path, payloadCols)
+    finally batch.unpersist(blocking = false)
+  }
+
+  private def storeUpsertPinned(
+      spark: SparkSession,
+      store: DataFrame,
+      assignedBatch: DataFrame,
+      path: String,
+      payloadCols: Seq[String]): Seq[Int] = {
     val batchIds = assignedBatch.select(col("vec_id"))
     // Touched = buckets the batch lands in ∪ buckets where a batch id
     // CURRENTLY lives: a re-embedded vector can move cells, and its
@@ -821,7 +841,19 @@ object Similarity {
       deleteIds: DataFrame,
       path: String): Seq[Int] = {
     val store = spark.read.parquet(path)
-    val ids = deleteIds.select(col("vec_id")).distinct()
+    // pin the delete set: it feeds the old-home probe, the survivor
+    // anti-join and the manifest update — 3+ evaluations of the id
+    // frame's upstream plan without it. Memory ∝ delete set.
+    val ids = StoreManifest.pinBatch(deleteIds.select(col("vec_id")).distinct())
+    try storeDeletePinned(spark, store, ids, path)
+    finally ids.unpersist(blocking = false)
+  }
+
+  private def storeDeletePinned(
+      spark: SparkSession,
+      store: DataFrame,
+      ids: DataFrame,
+      path: String): Seq[Int] = {
     // old homes via the id→bucket manifest (cost ∝ delete set, never
     // store bytes); no broadcast hint — AQE decides (r12 verdict #1)
     val touched = StoreManifest

@@ -49,6 +49,26 @@ object StoreManifest {
   def manifestPath(storePath: String): String =
     s"${storePath.stripSuffix("/")}.manifest"
 
+  /** Eagerly persist a BATCH-sized maintenance frame for the duration
+    * of one upsert/delete call. Every maintenance body evaluates its
+    * batch frame 4-6 times (old-home probe, new-home collect, survivor
+    * anti-join, merge union, manifest adds/parts) — without a pin each
+    * evaluation recomputes the batch's upstream plan (tokenization,
+    * centroid assignment, a filtered corpus scan) from scratch, which
+    * at tiny SF is the dominant fixed cost of the whole maintenance
+    * entry and at 100 TB is 4-6 redundant batch-sized jobs per day.
+    * Memory is bounded by the BATCH (never the store/corpus) and
+    * spills to disk; callers unpersist in a finally once the last
+    * write lands. persist alone is lazy — the count() forces it so two
+    * concurrent downstream stages cannot race to build it twice (the
+    * cachedView lesson, SparkEntry.scala).
+    */
+  def pinBatch(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   /** Hash partition of an id — xxhash64 so string doc ids and long
     * vector ids route identically well.
     */

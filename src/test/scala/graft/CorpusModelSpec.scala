@@ -56,6 +56,36 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n_pair") === 1) // (b, a)
   }
 
+  // ---- interpolated-bigram LM scoring ---------------------------------
+
+  test("bigramInterpLogprob matches the closed form on a 1-doc corpus") {
+    // "a b a b": unigrams a=2 b=2 N=4; pairs (a,b)=2 (b,a)=1; λ=0.75
+    //   p(b|a) = .75·(2/2) + .25·(2/4) = 0.875   (two occurrences)
+    //   p(a|b) = .75·(1/2) + .25·(2/4) = 0.5     (one occurrence)
+    val r = LanguageModel.bigramInterpLogprob(docs(1L -> "a b a b")).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_bigrams") === 3)
+    val expected = (-2 * math.log(0.875) - math.log(0.5)) / 3
+    assert(math.abs(r(0).getAs[Double]("avg_neg_logprob_bi") - expected) < 1e-6)
+  }
+
+  test("bigramInterpLogprob scores word ORDER: shuffled bag ranks worse") {
+    // identical token bags (a×3, b×3 each) — only adjacency differs:
+    // the alternating doc rides the corpus's dominant (a,b) transition,
+    // the clumped doc sits on rare (a,a)/(b,b) transitions
+    val r = LanguageModel.bigramInterpLogprob(docs(
+      1L -> "a b a b a b",
+      2L -> "a a a b b b"))
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("avg_neg_logprob_bi")).toMap
+    assert(r(2L) > r(1L))
+  }
+
+  test("bigramInterpLogprob: docs with < 2 tokens are absent") {
+    val r = LanguageModel.bigramInterpLogprob(docs(1L -> "solo", 2L -> "x y"))
+      .collect().map(_.getLong(0))
+    assert(r.toSeq === Seq(2L))
+  }
+
   test("bigramPmi keeps only the top-k by pair count") {
     val many = docs(1L -> "p q p q p q p q", 2L -> "r s", 3L -> "t u")
     val rows = LanguageModel.bigramPmi(many, k = 2).collect()
@@ -288,6 +318,7 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(Profiling.valueQuartiles(emptyEvents).collect().isEmpty)
     assert(LanguageModel.sourceJsDivergence(emptyDocs).collect().isEmpty)
     assert(LanguageModel.corpusEntropy(emptyDocs).collect().length === 1) // one all-NULL row
+    assert(LanguageModel.bigramInterpLogprob(emptyDocs).collect().isEmpty)
     assert(Profiling.rateAnomalies(emptyEvents).collect().isEmpty)
     assert(TextAnalysis.lengthHistogram(emptyDocs).collect().isEmpty)
     // open sketches: defined zero points, never a crash
