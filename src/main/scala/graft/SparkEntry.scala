@@ -2317,6 +2317,13 @@ object SparkEntry {
     "bigram_interp_logprob" -> ((s, d) =>
       LanguageModel.bigramInterpLogprobFrom(
         Tables.load(s, d, "documents"), vocabCached(s, d), bigramCountsCached(s, d))),
+    // the LM quality filter DEPLOYED at ingest: frozen model tables,
+    // per-micro-batch stream-static scoring, append-only score log —
+    // stream == batch (doc-local aggregation), same oracle
+    "streaming_lm_score" -> ((s, d) =>
+      graft.streaming.StreamingViews.runLmScoreAvailableNow(
+        s, d,
+        java.nio.file.Files.createTempDirectory("graft_lm_scores").toString + "/scores")),
     // Gopher rule filters: five named per-doc quality rules + pass flag,
     // all integer counting in one narrow codegen stage
     "gopher_rules" -> ((s, d) =>
@@ -3073,6 +3080,9 @@ object SparkEntry {
     "tfidf_top3" -> CorpusSignals.tfidfTopTermsSql(),
     "unigram_logprob" -> LanguageModel.UnigramLogprobSql,
     "bigram_interp_logprob" -> LanguageModel.BigramInterpLogprobSql,
+    // stream == batch for the deployed LM filter (doc-local scoring
+    // against frozen model tables) — shares the batch oracle
+    "streaming_lm_score" -> LanguageModel.BigramInterpLogprobSql,
     "bigram_pmi" -> LanguageModel.bigramPmiSql(),
     "gopher_rules" -> TextAnalysis.GopherRulesSql,
     "train_split" -> Sampling.TrainSplitSql,

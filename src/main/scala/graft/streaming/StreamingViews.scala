@@ -628,6 +628,61 @@ object StreamingViews {
     spark.table(name).orderBy(col("event_id"))
   }
 
+  /** Interpolated-bigram LM quality scoring DEPLOYED at ingest — the
+    * serving shape of the CCNet-style perplexity filter: the model
+    * tables (vocabulary + adjacent-pair counts) are trained ONCE in
+    * batch and FROZEN (a quality filter's model must not drift with
+    * the stream it is filtering), then every arriving micro-batch of
+    * documents is scored against them with a stream-static join and
+    * the scores APPEND to a result log. Stream == batch exactly:
+    * scoring is doc-local given the model ([[graft.operators
+    * .LanguageModel.bigramInterpLogprobFrom]] aggregates only within
+    * each document, and a document arrives in exactly one batch), so
+    * the union of per-batch scores is the batch operator's output and
+    * the entry shares `bigram_interp_logprob`'s oracle.
+    *
+    * Scale shape: per-batch cost is one positional tokenize of the
+    * BATCH plus lookup joins against the pinned vocab-bounded model
+    * tables (broadcast while they fit — AQE decides); the frozen
+    * model is pinned once for the whole run, never rebuilt per batch.
+    */
+  def runLmScoreAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      outPath: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val tokens = graft.operators.LanguageModel.docTokens(docs)
+    val vocab = graft.operators.StoreManifest.pinBatch(
+      graft.operators.LanguageModel.vocabFrom(tokens))
+    val pairs = graft.operators.StoreManifest.pinBatch(
+      graft.operators.LanguageModel.bigramCounts(docs))
+    try {
+      val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/documents.parquet")
+      val reader = spark.readStream.schema(schema)
+      val q = maxFilesPerTrigger
+        .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+        .parquet(s"$sfDir/{documents.parquet}")
+        .writeStream
+        .outputMode("append")
+        .option(
+          "checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_lm_score_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.LanguageModel
+            .bigramInterpLogprobFrom(batch, vocab, pairs)
+            .write.mode("append").parquet(outPath)
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      vocab.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+    }
+    spark.read.parquet(outPath).orderBy(col("doc_id"))
+  }
+
   /** Gap-based sessionization via the `session_window` BUILTIN under
     * incremental execution — the engine-native counterpart of the
     * custom-state [[graft.operators.Sessionize.streamingUserStats]]

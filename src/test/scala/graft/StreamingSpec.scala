@@ -409,6 +409,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored.size === 200)
   }
 
+  test("streaming LM scoring: multi-batch scores against the frozen model == batch operator") {
+    val dir = Files.createTempDirectory("graft-lmstream").toString
+    import SparkTestBase.spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val rows = (0 until 120).map { i =>
+      val n = 2 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "),
+        "en", s"src${i % 3}")
+    }
+    rows.toDF("doc_id", "text", "lang", "source")
+      .repartition(4) // 4 files -> 4 micro-batches at maxFilesPerTrigger=1
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Files.createTempDirectory("graft-lmstream-out").toString + "/scores"
+    val streamed = StreamingViews
+      .runLmScoreAvailableNow(spark, dir, out, Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val batch = graft.operators.LanguageModel.bigramInterpLogprob(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc-local scoring against the same frozen tables: exact equality,
+    // not tolerance — a drifting model or a doc split across batches
+    // would both break this
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.length === 120)
+  }
+
   test("streaming erasure: queue-applied deletions leave exactly the one-shot deletion's store") {
     import SparkTestBase.spark.implicits._
     val rnd = new scala.util.Random(19)
