@@ -182,11 +182,12 @@ object Layout {
       .join(batchIds, Seq("event_id"), "left_anti")
       .select(outCols: _*)
     val merged = survivors.unionByName(assigned.select(outCols: _*))
+    val heal = StoreManifest.beginMaintenance(spark, path)
     Similarity.swapTouchedPartitions(spark, merged, path, touched, partCol = "z_cell")
     StoreManifest.update(
       spark, path, batchIds, "event_id",
       adds = Some(assigned.select(col("event_id"), col("z_cell"))),
-      bucketCol = "z_cell", storeBucketCol = "z_cell")
+      bucketCol = "z_cell", storeBucketCol = "z_cell", heal = heal)
     touched
   }
 

@@ -357,10 +357,12 @@ object Retrieval {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .select(col("token"), col("doc_id"), col("len"), col("tf"), col("df"),
         bucketOfCol(col("token")).as("bucket"))
+    val heal = StoreManifest.beginMaintenance(spark, path)
     Similarity.swapTouchedPartitions(spark, merged, path, touched)
     StoreManifest.update(
       spark, path, batchIds, "doc_id",
-      adds = Some(batchRaw.select(col("doc_id"), bucketOfCol(col("token")).as("bucket"))))
+      adds = Some(batchRaw.select(col("doc_id"), bucketOfCol(col("token")).as("bucket"))),
+      heal = heal)
     touched
   }
 
@@ -430,8 +432,9 @@ object Retrieval {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .select(col("token"), col("doc_id"), col("len"), col("tf"), col("df"),
         bucketOfCol(col("token")).as("bucket"))
+    val heal = StoreManifest.beginMaintenance(spark, path)
     Similarity.swapTouchedPartitions(spark, merged, path, touched)
-    StoreManifest.update(spark, path, ids, "doc_id", adds = None)
+    StoreManifest.update(spark, path, ids, "doc_id", adds = None, heal = heal)
     touched
   }
 

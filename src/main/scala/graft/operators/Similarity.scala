@@ -811,12 +811,17 @@ object Similarity {
     // partition discovery at all. Removed in a finally once the
     // dynamic-overwrite swap (and the emptied-bucket sweep that reads
     // it) is done.
+    // swap-window transaction: marker down, store swap, manifest swap,
+    // marker up — a crash in between leaves the marker for the probe's
+    // fallback and the next call's heal (StoreManifest class note)
+    val heal = StoreManifest.beginMaintenance(spark, path)
     swapTouchedPartitions(spark, merged.select(outCols: _*), path, touched)
     // manifest rides the same maintenance call: batch ids' old pairs
     // out, their new homes in — touched manifest partitions only
     StoreManifest.update(
       spark, path, batchIds, "vec_id",
-      adds = Some(assignedBatch.select(col("vec_id"), col("bucket"))))
+      adds = Some(assignedBatch.select(col("vec_id"), col("bucket"))),
+      heal = heal)
     touched
   }
 
@@ -866,8 +871,9 @@ object Similarity {
       .filter(col("bucket").isin(touched.map(Int.box): _*))
       .join(ids, Seq("vec_id"), "left_anti")
       .select(outCols: _*)
+    val heal = StoreManifest.beginMaintenance(spark, path)
     swapTouchedPartitions(spark, survivors, path, touched)
-    StoreManifest.update(spark, path, ids, "vec_id", adds = None)
+    StoreManifest.update(spark, path, ids, "vec_id", adds = None, heal = heal)
     touched
   }
 

@@ -30,11 +30,20 @@ import org.apache.spark.sql.functions._
   * partitions its batch ids hash into, inside the same maintenance
   * call that swaps the store's buckets. On plain parquet the two
   * swaps are sequential (a lakehouse table format would commit both
-  * in one transaction); the store swap lands first, so a crash
-  * between them leaves a manifest missing the batch's moves — and
-  * [[probe]] falls back to the legacy full-store scan whenever the
-  * manifest is absent, which is also the upgrade path for stores
-  * written before manifests existed.
+  * in one transaction), and a crash BETWEEN them leaves a manifest
+  * that is PRESENT but STALE — silently trusting it would make the
+  * next upsert's old-home probe miss a moved id's true bucket and
+  * leave a ghost row serving forever. The poor-man's transaction
+  * closing that window: every maintenance call plants a PENDING
+  * MARKER ([[beginMaintenance]]) before its store swap and clears it
+  * only after the manifest swap lands; while the marker exists,
+  * [[probe]] refuses the manifest and falls back to the always-
+  * correct full-store scan, and the next completed maintenance call's
+  * [[update]] HEALS by rebuilding the whole manifest from the store's
+  * own post-swap content (a 2-column readback) instead of patching
+  * incrementally. The same fallback-and-rebuild pair is the upgrade
+  * path for stores written before manifests existed (manifest absent
+  * rather than stale).
   */
 object StoreManifest {
 
@@ -80,6 +89,38 @@ object StoreManifest {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The maintenance-in-flight marker (see the class note's crash
+    * window). A SIBLING of the manifest directory, like the staging
+    * dirs — never visible to partition discovery.
+    */
+  def pendingPath(storePath: String): String =
+    s"${storePath.stripSuffix("/")}.manifest.pending"
+
+  /** Plant the pending marker — call IMMEDIATELY BEFORE the store's
+    * touched-partition swap in every upsert/delete. Returns TRUE when
+    * a marker was ALREADY present (a previous maintenance call crashed
+    * in its swap window, so the manifest may be stale): the caller
+    * must pass that through to [[update]]'s `heal` so this call
+    * rebuilds rather than patches. This call's own marker is cleared
+    * by [[update]] once the manifest swap lands.
+    */
+  def beginMaintenance(spark: SparkSession, storePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(pendingPath(storePath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crashed = fs.exists(p)
+    if (!crashed) fs.create(p, true).close()
+    crashed
+  }
+
+  private def pendingExists(spark: SparkSession, storePath: String): Boolean =
+    pathExists(spark, pendingPath(storePath))
+
+  private def clearPending(spark: SparkSession, storePath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pendingPath(storePath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   /** Full manifest build at store-write time: the distinct
     * `(id, bucket)` pairs of the store frame (one row per id for
     * id-unique stores; one per id×shard for the postings layout).
@@ -120,7 +161,12 @@ object StoreManifest {
       idCol: String,
       storeBucketCol: String = "bucket"): DataFrame = {
     val mp = manifestPath(storePath)
-    if (!pathExists(spark, mp))
+    // manifest absent (legacy store) OR a pending marker from a
+    // maintenance call that crashed between the store swap and the
+    // manifest swap (the manifest exists but may be stale — trusting
+    // it could miss a moved id's true bucket): the always-correct
+    // full-store scan, until [[update]] heals
+    if (!pathExists(spark, mp) || pendingExists(spark, storePath))
       spark.read.parquet(storePath)
         .join(batchIds.select(col(idCol)), Seq(idCol))
         .select(col(storeBucketCol).cast("int").as("bucket")).distinct()
@@ -153,10 +199,18 @@ object StoreManifest {
       idCol: String,
       adds: Option[DataFrame],
       bucketCol: String = "bucket",
-      storeBucketCol: String = "bucket"): Unit = {
+      storeBucketCol: String = "bucket",
+      heal: Boolean = false): Unit = {
     val mp = manifestPath(storePath)
-    if (!pathExists(spark, mp)) {
+    // heal path: manifest absent (pre-manifest store) or possibly
+    // stale (`heal` — [[beginMaintenance]] found a marker left by a
+    // crashed run; the probe already fell back for this batch) —
+    // rebuild the WHOLE manifest from the store's post-swap content
+    // (2-column readback) instead of patching a base that can't be
+    // trusted, then clear every marker: the world is consistent again
+    if (heal || !pathExists(spark, mp)) {
       write(spark.read.parquet(storePath), storePath, idCol, storeBucketCol)
+      clearPending(spark, storePath)
       return
     }
     val ids = removeIds.select(col(idCol).as("id")).distinct()
@@ -170,7 +224,7 @@ object StoreManifest {
     val touched = idsForParts
       .select(mpartCol(col("id")).as("mpart")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) return
+    if (touched.isEmpty) { clearPending(spark, storePath); return }
     val manifest = spark.read.parquet(mp)
     val survivors = manifest
       .filter(col("mpart").isin(touched.map(Int.box): _*))
@@ -184,5 +238,8 @@ object StoreManifest {
     // one file per touched mpart dir (same rationale as [[write]])
     Similarity.swapTouchedPartitions(
       spark, merged.repartition(col("mpart")), mp, touched, partCol = "mpart")
+    // the manifest swap landed: store and manifest agree again —
+    // release this call's marker (the swap-window transaction commits)
+    clearPending(spark, storePath)
   }
 }

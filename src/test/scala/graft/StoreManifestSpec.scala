@@ -147,4 +147,51 @@ class StoreManifestSpec extends AnyFunSuite {
     Similarity.storeUpsert(spark, batch, path, payloadCols = Seq("val"))
     assert(manifestPairs(path) === storePairs(path), "legacy upgrade left manifest inconsistent")
   }
+
+  test("crash in the swap window: pending marker forces the fallback probe, next maintenance heals") {
+    val path = java.nio.file.Files.createTempDirectory("graft_manifest_crash").toString + "/store"
+    Similarity.ivfStoreWrite(baseStore, path)
+
+    // move id 42 from bucket 2 to bucket 5 with a REAL upsert (store
+    // and manifest both move), then reconstruct the exact on-disk state
+    // a crash between the store swap and the manifest swap leaves:
+    // the manifest rolled back to its PRE-MOVE content (still claiming
+    // bucket 2), the pending marker still planted
+    import spark.implicits._
+    val preMove = spark.read.parquet(StoreManifest.manifestPath(path))
+      .select(col("id").cast("long").as("vec_id"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    Similarity.storeUpsert(
+      spark,
+      Seq((42L, -9.0, 5)).toDF("vec_id", "val", "bucket"),
+      path, payloadCols = Seq("val"))
+    StoreManifest.write(
+      preMove.toSeq.toDF("vec_id", "bucket"), path, "vec_id") // stale again
+    assert(StoreManifest.beginMaintenance(spark, path) === false) // plant the crashed marker
+
+    // the hazard the marker closes: the stale manifest itself claims
+    // the OLD bucket — a trusting probe would miss bucket 5 and leave
+    // the moved row as a ghost
+    val manifestClaim = spark.read.parquet(StoreManifest.manifestPath(path))
+      .filter(col("id") === 42L).collect().map(_.getAs[Int]("bucket")).toSet
+    assert(manifestClaim === Set(2), "fixture did not reconstruct the stale state")
+
+    // with the marker present the probe refuses the manifest: it
+    // reports the TRUE current bucket from the store scan
+    val probed = StoreManifest
+      .probe(spark, path, Seq(42L).toDF("vec_id"), "vec_id")
+      .collect().map(_.getInt(0)).toSet
+    assert(probed === Set(5), "marker fallback did not reach the store's truth")
+
+    // the next completed maintenance call heals: deleting id 42 must
+    // remove it EVERYWHERE (no ghost in bucket 5) and leave manifest ==
+    // store with the marker cleared
+    Similarity.storeDelete(spark, Seq(42L).toDF("vec_id"), path)
+    assert(!storePairs(path).exists(_._1 == 42L), "ghost row survived the healed delete")
+    assert(manifestPairs(path) === storePairs(path), "heal left manifest inconsistent")
+    val marker = new org.apache.hadoop.fs.Path(StoreManifest.pendingPath(path))
+    assert(
+      !marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker),
+      "pending marker not cleared after the healing maintenance call")
+  }
 }
