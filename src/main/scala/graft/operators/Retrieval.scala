@@ -264,6 +264,18 @@ object Retrieval {
     * (n_docs, sum_len) − replaced + batch. Cost ∝ batch + touched-
     * bucket bytes + one (doc_id, bucket)-projected old-home pass —
     * never corpus bytes. Returns the touched bucket ids.
+    *
+    * Crash-consistency scope: the store↔manifest window is closed by
+    * the [[StoreManifest.beginMaintenance]] pending-marker transaction
+    * (fallback probe + heal), but the one-row STATS file sits outside
+    * it — `replaced` is recomputed against the live store, so an
+    * at-least-once replay of a batch whose first attempt crashed
+    * between the stats write and the store swap applies the stats
+    * delta twice (bounded by that one batch; a replay after FULL
+    * completion is a no-op because replaced == batch). Exactly-once
+    * stats need a transactional table format committing all three
+    * writes together; on plain parquet the recovery is the rebuild
+    * path ([[bm25IndexWrite]]), which recomputes stats from raw text.
     */
   def bm25IndexUpsert(
       spark: org.apache.spark.sql.SparkSession,
