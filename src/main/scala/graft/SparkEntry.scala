@@ -2323,7 +2323,8 @@ object SparkEntry {
     "streaming_lm_score" -> ((s, d) =>
       graft.streaming.StreamingViews.runLmScoreAvailableNow(
         s, d,
-        java.nio.file.Files.createTempDirectory("graft_lm_scores").toString + "/scores")),
+        java.nio.file.Files.createTempDirectory("graft_lm_scores").toString + "/scores",
+        model = Some((vocabCached(s, d), bigramCountsCached(s, d))))),
     // Gopher rule filters: five named per-doc quality rules + pass flag,
     // all integer counting in one narrow codegen stage
     "gopher_rules" -> ((s, d) =>

@@ -650,13 +650,19 @@ object StreamingViews {
       spark: SparkSession,
       sfDir: String,
       outPath: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
-    val tokens = graft.operators.LanguageModel.docTokens(docs)
-    val vocab = graft.operators.StoreManifest.pinBatch(
-      graft.operators.LanguageModel.vocabFrom(tokens))
-    val pairs = graft.operators.StoreManifest.pinBatch(
-      graft.operators.LanguageModel.bigramCounts(docs))
+      maxFilesPerTrigger: Option[Int] = None,
+      model: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    // model tables: the caller's cached (vocab, pairCounts) pair when
+    // provided (the SparkEntry session caches — no rebuild per run),
+    // else trained here from the batch corpus
+    val (vocabSrc, pairsSrc) = model.getOrElse {
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      (graft.operators.LanguageModel.vocabFrom(
+        graft.operators.LanguageModel.docTokens(docs)),
+        graft.operators.LanguageModel.bigramCounts(docs))
+    }
+    val vocab = graft.operators.StoreManifest.pinBatch(vocabSrc)
+    val pairs = graft.operators.StoreManifest.pinBatch(pairsSrc)
     try {
       val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/documents.parquet")
       val reader = spark.readStream.schema(schema)
