@@ -2317,6 +2317,13 @@ object SparkEntry {
     "bigram_interp_logprob" -> ((s, d) =>
       LanguageModel.bigramInterpLogprobFrom(
         Tables.load(s, d, "documents"), vocabCached(s, d), bigramCountsCached(s, d))),
+    // Kneser-Ney bigram LM scoring (absolute discount D=0.75 with
+    // CONTINUATION-count back-off — KenLM's smoothing): distinct-
+    // context statistics the JM unigram back-off can't see; all model
+    // tables derive from the cached observed-bigram pair counts
+    "bigram_kn_logprob" -> ((s, d) =>
+      LanguageModel.bigramKnLogprobFrom(
+        Tables.load(s, d, "documents"), bigramCountsCached(s, d))),
     // the LM quality filter DEPLOYED at ingest: frozen model tables,
     // per-micro-batch stream-static scoring, append-only score log —
     // stream == batch (doc-local aggregation), same oracle
@@ -2333,6 +2340,12 @@ object SparkEntry {
     // never move across splits as the corpus grows
     "train_split" -> ((s, d) =>
       Sampling.trainSplit(Tables.load(s, d, "documents"))),
+    // token-budget corpus selection: global quality-ranked prefix under
+    // a 25%-of-corpus token budget, decomposed over the bounded
+    // 6-dp score grid (per-score windows + a score-group prefix sum) —
+    // the oracle states the naive single-window semantics
+    "budget_select" -> ((s, d) =>
+      Sampling.budgetSelect(Tables.load(s, d, "documents"))),
     // per-metric z-score outliers: one stats agg broadcast back over
     // the stream, filter runs inside the scan's codegen
     "value_anomalies" -> ((s, d) =>
@@ -3084,9 +3097,11 @@ object SparkEntry {
     // stream == batch for the deployed LM filter (doc-local scoring
     // against frozen model tables) — shares the batch oracle
     "streaming_lm_score" -> LanguageModel.BigramInterpLogprobSql,
+    "bigram_kn_logprob" -> LanguageModel.BigramKnLogprobSql,
     "bigram_pmi" -> LanguageModel.bigramPmiSql(),
     "gopher_rules" -> TextAnalysis.GopherRulesSql,
     "train_split" -> Sampling.TrainSplitSql,
+    "budget_select" -> Sampling.BudgetSelectSql,
     "value_anomalies" -> Profiling.valueAnomaliesSql(),
     "value_quartiles" -> Profiling.ValueQuartilesSql,
     "label_centroid_cos" -> Similarity.LabelCentroidCosSql,

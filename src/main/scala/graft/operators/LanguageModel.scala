@@ -248,6 +248,112 @@ object LanguageModel {
       .orderBy(col("doc_id"))
   }
 
+  /** Kneser-Ney bigram LM document scoring — the smoothing that
+    * n-gram-LM quality filters actually ship (KenLM's default; Chen &
+    * Goodman 1998): absolute discounting with a CONTINUATION-count
+    * back-off,
+    *
+    *   p_KN(w2|w1) = (c(w1,w2) − D)/c(w1·)
+    *               + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/N1+(·,·)
+    *
+    * where c(w1·) is the first-position bigram marginal, N1+(w1,·) the
+    * number of distinct continuations of w1, N1+(·,w2) the number of
+    * distinct HISTORIES w2 follows, and N1+(·,·) the total observed
+    * bigram types. The back-off asks "in how many contexts does w2
+    * appear?", not "how often?" — the statistic that keeps
+    * high-frequency-but-single-context tokens (the 'Francisco'
+    * problem) from inflating unseen-context probability, which the
+    * Jelinek-Mercer unigram back-off of [[bigramInterpLogprob]]
+    * cannot distinguish. Score = per-doc mean negative log (bigram
+    * cross-entropy in nats); ranking differences vs JM concentrate on
+    * docs riding frequent-but-bound tokens.
+    *
+    * No max(c−D, 0) clamp: the model is learned from the corpus being
+    * scored, so every scored pair has c(w1,w2) ≥ 1 > D — the clamp
+    * branch is structurally dead and writing it would only widen the
+    * cross-engine float surface. A held-out-model variant needs the
+    * clamp plus unseen-history handling.
+    *
+    * Scale shape: every model table is derived from the observed-
+    * bigram-bounded pair-count table (two hash aggs + one one-row
+    * count), then the same doc-level bigram stream + unhinted
+    * vocabulary-bounded lookup joins as the JM scorer. All counts are
+    * exact integers through every shuffle; the float expression is
+    * written identically in both engines and rounded to 6 dp.
+    */
+  val KnDiscount = 0.75
+
+  def bigramKnLogprob(docs: DataFrame): DataFrame =
+    bigramKnLogprobFrom(docs, bigramCounts(docs))
+
+  def bigramKnLogprobFrom(docs: DataFrame, pairCounts: DataFrame): DataFrame = {
+    val bg = graft.sources.Tables.fanOut(docs)
+      .withColumn("toks", expr(toks))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    // first-position marginal + continuation fan-out per history w1
+    val hist = pairCounts
+      .groupBy(col("w1"))
+      .agg(sum(col("c_xy")).as("c1x"), count(lit(1)).as("n1p_fwd"))
+    // continuation count per predicted word w2 (distinct histories)
+    val cont = pairCounts
+      .groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_rev"))
+    val types = pairCounts
+      .agg(count(lit(1)).as("t_types"))
+      .withColumn("one", one(col("t_types")))
+    val p =
+      (col("c_xy").cast("double") - lit(KnDiscount)) / col("c1x").cast("double") +
+        lit(KnDiscount) * col("n1p_fwd").cast("double") / col("c1x").cast("double") *
+        (col("n1p_rev").cast("double") / col("t_types").cast("double"))
+    bg
+      .join(pairCounts, Seq("w1", "w2"))
+      .join(hist, "w1")
+      .join(cont, "w2")
+      .withColumn("one", one(col("c_xy")))
+      .join(broadcast(types), "one")
+      .drop("one")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 6).as("avg_neg_logprob_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  val BigramKnLogprobSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM d, unnest(range(1, len(toks))) AS r(i)
+       |  WHERE len(toks) >= 2),
+       |pairs AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+       |hist AS (
+       |  SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c1x, count(*) AS n1p_fwd
+       |  FROM pairs GROUP BY 1),
+       |cont AS (SELECT w2, count(*) AS n1p_rev FROM pairs GROUP BY 1),
+       |t AS (SELECT count(*) AS t_types FROM pairs)
+       |SELECT bg.doc_id, count(*) AS n_bigrams,
+       |       round(avg(-ln(
+       |         (CAST(p.c_xy AS DOUBLE) - $KnDiscount) / CAST(h.c1x AS DOUBLE) +
+       |         $KnDiscount * CAST(h.n1p_fwd AS DOUBLE) / CAST(h.c1x AS DOUBLE) *
+       |         (CAST(c.n1p_rev AS DOUBLE) / CAST(t.t_types AS DOUBLE)))), 6)
+       |         AS avg_neg_logprob_kn
+       |FROM bg
+       |JOIN pairs p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+       |JOIN hist h ON bg.w1 = h.w1
+       |JOIN cont c ON bg.w2 = c.w2
+       |CROSS JOIN t
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val BigramInterpLogprobSql: String =
     s"""WITH d AS (
        |  SELECT doc_id,

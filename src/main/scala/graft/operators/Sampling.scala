@@ -271,4 +271,111 @@ object Sampling {
       |            ELSE 'test' END AS split,
       |       count(*) AS n_docs
       |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- token-budget corpus selection ---------------------------------
+
+  /** Fraction of the corpus token total that the selection budget
+    * covers — the "train on the best 25% by quality" shape.
+    */
+  val BudgetFraction = 0.25
+
+  /** Token-budget corpus selection — the data-selection step of a
+    * training pipeline: keep the highest-quality documents, in
+    * (quality DESC, doc_id) order, while the running token total stays
+    * within a budget of `BudgetFraction · Σ n_tokens` ("fill the
+    * training token budget from the top of the quality ranking").
+    * Output: the selected docs with their global running token total,
+    * in selection order.
+    *
+    * The SEMANTICS are a global ordered prefix — but the PLAN never
+    * runs a global single-partition sort over corpus rows. The quality
+    * score is rounded to 6 dp, so its distinct values live on a
+    * bounded grid (≤ 10⁶ + 1 for a [0,1] score) regardless of corpus
+    * size; selection decomposes over that grid:
+    *
+    *   1. one hash agg: per-score token totals (score-grid-sized),
+    *   2. a prefix sum over the SCORE-GROUP table (the only global
+    *      window — score-grid-bounded rows, never corpus rows),
+    *   3. groups whose prefix starts under the budget are candidates
+    *      (every fully-funded group plus exactly one boundary group);
+    *      docs join back on the score and take a per-SCORE window
+    *      (distributed across score partitions, ordered by doc_id —
+    *      the global tie-break) whose sum, offset by the group's
+    *      prefix, IS the exact global running total; the `≤ budget`
+    *      filter then lands exactly where the naive global window
+    *      would put it.
+    *
+    * The oracle states the naive semantics (one global window) — the
+    * hash gate proves the decomposition equals it. Skew caveat: a
+    * single score value holding a corpus-scale share of docs
+    * degenerates its per-score window to one partition (the same
+    * caveat class as per-source calibration windows); the two-level
+    * prefix-sum of [[Packing]] is the escalation if a real corpus
+    * ever concentrates like that.
+    *
+    * Docs with zero tokens score NULL quality and are unrankable —
+    * excluded on both sides (`n_tokens > 0`).
+    */
+  def budgetSelect(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.operators.TextAnalysis.qualityScoreUnordered(docs)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val budget = q
+      .agg(floor(lit(BudgetFraction) * sum(col("n_tokens")).cast("double"))
+        .cast("long").as("b"))
+      .withColumn("one", CorpusSignals.one(col("b")))
+    // score-group table: one row per distinct ROUNDED score — bounded
+    // by the 6-dp score grid, not by corpus rows
+    val groups = q
+      .groupBy(col("quality"))
+      .agg(sum(col("n_tokens")).as("g_tokens"))
+    val prefixed = groups
+      .withColumn(
+        "cum_before",
+        sum(col("g_tokens")).over(Window.orderBy(col("quality").desc)) - col("g_tokens"))
+      .withColumn("one", CorpusSignals.one(col("g_tokens")))
+      .join(broadcast(budget), "one")
+      .filter(col("cum_before") < col("b"))
+      .select(col("quality"), col("cum_before"), col("b"))
+    // per-score windows run in parallel across score partitions; the
+    // group prefix lifts each to the exact global running total
+    val inner = Window.partitionBy(col("quality")).orderBy(col("doc_id"))
+    q.join(prefixed, "quality")
+      .withColumn("cum_tokens", col("cum_before") + sum(col("n_tokens")).over(inner))
+      .filter(col("cum_tokens") <= col("b"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("cum_tokens"))
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
+
+  /** Naive one-window statement of [[budgetSelect]]'s semantics — the
+    * oracle, and the spec's equality reference.
+    */
+  val BudgetSelectSql: String = {
+    val stopList =
+      graft.operators.TextAnalysis.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, len(toks) AS nt,
+       |         len(list_filter(toks, x -> list_contains($stopList, x))) AS nstop
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, nt AS n_tokens,
+       |         round(CAST(least(nt, 100) AS DOUBLE) / 100.0 *
+       |               (1.0 - CAST(nstop AS DOUBLE) / nullif(nt, 0)), 6) AS quality
+       |  FROM s WHERE nt > 0),
+       |b AS (
+       |  SELECT CAST(floor($BudgetFraction * CAST(sum(n_tokens) AS DOUBLE)) AS BIGINT) AS b
+       |  FROM q),
+       |w AS (
+       |  SELECT doc_id, n_tokens, quality,
+       |         CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+       |           AS cum_tokens
+       |  FROM q)
+       |SELECT doc_id, n_tokens, quality, cum_tokens
+       |FROM w CROSS JOIN b WHERE cum_tokens <= b.b
+       |ORDER BY quality DESC, doc_id""".stripMargin
+  }
 }

@@ -86,6 +86,44 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(r.toSeq === Seq(2L))
   }
 
+  // ---- Kneser-Ney bigram LM scoring -----------------------------------
+
+  test("bigramKnLogprob matches the closed form; continuation counts drive the back-off") {
+    // docs 1: "z m z m", 2: "a v b v"
+    // pairs: (z,m)=2 (m,z)=1 (a,v)=1 (v,b)=1 (b,v)=1 → 5 types
+    // hist c1x/n1p: z 2/1, m 1/1, a 1/1, v 1/1, b 1/1
+    // cont n1p_rev: m 1, z 1, v 2 (follows a AND b), b 1
+    //   p(m|z) = (2−.75)/2 + .75·(1/2)·(1/5) = 0.7
+    //   p(z|m) = (1−.75)/1 + .75·1·(1/5)     = 0.4
+    //   p(v|a) = .25 + .75·(2/5)             = 0.55   ← v's 2 contexts
+    //   p(b|v) = .25 + .75·(1/5)             = 0.4
+    //   p(v|b) = 0.55
+    // (a,v) and (b,v) share c_xy=1 and c1x=1 with (v,b) — p differs
+    // SOLELY because v continues 2 distinct histories: the statistic
+    // Jelinek-Mercer's frequency back-off cannot see.
+    val r = LanguageModel.bigramKnLogprob(docs(1L -> "z m z m", 2L -> "a v b v"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_bigrams") === 3)
+    val s1 = -(2 * math.log(0.7) + math.log(0.4)) / 3
+    val s2 = -(2 * math.log(0.55) + math.log(0.4)) / 3
+    assert(math.abs(r(1L).getAs[Double]("avg_neg_logprob_kn") - s1) < 1e-6)
+    assert(math.abs(r(2L).getAs[Double]("avg_neg_logprob_kn") - s2) < 1e-6)
+  }
+
+  test("bigramKnLogprob scores word ORDER: shuffled bag ranks worse") {
+    val r = LanguageModel.bigramKnLogprob(docs(
+      1L -> "a b a b a b",
+      2L -> "a a a b b b"))
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("avg_neg_logprob_kn")).toMap
+    assert(r(2L) > r(1L))
+  }
+
+  test("bigramKnLogprob: docs with < 2 tokens are absent") {
+    val r = LanguageModel.bigramKnLogprob(docs(1L -> "solo", 2L -> "x y"))
+      .collect().map(_.getLong(0))
+    assert(r.toSeq === Seq(2L))
+  }
+
   test("bigramPmi keeps only the top-k by pair count") {
     val many = docs(1L -> "p q p q p q p q", 2L -> "r s", 3L -> "t u")
     val rows = LanguageModel.bigramPmi(many, k = 2).collect()
@@ -302,6 +340,67 @@ class CorpusModelSpec extends AnyFunSuite {
     }
   }
 
+  // ---- token-budget corpus selection ----------------------------------
+
+  test("budgetSelect stops inside the boundary score group, tie-broken by doc_id") {
+    // 6 docs, 4 tokens each: qualities .04/.04/.03/.03/.02/.02.
+    // Total = 24 tokens → budget = floor(0.25·24) = 6: the first
+    // q=.04 doc fits (cum 4), the SECOND (same score, larger doc_id)
+    // would land at cum 8 > 6 — the cut falls INSIDE the top score
+    // group and must respect the doc_id tie-break.
+    val d = docs(
+      1L -> "w1 w2 w3 w4",          // q = .04
+      2L -> "x1 x2 x3 x4",          // q = .04
+      3L -> "y1 y2 y3 the",         // q = .03
+      4L -> "z1 z2 z3 the",         // q = .03
+      5L -> "u1 u2 the the",        // q = .02
+      6L -> "v1 v2 the the")        // q = .02
+    val r = Sampling.budgetSelect(d).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("doc_id") === 1L)
+    assert(r(0).getAs[Long]("cum_tokens") === 4L)
+  }
+
+  test("budgetSelect equals the naive global-prefix reference on a mixed corpus") {
+    // 60 docs with colliding scores and varying sizes; the reference
+    // selection is computed independently on the driver from the same
+    // scored rows (global (quality DESC, doc_id) prefix under the
+    // budget) — the decomposed plan must match it row-for-row.
+    val d = docs((1L to 60L).map { i =>
+      val keep = (i % 7 + 1).toInt
+      val stop = (i % 3).toInt
+      val toksStr =
+        ((1 to keep).map(j => s"t${i}_$j") ++ Seq.fill(stop)("the")).mkString(" ")
+      i -> toksStr
+    }: _*)
+    val scored = graft.operators.TextAnalysis.qualityScoreUnordered(d)
+      .filter(org.apache.spark.sql.functions.col("n_tokens") > 0)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"), r.getAs[Double]("quality")))
+    val budget = math.floor(0.25 * scored.map(_._2.toLong).sum).toLong
+    val expected = scored
+      .sortBy { case (id, _, q) => (-q, id) }
+      .scanLeft((0L, 0, 0.0, 0L)) { case ((_, _, _, cum), (id, nt, q)) =>
+        (id, nt, q, cum + nt)
+      }
+      .drop(1)
+      .takeWhile(_._4 <= budget)
+    val got = Sampling.budgetSelect(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Double]("quality"), r.getAs[Long]("cum_tokens")))
+    assert(got.toSeq === expected.toSeq)
+    assert(got.nonEmpty) // the fixture funds a non-trivial prefix
+  }
+
+  test("budgetSelect: top doc over budget -> empty; zero-token docs excluded") {
+    val big = (1 to 100).map(j => s"big$j").mkString(" ") // q = 1.0, nt = 100
+    val r = Sampling.budgetSelect(docs(
+      1L -> big,                    // cum 100 > budget floor(.25·104)=26
+      2L -> "the the the x2a",      // q = .01
+      3L -> ""))                    // unrankable — must not crash the plan
+    assert(r.collect().isEmpty)
+  }
+
   // ---- robustness -----------------------------------------------------
 
   test("all corpus-model operators handle an empty input without error") {
@@ -319,6 +418,8 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(LanguageModel.sourceJsDivergence(emptyDocs).collect().isEmpty)
     assert(LanguageModel.corpusEntropy(emptyDocs).collect().length === 1) // one all-NULL row
     assert(LanguageModel.bigramInterpLogprob(emptyDocs).collect().isEmpty)
+    assert(LanguageModel.bigramKnLogprob(emptyDocs).collect().isEmpty)
+    assert(Sampling.budgetSelect(emptyDocs).collect().isEmpty)
     assert(Profiling.rateAnomalies(emptyEvents).collect().isEmpty)
     assert(TextAnalysis.lengthHistogram(emptyDocs).collect().isEmpty)
     // open sketches: defined zero points, never a crash
