@@ -2346,6 +2346,22 @@ object SparkEntry {
     // the oracle states the naive single-window semantics
     "budget_select" -> ((s, d) =>
       Sampling.budgetSelect(Tables.load(s, d, "documents"))),
+    // quality-threshold selection curve: token/doc retention per
+    // distinct 6-dp score cut — one hash agg onto the bounded score
+    // grid + a grid-sized prefix window; the curator's threshold table
+    "selection_curve" -> ((s, d) =>
+      Sampling.selectionCurve(Tables.load(s, d, "documents"))),
+    // temperature-scaled (α=0.5) source mixing weights: natural share
+    // vs temperature weight vs boost, all sums over exact fixed-point
+    // integers — one scan + source-bounded agg, scale-free
+    "mixture_temperature" -> ((s, d) =>
+      Sampling.mixtureTemperature(Tables.load(s, d, "documents"))),
+    // CCNet-style perplexity terciles over the interpolated-bigram LM
+    // score: global rank decomposed over the 6-dp score grid (no
+    // corpus-sized total sort), integer bucket math, 3-row rollup
+    "perplexity_buckets" -> ((s, d) =>
+      LanguageModel.perplexityBuckets(
+        Tables.load(s, d, "documents"), vocabCached(s, d), bigramCountsCached(s, d))),
     // per-metric z-score outliers: one stats agg broadcast back over
     // the stream, filter runs inside the scan's codegen
     "value_anomalies" -> ((s, d) =>
@@ -3102,6 +3118,9 @@ object SparkEntry {
     "gopher_rules" -> TextAnalysis.GopherRulesSql,
     "train_split" -> Sampling.TrainSplitSql,
     "budget_select" -> Sampling.BudgetSelectSql,
+    "selection_curve" -> Sampling.SelectionCurveSql,
+    "mixture_temperature" -> Sampling.MixtureTemperatureSql,
+    "perplexity_buckets" -> LanguageModel.PerplexityBucketsSql,
     "value_anomalies" -> Profiling.valueAnomaliesSql(),
     "value_quartiles" -> Profiling.ValueQuartilesSql,
     "label_centroid_cos" -> Similarity.LabelCentroidCosSql,

@@ -379,6 +379,76 @@ object LanguageModel {
        |CROSS JOIN n
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- perplexity bucketing (CCNet-style head/middle/tail) ------------
+
+  /** CCNet-style perplexity terciles: rank every scored document by its
+    * interpolated-bigram LM score ([[bigramInterpLogprobFrom]]) and
+    * split the corpus into three equal-size buckets — head (most
+    * fluent), middle, tail — reported as per-bucket document counts,
+    * bigram mass and score range. This is the partitioning CCNet
+    * (Wenzek et al. 2020) applies before sampling training data
+    * predominantly from the head/middle buckets.
+    *
+    * Scale shape: the naive semantics is ONE global row_number over the
+    * corpus — a corpus-sized total sort. The plan instead decomposes
+    * the global rank over the bounded 6-dp score grid, exactly like
+    * [[Sampling.budgetSelect]]: per-score-group counts (hash agg), a
+    * prefix sum over the grid-sized group table (the only global
+    * window), then per-score row_numbers lifted by the group prefix.
+    * Bucket assignment and the final rollup are integer arithmetic on
+    * exact ranks — no float crosses an engine boundary except the
+    * already-gated 6-dp scores themselves.
+    */
+  def perplexityBuckets(
+      docs: DataFrame,
+      vocab: DataFrame,
+      pairCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = bigramInterpLogprobFrom(docs, vocab, pairCounts)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_neg_logprob_bi").as("score"))
+    val grid = s.groupBy(col("score")).agg(count(lit(1)).as("n_g"))
+    val pre = grid
+      .withColumn(
+        "cum_before",
+        sum(col("n_g")).over(Window.orderBy(col("score"))) - col("n_g"))
+      .select(col("score"), col("cum_before"))
+    val total = s
+      .agg(count(lit(1)).as("n"))
+      .withColumn("one", one(col("n")))
+    s.join(pre, "score")
+      .withColumn(
+        "rk",
+        col("cum_before") +
+          row_number().over(Window.partitionBy(col("score")).orderBy(col("doc_id"))))
+      .withColumn("one", one(col("rk")))
+      .join(broadcast(total), "one")
+      .withColumn("bucket", expr("(rk - 1) * 3 DIV n").cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB twin — states the NAIVE one-window semantics (global
+    * row_number over (score, doc_id)); the hash gate proves the
+    * grid-decomposed plan equals it.
+    */
+  val PerplexityBucketsSql: String =
+    s"""WITH sc AS ($BigramInterpLogprobSql),
+       |r AS (
+       |  SELECT doc_id, n_bigrams, avg_neg_logprob_bi AS score,
+       |         row_number() OVER (ORDER BY avg_neg_logprob_bi, doc_id) AS rk,
+       |         count(*) OVER () AS n
+       |  FROM sc)
+       |SELECT CAST((rk - 1) * 3 // n AS INT) AS bucket,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       |       min(score) AS min_score, max(score) AS max_score
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   def bigramPmiSql(k: Int = PmiTopK): String =
     s"""WITH d AS (
        |  SELECT doc_id,

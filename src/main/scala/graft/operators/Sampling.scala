@@ -351,21 +351,8 @@ object Sampling {
   /** Naive one-window statement of [[budgetSelect]]'s semantics — the
     * oracle, and the spec's equality reference.
     */
-  val BudgetSelectSql: String = {
-    val stopList =
-      graft.operators.TextAnalysis.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH t AS (
-       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
-       |  FROM documents),
-       |s AS (
-       |  SELECT doc_id, len(toks) AS nt,
-       |         len(list_filter(toks, x -> list_contains($stopList, x))) AS nstop
-       |  FROM t),
-       |q AS (
-       |  SELECT doc_id, nt AS n_tokens,
-       |         round(CAST(least(nt, 100) AS DOUBLE) / 100.0 *
-       |               (1.0 - CAST(nstop AS DOUBLE) / nullif(nt, 0)), 6) AS quality
-       |  FROM s WHERE nt > 0),
+  val BudgetSelectSql: String =
+    s"""WITH $QualityCteSql,
        |b AS (
        |  SELECT CAST(floor($BudgetFraction * CAST(sum(n_tokens) AS DOUBLE)) AS BIGINT) AS b
        |  FROM q),
@@ -377,5 +364,153 @@ object Sampling {
        |SELECT doc_id, n_tokens, quality, cum_tokens
        |FROM w CROSS JOIN b WHERE cum_tokens <= b.b
        |ORDER BY quality DESC, doc_id""".stripMargin
+
+  /** The `t/s/q` quality-scoring CTE chain shared by [[BudgetSelectSql]]
+    * and [[SelectionCurveSql]] — the DuckDB twin of
+    * `TextAnalysis.qualityScoreUnordered` restricted to scoreable docs.
+    */
+  private lazy val QualityCteSql: String = {
+    val stopList =
+      graft.operators.TextAnalysis.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, len(toks) AS nt,
+       |         len(list_filter(toks, x -> list_contains($stopList, x))) AS nstop
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, nt AS n_tokens,
+       |         round(CAST(least(nt, 100) AS DOUBLE) / 100.0 *
+       |               (1.0 - CAST(nstop AS DOUBLE) / nullif(nt, 0)), 6) AS quality
+       |  FROM s WHERE nt > 0)""".stripMargin
   }
+
+  // ---- quality selection curve ----------------------------------------
+
+  /** The quality-threshold selection curve: for every DISTINCT quality
+    * score, how many documents and tokens survive a "keep everything
+    * scoring ≥ this" filter — the table a curator reads to pick the
+    * [[budgetSelect]] budget or a filter threshold in the first place
+    * (token-retention fraction vs quality cut, one row per cut).
+    *
+    * Scale shape: one hash agg onto the bounded 6-dp score grid, then
+    * a prefix sum over the GRID-sized group table — the only window in
+    * the plan ranges over score-grid rows, never corpus rows. The one
+    * float column (`token_frac`) is a single division of two exact
+    * BIGINTs rounded to 6 dp — deterministic across engines.
+    */
+  def selectionCurve(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.operators.TextAnalysis.qualityScoreUnordered(docs)
+      .filter(col("n_tokens") > 0)
+    val grid = q
+      .groupBy(col("quality"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val total = grid
+      .agg(sum(col("n_tokens")).as("t_tokens"))
+      .withColumn("one", CorpusSignals.one(col("t_tokens")))
+    val w = Window.orderBy(col("quality").desc)
+    grid
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("one", CorpusSignals.one(col("n_docs")))
+      .join(broadcast(total), "one")
+      .withColumn(
+        "token_frac",
+        round(col("cum_tokens").cast("double") / col("t_tokens").cast("double"), 6))
+      .select(
+        col("quality"), col("n_docs"), col("n_tokens"),
+        col("cum_docs"), col("cum_tokens"), col("token_frac"))
+      .orderBy(col("quality").desc)
+  }
+
+  val SelectionCurveSql: String =
+    s"""WITH $QualityCteSql,
+       |g AS (
+       |  SELECT quality, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM q GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM g),
+       |c AS (
+       |  SELECT quality, n_docs, n_tokens,
+       |         CAST(sum(n_docs) OVER (ORDER BY quality DESC) AS BIGINT) AS cum_docs,
+       |         CAST(sum(n_tokens) OVER (ORDER BY quality DESC) AS BIGINT) AS cum_tokens
+       |  FROM g)
+       |SELECT quality, n_docs, n_tokens, cum_docs, cum_tokens,
+       |       round(CAST(cum_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE), 6) AS token_frac
+       |FROM c CROSS JOIN tot
+       |ORDER BY quality DESC""".stripMargin
+
+  // ---- temperature-scaled source mixing ---------------------------------
+
+  /** Temperature-scaled multi-source mixing weights (α = 0.5, the
+    * up-weight-the-tail exponent of multilingual/multi-source training
+    * mixes à la mBERT/XLM-R: sample source i with probability
+    * p_i^α / Σ p_j^α instead of its natural share p_i). Output per
+    * source: natural token share, temperature weight, and the boost
+    * factor the temperature applies — the dataset-card table for a
+    * training mix.
+    *
+    * Cross-engine float discipline (the Graph fixed-point technique):
+    * √n_tokens is computed once per source and immediately quantized to
+    * an exact BIGINT of micro-units via `floor(√n · 10⁶ + 0.5)` — IEEE
+    * sqrt/mul/add/floor are all bit-deterministic, so both engines
+    * quantize the identical double to the identical integer (`round()`
+    * would NOT be safe here: Spark routes doubles through BigDecimal's
+    * shortest-string repr while DuckDB calls std::round on the raw
+    * bits, and they disagree within half an ulp of a .5 boundary).
+    * Every SUM then runs over exact integers, immune to accumulation
+    * order, and each output float is a single division of two exact
+    * BIGINTs rounded to 6 dp. One corpus scan, one source-bounded hash
+    * agg, one one-row broadcast — scale-free.
+    */
+  def mixtureTemperature(docs: DataFrame): DataFrame = {
+    val g = docs
+      .withColumn("nt", size(expr(Dedup.TokensExpr)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("n_tokens"))
+      .withColumn(
+        "s_fp",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+    val total = g
+      .agg(sum(col("s_fp")).as("sum_fp"), sum(col("n_tokens")).as("t_tokens"))
+      .withColumn("one", CorpusSignals.one(col("sum_fp")))
+    g.withColumn("one", CorpusSignals.one(col("s_fp")))
+      .join(broadcast(total), "one")
+      .withColumn(
+        "natural_share",
+        round(col("n_tokens").cast("double") / col("t_tokens").cast("double"), 6))
+      .withColumn(
+        "temp_weight",
+        round(col("s_fp").cast("double") / col("sum_fp").cast("double"), 6))
+      .withColumn("boost", round(col("temp_weight") / col("natural_share"), 6))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        col("natural_share"), col("temp_weight"), col("boost"))
+      .orderBy(col("source"))
+  }
+
+  val MixtureTemperatureSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nt
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY 1),
+       |s AS (
+       |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |              AS s_fp
+       |  FROM g),
+       |tot AS (
+       |  SELECT CAST(sum(s_fp) AS BIGINT) AS sum_fp,
+       |         CAST(sum(n_tokens) AS BIGINT) AS t_tokens
+       |  FROM s)
+       |SELECT source, n_docs, n_tokens,
+       |       round(CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE), 6) AS natural_share,
+       |       round(CAST(s_fp AS DOUBLE) / CAST(sum_fp AS DOUBLE), 6) AS temp_weight,
+       |       round(round(CAST(s_fp AS DOUBLE) / CAST(sum_fp AS DOUBLE), 6) /
+       |             round(CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE), 6), 6) AS boost
+       |FROM s CROSS JOIN tot
+       |ORDER BY source""".stripMargin
 }

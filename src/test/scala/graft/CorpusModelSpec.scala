@@ -401,6 +401,81 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(r.collect().isEmpty)
   }
 
+  test("perplexityBuckets equals the naive global-rank reference, terciles balanced") {
+    // 31 docs with colliding LM scores (sizes repeat mod 5) — the
+    // grid-decomposed rank must reproduce the naive one-window tercile
+    // assignment exactly, including ties broken by doc_id.
+    val d = docs((1L to 31L).map { i =>
+      val n = (i % 5 + 2).toInt
+      i -> (1 to n).map(j => s"w${(i % 3) + j}").mkString(" ")
+    }: _*)
+    val scored = LanguageModel.bigramInterpLogprob(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("avg_neg_logprob_bi")))
+    val n = scored.length
+    val expected = scored
+      .sortBy { case (id, _, s) => (s, id) }
+      .zipWithIndex
+      .map { case ((_, nb, s), idx) => (idx.toLong * 3 / n, nb, s) }
+      .groupBy(_._1)
+      .map { case (b, rows) =>
+        (b.toInt, rows.length.toLong, rows.map(_._2).sum, rows.map(_._3).min, rows.map(_._3).max)
+      }
+      .toSeq.sortBy(_._1)
+    val got = LanguageModel.perplexityBuckets(
+      d,
+      LanguageModel.vocabFrom(LanguageModel.docTokens(d)),
+      LanguageModel.bigramCounts(d)).collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("min_score"), r.getAs[Double]("max_score")))
+    assert(got.toSeq === expected)
+    assert(got.map(_._1).toSeq === Seq(0, 1, 2))
+    // equal-size terciles up to the integer remainder
+    assert(got.map(_._2).max - got.map(_._2).min <= 1)
+    // buckets are score-ordered: head's max <= middle's min, etc.
+    assert(got(0)._5 <= got(1)._4 && got(1)._5 <= got(2)._4)
+  }
+
+  test("selectionCurve: grid-sized rows, monotonic cums, final frac is exactly 1") {
+    val d = docs(
+      1L -> "w1 b c d",             // q = .04
+      2L -> "e f g h",              // q = .04 — collides with doc 1
+      3L -> "i j the",              // q ~ .02
+      4L -> "the the")              // q = 0
+    val r = Sampling.selectionCurve(d).collect()
+    assert(r.length === 3) // one row per DISTINCT score, not per doc
+    val cumD = r.map(_.getAs[Long]("cum_docs"))
+    val cumT = r.map(_.getAs[Long]("cum_tokens"))
+    assert(cumD.toSeq === cumD.sorted.toSeq && cumT.toSeq === cumT.sorted.toSeq)
+    assert(r.head.getAs[Long]("n_docs") === 2L) // the colliding pair shares a row
+    assert(r.head.getAs[Long]("cum_tokens") === 8L)
+    assert(r.last.getAs[Long]("cum_docs") === 4L)
+    assert(r.last.getAs[Long]("cum_tokens") === 13L)
+    assert(r.last.getAs[Double]("token_frac") === 1.0)
+  }
+
+  test("mixtureTemperature: exact shares, weights sum to 1, temperature boosts the tail") {
+    import SparkTestBase.spark.implicits._
+    // sources sized 1:4 in tokens — α=.5 gives weights 1:2
+    val d = Seq(
+      (1L, "a b c d", "en", "small"),
+      (2L, "a b c d e f g h", "en", "big"),
+      (3L, "i j k l m n o p", "en", "big"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Sampling.mixtureTemperature(d).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("small").getAs[Long]("n_tokens") === 4L)
+    assert(r("big").getAs[Long]("n_tokens") === 16L)
+    assert(r("small").getAs[Double]("natural_share") === 0.2)
+    assert(r("big").getAs[Double]("natural_share") === 0.8)
+    // sqrt(4):sqrt(16) = 2:4 -> weights 1/3 : 2/3
+    assert(r("small").getAs[Double]("temp_weight") === 0.333333)
+    assert(r("big").getAs[Double]("temp_weight") === 0.666667)
+    assert(r("small").getAs[Double]("boost") > 1.0)   // tail up-weighted
+    assert(r("big").getAs[Double]("boost") < 1.0)     // head down-weighted
+    assert(math.abs(r.values.map(_.getAs[Double]("temp_weight")).sum - 1.0) < 1e-5)
+  }
+
   // ---- robustness -----------------------------------------------------
 
   test("all corpus-model operators handle an empty input without error") {
@@ -420,6 +495,12 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(LanguageModel.bigramInterpLogprob(emptyDocs).collect().isEmpty)
     assert(LanguageModel.bigramKnLogprob(emptyDocs).collect().isEmpty)
     assert(Sampling.budgetSelect(emptyDocs).collect().isEmpty)
+    assert(Sampling.selectionCurve(emptyDocs).collect().isEmpty)
+    assert(Sampling.mixtureTemperature(emptyDocs).collect().isEmpty)
+    assert(LanguageModel.perplexityBuckets(
+      emptyDocs,
+      LanguageModel.vocabFrom(LanguageModel.docTokens(emptyDocs)),
+      LanguageModel.bigramCounts(emptyDocs)).collect().isEmpty)
     assert(Profiling.rateAnomalies(emptyEvents).collect().isEmpty)
     assert(TextAnalysis.lengthHistogram(emptyDocs).collect().isEmpty)
     // open sketches: defined zero points, never a crash
