@@ -2362,6 +2362,17 @@ object SparkEntry {
     "perplexity_buckets" -> ((s, d) =>
       LanguageModel.perplexityBuckets(
         Tables.load(s, d, "documents"), vocabCached(s, d), bigramCountsCached(s, d))),
+    // DSIR importance weights: mean per-token log-ratio of a target-
+    // slice unigram LM to the raw corpus LM (add-1 over the shared
+    // vocab) — the data-selection score of Xie et al. 2023; token
+    // stream ⋈ two vocab-bounded count tables + one per-doc hash agg
+    "dsir_logratio" -> ((s, d) =>
+      LanguageModel.dsirLogRatio(docTokensCached(s, d), vocabCached(s, d))),
+    // deterministic DSIR selection: top-50 by (weight DESC, doc_id) —
+    // a total order, planned as TakeOrderedAndProject (never a global
+    // corpus sort)
+    "dsir_select" -> ((s, d) =>
+      LanguageModel.dsirSelect(docTokensCached(s, d), vocabCached(s, d))),
     // per-metric z-score outliers: one stats agg broadcast back over
     // the stream, filter runs inside the scan's codegen
     "value_anomalies" -> ((s, d) =>
@@ -3121,6 +3132,8 @@ object SparkEntry {
     "selection_curve" -> Sampling.SelectionCurveSql,
     "mixture_temperature" -> Sampling.MixtureTemperatureSql,
     "perplexity_buckets" -> LanguageModel.PerplexityBucketsSql,
+    "dsir_logratio" -> LanguageModel.DsirLogRatioSql,
+    "dsir_select" -> LanguageModel.dsirSelectSql(),
     "value_anomalies" -> Profiling.valueAnomaliesSql(),
     "value_quartiles" -> Profiling.ValueQuartilesSql,
     "label_centroid_cos" -> Similarity.LabelCentroidCosSql,

@@ -379,6 +379,108 @@ object LanguageModel {
        |CROSS JOIN n
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- DSIR importance weighting (target vs raw LM log-ratio) ---------
+
+  /** The target slice for DSIR scoring: documents from this source
+    * define the distribution the selection steers toward. A production
+    * caller passes any target predicate; one source is the gate's
+    * deterministic stand-in.
+    */
+  val DsirTargetSource = "src0"
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by the mean per-token log-ratio of a TARGET language
+    * model to the RAW corpus model,
+    *
+    *   w(doc) = avg_t [ log p_tgt(t) − log p_raw(t) ],
+    *   p(t)   = (c(t) + 1) / (N + V)     (add-1 over the shared vocab)
+    *
+    * — positive means the doc looks more like the target slice than
+    * like the corpus at large; resampling/selecting by this weight
+    * steers a training mix toward the target domain. The published
+    * method hashes n-grams into a fixed-width table because exact
+    * counts are assumed infeasible; this engine counts exactly, so the
+    * unigram LMs are the real vocab tables (the hashed-feature variant
+    * of the same trick lives in `classifier_train_hashed`).
+    *
+    * Scale shape: identical to [[unigramLogprob]] — the token stream
+    * joins two VOCABULARY-bounded count tables (raw inner, target left
+    * with +1 smoothing absorbing the misses) plus two one-row
+    * broadcast stats, then one per-doc hash agg. All counts are exact
+    * integers; the only float is the log expression written
+    * identically in both engines, rounded 6 dp after the mean.
+    */
+  def dsirLogRatio(tokens: DataFrame, vocab: DataFrame): DataFrame = {
+    val tgt = tokens
+      .filter(col("source") === lit(DsirTargetSource))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("c_tgt"))
+    val st = vocab
+      .agg(sum(col("c")).as("n_raw"), count(lit(1)).as("v"))
+      .withColumn("one", one(col("v")))
+    val ts = tgt
+      .agg(coalesce(sum(col("c_tgt")), lit(0L)).as("n_tgt"))
+      .withColumn("one", one(col("n_tgt")))
+    val term =
+      log((col("c_tgt") + 1).cast("double") / (col("n_tgt") + col("v")).cast("double")) -
+        log((col("c_raw") + 1).cast("double") / (col("n_raw") + col("v")).cast("double"))
+    tokens
+      .join(vocab.select(col("token"), col("c").as("c_raw")), "token")
+      .join(tgt, Seq("token"), "left")
+      .na.fill(0L, Seq("c_tgt"))
+      .withColumn("one", one(col("c_raw")))
+      .join(broadcast(st), "one")
+      .join(broadcast(ts), "one")
+      .withColumn("term", term)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("term")), 6).as("avg_log_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic DSIR selection: the `k` documents with the highest
+    * importance weight, tie-broken by doc_id — a total order, so both
+    * engines cut the identical set (Spark plans TakeOrderedAndProject,
+    * never a global sort of the corpus).
+    */
+  def dsirSelect(tokens: DataFrame, vocab: DataFrame, k: Int = 50): DataFrame =
+    dsirLogRatio(tokens, vocab)
+      .orderBy(col("avg_log_ratio").desc, col("doc_id"))
+      .limit(k)
+
+  private val DsirScoreCte: String =
+    s"""d AS (
+       |  SELECT doc_id, source,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |u AS (SELECT doc_id, source, unnest(toks) AS token FROM d),
+       |uni AS (SELECT token, count(*) AS c_raw FROM u GROUP BY 1),
+       |tgt AS (SELECT token, count(*) AS c_tgt FROM u
+       |        WHERE source = '$DsirTargetSource' GROUP BY 1),
+       |st AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw, count(*) AS v FROM uni),
+       |ts AS (SELECT CAST(coalesce(sum(c_tgt), 0) AS BIGINT) AS n_tgt FROM tgt),
+       |sc AS (
+       |  SELECT u.doc_id, count(*) AS n_tokens,
+       |         round(avg(
+       |           ln(CAST(coalesce(t.c_tgt, 0) + 1 AS DOUBLE) /
+       |              CAST(ts.n_tgt + st.v AS DOUBLE)) -
+       |           ln(CAST(r.c_raw + 1 AS DOUBLE) /
+       |              CAST(st.n_raw + st.v AS DOUBLE))), 6) AS avg_log_ratio
+       |  FROM u
+       |  JOIN uni r ON u.token = r.token
+       |  LEFT JOIN tgt t ON u.token = t.token
+       |  CROSS JOIN st CROSS JOIN ts
+       |  GROUP BY 1)""".stripMargin
+
+  val DsirLogRatioSql: String =
+    s"""WITH $DsirScoreCte
+       |SELECT doc_id, n_tokens, avg_log_ratio FROM sc ORDER BY doc_id""".stripMargin
+
+  def dsirSelectSql(k: Int = 50): String =
+    s"""WITH $DsirScoreCte
+       |SELECT doc_id, n_tokens, avg_log_ratio FROM sc
+       |ORDER BY avg_log_ratio DESC, doc_id LIMIT $k""".stripMargin
+
   // ---- perplexity bucketing (CCNet-style head/middle/tail) ------------
 
   /** CCNet-style perplexity terciles: rank every scored document by its

@@ -476,6 +476,42 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(math.abs(r.values.map(_.getAs[Double]("temp_weight")).sum - 1.0) < 1e-5)
   }
 
+  test("dsirLogRatio matches the add-1 closed form; target docs score positive") {
+    // docs() assigns source = src{id % 3}: doc 3 is the src0 target.
+    // vocab: t=2, q=3, r=3 -> V=3, N_raw=8; target slice (doc 3):
+    // t=2, q=1 -> N_tgt=3.
+    val d = docs(3L -> "t t q", 1L -> "r r q", 2L -> "r q")
+    val toks = LanguageModel.docTokens(d)
+    val r = LanguageModel.dsirLogRatio(toks, LanguageModel.vocabFrom(toks))
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("avg_log_ratio")).toMap
+    def p(c: Long, n: Long) = (c + 1).toDouble / (n + 3).toDouble
+    val expected3 =
+      (2 * (math.log(p(2, 3)) - math.log(p(2, 8))) +
+        (math.log(p(1, 3)) - math.log(p(3, 8)))) / 3
+    assert(r(3L) ===
+      BigDecimal(expected3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r(3L) > 0)            // target doc pulls toward the target LM
+    assert(r(1L) < 0 && r(2L) < 0) // off-target docs pull away
+  }
+
+  test("dsirSelect returns the k best in (weight DESC, doc_id) order") {
+    val d = docs(3L -> "t t q", 1L -> "r r q", 2L -> "r q")
+    val toks = LanguageModel.docTokens(d)
+    val all = LanguageModel.dsirSelect(toks, LanguageModel.vocabFrom(toks), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all.length === 2)
+    assert(all.head === 3L) // the target doc ranks first
+  }
+
+  test("dsirLogRatio: empty target slice smooths to a defined score, no crash") {
+    // ids 1 and 2 only -> sources src1/src2, the src0 slice is empty
+    val d = docs(1L -> "x y", 2L -> "y z")
+    val toks = LanguageModel.docTokens(d)
+    val r = LanguageModel.dsirLogRatio(toks, LanguageModel.vocabFrom(toks)).collect()
+    assert(r.length === 2)
+    assert(r.forall(!_.isNullAt(2)))
+  }
+
   // ---- robustness -----------------------------------------------------
 
   test("all corpus-model operators handle an empty input without error") {
@@ -496,6 +532,11 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(LanguageModel.bigramKnLogprob(emptyDocs).collect().isEmpty)
     assert(Sampling.budgetSelect(emptyDocs).collect().isEmpty)
     assert(Sampling.selectionCurve(emptyDocs).collect().isEmpty)
+    locally {
+      val toks = LanguageModel.docTokens(emptyDocs)
+      assert(LanguageModel.dsirLogRatio(toks, LanguageModel.vocabFrom(toks))
+        .collect().isEmpty)
+    }
     assert(Sampling.mixtureTemperature(emptyDocs).collect().isEmpty)
     assert(LanguageModel.perplexityBuckets(
       emptyDocs,
