@@ -517,11 +517,16 @@ object LanguageModel {
     val total = s
       .agg(count(lit(1)).as("n"))
       .withColumn("one", one(col("n")))
-    s.join(pre, "score")
-      .withColumn(
-        "rk",
-        col("cum_before") +
-          row_number().over(Window.partitionBy(col("score")).orderBy(col("doc_id"))))
+    // within-score rank = running sum of ones in doc_id order, via the
+    // two-level scan (Sampling.scoreGroupRunningSum) — no window
+    // partition holds a corpus-scale row count even if one score
+    // dominates the corpus
+    Sampling
+      .scoreGroupRunningSum(
+        s.join(pre, "score").withColumn("_one_row", lit(1L)),
+        "score", "_one_row", "rk_in_score")
+      .withColumn("rk", col("cum_before") + col("rk_in_score"))
+      .drop("_one_row", "rk_in_score")
       .withColumn("one", one(col("rk")))
       .join(broadcast(total), "one")
       .withColumn("bucket", expr("(rk - 1) * 3 DIV n").cast("int"))

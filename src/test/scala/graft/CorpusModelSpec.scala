@@ -476,6 +476,33 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(math.abs(r.values.map(_.getAs[Double]("temp_weight")).sum - 1.0) < 1e-5)
   }
 
+  test("two-level within-score scan: one dominant score spanning sub-groups stays exact") {
+    // 400 docs share ONE quality score (ids 1..400 span sub-groups
+    // 0..6 at ScoreScanWidth=64) plus a 10-doc high-score head — the
+    // skew shape the two-level scan exists for. The budget funds the
+    // head plus ~81 dominant-score docs, so the cut lands in sub-group
+    // 1 and budgetSelect must reproduce the naive global-prefix
+    // reference exactly across a sub-group boundary.
+    val d = docs(
+      ((1L to 400L).map(i => i -> "d1 d2 d3 d4") ++            // q=.04, 4 tokens
+        (401L to 410L).map(i => i -> (1 to 10).map(j => s"h${i}_$j").mkString(" "))): _*)
+    val scored = graft.operators.TextAnalysis.qualityScoreUnordered(d)
+      .filter(org.apache.spark.sql.functions.col("n_tokens") > 0)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"), r.getAs[Double]("quality")))
+    val budget = math.floor(0.25 * scored.map(_._2.toLong).sum).toLong
+    val expected = scored
+      .sortBy { case (id, _, q) => (-q, id) }
+      .scanLeft((0L, 0L)) { case ((_, cum), (id, nt, _)) => (id, cum + nt) }
+      .drop(1)
+      .takeWhile(_._2 <= budget)
+    val got = Sampling.budgetSelect(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens")))
+    assert(got.toSeq === expected.toSeq)
+    // the cut lands inside the dominant score group, past sub-group 0
+    assert(got.length > 74 && got.length < 410)
+  }
+
   test("dsirLogRatio matches the add-1 closed form; target docs score positive") {
     // docs() assigns source = src{id % 3}: doc 3 is the src0 target.
     // vocab: t=2, q=3, r=3 -> V=3, N_raw=8; target slice (doc 3):
