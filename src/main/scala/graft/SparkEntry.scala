@@ -2373,6 +2373,16 @@ object SparkEntry {
     // corpus sort)
     "dsir_select" -> ((s, d) =>
       LanguageModel.dsirSelect(docTokensCached(s, d), vocabCached(s, d))),
+    // the DSIR scorer DEPLOYED at ingest: frozen (vocab, target-count)
+    // model tables, per-micro-batch stream-static scoring, append-only
+    // weight log — stream == batch (doc-local scoring), same oracle
+    "streaming_dsir_score" -> ((s, d) =>
+      graft.streaming.StreamingViews.runDsirScoreAvailableNow(
+        s, d,
+        java.nio.file.Files.createTempDirectory("graft_dsir_scores").toString + "/scores",
+        model = Some((
+          vocabCached(s, d),
+          LanguageModel.dsirTargetCounts(docTokensCached(s, d)))))),
     // per-metric z-score outliers: one stats agg broadcast back over
     // the stream, filter runs inside the scan's codegen
     "value_anomalies" -> ((s, d) =>
@@ -3134,6 +3144,7 @@ object SparkEntry {
     "perplexity_buckets" -> LanguageModel.PerplexityBucketsSql,
     "dsir_logratio" -> LanguageModel.DsirLogRatioSql,
     "dsir_select" -> LanguageModel.dsirSelectSql(),
+    "streaming_dsir_score" -> LanguageModel.DsirLogRatioSql,
     "value_anomalies" -> Profiling.valueAnomaliesSql(),
     "value_quartiles" -> Profiling.ValueQuartilesSql,
     "label_centroid_cos" -> Similarity.LabelCentroidCosSql,

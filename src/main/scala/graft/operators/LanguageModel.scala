@@ -411,11 +411,25 @@ object LanguageModel {
     * integers; the only float is the log expression written
     * identically in both engines, rounded 6 dp after the mean.
     */
-  def dsirLogRatio(tokens: DataFrame, vocab: DataFrame): DataFrame = {
-    val tgt = tokens
+  def dsirLogRatio(tokens: DataFrame, vocab: DataFrame): DataFrame =
+    dsirLogRatioFrom(tokens, vocab, dsirTargetCounts(tokens))
+
+  /** `(token, c_tgt)` — the target-slice count table (one half of the
+    * DSIR model; the raw half is the corpus vocab).
+    */
+  def dsirTargetCounts(tokens: DataFrame): DataFrame =
+    tokens
       .filter(col("source") === lit(DsirTargetSource))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("c_tgt"))
+
+  /** [[dsirLogRatio]] against CALLER-SUPPLIED model tables — the form
+    * the streaming deploy freezes: `vocab`/`tgt` are trained once in
+    * batch and pinned; `tokens` is whatever slice (a micro-batch) needs
+    * scoring. Scoring is doc-local given the model, so stream == batch
+    * exactly.
+    */
+  def dsirLogRatioFrom(tokens: DataFrame, vocab: DataFrame, tgt: DataFrame): DataFrame = {
     val st = vocab
       .agg(sum(col("c")).as("n_raw"), count(lit(1)).as("v"))
       .withColumn("one", one(col("v")))

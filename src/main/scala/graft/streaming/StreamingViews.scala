@@ -689,6 +689,56 @@ object StreamingViews {
     spark.read.parquet(outPath).orderBy(col("doc_id"))
   }
 
+  /** The DSIR importance scorer deployed at ingest — the selection
+    * twin of [[runLmScoreAvailableNow]]: both model tables (the raw
+    * corpus vocab and the target-slice counts) are trained once in
+    * batch, FROZEN and pinned for the run; each arriving micro-batch is
+    * tokenized and scored against them (stream-static lookup joins) and
+    * its weights APPEND to a score log. Scoring is doc-local given the
+    * model, so stream == batch exactly — the driver gates this entry on
+    * the same oracle as `dsir_logratio`.
+    */
+  def runDsirScoreAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      outPath: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      model: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (vocabSrc, tgtSrc) = model.getOrElse {
+      val toks = graft.operators.LanguageModel.docTokens(
+        graft.sources.Tables.load(spark, sfDir, "documents"))
+      (graft.operators.LanguageModel.vocabFrom(toks),
+        graft.operators.LanguageModel.dsirTargetCounts(toks))
+    }
+    val vocab = graft.operators.StoreManifest.pinBatch(vocabSrc)
+    val tgt = graft.operators.StoreManifest.pinBatch(tgtSrc)
+    try {
+      val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/documents.parquet")
+      val reader = spark.readStream.schema(schema)
+      val q = maxFilesPerTrigger
+        .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+        .parquet(s"$sfDir/{documents.parquet}")
+        .writeStream
+        .outputMode("append")
+        .option(
+          "checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_dsir_score_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.LanguageModel
+            .dsirLogRatioFrom(
+              graft.operators.LanguageModel.docTokens(batch), vocab, tgt)
+            .write.mode("append").parquet(outPath)
+        }
+        .start()
+      q.awaitTermination()
+    } finally {
+      vocab.unpersist(blocking = false)
+      tgt.unpersist(blocking = false)
+    }
+    spark.read.parquet(outPath).orderBy(col("doc_id"))
+  }
+
   /** Gap-based sessionization via the `session_window` BUILTIN under
     * incremental execution — the engine-native counterpart of the
     * custom-state [[graft.operators.Sessionize.streamingUserStats]]

@@ -436,6 +436,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length === 120)
   }
 
+  test("streaming DSIR scoring: multi-batch weights against the frozen model == batch operator") {
+    val dir = Files.createTempDirectory("graft-dsirstream").toString
+    import SparkTestBase.spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val rows = (0 until 120).map { i =>
+      val n = 2 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "),
+        "en", s"src${i % 3}") // i % 3 == 0 -> the src0 target slice
+    }
+    rows.toDF("doc_id", "text", "lang", "source")
+      .repartition(4)
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Files.createTempDirectory("graft-dsirstream-out").toString + "/scores"
+    val streamed = StreamingViews
+      .runDsirScoreAvailableNow(spark, dir, out, Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val toks = graft.operators.LanguageModel.docTokens(
+      graft.sources.Tables.load(spark, dir, "documents"))
+    val batch = graft.operators.LanguageModel
+      .dsirLogRatio(toks, graft.operators.LanguageModel.vocabFrom(toks))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the model MUST come from the whole corpus, not the micro-batch:
+    // a per-batch target table would shift every weight
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.length === 120)
+  }
+
   test("streaming erasure: queue-applied deletions leave exactly the one-shot deletion's store") {
     import SparkTestBase.spark.implicits._
     val rnd = new scala.util.Random(19)
