@@ -2346,6 +2346,12 @@ object SparkEntry {
     // the oracle states the naive single-window semantics
     "budget_select" -> ((s, d) =>
       Sampling.budgetSelect(Tables.load(s, d, "documents"))),
+    // per-source token budgets: each source fills 25% of ITS OWN token
+    // mass from the top of its quality ranking (Dolma-style per-domain
+    // allocation) — budgetSelect's grid decomposition with source
+    // prepended to every key, two-level within-group scans
+    "budget_select_by_source" -> ((s, d) =>
+      Sampling.budgetSelectBySource(Tables.load(s, d, "documents"))),
     // quality-threshold selection curve: token/doc retention per
     // distinct 6-dp score cut — one hash agg onto the bounded score
     // grid + a grid-sized prefix window; the curator's threshold table
@@ -3139,6 +3145,7 @@ object SparkEntry {
     "gopher_rules" -> TextAnalysis.GopherRulesSql,
     "train_split" -> Sampling.TrainSplitSql,
     "budget_select" -> Sampling.BudgetSelectSql,
+    "budget_select_by_source" -> Sampling.BudgetSelectBySourceSql,
     "selection_curve" -> Sampling.SelectionCurveSql,
     "mixture_temperature" -> Sampling.MixtureTemperatureSql,
     "perplexity_buckets" -> LanguageModel.PerplexityBucketsSql,

@@ -538,7 +538,7 @@ object LanguageModel {
     Sampling
       .scoreGroupRunningSum(
         s.join(pre, "score").withColumn("_one_row", lit(1L)),
-        "score", "_one_row", "rk_in_score")
+        Seq("score"), "_one_row", "rk_in_score")
       .withColumn("rk", col("cum_before") + col("rk_in_score"))
       .drop("_one_row", "rk_in_score")
       .withColumn("one", one(col("rk")))

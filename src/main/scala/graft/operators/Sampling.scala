@@ -341,7 +341,7 @@ object Sampling {
     // per-score running totals via the two-level scan (never a
     // corpus-scale window partition even if one score dominates); the
     // group prefix lifts each to the exact global running total
-    scoreGroupRunningSum(q.join(prefixed, "quality"), "quality", "n_tokens", "cum_in_score")
+    scoreGroupRunningSum(q.join(prefixed, "quality"), Seq("quality"), "n_tokens", "cum_in_score")
       .withColumn("cum_tokens", col("cum_before") + col("cum_in_score"))
       .filter(col("cum_tokens") <= col("b"))
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("cum_tokens"))
@@ -373,18 +373,83 @@ object Sampling {
     val stopList =
       graft.operators.TextAnalysis.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""t AS (
-       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  SELECT doc_id, source,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
        |  FROM documents),
        |s AS (
-       |  SELECT doc_id, len(toks) AS nt,
+       |  SELECT doc_id, source, len(toks) AS nt,
        |         len(list_filter(toks, x -> list_contains($stopList, x))) AS nstop
        |  FROM t),
        |q AS (
-       |  SELECT doc_id, nt AS n_tokens,
+       |  SELECT doc_id, source, nt AS n_tokens,
        |         round(CAST(least(nt, 100) AS DOUBLE) / 100.0 *
        |               (1.0 - CAST(nstop AS DOUBLE) / nullif(nt, 0)), 6) AS quality
        |  FROM s WHERE nt > 0)""".stripMargin
   }
+
+  // ---- per-source token budgets ----------------------------------------
+
+  /** [[budgetSelect]] under PER-SOURCE budgets — how real training mixes
+    * are actually built (per-domain token allocations à la Dolma/The
+    * Pile dataset cards, not one global pool): each source fills
+    * `BudgetFraction` of ITS OWN token mass from the top of its quality
+    * ranking, so one giant source can never crowd a small one out of
+    * the mix. Composes with [[mixtureTemperature]]: the temperature
+    * weights pick each source's fraction, this operator materializes
+    * the selection.
+    *
+    * Same decomposed plan as [[budgetSelect]] with `source` prepended
+    * to every key: the grid is (source, quality) groups, the prefix
+    * window partitions BY SOURCE over grid rows, budgets join unhinted
+    * (source-bounded — AQE broadcasts), and the within-group running
+    * sums run the two-level [[scoreGroupRunningSum]] scan keyed by
+    * (source, quality). No window anywhere ranges over corpus-scale
+    * rows.
+    */
+  def budgetSelectBySource(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.operators.TextAnalysis.qualityScoreBySource(docs)
+      .filter(col("n_tokens") > 0)
+    val budgets = q
+      .groupBy(col("source"))
+      .agg(floor(lit(BudgetFraction) * sum(col("n_tokens")).cast("double"))
+        .cast("long").as("b"))
+    val prefixed = q
+      .groupBy(col("source"), col("quality"))
+      .agg(sum(col("n_tokens")).as("g_tokens"))
+      .withColumn(
+        "cum_before",
+        sum(col("g_tokens")).over(
+          Window.partitionBy(col("source")).orderBy(col("quality").desc)) - col("g_tokens"))
+      .join(budgets, "source")
+      .filter(col("cum_before") < col("b"))
+      .select(col("source"), col("quality"), col("cum_before"), col("b"))
+    scoreGroupRunningSum(
+      q.join(prefixed, Seq("source", "quality")),
+      Seq("source", "quality"), "n_tokens", "cum_in_score")
+      .withColumn("cum_tokens", col("cum_before") + col("cum_in_score"))
+      .filter(col("cum_tokens") <= col("b"))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"), col("quality"), col("cum_tokens"))
+      .orderBy(col("source"), col("quality").desc, col("doc_id"))
+  }
+
+  /** Naive per-source one-window statement of [[budgetSelectBySource]]. */
+  val BudgetSelectBySourceSql: String =
+    s"""WITH $QualityCteSql,
+       |b AS (
+       |  SELECT source,
+       |         CAST(floor($BudgetFraction * CAST(sum(n_tokens) AS DOUBLE)) AS BIGINT) AS b
+       |  FROM q GROUP BY 1),
+       |w AS (
+       |  SELECT doc_id, source, n_tokens, quality,
+       |         CAST(sum(n_tokens) OVER (
+       |           PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT)
+       |           AS cum_tokens
+       |  FROM q)
+       |SELECT doc_id, source, n_tokens, quality, cum_tokens
+       |FROM w JOIN b USING (source) WHERE cum_tokens <= b.b
+       |ORDER BY source, quality DESC, doc_id""".stripMargin
 
   // ---- skew-proof within-score running sums -----------------------------
 
@@ -414,28 +479,29 @@ object Sampling {
     */
   private[operators] def scoreGroupRunningSum(
       df: DataFrame,
-      scoreCol: String,
+      keyCols: Seq[String],
       valueCol: String,
       out: String,
       width: Long = ScoreScanWidth): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
     val g = df.withColumn("_grp", expr(s"doc_id div $width"))
     val within = g.withColumn(
       "_cum_sub",
       sum(col(valueCol)).over(
-        Window.partitionBy(col(scoreCol), col("_grp")).orderBy(col("doc_id"))))
+        Window.partitionBy(keys :+ col("_grp"): _*).orderBy(col("doc_id"))))
     val offs = g
-      .groupBy(col(scoreCol), col("_grp"))
+      .groupBy(keys :+ col("_grp"): _*)
       .agg(sum(col(valueCol)).as("_sub_total"))
       .withColumn(
         "_sub_offset",
         coalesce(
           sum(col("_sub_total")).over(
-            Window.partitionBy(col(scoreCol)).orderBy(col("_grp"))) - col("_sub_total"),
+            Window.partitionBy(keys: _*).orderBy(col("_grp"))) - col("_sub_total"),
           lit(0L)))
-      .select(col(scoreCol), col("_grp"), col("_sub_offset"))
+      .select(keys ++ Seq(col("_grp"), col("_sub_offset")): _*)
     within
-      .join(offs, Seq(scoreCol, "_grp"))
+      .join(offs, keyCols :+ "_grp")
       .withColumn(out, col("_sub_offset") + col("_cum_sub"))
       .drop("_grp", "_cum_sub", "_sub_offset")
   }

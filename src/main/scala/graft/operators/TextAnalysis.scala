@@ -81,6 +81,14 @@ object TextAnalysis {
     qualityScored(docs)
       .select(col("doc_id"), col("nt").as("n_tokens"), col("stop_ratio"), col("quality"))
 
+  /** [[qualityScoreUnordered]] with the source column retained — the
+    * per-source curation consumers (budget-by-source) need the slice
+    * key without a corpus self-join to recover it.
+    */
+  def qualityScoreBySource(docs: DataFrame): DataFrame =
+    qualityScored(docs)
+      .select(col("doc_id"), col("source"), col("nt").as("n_tokens"), col("quality"))
+
   /** The scoring transform with the input columns retained — shared by
     * [[qualityScoreUnordered]] and [[qualityCalibration]].
     */

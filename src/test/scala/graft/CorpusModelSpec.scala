@@ -503,6 +503,43 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(got.length > 74 && got.length < 410)
   }
 
+  test("budgetSelectBySource: each source fills its own budget, equality vs naive reference") {
+    // 3 sources (docs() assigns src{id % 3}) with very different sizes
+    // and colliding scores — each source's selection must be exactly
+    // its own naive (quality DESC, doc_id) prefix under 25% of ITS
+    // token mass, and a giant source must not crowd out a small one.
+    val d = docs((1L to 90L).map { i =>
+      val n = (i % 3) match {
+        case 0 => 40 // src0: the giant source
+        case 1 => 8
+        case _ => 4
+      }
+      val stop = (i % 4).toInt
+      i -> ((1 to (n - stop)).map(j => s"t${i}_$j") ++ Seq.fill(stop)("the")).mkString(" ")
+    }: _*)
+    val scored = graft.operators.TextAnalysis.qualityScoreBySource(d)
+      .filter(org.apache.spark.sql.functions.col("n_tokens") > 0)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("n_tokens"), r.getAs[Double]("quality")))
+    val expected = scored.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val budget = math.floor(0.25 * rows.map(_._3.toLong).sum).toLong
+      rows.sortBy { case (id, _, _, q) => (-q, id) }
+        .scanLeft((0L, src, 0, 0.0, 0L)) { case ((_, _, _, _, cum), (id, s, nt, q)) =>
+          (id, s, nt, q, cum + nt)
+        }
+        .drop(1)
+        .takeWhile(_._5 <= budget)
+    }.sortBy { case (id, src, _, q, _) => (src, -q, id) }
+    val got = Sampling.budgetSelectBySource(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("n_tokens"), r.getAs[Double]("quality"), r.getAs[Long]("cum_tokens")))
+    assert(got.toSeq === expected)
+    // every source is represented — the giant source didn't crowd the
+    // small ones out of the mix
+    assert(got.map(_._2).distinct.sorted.toSeq === Seq("src0", "src1", "src2"))
+  }
+
   test("dsirLogRatio matches the add-1 closed form; target docs score positive") {
     // docs() assigns source = src{id % 3}: doc 3 is the src0 target.
     // vocab: t=2, q=3, r=3 -> V=3, N_raw=8; target slice (doc 3):
