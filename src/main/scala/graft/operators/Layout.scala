@@ -167,16 +167,34 @@ object Layout {
     // with the batch, and a forced broadcast would hit the driver
     // ceiling at real increment sizes (the JL-rerank lesson, ADVICE
     // r11) — AQE broadcasts it when it measures small. The probe reads
-    // the event→cell manifest, never the layout's own bytes.
-    val oldHomes = StoreManifest
-      .probe(spark, path, batchIds, "event_id", storeBucketCol = "z_cell")
-      .collect().map(_.getInt(0))
-    val newHomes = assigned.select(col("z_cell").cast("int"))
-      .distinct().collect().map(_.getInt(0))
-    val touched = (oldHomes ++ newHomes).distinct.sorted.toSeq
+    // the event→cell manifest, never the layout's own bytes; old-home,
+    // new-home and mpart collects are fused into two actions
+    // (VERDICT r13 #1).
+    val pr = StoreManifest.probeFused(
+      spark, path, batchIds, "event_id",
+      newHomes = Some(assigned.select(col("z_cell"))),
+      storeBucketCol = "z_cell")
+    val touched = pr.touched
     if (touched.isEmpty) return touched
     val outCols = store.columns.filterNot(_ == "z_cell").map(col) :+
       col("z_cell").cast("int").as("z_cell")
+    // insert-only fast path (pure-insert daily batch — no corrected
+    // event lives in the layout): append the batch into its cell
+    // directories and append the manifest pairs, inside the same
+    // pending-marker transaction; no survivor anti-join, no staged
+    // swap. Small files are the compaction pass's business.
+    if (pr.insertOnly) {
+      val heal = StoreManifest.beginMaintenance(spark, path)
+      assigned.select(outCols: _*)
+        .repartition(col("z_cell"))
+        .write.mode("append").partitionBy("z_cell").parquet(path)
+      StoreManifest.update(
+        spark, path, batchIds, "event_id",
+        adds = Some(assigned.select(col("event_id"), col("z_cell"))),
+        bucketCol = "z_cell", storeBucketCol = "z_cell",
+        heal = heal, knownParts = Some(pr.mparts), insertOnly = true)
+      return touched
+    }
     val survivors = store
       .filter(col("z_cell").isin(touched.map(Int.box): _*))
       .join(batchIds, Seq("event_id"), "left_anti")
@@ -187,7 +205,8 @@ object Layout {
     StoreManifest.update(
       spark, path, batchIds, "event_id",
       adds = Some(assigned.select(col("event_id"), col("z_cell"))),
-      bucketCol = "z_cell", storeBucketCol = "z_cell", heal = heal)
+      bucketCol = "z_cell", storeBucketCol = "z_cell",
+      heal = heal, knownParts = Some(pr.mparts))
     touched
   }
 

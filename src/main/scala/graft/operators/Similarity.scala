@@ -784,18 +784,37 @@ object Similarity {
     // AQE broadcasts it when it measures small. The probe itself reads
     // the (vec_id, bucket) manifest, not the store — cost ∝ batch +
     // manifest partitions the batch ids hash into, never corpus bytes.
-    val oldHomes = StoreManifest
-      .probe(spark, path, batchIds, "vec_id")
-      .collect().map(_.getInt(0))
-    val newHomes = assignedBatch.select(col("bucket").cast("int"))
-      .distinct().collect().map(_.getInt(0))
-    val touched = (oldHomes ++ newHomes).distinct.sorted.toSeq
+    // Old-home + new-home + mpart collects FUSED into two actions
+    // (VERDICT r13 #1 — the per-action fixed cost dominated the entry).
+    val pr = StoreManifest.probeFused(
+      spark, path, batchIds, "vec_id",
+      newHomes = Some(assignedBatch.select(col("bucket"))))
+    val touched = pr.touched
     if (touched.isEmpty) return touched
+    val outCols =
+      col("vec_id") +: payloadCols.map(col) :+ col("bucket").cast("int").as("bucket")
+    // insert-only fast path: NO batch id lives in the store (every
+    // streaming append micro-batch and every pure-insert daily batch),
+    // so the touched buckets' existing rows are all survivors — append
+    // the batch into its bucket directories (one write job; the small
+    // files are [[ivfStoreCompact]]'s existing business) and append the
+    // manifest pairs. Still inside the pending-marker transaction: a
+    // crash between the two appends would otherwise let a later upsert
+    // of the same id miss the store row and append a duplicate.
+    if (pr.insertOnly) {
+      val heal = StoreManifest.beginMaintenance(spark, path)
+      assignedBatch.select(outCols: _*)
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(path)
+      StoreManifest.update(
+        spark, path, batchIds, "vec_id",
+        adds = Some(assignedBatch.select(col("vec_id"), col("bucket"))),
+        heal = heal, knownParts = Some(pr.mparts), insertOnly = true)
+      return touched
+    }
     val survivors = store
       .filter(col("bucket").isin(touched.map(Int.box): _*))
       .join(batchIds, Seq("vec_id"), "left_anti")
-    val outCols =
-      col("vec_id") +: payloadCols.map(col) :+ col("bucket").cast("int").as("bucket")
     val merged = survivors
       .select(outCols: _*)
       .unionByName(assignedBatch.select(outCols: _*))
@@ -818,10 +837,11 @@ object Similarity {
     swapTouchedPartitions(spark, merged.select(outCols: _*), path, touched)
     // manifest rides the same maintenance call: batch ids' old pairs
     // out, their new homes in — touched manifest partitions only
+    // (mparts reused from the fused probe — no re-collect)
     StoreManifest.update(
       spark, path, batchIds, "vec_id",
       adds = Some(assignedBatch.select(col("vec_id"), col("bucket"))),
-      heal = heal)
+      heal = heal, knownParts = Some(pr.mparts))
     touched
   }
 
@@ -860,10 +880,11 @@ object Similarity {
       ids: DataFrame,
       path: String): Seq[Int] = {
     // old homes via the id→bucket manifest (cost ∝ delete set, never
-    // store bytes); no broadcast hint — AQE decides (r12 verdict #1)
-    val touched = StoreManifest
-      .probe(spark, path, ids, "vec_id")
-      .collect().map(_.getInt(0)).toSeq.sorted
+    // store bytes); no broadcast hint — AQE decides (r12 verdict #1).
+    // Fused probe: the mpart collect rides action 1, and the manifest
+    // update below reuses the parts instead of re-collecting them.
+    val pr = StoreManifest.probeFused(spark, path, ids, "vec_id", newHomes = None)
+    val touched = pr.oldHomes
     if (touched.isEmpty) return touched
     val outCols = store.columns.filterNot(_ == "bucket").map(col) :+
       col("bucket").cast("int").as("bucket")
@@ -873,7 +894,9 @@ object Similarity {
       .select(outCols: _*)
     val heal = StoreManifest.beginMaintenance(spark, path)
     swapTouchedPartitions(spark, survivors, path, touched)
-    StoreManifest.update(spark, path, ids, "vec_id", adds = None, heal = heal)
+    StoreManifest.update(
+      spark, path, ids, "vec_id", adds = None,
+      heal = heal, knownParts = Some(pr.mparts))
     touched
   }
 
@@ -899,16 +922,19 @@ object Similarity {
     try {
       merged.write.mode("overwrite").partitionBy(partCol).parquet(stageDir.toString)
       val staged = spark.read.parquet(stageDir.toString)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
+      StoreManifest.withDynamicOverwrite(spark) {
         staged.write.mode("overwrite").partitionBy(partCol).parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      val mergedBuckets =
-        staged.select(col(partCol).cast("int")).distinct().collect().map(_.getInt(0)).toSet
+      // which touched buckets survived the merge = which partition
+      // directories the staging write produced — a filesystem listing
+      // of the staging dir, NOT a Spark job (through r13 this was a
+      // distinct+collect over the staged files, one more driver action
+      // per swap; VERDICT r13 #1)
+      val mergedBuckets = fs.listStatus(stageDir).iterator
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"$partCol="))
+        .map(_.stripPrefix(s"$partCol=").toInt)
+        .toSet
       touched.filterNot(mergedBuckets).foreach { b =>
         fs.delete(new org.apache.hadoop.fs.Path(hadoopPath, s"$partCol=$b"), true)
       }

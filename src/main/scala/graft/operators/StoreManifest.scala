@@ -55,8 +55,96 @@ object StoreManifest {
     */
   val Parts = 16
 
+  /** One maintenance call's probe answers, collected in AT MOST two
+    * driver actions (VERDICT r13 #1 — the manifest bought the right
+    * asymptotics but each upsert/delete ran 4+ separate collects
+    * against tiny frames, and at bench SF that per-action fixed cost
+    * dominated the whole entry):
+    *
+    *   - `oldHomes`: distinct store buckets where any batch id
+    *     CURRENTLY lives ([[probe]]'s answer),
+    *   - `newHomes`: distinct buckets the batch lands in (when the
+    *     caller supplied a new-homes frame — empty for a delete),
+    *   - `mparts`: the manifest partitions the batch ids hash into —
+    *     handed back so [[update]] never re-collects them.
+    *
+    * `insertOnly` (no batch id lives anywhere in the store — true for
+    * every pure-insert daily batch and every streaming append
+    * micro-batch) is what unlocks the fast paths: the store can be
+    * APPENDED to (no survivor anti-join, no staged swap) and the
+    * manifest update collapses to an append of the new pairs.
+    */
+  final case class ProbeResult(
+      oldHomes: Seq[Int],
+      newHomes: Seq[Int],
+      mparts: Seq[Int]) {
+    def touched: Seq[Int] = (oldHomes ++ newHomes).distinct.sorted
+    def insertOnly: Boolean = oldHomes.isEmpty
+  }
+
+  /** [[probe]] + the new-home collect + the mpart collect, fused:
+    * action 1 is ONE collect over the union of the batch ids' mparts
+    * and the (optional) new-home buckets — both sides projections of
+    * caller-pinned batch frames; action 2 is the old-home probe itself
+    * (manifest partitions pruned to `mparts`, or the always-correct
+    * full-store fallback when the manifest is absent/pending). Replaces
+    * the 3 separate actions every maintenance body ran through r13.
+    */
+  def probeFused(
+      spark: SparkSession,
+      storePath: String,
+      batchIds: DataFrame,
+      idCol: String,
+      newHomes: Option[DataFrame],
+      storeBucketCol: String = "bucket"): ProbeResult = {
+    val mp = batchIds.select(lit(0).as("k"), mpartCol(col(idCol)).as("v"))
+    val fused = newHomes match {
+      case Some(nh) =>
+        val c = nh.columns.head
+        mp.unionByName(nh.select(lit(1).as("k"), col(c).cast("int").as("v")))
+      case None => mp
+    }
+    val rows = fused.distinct().collect()
+    val mparts = rows.filter(_.getInt(0) == 0).map(_.getInt(1)).toSeq.sorted
+    val newBuckets = rows.filter(_.getInt(0) == 1).map(_.getInt(1)).toSeq.sorted
+    val manifestTrusted =
+      pathExists(spark, manifestPath(storePath)) && !pendingExists(spark, storePath)
+    val oldHomes = {
+      val frame =
+        if (!manifestTrusted)
+          spark.read.parquet(storePath)
+            .join(batchIds.select(col(idCol)), Seq(idCol))
+            .select(col(storeBucketCol).cast("int").as("bucket")).distinct()
+        else
+          spark.read.parquet(manifestPath(storePath))
+            .filter(col("mpart").isin(mparts.map(Int.box): _*))
+            .join(batchIds.select(col(idCol).as("id")).distinct(), Seq("id"))
+            .select(col("bucket")).distinct()
+      frame.collect().map(_.getInt(0)).toSeq.sorted
+    }
+    ProbeResult(oldHomes, newBuckets, mparts)
+  }
+
   def manifestPath(storePath: String): String =
     s"${storePath.stripSuffix("/")}.manifest"
+
+  /** Run `body` with `partitionOverwriteMode=dynamic`, restoring the
+    * session's previous value (or unsetting) afterwards — the shared
+    * session must not silently change the semantics of LATER
+    * overwrite+partitionBy writes. THE one implementation (VERDICT r13
+    * #5): [[Similarity.swapTouchedPartitions]] and the streaming view
+    * sinks both route here.
+    */
+  private[graft] def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   /** Eagerly persist a BATCH-sized maintenance frame for the duration
     * of one upsert/delete call. Every maintenance body evaluates its
@@ -200,7 +288,9 @@ object StoreManifest {
       adds: Option[DataFrame],
       bucketCol: String = "bucket",
       storeBucketCol: String = "bucket",
-      heal: Boolean = false): Unit = {
+      heal: Boolean = false,
+      knownParts: Option[Seq[Int]] = None,
+      insertOnly: Boolean = false): Unit = {
     val mp = manifestPath(storePath)
     // heal path: manifest absent (pre-manifest store) or possibly
     // stale (`heal` — [[beginMaintenance]] found a marker left by a
@@ -213,17 +303,38 @@ object StoreManifest {
       clearPending(spark, storePath)
       return
     }
+    // insert-only fast path (the probe proved NO batch id lives in the
+    // store, so there is nothing to remove): the survivors of every
+    // touched mpart are byte-identical to what is already on disk —
+    // skip the read/anti-join/staged-swap entirely and APPEND the new
+    // pairs into their mpart directories. One write job; the small
+    // files it leaves are the compaction pass's existing business.
+    if (insertOnly && adds.nonEmpty) {
+      adds.get
+        .select(col(idCol).as("id"), col(bucketCol).cast("int").as("bucket"))
+        .distinct()
+        .withColumn("mpart", mpartCol(col("id")))
+        .repartition(col("mpart"))
+        .write.mode("append").partitionBy("mpart").parquet(mp)
+      clearPending(spark, storePath)
+      return
+    }
     val ids = removeIds.select(col(idCol).as("id")).distinct()
     val addPairs = adds.map(
       _.select(col(idCol).as("id"), col(bucketCol).cast("int").as("bucket"))
         .distinct())
-    val idsForParts = addPairs match {
-      case Some(a) => ids.select(col("id")).unionByName(a.select(col("id")))
-      case None    => ids
+    // the fused probe already collected the batch ids' mparts — reuse
+    // them instead of re-running the distinct-mpart job (they cover
+    // the adds too: every maintenance body's add ids ARE its batch ids)
+    val touched = knownParts.getOrElse {
+      val idsForParts = addPairs match {
+        case Some(a) => ids.select(col("id")).unionByName(a.select(col("id")))
+        case None    => ids
+      }
+      idsForParts
+        .select(mpartCol(col("id")).as("mpart")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
     }
-    val touched = idsForParts
-      .select(mpartCol(col("id")).as("mpart")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) { clearPending(spark, storePath); return }
     val manifest = spark.read.parquet(mp)
     val survivors = manifest
