@@ -311,6 +311,44 @@ class RetrievalSpec extends AnyFunSuite {
     assert(delStats.getDouble(2) === refStats.getDouble(2))
   }
 
+  test("crash window covers the stats file: heal rebuilds stats from the store (VERDICT r13 #2)") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.sources.Tables.load(spark, Sf0001, "documents")
+    val path = java.nio.file.Files.createTempDirectory("bm25_heal_spec").toString
+    val statsPath = java.nio.file.Files.createTempDirectory("bm25_heal_stats_spec").toString
+    Retrieval.bm25IndexWrite(d.filter(col("doc_id") % 5 =!= 4), path, statsPath)
+
+    // reconstruct the on-disk state of a maintenance call that crashed
+    // AFTER its stats write but BEFORE its store swap: stats rolled
+    // forward to garbage, pending marker still planted
+    import spark.implicits._
+    Seq((999999L, 999999L, 1.0)).toDF("n_docs", "sum_len", "avg_len")
+      .write.mode("overwrite").parquet(statsPath)
+    assert(
+      graft.operators.StoreManifest.beginMaintenance(spark, path) === false,
+      "fixture marker plant")
+
+    // the next completed maintenance call heals: stats are rebuilt from
+    // the store's post-swap content, NOT delta-patched on the garbage
+    Retrieval.bm25IndexUpsert(spark, d.filter(col("doc_id") % 5 === 4), path, statsPath)
+    val marker = new org.apache.hadoop.fs.Path(
+      graft.operators.StoreManifest.pendingPath(path))
+    assert(
+      !marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker),
+      "marker not cleared after the healing upsert")
+    val freshPath = java.nio.file.Files.createTempDirectory("bm25_heal_fresh").toString
+    val freshStats = java.nio.file.Files.createTempDirectory("bm25_heal_fresh_stats").toString
+    Retrieval.bm25IndexWrite(d, freshPath, freshStats)
+    val healed = spark.read.parquet(statsPath).collect()(0)
+    val ref = spark.read.parquet(freshStats).collect()(0)
+    assert(healed.getLong(0) === ref.getLong(0), "healed n_docs wrong")
+    assert(healed.getLong(1) === ref.getLong(1), "healed sum_len wrong")
+    assert(healed.getDouble(2) === ref.getDouble(2), "healed avg_len wrong")
+    assert(
+      Retrieval.bm25StoredTopK(spark, d, path, statsPath).collect().toSeq ===
+        Retrieval.bm25StoredTopK(spark, d, freshPath, freshStats).collect().toSeq)
+  }
+
   test("streaming maintenance: 4 micro-batches bootstrap+upsert == batch index") {
     val d = graft.sources.Tables.load(spark, Sf0001, "documents")
     val srcDir = java.nio.file.Files.createTempDirectory("bm25_stream_src").toString

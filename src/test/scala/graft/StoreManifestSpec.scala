@@ -148,6 +148,57 @@ class StoreManifestSpec extends AnyFunSuite {
     assert(manifestPairs(path) === storePairs(path), "legacy upgrade left manifest inconsistent")
   }
 
+  test("insert-only upsert appends: pre-existing files byte-identical, manifest consistent") {
+    val path = java.nio.file.Files.createTempDirectory("graft_manifest_insonly").toString + "/store"
+    Similarity.ivfStoreWrite(baseStore, path)
+
+    def fileDigests(): Map[String, Long] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          s"${d.getName}/${f.getName}" -> java.util.Arrays.hashCode(bytes).toLong
+        }).toMap
+    }
+    val before = fileDigests()
+
+    // 20 brand-new ids — the probe proves no old home exists, so the
+    // fast path APPENDS (no staged swap: every pre-existing file must
+    // survive byte-identical, not be rewritten)
+    val batch = spark.range(1000, 1020).select(
+      col("id").as("vec_id"),
+      lit(-7.0).as("val"),
+      pmod(col("id"), lit(8L)).cast("int").as("bucket"))
+    val touched = Similarity.storeUpsert(spark, batch, path, payloadCols = Seq("val"))
+    assert(touched.sorted === (0 until 8), "every bucket receives a new id")
+
+    val after = fileDigests()
+    before.foreach { case (f, h) =>
+      assert(after.get(f).contains(h), s"pre-existing file $f rewritten by insert-only append")
+    }
+    assert(after.size > before.size, "append produced no new files")
+    assert(spark.read.parquet(path).count() === 520)
+    assert(manifestPairs(path) === storePairs(path), "manifest drifted after insert-only append")
+    // no staging residue, no marker left
+    val parent = new java.io.File(path).getParentFile
+    assert(
+      !parent.listFiles().exists(_.getName.contains(".staging-")),
+      "staging dir leaked")
+    val marker = new org.apache.hadoop.fs.Path(StoreManifest.pendingPath(path))
+    assert(
+      !marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker))
+    // a follow-up MOVE of one appended id still works end-to-end (the
+    // appended manifest pairs route the old-home probe correctly)
+    import spark.implicits._
+    Similarity.storeUpsert(
+      spark, Seq((1005L, -8.0, 0)).toDF("vec_id", "val", "bucket"),
+      path, payloadCols = Seq("val"))
+    assert(manifestPairs(path) === storePairs(path))
+    assert(
+      spark.read.parquet(path).filter(col("vec_id") === 1005L)
+        .select(col("bucket").cast("int")).collect().map(_.getInt(0)).toSeq === Seq(0))
+  }
+
   test("crash in the swap window: pending marker forces the fallback probe, next maintenance heals") {
     val path = java.nio.file.Files.createTempDirectory("graft_manifest_crash").toString + "/store"
     Similarity.ivfStoreWrite(baseStore, path)
