@@ -405,8 +405,10 @@ object LanguageModel {
     * of the same trick lives in `classifier_train_hashed`).
     *
     * Scale shape: identical to [[unigramLogprob]] — the token stream
-    * joins two VOCABULARY-bounded count tables (raw inner, target left
-    * with +1 smoothing absorbing the misses) plus two one-row
+    * joins two VOCABULARY-bounded count tables (BOTH left joins: the
+    * +1 smoothing absorbs a miss on either side, so an out-of-vocab
+    * token under a frozen streaming model still scores instead of
+    * silently dropping from the average; ADVICE r13) plus two one-row
     * broadcast stats, then one per-doc hash agg. All counts are exact
     * integers; the only float is the log expression written
     * identically in both engines, rounded 6 dp after the mean.
@@ -440,7 +442,15 @@ object LanguageModel {
       log((col("c_tgt") + 1).cast("double") / (col("n_tgt") + col("v")).cast("double")) -
         log((col("c_raw") + 1).cast("double") / (col("n_raw") + col("v")).cast("double"))
     tokens
-      .join(vocab.select(col("token"), col("c").as("c_raw")), "token")
+      // LEFT join on both model tables (ADVICE r13): with the FROZEN
+      // model of the streaming deploy, an out-of-vocab token in an
+      // arriving micro-batch must still count toward n_tokens and the
+      // average — the add-1 smoothing (c_raw+1)/(n_raw+v) is already
+      // well-defined at c_raw=0, exactly how the target side absorbs
+      // misses. An inner join silently dropped OOV tokens (and a doc
+      // made entirely of unseen tokens emitted no score row at all).
+      .join(vocab.select(col("token"), col("c").as("c_raw")), Seq("token"), "left")
+      .na.fill(0L, Seq("c_raw"))
       .join(tgt, Seq("token"), "left")
       .na.fill(0L, Seq("c_tgt"))
       .withColumn("one", one(col("c_raw")))
@@ -520,22 +530,33 @@ object LanguageModel {
       vocab: DataFrame,
       pairCounts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = bigramInterpLogprobFrom(docs, vocab, pairCounts)
-      .select(col("doc_id"), col("n_bigrams"), col("avg_neg_logprob_bi").as("score"))
+    // pin the scored frame for the call (ADVICE r13): `s` feeds the
+    // grid AND the main scan, and each unshared subtree would re-run
+    // the bigram-scoring join (token stream ⋈ pairCounts ⋈ vocab²) from
+    // scratch. Three narrow columns ∝ corpus docs, spills to disk,
+    // released once the result materializes — the streaming views'
+    // pinBatch discipline. Eagerly forced so concurrent downstream
+    // stages cannot race to build it twice (the cachedView lesson).
+    val s = StoreManifest.pinBatch(
+      bigramInterpLogprobFrom(docs, vocab, pairCounts)
+        .select(col("doc_id"), col("n_bigrams"), col("avg_neg_logprob_bi").as("score")))
     val grid = s.groupBy(col("score")).agg(count(lit(1)).as("n_g"))
     val pre = grid
       .withColumn(
         "cum_before",
         sum(col("n_g")).over(Window.orderBy(col("score"))) - col("n_g"))
       .select(col("score"), col("cum_before"))
-    val total = s
-      .agg(count(lit(1)).as("n"))
+    // corpus total derived from the GRID (sum of per-score counts),
+    // not from a third scan of `s` (ADVICE r13) — grid is score-grid
+    // sized, the aggregate is free
+    val total = grid
+      .agg(sum(col("n_g")).as("n"))
       .withColumn("one", one(col("n")))
     // within-score rank = running sum of ones in doc_id order, via the
     // two-level scan (Sampling.scoreGroupRunningSum) — no window
     // partition holds a corpus-scale row count even if one score
     // dominates the corpus
-    Sampling
+    val out = Sampling
       .scoreGroupRunningSum(
         s.join(pre, "score").withColumn("_one_row", lit(1L)),
         Seq("score"), "_one_row", "rk_in_score")
@@ -551,6 +572,11 @@ object LanguageModel {
         min(col("score")).as("min_score"),
         max(col("score")).as("max_score"))
       .orderBy(col("bucket"))
+    // the returned plan still reads the pinned `s`, so the pin is left
+    // to the session's LRU (a 3-column per-doc frame) rather than
+    // unpersisted here — eagerly releasing it would re-expose the
+    // double scoring-join evaluation this pin exists to prevent
+    out
   }
 
   /** DuckDB twin — states the NAIVE one-window semantics (global

@@ -184,6 +184,7 @@ object Layout {
     // pending-marker transaction; no survivor anti-join, no staged
     // swap. Small files are the compaction pass's business.
     if (pr.insertOnly) {
+      StoreGenerations.archiveTouched(spark, path, touched, "z_cell")
       val heal = StoreManifest.beginMaintenance(spark, path)
       assigned.select(outCols: _*)
         .repartition(col("z_cell"))

@@ -316,7 +316,7 @@ object Sampling {
     * Docs with zero tokens score NULL quality and are unrankable —
     * excluded on both sides (`n_tokens > 0`).
     */
-  def budgetSelect(docs: DataFrame): DataFrame = {
+  def budgetSelect(docs: DataFrame, scanWidth: Long = ScoreScanWidth): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = graft.operators.TextAnalysis.qualityScoreUnordered(docs)
       .filter(col("n_tokens") > 0)
@@ -341,7 +341,9 @@ object Sampling {
     // per-score running totals via the two-level scan (never a
     // corpus-scale window partition even if one score dominates); the
     // group prefix lifts each to the exact global running total
-    scoreGroupRunningSum(q.join(prefixed, "quality"), Seq("quality"), "n_tokens", "cum_in_score")
+    scoreGroupRunningSum(
+      q.join(prefixed, "quality"), Seq("quality"), "n_tokens", "cum_in_score",
+      width = scanWidth)
       .withColumn("cum_tokens", col("cum_before") + col("cum_in_score"))
       .filter(col("cum_tokens") <= col("b"))
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("cum_tokens"))
@@ -406,7 +408,7 @@ object Sampling {
     * (source, quality). No window anywhere ranges over corpus-scale
     * rows.
     */
-  def budgetSelectBySource(docs: DataFrame): DataFrame = {
+  def budgetSelectBySource(docs: DataFrame, scanWidth: Long = ScoreScanWidth): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = graft.operators.TextAnalysis.qualityScoreBySource(docs)
       .filter(col("n_tokens") > 0)
@@ -426,7 +428,8 @@ object Sampling {
       .select(col("source"), col("quality"), col("cum_before"), col("b"))
     scoreGroupRunningSum(
       q.join(prefixed, Seq("source", "quality")),
-      Seq("source", "quality"), "n_tokens", "cum_in_score")
+      Seq("source", "quality"), "n_tokens", "cum_in_score",
+      width = scanWidth)
       .withColumn("cum_tokens", col("cum_before") + col("cum_in_score"))
       .filter(col("cum_tokens") <= col("b"))
       .select(
@@ -453,11 +456,28 @@ object Sampling {
 
   // ---- skew-proof within-score running sums -----------------------------
 
-  /** Docs per sub-group of the two-level within-score scan (the
-    * [[Packing.GroupWidth]] pattern): small here so test SFs exercise
-    * the multi-sub-group path; at corpus scale ~1e6.
+  /** DEFAULT docs-per-sub-group of the two-level within-score scan
+    * (the [[Packing.GroupWidth]] pattern) — deliberately small so test
+    * SFs exercise the multi-sub-group path. At this fixed width a
+    * dominant score's worst partition holds n_score/64 rows: a 64×
+    * REDUCTION of the skew, not the √n bound the balanced width gives
+    * (ADVICE r13 asked for exactly this distinction). Corpus-scale
+    * deployments pass [[balancedScanWidth]] of their (approximate)
+    * corpus count through the `scanWidth` parameter of
+    * [[budgetSelect]]/[[budgetSelectBySource]] instead.
     */
   val ScoreScanWidth = 64L
+
+  /** The balanced sub-group width for `n` rows: ⌈√n⌉ floored at the
+    * test default, which makes the two-level scan's worst partition
+    * max(width, n/width) ≈ √n — the bound the scaladoc promises. One
+    * cheap count (parquet metadata, or a cached frame's forced count)
+    * buys the literal; the dial exists because the width must be a
+    * plan-time constant (`doc_id div width` partitions must be
+    * CONTIGUOUS id ranges for the sub-group offsets to compose).
+    */
+  def balancedScanWidth(n: Long): Long =
+    math.max(ScoreScanWidth, math.round(math.sqrt(n.toDouble)))
 
   /** Within-score running sum of `valueCol` in doc_id order, decomposed
     * so NO window partition ever holds a corpus-scale row count — the

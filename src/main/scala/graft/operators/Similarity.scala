@@ -718,6 +718,19 @@ object Similarity {
       path: String): DataFrame =
     probeTopK(spark.read.parquet(path), probedBucketsFor(cents, nprobe), k, QueryVec)
 
+  /** [[ivfStoredTopK]] against a CALLER-SUPPLIED store frame — the
+    * time-travel read path: [[StoreGenerations.storeAsOf]] hands a
+    * prior-generation snapshot here and the ranking math is identical
+    * to the live stored probe, so "which index served run X" is
+    * answerable with the exact serving semantics of run X's day.
+    */
+  def ivfStoredTopKFrom(
+      store: DataFrame,
+      cents: Array[Array[Double]],
+      k: Int,
+      nprobe: Int): DataFrame =
+    probeTopK(store, probedBucketsFor(cents, nprobe), k, QueryVec)
+
   /** INCREMENTAL index maintenance: merge a batch of (assigned) vectors
     * into an existing bucket-partitioned store without a full rebuild —
     * the daily-crawl shape (round-9 verdict #3: `ivfStoreWrite` was
@@ -802,6 +815,7 @@ object Similarity {
     // crash between the two appends would otherwise let a later upsert
     // of the same id miss the store row and append a duplicate.
     if (pr.insertOnly) {
+      StoreGenerations.archiveTouched(spark, path, touched, "bucket")
       val heal = StoreManifest.beginMaintenance(spark, path)
       assignedBatch.select(outCols: _*)
         .repartition(col("bucket"))
@@ -917,6 +931,10 @@ object Similarity {
       partCol: String = "bucket"): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // time-travel: when the store is versioned, the touched buckets'
+    // PRE-state becomes the next archived generation (one FS check
+    // when versioning is off; copies ∝ touched bytes when on)
+    StoreGenerations.archiveTouched(spark, path, touched, partCol)
     val stageDir = new org.apache.hadoop.fs.Path(
       s"${path.stripSuffix("/")}.staging-${java.util.UUID.randomUUID()}")
     try {

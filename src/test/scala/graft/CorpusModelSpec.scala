@@ -390,6 +390,20 @@ class CorpusModelSpec extends AnyFunSuite {
         r.getAs[Double]("quality"), r.getAs[Long]("cum_tokens")))
     assert(got.toSeq === expected.toSeq)
     assert(got.nonEmpty) // the fixture funds a non-trivial prefix
+
+    // width-invariance: the scan width is a pure skew dial — the
+    // balanced corpus-scale width (and a degenerate width of 1) must
+    // select the identical rows in the identical order (ADVICE r13:
+    // production callers pass balancedScanWidth(n) through scanWidth)
+    val balanced = Sampling.budgetSelect(
+      d, scanWidth = Sampling.balancedScanWidth(60L)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Double]("quality"), r.getAs[Long]("cum_tokens")))
+    assert(balanced.toSeq === expected.toSeq, "balanced width changed the selection")
+    val w1 = Sampling.budgetSelect(d, scanWidth = 1L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Double]("quality"), r.getAs[Long]("cum_tokens")))
+    assert(w1.toSeq === expected.toSeq, "width=1 changed the selection")
   }
 
   test("budgetSelect: top doc over budget -> empty; zero-token docs excluded") {
@@ -565,6 +579,34 @@ class CorpusModelSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(all.length === 2)
     assert(all.head === 3L) // the target doc ranks first
+  }
+
+  test("dsirLogRatioFrom: out-of-vocab tokens under a FROZEN model still score (add-1 smoothing)") {
+    // model frozen on the t/q/r corpus (V=3, N_raw=8, N_tgt=3), then a
+    // micro-batch arrives whose doc 4 contains tokens the model never
+    // saw. Through r13 the inner vocab join dropped them from n_tokens
+    // and a fully-unseen doc emitted NO row at all (ADVICE r13).
+    val trainDocs = docs(3L -> "t t q", 1L -> "r r q", 2L -> "r q")
+    val trainToks = LanguageModel.docTokens(trainDocs)
+    val vocab = LanguageModel.vocabFrom(trainToks)
+    val tgt = LanguageModel.dsirTargetCounts(trainToks)
+    // doc 4: one in-vocab token, two unseen; doc 5: ENTIRELY unseen
+    val batch = LanguageModel.docTokens(docs(4L -> "t zz yy", 5L -> "ww ww"))
+    val r = LanguageModel.dsirLogRatioFrom(batch, vocab, tgt)
+      .collect().map(x => (x.getLong(0), x.getAs[Long]("n_tokens"),
+        x.getAs[Double]("avg_log_ratio"))).sortBy(_._1)
+    assert(r.map(_._1).toSeq === Seq(4L, 5L), "a fully-OOV doc must emit a score row")
+    assert(r(0)._2 === 3L, "OOV tokens must count toward n_tokens")
+    assert(r(1)._2 === 2L)
+    // closed form: OOV term = log((0+1)/(3+3)) - log((0+1)/(8+3))
+    def p(c: Long, n: Long) = (c + 1).toDouble / (n + 3).toDouble
+    val oov = math.log(p(0, 3)) - math.log(p(0, 8))
+    val exp5 = BigDecimal(oov).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1)._3 === exp5, "fully-OOV doc's score must be the pure smoothing ratio")
+    val exp4 = BigDecimal(
+      ((math.log(p(2, 3)) - math.log(p(2, 8))) + 2 * oov) / 3
+    ).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0)._3 === exp4)
   }
 
   test("dsirLogRatio: empty target slice smooths to a defined score, no crash") {
