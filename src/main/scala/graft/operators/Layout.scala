@@ -117,17 +117,11 @@ object Layout {
       .withColumn("z_cell", mortonCell(col("x_bucket"), col("y_bucket")))
 
   /** Cluster: one pass, cells become partition directories. */
-  def zorderWrite(events: DataFrame, path: String): Unit = {
-    val b = bucketized(events)
-    b.write.mode("overwrite").partitionBy("z_cell").parquet(path)
-    // event→cell manifest for the upsert's old-home probe — cost of a
-    // later batch's probe becomes ∝ batch, never layout bytes. Built
-    // from a READBACK of the files just written (2-column pruned scan),
-    // not from `b`, whose re-evaluation would rescan the events source
-    StoreManifest.write(
-      events.sparkSession.read.parquet(path), path,
-      "event_id", bucketCol = "z_cell")
-  }
+  def zorderWrite(events: DataFrame, path: String): Unit =
+    // event→cell manifest build is LAZY (round 14): a layout that is
+    // only ever range-read never probes one; the first zorderUpsert's
+    // heal path builds it from the layout's own content
+    bucketized(events).write.mode("overwrite").partitionBy("z_cell").parquet(path)
 
   /** INCREMENTAL layout maintenance: merge an event batch (inserts +
     * corrections keyed by `event_id`) into the clustered store,
@@ -190,10 +184,10 @@ object Layout {
         .repartition(col("z_cell"))
         .write.mode("append").partitionBy("z_cell").parquet(path)
       StoreManifest.update(
-        spark, path, batchIds, "event_id",
+        spark, path, "event_id",
         adds = Some(assigned.select(col("event_id"), col("z_cell"))),
         bucketCol = "z_cell", storeBucketCol = "z_cell",
-        heal = heal, knownParts = Some(pr.mparts), insertOnly = true)
+        heal = heal, idUnique = true)
       return touched
     }
     val survivors = store
@@ -204,10 +198,10 @@ object Layout {
     val heal = StoreManifest.beginMaintenance(spark, path)
     Similarity.swapTouchedPartitions(spark, merged, path, touched, partCol = "z_cell")
     StoreManifest.update(
-      spark, path, batchIds, "event_id",
+      spark, path, "event_id",
       adds = Some(assigned.select(col("event_id"), col("z_cell"))),
       bucketCol = "z_cell", storeBucketCol = "z_cell",
-      heal = heal, knownParts = Some(pr.mparts))
+      heal = heal, idUnique = true)
     touched
   }
 

@@ -393,16 +393,11 @@ object Pq {
     * smaller than the float store's. At 100 TB of raw vectors this
     * table is ~1.6 TB — the tier that actually fits serving hardware.
     */
-  def pqStoreWrite(codes: DataFrame, path: String): Unit = {
+  def pqStoreWrite(codes: DataFrame, path: String): Unit =
+    // manifest build is lazy — the [[Similarity.ivfStoreWrite]]
+    // round-14 discipline on the code tier: the first maintenance
+    // call's heal path builds it from the store's own content
     codes.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    // id→bucket manifest for the upsert/delete old-home probes —
-    // the [[Similarity.ivfStoreWrite]] discipline on the code tier.
-    // Built from a READBACK of the files just written (2-column pruned
-    // scan), not from `codes`, whose re-evaluation would rerun the
-    // full PQ encode + assignment a second time over the corpus
-    StoreManifest.write(
-      codes.sparkSession.read.parquet(path), path, "vec_id")
-  }
 
   /** Incremental code-store maintenance — [[Similarity.storeUpsert]]
     * pointed at the code payload: a daily batch re-encodes only its own

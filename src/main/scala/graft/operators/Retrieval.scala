@@ -226,13 +226,9 @@ object Retrieval {
     val (postings, stats) = postingsAndStats(docs)
     val sharded = postings.withColumn("bucket", bucketOfCol(col("token")))
     sharded.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    // doc→shard manifest (one row per doc × shard its tokens hash
-    // into) — the upsert/delete old-home probes read this, not the
-    // full postings store. Built from a READBACK of the files just
-    // written (2-column pruned scan), not from `sharded`, whose
-    // re-evaluation would re-tokenize the whole corpus a second time
-    StoreManifest.write(
-      docs.sparkSession.read.parquet(path), path, "doc_id")
+    // doc→shard manifest build is LAZY (round 14): a stored index that
+    // is only ever queried never probes one; the first upsert/delete's
+    // heal path builds it from the postings' own (doc_id, bucket) pairs
     stats.write.mode("overwrite").parquet(statsPath)
   }
 
@@ -400,9 +396,9 @@ object Retrieval {
     // between the two rebuilds re-enters the heal on the next call
     if (heal) writeStatsFromStore(spark, path, statsPath)
     StoreManifest.update(
-      spark, path, batchIds, "doc_id",
+      spark, path, "doc_id",
       adds = Some(batchRaw.select(col("doc_id"), bucketOfCol(col("token")).as("bucket"))),
-      heal = heal, knownParts = Some(pr.mparts), insertOnly = pr.insertOnly)
+      heal = heal)
     touched
   }
 
@@ -499,9 +495,8 @@ object Retrieval {
         bucketOfCol(col("token")).as("bucket"))
     Similarity.swapTouchedPartitions(spark, merged, path, touched)
     if (heal) writeStatsFromStore(spark, path, statsPath)
-    StoreManifest.update(
-      spark, path, ids, "doc_id", adds = None,
-      heal = heal, knownParts = Some(pr.mparts))
+    // append-only manifest: a pure delete writes nothing (class note)
+    StoreManifest.update(spark, path, "doc_id", adds = None, heal = heal)
     touched
   }
 
@@ -513,9 +508,14 @@ object Retrieval {
   def bm25IndexCompact(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      maxFilesPerBucket: Int = 1): Seq[String] =
-    graft.streaming.StreamingViews.compactViews(
+      maxFilesPerBucket: Int = 1): Seq[String] = {
+    val out = graft.streaming.StreamingViews.compactViews(
       spark, path, partitionCols = Seq("bucket"), maxFilesPerPartition = maxFilesPerBucket)
+    // sweep the append-only manifest's garbage pairs on the same
+    // cadence that bounds small files (StoreManifest class note)
+    StoreManifest.rebuild(spark, path, "doc_id")
+    out
+  }
 
   def bm25StoredTopK(
       spark: org.apache.spark.sql.SparkSession,

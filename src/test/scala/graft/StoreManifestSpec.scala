@@ -35,6 +35,9 @@ class StoreManifestSpec extends AnyFunSuite {
   test("probe reads only the manifest partitions the batch ids hash into") {
     val path = java.nio.file.Files.createTempDirectory("graft_manifest_probe").toString + "/store"
     Similarity.ivfStoreWrite(baseStore, path)
+    // store writers build manifests LAZILY (round 14) — materialize one
+    // here the way the first maintenance call's heal path would
+    StoreManifest.write(spark.read.parquet(path), path, "vec_id")
     import spark.implicits._
     val ids = Seq(7L, 123L).toDF("vec_id")
     val probed = StoreManifest.probe(spark, path, ids, "vec_id")
@@ -80,12 +83,12 @@ class StoreManifestSpec extends AnyFunSuite {
       "probe plan scanned the store — the manifest exists to prevent exactly this")
   }
 
-  test("manifest == store pairs after upsert, delete, and compact") {
+  test("append-only manifest: SUPERSET after upsert/delete, probes conservative, compact sweeps exact") {
     val path = java.nio.file.Files.createTempDirectory("graft_manifest_consist").toString + "/store"
     Similarity.ivfStoreWrite(baseStore, path)
-    assert(manifestPairs(path) === storePairs(path))
 
-    // upsert: 20 moved ids (bucket changes) + 20 brand-new ids
+    // upsert: 20 moved ids (bucket changes) + 20 brand-new ids. First
+    // maintenance on a lazily-manifested store heals: manifest EXACT
     val batch = spark.range(100, 120).select(
       col("id").as("vec_id"),
       lit(-1.0).as("val"),
@@ -95,21 +98,43 @@ class StoreManifestSpec extends AnyFunSuite {
         lit(-2.0).as("val"),
         pmod(col("id"), lit(8L)).cast("int").as("bucket")))
     Similarity.storeUpsert(spark, batch, path, payloadCols = Seq("val"))
-    assert(manifestPairs(path) === storePairs(path), "manifest drifted after upsert")
+    assert(manifestPairs(path) === storePairs(path), "first-call heal must build exact")
 
-    // delete: some original, some moved, some never-present ids
+    // second upsert MOVES ids 100-119 again: append-only leaves their
+    // previous pairs as garbage — manifest must COVER the store (no
+    // live row unindexed), and the probe answer must be a superset of
+    // the true homes (conservative, never a miss)
+    val move2 = spark.range(100, 120).select(
+      col("id").as("vec_id"),
+      lit(-4.0).as("val"),
+      pmod(col("id") + 5, lit(8L)).cast("int").as("bucket"))
+    Similarity.storeUpsert(spark, move2, path, payloadCols = Seq("val"))
+    val sp = storePairs(path)
+    val mp = manifestPairs(path)
+    assert(sp.toSet.subsetOf(mp.toSet), "live pair missing from the manifest")
+    assert(mp.size > sp.size, "fixture failed to create garbage pairs")
     import spark.implicits._
-    Similarity.storeDelete(spark, Seq(3L, 105L, 510L, 9999L).toDF("vec_id"), path)
-    assert(manifestPairs(path) === storePairs(path), "manifest drifted after delete")
+    val probed = StoreManifest
+      .probe(spark, path, Seq(105L).toDF("vec_id"), "vec_id")
+      .collect().map(_.getInt(0)).toSet
+    val trueHome = sp.filter(_._1 == 105L).map(_._2).toSet
+    assert(trueHome.subsetOf(probed), "probe missed the true home")
 
-    // compact: buckets unchanged, manifest must still match
+    // delete: append-only writes nothing — the deleted ids' pairs stay
+    // as garbage, live rows stay covered
+    Similarity.storeDelete(spark, Seq(3L, 105L, 510L, 9999L).toDF("vec_id"), path)
+    assert(storePairs(path).toSet.subsetOf(manifestPairs(path).toSet))
+    assert(!storePairs(path).exists(p => Set(3L, 105L, 510L).contains(p._1)))
+
+    // compact: the garbage sweep — manifest back to EXACT
     Similarity.ivfStoreCompact(spark, path)
-    assert(manifestPairs(path) === storePairs(path), "manifest drifted after compact")
+    assert(manifestPairs(path) === storePairs(path), "compact did not sweep the garbage")
   }
 
-  test("manifest writes land ONE parquet file per mpart directory (build and update)") {
+  test("manifest writes land ONE parquet file per mpart directory per write (build and append)") {
     val path = java.nio.file.Files.createTempDirectory("graft_manifest_files").toString + "/store"
     Similarity.ivfStoreWrite(baseStore, path)
+    StoreManifest.write(spark.read.parquet(path), path, "vec_id")
     def filesPerDir(): Map[String, Int] = {
       val root = new java.io.File(StoreManifest.manifestPath(path))
       root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("mpart="))
@@ -123,8 +148,10 @@ class StoreManifestSpec extends AnyFunSuite {
     afterBuild.foreach { case (d, n) => assert(n === 1, s"$d has $n files after build") }
     import spark.implicits._
     val moved = Seq((7L, 5), (123L, 5)).toDF("vec_id", "bucket")
-    StoreManifest.update(spark, path, moved.select(col("vec_id")), "vec_id", Some(moved))
-    filesPerDir().foreach { case (d, n) => assert(n === 1, s"$d has $n files after update") }
+    StoreManifest.update(spark, path, "vec_id", Some(moved))
+    // append-only: ≤ 1 NEW file per touched mpart dir per batch; the
+    // compaction pass owns long-run accumulation
+    filesPerDir().foreach { case (d, n) => assert(n <= 2, s"$d has $n files after append") }
   }
 
   test("legacy store (no manifest): probe falls back to the store scan; first upsert builds the manifest") {
@@ -178,6 +205,8 @@ class StoreManifestSpec extends AnyFunSuite {
     }
     assert(after.size > before.size, "append produced no new files")
     assert(spark.read.parquet(path).count() === 520)
+    // first maintenance call on the lazily-manifested store healed ->
+    // manifest exact (insert-only adds cannot create garbage)
     assert(manifestPairs(path) === storePairs(path), "manifest drifted after insert-only append")
     // no staging residue, no marker left
     val parent = new java.io.File(path).getParentFile
@@ -193,7 +222,9 @@ class StoreManifestSpec extends AnyFunSuite {
     Similarity.storeUpsert(
       spark, Seq((1005L, -8.0, 0)).toDF("vec_id", "val", "bucket"),
       path, payloadCols = Seq("val"))
-    assert(manifestPairs(path) === storePairs(path))
+    // append-only: the moved id's old pair stays as garbage — coverage
+    // (no live pair missing), not equality, is the invariant
+    assert(storePairs(path).toSet.subsetOf(manifestPairs(path).toSet))
     assert(
       spark.read.parquet(path).filter(col("vec_id") === 1005L)
         .select(col("bucket").cast("int")).collect().map(_.getInt(0)).toSeq === Seq(0))
@@ -202,6 +233,7 @@ class StoreManifestSpec extends AnyFunSuite {
   test("crash in the swap window: pending marker forces the fallback probe, next maintenance heals") {
     val path = java.nio.file.Files.createTempDirectory("graft_manifest_crash").toString + "/store"
     Similarity.ivfStoreWrite(baseStore, path)
+    StoreManifest.write(spark.read.parquet(path), path, "vec_id")
 
     // move id 42 from bucket 2 to bucket 5 with a REAL upsert (store
     // and manifest both move), then reconstruct the exact on-disk state
