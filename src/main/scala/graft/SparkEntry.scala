@@ -1221,6 +1221,28 @@ object SparkEntry {
       Similarity.ivfStoreUpsert(s, batch, path)
       Similarity.ivfStoredTopK(s, cents, 15, 3, path)
     }),
+    // COMPACTION certified result-invisible AT THE GATE: two daily
+    // insert-only batches append small files into the touched buckets
+    // (the streaming-append shape), the maintenance pass rewrites every
+    // bucket over the 1-file bound back to one file AND sweeps the
+    // manifest's append-only garbage (StoreManifest.rebuild rides it),
+    // then the probe answers from the compacted files. The oracle
+    // recomputes the full-corpus ranking from raw embeddings — any row
+    // lost or duplicated by the rewrite is a hash mismatch. Completes
+    // the gated store lifecycle: write → upsert → COMPACT → serve
+    // (delete and time-travel are gated by their own entries).
+    "ann_ivf_compacted" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = kmeansSpherical(s, d)._1
+      def slice(r: Int) = Similarity.ivfTrainedAssignments(
+        emb.filter(pmod(col("vec_id"), lit(3)) === r), cents)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
+      Similarity.ivfStoreWrite(slice(0), path)
+      Similarity.ivfStoreUpsert(s, slice(1), path)
+      Similarity.ivfStoreUpsert(s, slice(2), path)
+      Similarity.ivfStoreCompact(s, path)
+      Similarity.ivfStoredTopK(s, cents, 20, 4, path)
+    }),
     // TIME-TRAVEL read of the serving store (VERDICT r13 #9 — the
     // reproducibility primitive for "which index state served run X"):
     // versioning archives each maintenance call's touched-bucket
@@ -1904,6 +1926,31 @@ object SparkEntry {
           .withColumn("value", col("value") + lit(1000.0)))
       Layout.zorderUpsert(s, batch, path)
       Layout.zorderRectAgg(s, path, 3, 9, 5, 12)
+    }),
+    // ---- Z-order TIME-TRAVEL (StoreGenerations on the layout): the
+    //      backfill-reproducibility twin of ann_ivf_asof — after the
+    //      daily batch lands (gen 0 → gen 1), the SAME rectangle is
+    //      answered from the gen-0 snapshot, and the oracle recomputes
+    //      it from the raw table RESTRICTED to the seed slice (the
+    //      corrected rows' ORIGINALS included) — batch leakage into
+    //      the snapshot or archive loss is a hash mismatch ----
+    "zorder_asof" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val isNew = col("event_id") % 10 === 0 && col("user_id") % 16 < 2
+      val isMod = col("event_id") % 10 =!= 0 && col("event_id") % 17 === 3 &&
+        col("user_id") % 16 === 5
+      val seedPath = zorderSeedFor(s, d, ev.filter(!isNew))
+      val path = java.nio.file.Files.createTempDirectory("graft_zorder_asof").toString
+      copyDir(seedPath, path)
+      graft.operators.StoreGenerations.enable(s, path)
+      val batch = ev.filter(isNew).unionByName(
+        ev.filter(isMod)
+          .withColumn("ts", col("ts") + expr("INTERVAL 100 DAYS"))
+          .withColumn("value", col("value") + lit(1000.0)))
+      Layout.zorderUpsert(s, batch, path)
+      Layout.zorderRectAggFrom(
+        graft.operators.StoreGenerations.storeAsOf(s, path, 0, partCol = "z_cell"),
+        3, 9, 5, 12)
     }),
     // ---- link-graph importance (Graph): 4-iteration damped PageRank
     //      over the part co-purchase graph — the curation importance
@@ -2681,6 +2728,23 @@ object SparkEntry {
          |         CAST(((epoch_ns(ts) // 1000000000) // 86400) % 16 AS INT) AS y_bucket,
          |         value
          |  FROM events)
+         |SELECT $z AS z_cell, x_bucket, y_bucket,
+         |       count(*) AS cnt, round(sum(value), 6) AS sum_value
+         |FROM b
+         |WHERE x_bucket BETWEEN 3 AND 9 AND y_bucket BETWEEN 5 AND 12
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+    },
+    "zorder_asof" -> {
+      // the SNAPSHOT replay: the gen-0 time-travel read after the
+      // upsert must aggregate exactly the SEED slice (all events minus
+      // the genuinely-new rows; the corrected rows' ORIGINALS present)
+      val z = Layout.mortonSql("x_bucket", "y_bucket")
+      s"""WITH b AS (
+         |  SELECT CAST(user_id % 16 AS INT) AS x_bucket,
+         |         CAST(((epoch_ns(ts) // 1000000000) // 86400) % 16 AS INT) AS y_bucket,
+         |         value
+         |  FROM events
+         |  WHERE NOT (event_id % 10 = 0 AND user_id % 16 < 2))
          |SELECT $z AS z_cell, x_bucket, y_bucket,
          |       count(*) AS cnt, round(sum(value), 6) AS sum_value
          |FROM b
@@ -3587,7 +3651,7 @@ object SparkEntry {
     if (sel("kmeans_centroids") || sel("kmeans_inertia") || sel("kmeans_spherical") ||
       sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
       sel("ann_ivf_incremental") || sel("ann_ivf_drift") || sel("ann_ivf_delete") ||
-      sel("streaming_store_delete") ||
+      sel("streaming_store_delete") || sel("ann_ivf_asof") || sel("ann_ivf_compacted") ||
       sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
       sel("pq_topk_rerank") || sel("ivfpq_topk") || sel("ivfpq_stored") ||
       sel("ivfpq_stored_full") || sel("pq_drift") || sel("pq_codebooks_sampled") ||
@@ -3645,7 +3709,8 @@ object SparkEntry {
       }
       if (sel("kmeans_spherical") || sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
         sel("ann_ivf_incremental") || sel("ann_ivf_drift") || sel("ann_ivf_delete") ||
-        sel("streaming_store_delete") || sel("ann_ivf_asof")) {
+        sel("streaming_store_delete") || sel("ann_ivf_asof") ||
+        sel("ann_ivf_compacted")) {
         val (sphCents, _) =
           graft.operators.KMeansRef.sphericalTrace(vecs, KmeansK, KmeansIters)
         if (sel("kmeans_spherical"))
@@ -3676,6 +3741,11 @@ object SparkEntry {
           // (base write + batch upsert) must serve the same ranking a
           // from-scratch rebuild would
           out += ("ann_ivf_incremental" -> Similarity.ivfTopKTrainedSql(sphCents, 15, 3))
+        if (sel("ann_ivf_compacted"))
+          // the compacted store must serve the same full-corpus ranking
+          // a straight write would — compaction and the manifest sweep
+          // must both be result-invisible
+          out += ("ann_ivf_compacted" -> Similarity.ivfTopKTrainedSql(sphCents, 20, 4))
         if (sel("ann_ivf_asof"))
           // the SNAPSHOT replay: the gen-0 time-travel read after the
           // upsert must rank exactly what a store built from the BASE

@@ -226,6 +226,20 @@ object Layout {
       xLo: Int,
       xHi: Int,
       yLo: Int,
+      yHi: Int): DataFrame =
+    zorderRectAggFrom(spark.read.parquet(path), xLo, xHi, yLo, yHi)
+
+  /** [[zorderRectAgg]] against a CALLER-SUPPLIED layout frame — the
+    * time-travel read path ([[StoreGenerations.storeAsOf]] hands a
+    * prior-generation snapshot here): identical interval predicate and
+    * rollup, so a backfill can be reproduced against the exact layout
+    * state that served it.
+    */
+  def zorderRectAggFrom(
+      store: DataFrame,
+      xLo: Int,
+      xHi: Int,
+      yLo: Int,
       yHi: Int): DataFrame = {
     val pred = zIntervalsForRect(xLo, xHi, yLo, yHi)
       .map { case (lo, hi) =>
@@ -233,8 +247,7 @@ object Layout {
         else col("z_cell").between(lit(lo.toInt), lit(hi.toInt))
       }
       .reduce(_ || _)
-    spark.read
-      .parquet(path)
+    store
       .filter(pred)
       .groupBy(col("z_cell").cast("int").as("z_cell"), col("x_bucket"), col("y_bucket"))
       .agg(
