@@ -1598,6 +1598,24 @@ object SparkEntry {
       Retrieval.bm25IndexDelete(s, docs.filter(erased).select(col("doc_id")), path, statsPath)
       Retrieval.bm25StoredTopK(s, docs.filter(!erased), path, statsPath)
     }),
+    // LEXICAL-index time-travel (ann_ivf_asof's discipline on the BM25
+    // store, WITH its scoring state): versioning archives the corpus
+    // stats as a generation SIDECAR alongside the touched shards, so
+    // the gen-0 snapshot scores with gen-0's own n_docs/avg_len —
+    // serving it with live stats would silently mix generations (idf
+    // and length normalization both shift). The oracle rebuilds the
+    // ranking from the BASE corpus slice alone; panel from the same
+    // slice (doc 4 leaves the panel exactly as it was absent then).
+    "bm25_asof" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val base = docs.filter(col("doc_id") % 5 =!= 4)
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25_asof").toString + "/store"
+      val statsPath = java.nio.file.Files.createTempDirectory("graft_bm25_asof_stats").toString
+      Retrieval.bm25IndexWrite(base, path, statsPath)
+      graft.operators.StoreGenerations.enable(s, path)
+      Retrieval.bm25IndexUpsert(s, docs.filter(col("doc_id") % 5 === 4), path, statsPath)
+      Retrieval.bm25StoredTopKAsOf(s, base, path, statsPath, 0)
+    }),
     // hybrid lexical+semantic retrieval: reciprocal-rank fusion of the
     // BM25 list with the brute-force cosine list (both cut to k, so the
     // fusion joins ≤2k rows/query); full-outer on (query, doc) with
@@ -1892,6 +1910,20 @@ object SparkEntry {
     "zorder_stored" -> ((s, d) => {
       val path = java.nio.file.Files.createTempDirectory("graft_zorder").toString
       Layout.zorderWrite(Tables.load(s, d, "events"), path)
+      Layout.zorderRectAgg(s, path, 3, 9, 5, 12)
+    }),
+    // ---- the layout maintenance DEPLOYED at ingest: the events stream
+    //      MERGE-upserts the Morton-cell layout per micro-batch (first
+    //      batch bootstraps, later ones pay touched cells via the
+    //      manifest-bounded probe; pure-insert batches ride the append
+    //      fast path) — clustering freshness tracks ingest, no nightly
+    //      re-cluster. The rectangle is answered from the stream-built
+    //      layout against zorder_stored's oracle: stream == batch for
+    //      the clustered fact table (StreamingSpec adds the 4-batch
+    //      fixture with per-batch byte-identity of untouched cells) ----
+    "streaming_zorder" -> ((s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_zorder_stream").toString + "/layout"
+      graft.streaming.StreamingViews.runZorderAvailableNow(s, d, path)
       Layout.zorderRectAgg(s, path, 3, 9, 5, 12)
     }),
     // ---- INCREMENTAL Z-order maintenance (Layout.zorderUpsert): the
@@ -2721,6 +2753,22 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt, round(sum(value), 6) AS sum_val,
         | round(sum(value) / count(*), 6) AS avg_val
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "streaming_zorder" -> {
+      // stream == batch for the clustered layout: the stream-built
+      // store must answer the rectangle exactly like a one-shot
+      // clustering of the full table (zorder_stored's replay)
+      val z = Layout.mortonSql("x_bucket", "y_bucket")
+      s"""WITH b AS (
+         |  SELECT CAST(user_id % 16 AS INT) AS x_bucket,
+         |         CAST(((epoch_ns(ts) // 1000000000) // 86400) % 16 AS INT) AS y_bucket,
+         |         value
+         |  FROM events)
+         |SELECT $z AS z_cell, x_bucket, y_bucket,
+         |       count(*) AS cnt, round(sum(value), 6) AS sum_value
+         |FROM b
+         |WHERE x_bucket BETWEEN 3 AND 9 AND y_bucket BETWEEN 5 AND 12
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+    },
     "zorder_stored" -> {
       val z = Layout.mortonSql("x_bucket", "y_bucket")
       s"""WITH b AS (
@@ -3005,6 +3053,9 @@ object SparkEntry {
     "bm25_incremental" -> Retrieval.bm25RetextedSql(),
     "bm25_delete" -> Retrieval.bm25DeletedSql("doc_id % 9 = 4"),
     "streaming_bm25_store" -> Retrieval.bm25TopKSql(),
+    // the snapshot replay: gen-0 index + gen-0 stats == an index built
+    // on the base slice alone (bm25DeletedSql states exactly that)
+    "bm25_asof" -> Retrieval.bm25DeletedSql("doc_id % 5 = 4"),
     "hybrid_rrf" -> Retrieval.hybridRrfSql(),
     "hybrid_rrf_ivf" -> Retrieval.hybridRrfIvfSql(),
     "heavy_hitters_cm" -> CorpusSignals.heavyHittersCmSql(),

@@ -332,40 +332,40 @@ object Retrieval {
     // drift the r13 scaladoc documented as open cannot survive a heal.
     val heal = StoreManifest.beginMaintenance(spark, path)
 
-    if (!heal) {
-      // exact stats update: each replaced doc leaves once (its len is
-      // constant across its posting rows), each batch doc arrives
-      // once. ONE driver action: the three one-row frames (old stats,
-      // replaced-doc deltas, batch deltas) cross-joined and collected
-      // together (r13 ran three separate collects). For an insert-only
-      // batch (probe proved no batch id lives in the store) the
-      // replaced deltas are zero by construction — no store scan at
-      // all, the old-home pass disappears (VERDICT r13 #1).
-      val old = spark.read.parquet(statsPath).select(col("n_docs"), col("sum_len"))
-      val batchStats = tokenized
-        .agg(
-          count(lit(1)).as("n_b"),
-          sum(size(col("tk")).cast("long")).as("len_b"))
-      val replaced =
-        if (pr.insertOnly) {
-          import spark.implicits._
-          Seq((0L, 0L)).toDF("n_rep", "len_rep")
-        } else
-          store
-            .filter(col("bucket").isin(pr.oldHomes.map(Int.box): _*))
-            .join(batchIds, Seq("doc_id"))
-            .select(col("doc_id"), col("len")).distinct()
-            .agg(
-              coalesce(count(lit(1)), lit(0L)).as("n_rep"),
-              coalesce(sum(col("len").cast("long")), lit(0L)).as("len_rep"))
-      val row = old.crossJoin(replaced).crossJoin(batchStats).collect()(0)
-      val nDocs = row.getLong(0) - row.getLong(2) + row.getLong(4)
-      val sumLen = row.getLong(1) - row.getLong(3) + row.getLong(5)
-      import spark.implicits._
-      Seq((nDocs, sumLen, sumLen.toDouble / nDocs))
-        .toDF("n_docs", "sum_len", "avg_len")
-        .write.mode("overwrite").parquet(statsPath)
-    }
+    // exact stats deltas computed against the PRE-swap store; the
+    // WRITE moves after the swap so the time-travel sidecar can
+    // capture the pre-state (see the sidecar note below). ONE driver
+    // action: the three one-row frames (old stats, replaced-doc
+    // deltas, batch deltas) cross-joined and collected together (r13
+    // ran three separate collects). For an insert-only batch (probe
+    // proved no batch id lives in the store) the replaced deltas are
+    // zero by construction — no store scan at all, the old-home pass
+    // disappears (VERDICT r13 #1).
+    val newStats: Option[(Long, Long)] =
+      if (heal) None
+      else {
+        val old = spark.read.parquet(statsPath).select(col("n_docs"), col("sum_len"))
+        val batchStats = tokenized
+          .agg(
+            count(lit(1)).as("n_b"),
+            sum(size(col("tk")).cast("long")).as("len_b"))
+        val replaced =
+          if (pr.insertOnly) {
+            import spark.implicits._
+            Seq((0L, 0L)).toDF("n_rep", "len_rep")
+          } else
+            store
+              .filter(col("bucket").isin(pr.oldHomes.map(Int.box): _*))
+              .join(batchIds, Seq("doc_id"))
+              .select(col("doc_id"), col("len")).distinct()
+              .agg(
+                coalesce(count(lit(1)), lit(0L)).as("n_rep"),
+                coalesce(sum(col("len").cast("long")), lit(0L)).as("len_rep"))
+        val row = old.crossJoin(replaced).crossJoin(batchStats).collect()(0)
+        Some((
+          row.getLong(0) - row.getLong(2) + row.getLong(4),
+          row.getLong(1) - row.getLong(3) + row.getLong(5)))
+      }
 
     // merged content of the touched buckets: surviving old postings
     // (batch docs' rows dropped wherever they live) ∪ batch postings —
@@ -391,10 +391,23 @@ object Retrieval {
       .select(col("token"), col("doc_id"), col("len"), col("tf"), col("df"),
         bucketOfCol(col("token")).as("bucket"))
     Similarity.swapTouchedPartitions(spark, merged, path, touched)
-    // heal path: the store content is now right — rebuild the stats
-    // from it BEFORE the manifest update clears the marker, so a crash
-    // between the two rebuilds re-enters the heal on the next call
-    if (heal) writeStatsFromStore(spark, path, statsPath)
+    // time-travel: the corpus stats must snapshot WITH the buckets —
+    // the swap committed generation K, so the PRE-write stats file is
+    // exactly the stats at K; copy it into the archive before the
+    // live overwrite below (no-op when versioning is off)
+    StoreGenerations.archiveSidecar(spark, path, statsPath, "stats")
+    newStats match {
+      case Some((nDocs, sumLen)) =>
+        import spark.implicits._
+        Seq((nDocs, sumLen, sumLen.toDouble / nDocs))
+          .toDF("n_docs", "sum_len", "avg_len")
+          .write.mode("overwrite").parquet(statsPath)
+      case None =>
+        // heal path: the store content is now right — rebuild the
+        // stats from it BEFORE the manifest update clears the marker,
+        // so a crash between the two rebuilds re-enters the heal
+        writeStatsFromStore(spark, path, statsPath)
+    }
     StoreManifest.update(
       spark, path, "doc_id",
       adds = Some(batchRaw.select(col("doc_id"), bucketOfCol(col("token")).as("bucket"))),
@@ -465,25 +478,22 @@ object Retrieval {
     // upsert's transaction note); heal rebuilds stats from the store
     val heal = StoreManifest.beginMaintenance(spark, path)
 
-    if (!heal) {
-      // exact stats shrink, ONE driver action (old ⨯ removed one-row
-      // frames collected together): each deleted doc leaves once
-      val removed = store
-        .filter(col("bucket").isin(touched.map(Int.box): _*))
-        .join(ids, Seq("doc_id"))
-        .select(col("doc_id"), col("len")).distinct()
-        .agg(
-          coalesce(count(lit(1)), lit(0L)).as("n_rm"),
-          coalesce(sum(col("len").cast("long")), lit(0L)).as("len_rm"))
-      val old = spark.read.parquet(statsPath).select(col("n_docs"), col("sum_len"))
-      val row = old.crossJoin(removed).collect()(0)
-      val nDocs = row.getLong(0) - row.getLong(2)
-      val sumLen = row.getLong(1) - row.getLong(3)
-      import spark.implicits._
-      Seq((nDocs, sumLen, sumLen.toDouble / nDocs))
-        .toDF("n_docs", "sum_len", "avg_len")
-        .write.mode("overwrite").parquet(statsPath)
-    }
+    // exact stats shrink computed pre-swap, WRITTEN post-swap (the
+    // upsert's sidecar discipline): ONE driver action for the deltas
+    val newStats: Option[(Long, Long)] =
+      if (heal) None
+      else {
+        val removed = store
+          .filter(col("bucket").isin(touched.map(Int.box): _*))
+          .join(ids, Seq("doc_id"))
+          .select(col("doc_id"), col("len")).distinct()
+          .agg(
+            coalesce(count(lit(1)), lit(0L)).as("n_rm"),
+            coalesce(sum(col("len").cast("long")), lit(0L)).as("len_rm"))
+        val old = spark.read.parquet(statsPath).select(col("n_docs"), col("sum_len"))
+        val row = old.crossJoin(removed).collect()(0)
+        Some((row.getLong(0) - row.getLong(2), row.getLong(1) - row.getLong(3)))
+      }
 
     val survivors = store
       .filter(col("bucket").isin(touched.map(Int.box): _*))
@@ -494,7 +504,15 @@ object Retrieval {
       .select(col("token"), col("doc_id"), col("len"), col("tf"), col("df"),
         bucketOfCol(col("token")).as("bucket"))
     Similarity.swapTouchedPartitions(spark, merged, path, touched)
-    if (heal) writeStatsFromStore(spark, path, statsPath)
+    StoreGenerations.archiveSidecar(spark, path, statsPath, "stats")
+    newStats match {
+      case Some((nDocs, sumLen)) =>
+        import spark.implicits._
+        Seq((nDocs, sumLen, sumLen.toDouble / nDocs))
+          .toDF("n_docs", "sum_len", "avg_len")
+          .write.mode("overwrite").parquet(statsPath)
+      case None => writeStatsFromStore(spark, path, statsPath)
+    }
     // append-only manifest: a pure delete writes nothing (class note)
     StoreManifest.update(spark, path, "doc_id", adds = None, heal = heal)
     touched
@@ -531,6 +549,33 @@ object Retrieval {
       .filter(col("token").isin(terms: _*))
       .join(broadcast(qt), "token")
     rankBm25(candidates, spark.read.parquet(statsPath), k)
+  }
+
+  /** [[bm25StoredTopK]] against a PRIOR GENERATION of the index — the
+    * lexical leg of "which index served run X": the postings come from
+    * [[StoreGenerations.storeAsOf]] and the corpus stats from the
+    * generation's `stats` sidecar ([[bm25IndexUpsert]] archives the
+    * pre-write stats file alongside every bucket archive), so the
+    * snapshot scores with ITS OWN n_docs/avg_len, never a newer
+    * generation's. Panel pruning and ranking are [[bm25StoredTopK]]'s.
+    */
+  def bm25StoredTopKAsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      path: String,
+      statsPath: String,
+      gen: Int,
+      k: Int = RetrievalTopK): DataFrame = {
+    val qt = queryTerms(docs)
+    val terms = qt.select(col("token")).distinct().collect().map(_.getString(0)).toSeq
+    val buckets = terms.map(bucketOf).distinct
+    val candidates = StoreGenerations.storeAsOf(spark, path, gen)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("token").isin(terms: _*))
+      .join(broadcast(qt), "token")
+    val stats = spark.read.parquet(
+      StoreGenerations.sidecarAsOf(spark, path, statsPath, "stats", gen))
+    rankBm25(candidates, stats, k)
   }
 
   /** Shared SQL: BM25 candidate ranking CTEs, ending in a `lex` relation

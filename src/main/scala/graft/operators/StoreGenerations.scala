@@ -129,6 +129,64 @@ object StoreGenerations {
     out.close()
   }
 
+  /** Last committed archive id, if any. */
+  def lastCommittedGen(spark: SparkSession, storePath: String): Option[Int] =
+    committedGens(spark, storePath).lastOption
+
+  /** Attach a SIDECAR snapshot to the generation the current
+    * maintenance call just committed — for per-store auxiliary state
+    * that must time-travel WITH the buckets (the BM25 one-row corpus
+    * stats: scoring a gen-G snapshot with live stats would silently
+    * mix generations). Call AFTER the swap (the archive is committed)
+    * and BEFORE overwriting the live sidecar: the copy captures the
+    * PRE-state, i.e. the value at the archived generation. Underscore
+    * prefix keeps it invisible to the archive's parquet discovery.
+    * No-op when versioning is off or no generation exists.
+    */
+  def archiveSidecar(
+      spark: SparkSession,
+      storePath: String,
+      srcPath: String,
+      name: String): Unit = {
+    if (!enabled(spark, storePath)) return
+    lastCommittedGen(spark, storePath).foreach { k =>
+      val fs = fsOf(spark, storePath)
+      val src = new org.apache.hadoop.fs.Path(srcPath)
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, src, fs,
+          new org.apache.hadoop.fs.Path(gensPath(storePath), s"g=$k/_$name"),
+          false, spark.sparkContext.hadoopConfiguration)
+    }
+  }
+
+  /** The sidecar as of generation `gen`: the copy attached to the
+    * first committed generation ≥ `gen` (its pre-state IS the value at
+    * `gen` — no maintenance ran in between, generations are per-call),
+    * or the live `srcPath` when `gen` is current. Throws if the
+    * resolved generation lacks the sidecar (a crash between the swap
+    * and the sidecar copy loses that generation's snapshot — refuse,
+    * never silently serve a newer value; the live path is always
+    * heal-consistent).
+    */
+  def sidecarAsOf(
+      spark: SparkSession,
+      storePath: String,
+      srcPath: String,
+      name: String,
+      gen: Int): String = {
+    val gens = committedGens(spark, storePath)
+    val cur = gens.lastOption.map(_ + 1).getOrElse(0)
+    require(gen >= 0 && gen <= cur, s"gen $gen outside [0, $cur]")
+    if (gen == cur) return srcPath
+    val k = gens.filter(_ >= gen).head
+    val p = new org.apache.hadoop.fs.Path(gensPath(storePath), s"g=$k/_$name")
+    require(
+      fsOf(spark, storePath).exists(p),
+      s"generation $k has no '$name' sidecar (crashed window) — snapshot unavailable")
+    p.toString
+  }
+
   /** The store exactly as it stood after generation `gen`: per bucket,
     * the archive of the first later generation that touched it, else
     * the live store. One unionByName of ≤ (gens-after + 1) pruned

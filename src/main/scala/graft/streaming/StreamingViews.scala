@@ -404,6 +404,43 @@ object StreamingViews {
     q.awaitTermination()
   }
 
+  /** Z-order layout maintenance on the events STREAM — the clustered
+    * fact table kept fresh at ingest: each micro-batch MERGE-upserts
+    * the Morton-cell layout (first batch bootstraps via
+    * [[graft.operators.Layout.zorderWrite]]; later batches pay touched
+    * cells + the manifest-bounded old-home probe, never layout bytes,
+    * via [[graft.operators.Layout.zorderUpsert]] — pure-insert batches
+    * ride the append fast path). Rectangle queries
+    * ([[graft.operators.Layout.zorderRectAgg]]) read the same layout
+    * the stream maintains, so clustering freshness tracks ingest with
+    * no nightly re-cluster job.
+    */
+  def runZorderAvailableNow(
+      spark: SparkSession,
+      sfDir: String,
+      path: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = graft.sources.Tables.streamSchema(spark, s"$sfDir/events.parquet")
+    val reader = spark.readStream.schema(schema)
+    val q = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$sfDir/{events.parquet}")
+      .writeStream
+      .outputMode("append")
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_zorder_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) { graft.operators.Layout.zorderUpsert(spark, batch, path); () }
+        else graft.operators.Layout.zorderWrite(batch, path)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Count-Min maintenance on the documents STREAM: each micro-batch
     * APPENDS its partial counter frame (≤ d·w rows) to the counter log
     * — no read-modify-write at all, because Count-Min partials are

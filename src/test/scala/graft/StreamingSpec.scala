@@ -409,6 +409,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored.size === 200)
   }
 
+  test("streaming Z-order: multi-batch ingest builds exactly the layout a one-shot clustering would") {
+    val dir = Files.createTempDirectory("graft-zstream").toString
+    import SparkTestBase.spark.implicits._
+    val rows = (0 until 400).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i.toLong * 7200000L),
+        (i % 37).toLong, if (i % 3 == 0) "click" else "view", i * 0.5, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4) // 4 files -> 4 micro-batches at maxFilesPerTrigger=1
+      .write.parquet(s"$dir/events.parquet")
+    val path = Files.createTempDirectory("graft-zstream-layout").toString + "/layout"
+    StreamingViews.runZorderAvailableNow(spark, dir, path, Some(1))
+    // the stream-built layout == a one-shot clustering, row for row
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val refPath = Files.createTempDirectory("graft-zstream-ref").toString + "/layout"
+    graft.operators.Layout.zorderWrite(ev, refPath)
+    def keyed(p: String) = spark.read.parquet(p)
+      .select(col("event_id"), col("z_cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = keyed(path)
+    assert(got === keyed(refPath), "stream-built layout != one-shot clustering")
+    assert(got.size === 400, "duplicate or lost rows across micro-batches")
+    // rectangle answers match too (the serving semantics, not just rows)
+    val a = graft.operators.Layout.zorderRectAgg(spark, path, 3, 9, 5, 12).collect().toSeq
+    val b = graft.operators.Layout.zorderRectAgg(spark, refPath, 3, 9, 5, 12).collect().toSeq
+    assert(a === b)
+    // batches 2-4 were pure-insert: the manifest (heal-built on batch 2,
+    // appended after) must cover every live row
+    val sp = spark.read.parquet(path)
+      .select(col("event_id"), col("z_cell").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val mp = spark.read.parquet(graft.operators.StoreManifest.manifestPath(path))
+      .select(col("id").cast("long"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sp.subsetOf(mp), "live layout row missing from the manifest")
+  }
+
   test("streaming LM scoring: multi-batch scores against the frozen model == batch operator") {
     val dir = Files.createTempDirectory("graft-lmstream").toString
     import SparkTestBase.spark.implicits._
