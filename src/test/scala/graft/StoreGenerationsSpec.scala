@@ -83,6 +83,55 @@ class StoreGenerationsSpec extends AnyFunSuite {
     }
   }
 
+  test("stats sidecar: per-generation snapshot resolves exactly; a crash-lost sidecar is refused") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gens_sc").toString + "/store"
+    Similarity.ivfStoreWrite(baseStore, path)
+    StoreGenerations.enable(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a store-adjacent sidecar file (the BM25 stats shape: one value
+    // per generation) maintained the way the maintenance bodies do —
+    // swap commits gen K, THEN the pre-write copy, THEN the overwrite
+    val sidecar = java.nio.file.Files.createTempDirectory("graft_gens_sc_side").toString + "/v"
+    def writeSidecar(v: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(sidecar)
+      if (fs.exists(p)) fs.delete(p, true)
+      fs.mkdirs(p)
+      val o = fs.create(new org.apache.hadoop.fs.Path(p, "value"), true)
+      o.write(v.getBytes("UTF-8")); o.close()
+    }
+    def readSidecar(p: String): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(p, "value"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    writeSidecar("v0")
+    def maintain(ids: Range, v: String): Unit = {
+      Similarity.storeUpsert(
+        spark,
+        spark.range(ids.head, ids.last + 1).select(
+          col("id").as("vec_id"), lit(-1.0).as("val"),
+          pmod(col("id"), lit(8L)).cast("int").as("bucket")),
+        path, payloadCols = Seq("val"))
+      StoreGenerations.archiveSidecar(spark, path, sidecar, "stats")
+      writeSidecar(v)
+    }
+    maintain(1000 until 1010, "v1") // gen 0 archived with sidecar v0
+    maintain(1010 until 1020, "v2") // gen 1 archived with sidecar v1
+    assert(readSidecar(StoreGenerations.sidecarAsOf(spark, path, sidecar, "stats", 0)) === "v0")
+    assert(readSidecar(StoreGenerations.sidecarAsOf(spark, path, sidecar, "stats", 1)) === "v1")
+    // gen == current resolves to the LIVE sidecar
+    assert(readSidecar(StoreGenerations.sidecarAsOf(spark, path, sidecar, "stats", 2)) === "v2")
+    // crash-lost sidecar: remove gen 0's copy — asOf(0) must REFUSE,
+    // never silently serve v1 or the live value
+    fs.delete(
+      new org.apache.hadoop.fs.Path(StoreGenerations.gensPath(path), "g=0/_stats"), true)
+    intercept[IllegalArgumentException] {
+      StoreGenerations.sidecarAsOf(spark, path, sidecar, "stats", 0)
+    }
+    // gen 1 is untouched and still resolves
+    assert(readSidecar(StoreGenerations.sidecarAsOf(spark, path, sidecar, "stats", 1)) === "v1")
+  }
+
   test("unversioned store: maintenance archives nothing, asOf(0) is the live store") {
     val path = java.nio.file.Files.createTempDirectory("graft_gens_off").toString + "/store"
     Similarity.ivfStoreWrite(baseStore, path)
