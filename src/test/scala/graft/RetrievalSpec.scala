@@ -317,6 +317,10 @@ class RetrievalSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("bm25_heal_spec").toString
     val statsPath = java.nio.file.Files.createTempDirectory("bm25_heal_stats_spec").toString
     Retrieval.bm25IndexWrite(d.filter(col("doc_id") % 5 =!= 4), path, statsPath)
+    // versioned, so the healing upsert's generation handling is under
+    // test too (ADVICE r14: the heal path must NOT archive the live
+    // stats file — it is exactly the garbage the crashed run left)
+    graft.operators.StoreGenerations.enable(spark, path)
 
     // reconstruct the on-disk state of a maintenance call that crashed
     // AFTER its stats write but BEFORE its store swap: stats rolled
@@ -347,6 +351,15 @@ class RetrievalSpec extends AnyFunSuite {
     assert(
       Retrieval.bm25StoredTopK(spark, d, path, statsPath).collect().toSeq ===
         Retrieval.bm25StoredTopK(spark, d, freshPath, freshStats).collect().toSeq)
+    // the healing call committed generation 0 but must NOT have
+    // attached a stats sidecar (the live stats were the crashed run's
+    // garbage): the snapshot read REFUSES rather than silently scoring
+    // with wrong n_docs/avg_len (ADVICE r14)
+    assert(graft.operators.StoreGenerations.currentGen(spark, path) === 1)
+    val refusal = intercept[IllegalArgumentException] {
+      graft.operators.StoreGenerations.sidecarAsOf(spark, path, statsPath, "stats", 0)
+    }
+    assert(refusal.getMessage.contains("no 'stats' sidecar"), refusal.getMessage)
   }
 
   test("streaming maintenance: 4 micro-batches bootstrap+upsert == batch index") {

@@ -130,6 +130,121 @@ class StoreGenerationsSpec extends AnyFunSuite {
     }
     // gen 1 is untouched and still resolves
     assert(readSidecar(StoreGenerations.sidecarAsOf(spark, path, sidecar, "stats", 1)) === "v1")
+    // vacuum floor (ADVICE r14): after dropping gen 0's archive, a
+    // below-floor sidecar read must be REFUSED by the range check —
+    // not silently resolved to the oldest retained (newer) snapshot
+    StoreGenerations.vacuum(spark, path, keepLast = 1)
+    val refused = intercept[IllegalArgumentException] {
+      StoreGenerations.sidecarAsOf(spark, path, sidecar, "stats", 0)
+    }
+    assert(refused.getMessage.contains("retained range"), refused.getMessage)
+    assert(readSidecar(StoreGenerations.sidecarAsOf(spark, path, sidecar, "stats", 1)) === "v1")
+  }
+
+  /** (dev, inode) of every parquet file under a directory tree — the
+    * no-copy witness: a RENAMED file keeps its file key, a copied one
+    * gets a fresh inode.
+    */
+  private def fileKeys(root: String): Map[String, Object] = {
+    val base = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(base)) return Map.empty
+    val out = scala.collection.mutable.Map.empty[String, Object]
+    java.nio.file.Files.walk(base).forEach { p =>
+      if (p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p)) {
+        val attrs = java.nio.file.Files.readAttributes(
+          p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        out(p.getFileName.toString) = attrs.fileKey()
+      }
+    }
+    out.toMap
+  }
+
+  test("rewrite archive MOVES pre-state (same inode in the generation, zero byte copies); append archive is metadata-only") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gens_nocopy").toString + "/store"
+    Similarity.ivfStoreWrite(baseStore, path)
+    StoreGenerations.enable(spark, path)
+    val preKeys = fileKeys(path)
+    assert(preKeys.nonEmpty)
+
+    // REWRITE call: ids 0-7 move buckets — every bucket touched
+    import spark.implicits._
+    val move = spark.range(0, 8).select(
+      col("id").as("vec_id"), lit(-1.0).as("val"),
+      pmod(col("id") + 1, lit(8L)).cast("int").as("bucket"))
+    Similarity.storeUpsert(spark, move, path, payloadCols = Seq("val"))
+    val genKeys = fileKeys(StoreGenerations.gensPath(path))
+    // every pre-state file now lives in the archive WITH ITS OLD INODE
+    // — renamed, not copied (VERDICT r14 #1's Done criterion)
+    preKeys.foreach { case (name, key) =>
+      assert(genKeys.get(name).contains(key),
+        s"pre-state file $name was not renamed into the archive (copied or lost)")
+    }
+    // and is gone from the live store (a copy would leave it behind)
+    val liveKeys = fileKeys(path)
+    preKeys.keys.foreach(n => assert(!liveKeys.contains(n), s"$n still live"))
+
+    // APPEND call: brand-new ids — the archive must be METADATA ONLY
+    // (no bucket directories, just the _touched/_prefiles commit)
+    val ins = spark.range(5000, 5010).select(
+      col("id").as("vec_id"), lit(-2.0).as("val"),
+      pmod(col("id"), lit(8L)).cast("int").as("bucket"))
+    Similarity.storeUpsert(spark, ins, path, payloadCols = Seq("val"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g1 = new org.apache.hadoop.fs.Path(StoreGenerations.gensPath(path), "g=1")
+    val entries = fs.listStatus(g1).map(_.getPath.getName).toSet
+    assert(entries === Set("_touched", "_prefiles"),
+      s"insert-only archive must hold no data, got $entries")
+    // both generations still reconstruct exactly
+    assert(StoreGenerations.currentGen(spark, path) === 2)
+  }
+
+  test("append-path file lists resolve through later rewrites AND compaction (archive-aware compactor)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gens_listres").toString + "/store"
+    Similarity.ivfStoreWrite(baseStore, path)
+    StoreGenerations.enable(spark, path)
+    val s0 = contents(spark.read.parquet(path))
+    import spark.implicits._
+    def ins(lo: Long, hi: Long, v: Double) =
+      Similarity.storeUpsert(
+        spark,
+        spark.range(lo, hi).select(
+          col("id").as("vec_id"), lit(v).as("val"),
+          pmod(col("id"), lit(8L)).cast("int").as("bucket")),
+        path, payloadCols = Seq("val"))
+    ins(1000, 1010, -1.0) // gen 0: file-list archive
+    val s1 = contents(spark.read.parquet(path))
+    ins(2000, 2010, -2.0) // gen 1: file-list archive
+    val s2 = contents(spark.read.parquet(path))
+    // versioned compaction: rewrites the multi-file buckets, so it
+    // MUST archive (gen 2, physical, by rename) — the g=0/g=1 lists
+    // reference the very files it replaces
+    val preCompactKeys = fileKeys(path)
+    val rewritten = Similarity.ivfStoreCompact(spark, path)
+    assert(rewritten.nonEmpty, "fixture: compaction found nothing to rewrite")
+    assert(StoreGenerations.currentGen(spark, path) === 3)
+    val g2Keys = fileKeys(s"${StoreGenerations.gensPath(path)}/g=2")
+    preCompactKeys.foreach { case (name, key) =>
+      assert(g2Keys.get(name).contains(key),
+        s"compaction archived $name by copy or dropped it")
+    }
+    val s3 = contents(spark.read.parquet(path))
+    assert(s3 === s2, "compaction changed content")
+    // every generation reconstructs exactly — gens 0/1 resolve their
+    // file lists INTO the compaction's physical archive
+    assert(contents(StoreGenerations.storeAsOf(spark, path, 0)) === s0, "gen 0 drifted")
+    assert(contents(StoreGenerations.storeAsOf(spark, path, 1)) === s1, "gen 1 drifted")
+    assert(contents(StoreGenerations.storeAsOf(spark, path, 2)) === s2, "gen 2 drifted")
+    assert(contents(StoreGenerations.storeAsOf(spark, path, 3)) === s3, "gen 3 != live")
+    assert(s0 !== s1); assert(s1 !== s2)
+    // a rewrite AFTER compaction keeps resolving older lists (their
+    // container is the compaction archive, not live)
+    Similarity.storeDelete(spark, Seq(1005L, 3L).toDF("vec_id"), path)
+    assert(contents(StoreGenerations.storeAsOf(spark, path, 0)) === s0)
+    assert(contents(StoreGenerations.storeAsOf(spark, path, 1)) === s1)
+    assert(contents(StoreGenerations.storeAsOf(spark, path, 3)) === s3)
+    assert(contents(StoreGenerations.storeAsOf(spark, path, 4)) ===
+      contents(spark.read.parquet(path)))
   }
 
   test("unversioned store: maintenance archives nothing, asOf(0) is the live store") {

@@ -98,7 +98,22 @@ class StoreManifestSpec extends AnyFunSuite {
         lit(-2.0).as("val"),
         pmod(col("id"), lit(8L)).cast("int").as("bucket")))
     Similarity.storeUpsert(spark, batch, path, payloadCols = Seq("val"))
-    assert(manifestPairs(path) === storePairs(path), "first-call heal must build exact")
+    // first maintenance DEFERS the build (VERDICT r14 #2): no manifest
+    // yet, backfill marker planted; the compaction-cadence rebuild
+    // materializes it EXACTLY
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(StoreManifest.manifestPath(path))),
+      "first call must not build the manifest synchronously")
+    assert(
+      fs.exists(new org.apache.hadoop.fs.Path(StoreManifest.backfillPath(path))),
+      "first call must request the backfill")
+    StoreManifest.rebuild(spark, path, "vec_id", idUnique = true)
+    assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(StoreManifest.backfillPath(path))),
+      "rebuild must clear the backfill marker")
+    assert(manifestPairs(path) === storePairs(path), "backfill build must be exact")
 
     // second upsert MOVES ids 100-119 again: append-only leaves their
     // previous pairs as garbage — manifest must COVER the store (no
@@ -166,12 +181,18 @@ class StoreManifestSpec extends AnyFunSuite {
     val got = StoreManifest.probe(spark, path, ids, "vec_id").collect().map(_.getInt(0)).toSet
     assert(got === Set((7 % 8), (123 % 8)), "legacy fallback probe wrong")
 
-    // first maintenance op on a legacy store performs the one-time
-    // manifest build (from post-swap content) — consistent afterwards
+    // first maintenance op on a legacy store requests the backfill
+    // (one marker file — VERDICT r14 #2); the compaction-cadence
+    // rebuild performs the one-time build — consistent afterwards
     val batch = spark.range(0, 10).select(
       col("id").as("vec_id"), lit(-3.0).as("val"),
       pmod(col("id") + 1, lit(8L)).cast("int").as("bucket"))
     Similarity.storeUpsert(spark, batch, path, payloadCols = Seq("val"))
+    val bf = new org.apache.hadoop.fs.Path(StoreManifest.backfillPath(path))
+    assert(
+      bf.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(bf),
+      "legacy first maintenance must request the backfill")
+    StoreManifest.rebuild(spark, path, "vec_id", idUnique = true)
     assert(manifestPairs(path) === storePairs(path), "legacy upgrade left manifest inconsistent")
   }
 
@@ -205,8 +226,10 @@ class StoreManifestSpec extends AnyFunSuite {
     }
     assert(after.size > before.size, "append produced no new files")
     assert(spark.read.parquet(path).count() === 520)
-    // first maintenance call on the lazily-manifested store healed ->
-    // manifest exact (insert-only adds cannot create garbage)
+    // first maintenance call on the lazily-manifested store deferred
+    // the build (backfill marker); the compaction-cadence rebuild
+    // materializes it exact (insert-only adds cannot create garbage)
+    StoreManifest.rebuild(spark, path, "vec_id", idUnique = true)
     assert(manifestPairs(path) === storePairs(path), "manifest drifted after insert-only append")
     // no staging residue, no marker left
     val parent = new java.io.File(path).getParentFile
@@ -233,14 +256,16 @@ class StoreManifestSpec extends AnyFunSuite {
   test("maintenance job counts stay collapsed: insert-only upsert ≤5 jobs, delete ≤6 (VERDICT r13 #1)") {
     val path = java.nio.file.Files.createTempDirectory("graft_manifest_jobs").toString + "/store"
     Similarity.ivfStoreWrite(baseStore, path)
-    // burn the one-time heal build on a throwaway batch so the counts
-    // below measure the STEADY-STATE daily shape, not the upgrade scan
+    // burn the lazy-build deferral on a throwaway batch and
+    // materialize the manifest (the compaction-cadence backfill) so
+    // the counts below measure the STEADY-STATE daily shape
     Similarity.storeUpsert(
       spark,
       spark.range(900, 905).select(
         col("id").as("vec_id"), lit(0.0).as("val"),
         pmod(col("id"), lit(8L)).cast("int").as("bucket")),
       path, payloadCols = Seq("val"))
+    StoreManifest.rebuild(spark, path, "vec_id", idUnique = true)
 
     // count DRIVER ACTIONS (one QueryExecution per collect/count/write)
     // — the unit the r13 verdict measured; raw Spark-job counts inflate

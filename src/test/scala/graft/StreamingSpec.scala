@@ -435,8 +435,11 @@ class StreamingSpec extends AnyFunSuite {
     val a = graft.operators.Layout.zorderRectAgg(spark, path, 3, 9, 5, 12).collect().toSeq
     val b = graft.operators.Layout.zorderRectAgg(spark, refPath, 3, 9, 5, 12).collect().toSeq
     assert(a === b)
-    // batches 2-4 were pure-insert: the manifest (heal-built on batch 2,
-    // appended after) must cover every live row
+    // batches 2-4 were pure-insert: the first upsert DEFERS the
+    // manifest build behind the backfill marker (VERDICT r14 #2); the
+    // compaction-cadence pass materializes it — and it must then cover
+    // every live row
+    graft.operators.Layout.zorderCompact(spark, path)
     val sp = spark.read.parquet(path)
       .select(col("event_id"), col("z_cell").cast("int"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
