@@ -1267,6 +1267,36 @@ object SparkEntry {
       Similarity.ivfStoredTopKFrom(
         graft.operators.StoreGenerations.storeAsOf(s, path, 0), cents, 15, 3)
     }),
+    // ARCHIVE RETENTION under the compaction cadence (VERDICT r14 #4):
+    // three maintenance generations accumulate (two insert-only
+    // upserts — file-list archives — then a versioned compaction,
+    // which archives the buckets it rewrites BY RENAME because the
+    // file lists reference the very files it replaces), vacuum drops
+    // the oldest archive, and the oldest RETAINED generation must
+    // still reconstruct exactly — its file lists resolving into the
+    // compaction's physical archive. A below-floor read must REFUSE
+    // (checked in-entry), never silently serve newer state. The
+    // oracle recomputes the gen-1 ranking from the raw slices.
+    "ann_ivf_vacuum" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = kmeansSpherical(s, d)._1
+      def slice(r: Int) = Similarity.ivfTrainedAssignments(
+        emb.filter(pmod(col("vec_id"), lit(3)) === r), cents)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_vac").toString
+      Similarity.ivfStoreWrite(slice(0), path)
+      graft.operators.StoreGenerations.enable(s, path)
+      Similarity.ivfStoreUpsert(s, slice(1), path) // gen 0 archived
+      Similarity.ivfStoreUpsert(s, slice(2), path) // gen 1 archived
+      Similarity.ivfStoreCompact(s, path)          // gen 2 archived (versioned)
+      val dropped = graft.operators.StoreGenerations.vacuum(s, path, keepLast = 2)
+      require(dropped == Seq(0), s"vacuum dropped $dropped, expected Seq(0)")
+      val refused =
+        try { graft.operators.StoreGenerations.storeAsOf(s, path, 0); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "below-floor as-of must refuse after vacuum")
+      Similarity.ivfStoredTopKFrom(
+        graft.operators.StoreGenerations.storeAsOf(s, path, 1), cents, 15, 3)
+    }),
     // centroid-drift certificate: the grown corpus bucketed on STALE
     // centroids (trained on the even-vec_id half — yesterday's crawl)
     // vs a fresh retrain, panel recall@20 at the same probe budget;
@@ -1631,6 +1661,49 @@ object SparkEntry {
     "hybrid_rrf_ivf" -> ((s, d) =>
       Retrieval.fuseRrf(
         bm25PanelView(s, d), semRanksIvfView(s, d), Retrieval.RetrievalTopK)),
+    // CROSS-STORE consistent snapshot (VERDICT r14 #5): the hybrid
+    // stack spans TWO stores with independent generation counters —
+    // the BM25 shards (+ stats sidecar) and the float IVF index. A
+    // RUN MANIFEST pins both at serving time (store path → gen, one
+    // tiny metadata file); after BOTH stores move on (a day-2 upsert
+    // each), the run replays through storeAsOf/sidecarAsOf at the
+    // pinned generations and must fuse exactly what a stack built
+    // from the base slices alone fuses — leakage from EITHER store's
+    // newer generation is a hash mismatch. The oracle rebuilds the
+    // whole hybrid from the base slices.
+    "hybrid_rrf_asof" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val emb = Tables.load(s, d, "embeddings")
+      val baseDocs = docs.filter(col("doc_id") % 5 =!= 4)
+      val baseEmb = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+      val root = java.nio.file.Files.createTempDirectory("graft_hybrid_asof").toString
+      val ivfPath = s"$root/ivf"
+      val bmPath = s"$root/bm25"
+      val bmStats = s"$root/bm25_stats"
+      val runs = s"$root/runs"
+      Similarity.ivfStoreWrite(Similarity.ivfAssignments(baseEmb), ivfPath)
+      Retrieval.bm25IndexWrite(baseDocs, bmPath, bmStats)
+      graft.operators.StoreGenerations.enable(s, ivfPath)
+      graft.operators.StoreGenerations.enable(s, bmPath)
+      // serving-time pin: one record for the whole stack
+      graft.operators.StoreGenerations.recordRun(
+        s, runs, "run_x",
+        Map(
+          ivfPath -> graft.operators.StoreGenerations.currentGen(s, ivfPath),
+          bmPath -> graft.operators.StoreGenerations.currentGen(s, bmPath)))
+      // day 2: both stores move on independently
+      Similarity.ivfStoreUpsert(
+        s, Similarity.ivfAssignments(emb.filter(pmod(col("vec_id"), lit(5)) === 4)), ivfPath)
+      Retrieval.bm25IndexUpsert(s, docs.filter(col("doc_id") % 5 === 4), bmPath, bmStats)
+      // replay run_x against the pinned generations
+      val lex = Retrieval.bm25StoredTopKAsOf(
+        s, baseDocs, bmPath, bmStats,
+        graft.operators.StoreGenerations.runGenOf(s, runs, "run_x", bmPath))
+      val sem = Retrieval.semanticRanksIvfFrom(
+        graft.operators.StoreGenerations.storeAsOfRun(s, runs, "run_x", ivfPath),
+        baseEmb, Retrieval.RetrievalTopK, Retrieval.HybridNprobe)
+      Retrieval.fuseRrf(lex, sem, Retrieval.RetrievalTopK)
+    }),
     // term-pruned BM25 (the WAND-family scale guard, self-tuning form):
     // each query scores only its most-informative HALF of terms (lowest
     // df) — a common term's posting list is the one per-query cost that
@@ -3058,6 +3131,12 @@ object SparkEntry {
     "bm25_asof" -> Retrieval.bm25DeletedSql("doc_id % 5 = 4"),
     "hybrid_rrf" -> Retrieval.hybridRrfSql(),
     "hybrid_rrf_ivf" -> Retrieval.hybridRrfIvfSql(),
+    // the run-manifest replay: the whole hybrid recomputed from the
+    // BASE slices only — any day-2 row served from either store's
+    // newer generation breaks the hash
+    "hybrid_rrf_asof" -> Retrieval.hybridRrfIvfSql(
+      docsSrc = "(SELECT * FROM documents WHERE doc_id % 5 <> 4)",
+      embSrc = "(SELECT * FROM embeddings WHERE vec_id % 5 <> 4)"),
     "heavy_hitters_cm" -> CorpusSignals.heavyHittersCmSql(),
     "hll_orderkeys" -> Cardinality.hllOrderKeysSql,
     // stream == batch for a max-mergeable sketch: same replay
@@ -3703,6 +3782,7 @@ object SparkEntry {
       sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
       sel("ann_ivf_incremental") || sel("ann_ivf_drift") || sel("ann_ivf_delete") ||
       sel("streaming_store_delete") || sel("ann_ivf_asof") || sel("ann_ivf_compacted") ||
+      sel("ann_ivf_vacuum") ||
       sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
       sel("pq_topk_rerank") || sel("ivfpq_topk") || sel("ivfpq_stored") ||
       sel("ivfpq_stored_full") || sel("pq_drift") || sel("pq_codebooks_sampled") ||
@@ -3761,7 +3841,7 @@ object SparkEntry {
       if (sel("kmeans_spherical") || sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
         sel("ann_ivf_incremental") || sel("ann_ivf_drift") || sel("ann_ivf_delete") ||
         sel("streaming_store_delete") || sel("ann_ivf_asof") ||
-        sel("ann_ivf_compacted")) {
+        sel("ann_ivf_compacted") || sel("ann_ivf_vacuum")) {
         val (sphCents, _) =
           graft.operators.KMeansRef.sphericalTrace(vecs, KmeansK, KmeansIters)
         if (sel("kmeans_spherical"))
@@ -3804,6 +3884,14 @@ object SparkEntry {
           // a hash mismatch
           out += ("ann_ivf_asof" ->
             Similarity.ivfTopKTrainedSql(sphCents, 15, 3, "vec_id % 5 <> 0"))
+        if (sel("ann_ivf_vacuum"))
+          // the RETAINED-generation replay after vacuum: gen 1 held
+          // slices 0+1 — its file-list archives must resolve into the
+          // compaction's physical archive even though the files they
+          // name were rewritten; slice-2 leakage or list loss breaks
+          // the hash
+          out += ("ann_ivf_vacuum" ->
+            Similarity.ivfTopKTrainedSql(sphCents, 15, 3, "vec_id % 3 <> 2"))
         if (sel("ann_ivf_drift")) {
           // stale centroids: the reference trainer on the even-vec_id
           // half (yesterday's crawl), same machinery the kmeans gates

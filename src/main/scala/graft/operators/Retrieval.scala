@@ -714,7 +714,23 @@ object Retrieval {
     * .Centroids]]) so the replay's centroid literals are static; the
     * trained-centroid variants certify the training separately.
     */
-  private[graft] def semanticRanksIvf(embeddings: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  private[graft] def semanticRanksIvf(embeddings: DataFrame, k: Int, nprobe: Int): DataFrame =
+    semanticRanksIvfFrom(Similarity.ivfAssignments(embeddings), embeddings, k, nprobe)
+
+  /** [[semanticRanksIvf]] with the candidate side supplied by the
+    * CALLER — a `(vec_id, embedding, bucket)` frame such as the
+    * persisted IVF store or a [[StoreGenerations.storeAsOf]] snapshot
+    * of it. This is the semantic leg of "which indexes served run X":
+    * per-query probe selection and ranking are identical to the live
+    * path, only the candidate generation differs. `embeddings`
+    * supplies the query panel (the panel's own vectors — queries are
+    * inputs, not index state).
+    */
+  private[graft] def semanticRanksIvfFrom(
+      store: DataFrame,
+      embeddings: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
     val queries = embeddings
       .filter(col("vec_id") < PanelQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -732,7 +748,7 @@ object Retrieval {
           Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("j"))))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("j").cast("int").as("bucket"))
-    Similarity.ivfAssignments(embeddings)
+    store
       .withColumn("c_norm", sqrt(expr(SparkDialect.dotSelf("embedding"))))
       .join(broadcast(probes.withColumn(
         "q_norm", sqrt(expr(SparkDialect.dotSelf("q_emb"))))), "bucket")
@@ -1073,10 +1089,12 @@ object Retrieval {
        |WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
 
-  private val QvCte: String =
+  private def qvCte(embSrc: String): String =
     s"""qv AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb
-       |  FROM embeddings WHERE vec_id < $PanelQueries)""".stripMargin
+       |  FROM $embSrc WHERE vec_id < $PanelQueries)""".stripMargin
+
+  private val QvCte: String = qvCte("embeddings")
 
   def hybridRrfSql(k: Int = RetrievalTopK): String =
     s"""WITH ${bm25Ctes(k)},
@@ -1097,7 +1115,11 @@ object Retrieval {
     * centroid dots, ties to the lower index), candidates restricted to
     * those cells via the assignment, then the shared fusion.
     */
-  def hybridRrfIvfSql(k: Int = RetrievalTopK, nprobe: Int = HybridNprobe): String = {
+  def hybridRrfIvfSql(
+      k: Int = RetrievalTopK,
+      nprobe: Int = HybridNprobe,
+      docsSrc: String = "documents",
+      embSrc: String = "embeddings"): String = {
     val cents = Similarity.Centroids
     val qSims = cents.zipWithIndex
       .map { case (c, j) => s"${DuckDialect.dotConst("q_emb", c)} AS s$j" }
@@ -1108,8 +1130,8 @@ object Retrieval {
     val cSims = cents.zipWithIndex
       .map { case (c, j) => s"${DuckDialect.dotConst("embedding", c)} AS s$j" }
       .mkString(",\n  ")
-    s"""WITH ${bm25Ctes(k)},
-       |$QvCte,
+    s"""WITH ${bm25Ctes(k, docsSrc)},
+       |${qvCte(embSrc)},
        |qs AS (SELECT query_id, q_emb,
        |  $qSims
        |FROM qv),
@@ -1123,7 +1145,7 @@ object Retrieval {
        |  WHERE pr <= $nprobe),
        |cs AS (SELECT vec_id, embedding,
        |  $cSims
-       |FROM embeddings),
+       |FROM $embSrc),
        |assigned AS (
        |  SELECT vec_id, embedding, ${Similarity.bucketCase(cents.length)} AS bucket FROM cs),
        |simr AS (
