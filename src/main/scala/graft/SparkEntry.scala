@@ -1999,6 +1999,24 @@ object SparkEntry {
       graft.streaming.StreamingViews.runZorderAvailableNow(s, d, path)
       Layout.zorderRectAgg(s, path, 3, 9, 5, 12)
     }),
+    // ---- layout COMPACTION gated result-invisible (ADVICE r14: the
+    //      Z-order layout had no compaction hook, so streaming-ingest
+    //      small files and stale manifest pairs accumulated
+    //      unboundedly): two insert-only daily slices append small
+    //      files into their cells, zorderCompact rewrites every
+    //      over-bound cell to one file AND materializes the deferred
+    //      manifest (the backfill marker the first upsert planted),
+    //      then the rectangle is answered from the compacted files
+    //      against zorder_stored's full-corpus oracle ----
+    "zorder_compacted" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val path = java.nio.file.Files.createTempDirectory("graft_zorder_cmp").toString
+      Layout.zorderWrite(ev.filter(col("event_id") % 3 === 0), path)
+      Layout.zorderUpsert(s, ev.filter(col("event_id") % 3 === 1), path)
+      Layout.zorderUpsert(s, ev.filter(col("event_id") % 3 === 2), path)
+      Layout.zorderCompact(s, path)
+      Layout.zorderRectAgg(s, path, 3, 9, 5, 12)
+    }),
     // ---- INCREMENTAL Z-order maintenance (Layout.zorderUpsert): the
     //      store is seeded WITHOUT the decimated batch, the batch (new
     //      events + corrected events whose shifted day MOVES their
@@ -2843,6 +2861,22 @@ object SparkEntry {
          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
     },
     "zorder_stored" -> {
+      val z = Layout.mortonSql("x_bucket", "y_bucket")
+      s"""WITH b AS (
+         |  SELECT CAST(user_id % 16 AS INT) AS x_bucket,
+         |         CAST(((epoch_ns(ts) // 1000000000) // 86400) % 16 AS INT) AS y_bucket,
+         |         value
+         |  FROM events)
+         |SELECT $z AS z_cell, x_bucket, y_bucket,
+         |       count(*) AS cnt, round(sum(value), 6) AS sum_value
+         |FROM b
+         |WHERE x_bucket BETWEEN 3 AND 9 AND y_bucket BETWEEN 5 AND 12
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+    },
+    "zorder_compacted" -> {
+      // write+upserts ingest the FULL corpus; the compaction pass and
+      // the manifest backfill must both be result-invisible — same
+      // full-corpus rectangle as zorder_stored
       val z = Layout.mortonSql("x_bucket", "y_bucket")
       s"""WITH b AS (
          |  SELECT CAST(user_id % 16 AS INT) AS x_bucket,
