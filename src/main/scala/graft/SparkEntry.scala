@@ -1297,6 +1297,44 @@ object SparkEntry {
       Similarity.ivfStoredTopKFrom(
         graft.operators.StoreGenerations.storeAsOf(s, path, 1), cents, 15, 3)
     }),
+    // RUN PINS ARE A RETENTION FLOOR (round 15 — the gap between
+    // VERDICT r14 #4 and #5): a live run manifest pins a generation,
+    // and a vacuum that dropped its archives would destroy the very
+    // reproducibility the manifest exists for. Pin-aware vacuum
+    // refuses to drop any archive at/above the oldest pinned
+    // generation — here the pin (gen 1) survives two further upserts
+    // and a compaction that REWRITES the files its archives name,
+    // vacuum reclaims only below the pin, and the run replays exactly
+    // slices 0+1 through the manifest. The oracle recomputes that
+    // ranking from the raw slices; a dropped-pin resolution to newer
+    // state is a hash mismatch.
+    "ann_ivf_vacuum_pinned" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val cents = kmeansSpherical(s, d)._1
+      def slice(r: Int) = Similarity.ivfTrainedAssignments(
+        emb.filter(pmod(col("vec_id"), lit(4)) === r), cents)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_vacpin").toString
+      val path = tmp + "/store"
+      val runs = tmp + "/runs"
+      val G = graft.operators.StoreGenerations
+      Similarity.ivfStoreWrite(slice(0), path)
+      G.enable(s, path)
+      Similarity.ivfStoreUpsert(s, slice(1), path) // gen 1: slices 0+1
+      G.recordRun(s, runs, "train-r15", Map(path -> G.currentGen(s, path)))
+      Similarity.ivfStoreUpsert(s, slice(2), path) // gen 2
+      Similarity.ivfStoreCompact(s, path)          // gen 3 (rewrites listed files)
+      Similarity.ivfStoreUpsert(s, slice(3), path) // gen 4
+      // keepLast=2 alone would drop archives g=0,g=1 — the pin at gen 1
+      // holds g=1 (and everything later); only g=0 is reclaimable
+      val dropped = G.vacuum(s, path, keepLast = 2, Some(runs))
+      require(dropped == Seq(0), s"pin-aware vacuum dropped $dropped, expected Seq(0)")
+      val refused =
+        try { G.storeAsOf(s, path, 0); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "below-pin as-of must refuse after vacuum")
+      Similarity.ivfStoredTopKFrom(
+        G.storeAsOfRun(s, runs, "train-r15", path), cents, 15, 3)
+    }),
     // centroid-drift certificate: the grown corpus bucketed on STALE
     // centroids (trained on the even-vec_id half — yesterday's crawl)
     // vs a fresh retrain, panel recall@20 at the same probe budget;
@@ -3816,7 +3854,7 @@ object SparkEntry {
       sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
       sel("ann_ivf_incremental") || sel("ann_ivf_drift") || sel("ann_ivf_delete") ||
       sel("streaming_store_delete") || sel("ann_ivf_asof") || sel("ann_ivf_compacted") ||
-      sel("ann_ivf_vacuum") ||
+      sel("ann_ivf_vacuum") || sel("ann_ivf_vacuum_pinned") ||
       sel("pq_codebooks") || sel("pq_encode") || sel("pq_topk_adc") || sel("pq_recall") ||
       sel("pq_topk_rerank") || sel("ivfpq_topk") || sel("ivfpq_stored") ||
       sel("ivfpq_stored_full") || sel("pq_drift") || sel("pq_codebooks_sampled") ||
@@ -3875,7 +3913,8 @@ object SparkEntry {
       if (sel("kmeans_spherical") || sel("ann_ivf_trained") || sel("ann_ivf_stored") ||
         sel("ann_ivf_incremental") || sel("ann_ivf_drift") || sel("ann_ivf_delete") ||
         sel("streaming_store_delete") || sel("ann_ivf_asof") ||
-        sel("ann_ivf_compacted") || sel("ann_ivf_vacuum")) {
+        sel("ann_ivf_compacted") || sel("ann_ivf_vacuum") ||
+        sel("ann_ivf_vacuum_pinned")) {
         val (sphCents, _) =
           graft.operators.KMeansRef.sphericalTrace(vecs, KmeansK, KmeansIters)
         if (sel("kmeans_spherical"))
@@ -3926,6 +3965,12 @@ object SparkEntry {
           // the hash
           out += ("ann_ivf_vacuum" ->
             Similarity.ivfTopKTrainedSql(sphCents, 15, 3, "vec_id % 3 <> 2"))
+        if (sel("ann_ivf_vacuum_pinned"))
+          // the PINNED-run replay after vacuum: the manifest pinned
+          // gen 1 (slices 0+1 of the mod-4 split); newer-slice leakage
+          // through a dropped pin archive breaks the hash
+          out += ("ann_ivf_vacuum_pinned" ->
+            Similarity.ivfTopKTrainedSql(sphCents, 15, 3, "vec_id % 4 < 2"))
         if (sel("ann_ivf_drift")) {
           // stale centroids: the reference trainer on the even-vec_id
           // half (yesterday's crawl), same machinery the kmeans gates

@@ -448,15 +448,63 @@ object StoreGenerations {
     gens(key)
   }
 
+  /** Delete run `runId`'s manifest — the run is over and no longer
+    * pins any store generation. Idempotent; after release a
+    * [[storeAsOfRun]] of the id refuses (no manifest), and a
+    * pin-aware [[vacuum]] is free to reclaim the generations the run
+    * held.
+    */
+  def releaseRun(spark: SparkSession, runsPath: String, runId: String): Unit =
+    fsOf(spark, runsPath)
+      .delete(new org.apache.hadoop.fs.Path(runsPath, s"run=$runId"), true)
+
+  /** Generations of `storePath` pinned by any live run manifest under
+    * `runsPath` (empty when no run pins this store). Driver-side
+    * metadata: one small `_manifest` read per live run.
+    */
+  def pinnedGens(
+      spark: SparkSession,
+      runsPath: String,
+      storePath: String): Seq[Int] = {
+    val fs = fsOf(spark, runsPath)
+    val root = new org.apache.hadoop.fs.Path(runsPath)
+    if (!fs.exists(root)) return Seq.empty
+    val key = storePath.stripSuffix("/")
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("run="))
+      .map(_.getPath.getName.stripPrefix("run="))
+      .flatMap(id =>
+        // skip half-written records (no _manifest yet) — they pin
+        // nothing until recordRun's write completes
+        if (fs.exists(new org.apache.hadoop.fs.Path(root, s"run=$id/_manifest")))
+          runStores(spark, runsPath, id).get(key)
+        else None)
+      .distinct.sorted
+  }
+
   /** Drop the oldest archives, keeping the most recent `keepLast`
     * generations readable (plus the live state, always). Frees
     * touched-bucket bytes ∝ what the dropped maintenance calls
     * rewrote.
+    *
+    * When `runsPath` is given, vacuum is PIN-AWARE: reconstructing
+    * generation G needs every archive K ≥ G (the first later toucher
+    * per bucket), so no archive at or above the oldest run-pinned
+    * generation is dropped — a live run manifest is a retention floor,
+    * not a hint. Release runs ([[releaseRun]]) to let vacuum reclaim.
     */
-  def vacuum(spark: SparkSession, storePath: String, keepLast: Int): Seq[Int] = {
+  def vacuum(
+      spark: SparkSession,
+      storePath: String,
+      keepLast: Int,
+      runsPath: Option[String] = None): Seq[Int] = {
     val fs = fsOf(spark, storePath)
     val gens = committedGens(spark, storePath)
+    val pinFloor = runsPath
+      .map(rp => pinnedGens(spark, rp, storePath))
+      .flatMap(_.headOption)
     val drop = gens.dropRight(keepLast)
+      .filter(k => pinFloor.forall(k < _))
     drop.foreach { k =>
       fs.delete(new org.apache.hadoop.fs.Path(gensPath(storePath), s"g=$k"), true)
     }

@@ -262,4 +262,57 @@ class StoreGenerationsSpec extends AnyFunSuite {
       contents(StoreGenerations.storeAsOf(spark, path, 0)) ===
         contents(spark.read.parquet(path)))
   }
+
+  test("run manifest pins are a vacuum retention floor; release reclaims") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gens_pins").toString
+    val path = tmp + "/store"
+    val runs = tmp + "/runs"
+    Similarity.ivfStoreWrite(baseStore, path)
+    StoreGenerations.enable(spark, path)
+    import spark.implicits._
+    // three maintenance generations: rewrite, insert-only, delete
+    Similarity.storeUpsert(spark,
+      spark.range(10, 15).select(
+        col("id").as("vec_id"), lit(-1.0).as("val"),
+        pmod(col("id") + 3, lit(8L)).cast("int").as("bucket")),
+      path, payloadCols = Seq("val"))
+    val s1 = contents(spark.read.parquet(path))
+    // run recorded while gen 1 is current — it pins 1
+    StoreGenerations.recordRun(spark, runs, "train-a",
+      Map(path -> StoreGenerations.currentGen(spark, path)))
+    Similarity.storeUpsert(spark,
+      spark.range(300, 310).select(
+        col("id").as("vec_id"), lit(-3.0).as("val"),
+        pmod(col("id"), lit(8L)).cast("int").as("bucket")),
+      path, payloadCols = Seq("val"))
+    Similarity.storeDelete(spark, Seq(3L, 12L).toDF("vec_id"), path)
+    assert(StoreGenerations.currentGen(spark, path) === 3)
+    assert(StoreGenerations.pinnedGens(spark, runs, path) === Seq(1))
+
+    // keepLast=1 would drop archives g=0,1 — but the run pins gen 1,
+    // and reconstructing it needs every archive k >= 1: only g=0 (the
+    // state at gen 0, below the pin) may go
+    val dropped = StoreGenerations.vacuum(spark, path, keepLast = 1, Some(runs))
+    assert(dropped === Seq(0),
+      "pin-aware vacuum must keep every archive at/above the pinned gen")
+    // the pinned run still replays EXACTLY
+    assert(contents(
+      StoreGenerations.storeAsOfRun(spark, runs, "train-a", path)) === s1)
+    // gen 0's only archive (g=0) was dropped: below-floor read refuses
+    intercept[IllegalArgumentException] {
+      StoreGenerations.storeAsOf(spark, path, 0)
+    }
+
+    // release the run: the floor lifts, vacuum reclaims, and a replay
+    // of the released id refuses rather than serving live state
+    StoreGenerations.releaseRun(spark, runs, "train-a")
+    assert(StoreGenerations.pinnedGens(spark, runs, path) === Seq.empty)
+    assert(StoreGenerations.vacuum(spark, path, keepLast = 1, Some(runs)) === Seq(1))
+    intercept[IllegalArgumentException] {
+      StoreGenerations.storeAsOfRun(spark, runs, "train-a", path)
+    }
+    // the newest archive alone still reconstructs its generation
+    assert(contents(StoreGenerations.storeAsOf(spark, path, 3)) ===
+      contents(spark.read.parquet(path)))
+  }
 }

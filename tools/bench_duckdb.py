@@ -78,6 +78,15 @@ HEADLINE = [
     # decontaminate_bloom intentionally absent: its oracle IS
     # decontaminate's SQL (the Bloom pre-filter is result-invisible),
     # already anchored
+    # round-15 (VERDICT r14 #3): the store-lifecycle family, every
+    # entry whose oracle SQL is UNIQUE among anchored entries.
+    # zorder_stored anchors its result-identical oracle trio
+    # (streaming_zorder / zorder_compacted share its SQL — anchoring
+    # them would double-count); ann_ivf_compacted intentionally absent
+    # (its oracle IS ann_ivf_stored's SQL, already anchored)
+    "zorder_stored", "zorder_incremental", "zorder_asof",
+    "ann_ivf_asof", "ann_ivf_vacuum", "ann_ivf_vacuum_pinned",
+    "bm25_asof", "hybrid_rrf_asof",
 ]
 # intentionally absent: bpe_encode / dedup_minhash_lsh and the other
 # *_xx production twins use precomputed VALUES oracles, not real queries
