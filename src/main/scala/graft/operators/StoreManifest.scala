@@ -232,13 +232,35 @@ object StoreManifest {
     * must pass that through to [[update]]'s `heal` so this call
     * rebuilds rather than patches. This call's own marker is cleared
     * by [[update]] once the manifest swap lands.
+    *
+    * CONCURRENCY (round 15): acquisition is an ATOMIC create-if-absent
+    * — the old exists-then-create pair let two maintenance jobs fired
+    * at the same instant (a double-scheduled cadence at 100 TB) BOTH
+    * read "no marker" and BOTH run clean swaps against the same bucket
+    * directories. Now at most ONE caller ever acquires clean; any
+    * racer finds the marker standing and takes the heal path, whose
+    * full-rebuild semantics are correct regardless of whether the
+    * marker's owner crashed or is still running (the rebuild reads the
+    * store's own post-swap content). The store-side contract stays
+    * SINGLE MAINTAINER PER STORE per cadence tick — two interleaved
+    * SWAPS on one store are not serialized by this marker (that is the
+    * scheduler's job, as in every lakehouse without optimistic commit);
+    * the marker now guarantees the manifest side detects the overlap
+    * instead of silently double-committing. A create that fails for a
+    * transient IO reason (not just marker-exists) also routes to heal
+    * — the expensive-but-always-correct branch, never a silent clean.
     */
   def beginMaintenance(spark: SparkSession, storePath: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(pendingPath(storePath))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val crashed = fs.exists(p)
-    if (!crashed) fs.create(p, true).close()
-    crashed
+    try {
+      // overwrite=false: throws when the marker already exists — one
+      // filesystem-atomic acquisition instead of a check-then-act race
+      fs.create(p, false).close()
+      false
+    } catch {
+      case _: java.io.IOException => true
+    }
   }
 
   private def pendingExists(spark: SparkSession, storePath: String): Boolean =

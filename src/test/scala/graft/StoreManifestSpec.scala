@@ -367,4 +367,36 @@ class StoreManifestSpec extends AnyFunSuite {
       !marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker),
       "pending marker not cleared after the healing maintenance call")
   }
+
+  test("pending-marker acquisition is atomic: racing maintainers get exactly one clean slot") {
+    // the TOCTOU this pins (round 15): exists-then-create let two
+    // maintenance jobs fired at the same instant BOTH read "no marker"
+    // and BOTH proceed as clean maintainers — a double-scheduled
+    // cadence at scale would double-swap the same bucket directories
+    // with neither side healing. With create-if-absent, at most one
+    // racer acquires clean; every other sees the standing marker and
+    // takes the always-correct heal path.
+    val path = java.nio.file.Files.createTempDirectory("graft_mani_race").toString + "/store"
+    Similarity.ivfStoreWrite(baseStore, path)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val n = 8
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val clean = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new CountDownLatch(n)
+    (1 to n).foreach { _ =>
+      pool.execute(() => {
+        gate.await()
+        if (!StoreManifest.beginMaintenance(spark, path)) clean.incrementAndGet()
+        done.countDown()
+      })
+    }
+    gate.countDown()
+    assert(done.await(30, TimeUnit.SECONDS), "racers did not finish")
+    pool.shutdown()
+    assert(clean.get === 1, s"${clean.get} racers acquired the clean slot, expected exactly 1")
+    // the marker stands until an update clears it; a late (non-racing)
+    // caller still routes to heal
+    assert(StoreManifest.beginMaintenance(spark, path) === true)
+  }
 }
