@@ -225,7 +225,12 @@ object Retrieval {
   def bm25IndexWrite(docs: DataFrame, path: String, statsPath: String): Unit = {
     val (postings, stats) = postingsAndStats(docs)
     val sharded = postings.withColumn("bucket", bucketOfCol(col("token")))
-    sharded.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // one writer task per shard (explicit count — AQE would coalesce a
+    // count-less repartition to one task; StoreManifest.routeToBuckets
+    // note), and exactly one file per shard directory per build instead
+    // of input-tasks × shards
+    StoreManifest.routeToBuckets(sharded, "bucket", PostingsBuckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
     // doc→shard manifest build is LAZY (round 14): a stored index that
     // is only ever queried never probes one; the first upsert/delete's
     // heal path builds it from the postings' own (doc_id, bucket) pairs

@@ -818,8 +818,10 @@ object Similarity {
       // (VERDICT r14 #1); one FS check when versioning is off
       StoreGenerations.archivePreAppend(spark, path, touched, "bucket")
       val heal = StoreManifest.beginMaintenance(spark, path)
-      assignedBatch.select(outCols: _*)
-        .repartition(col("bucket"))
+      // one writer task per touched bucket (explicit count — the
+      // routeToBuckets note: AQE coalesces a count-less repartition)
+      StoreManifest.routeToBuckets(
+        assignedBatch.select(outCols: _*), "bucket", touched.size)
         .write.mode("append").partitionBy("bucket").parquet(path)
       StoreManifest.update(
         spark, path, "vec_id",
@@ -949,7 +951,13 @@ object Similarity {
     val stageDir = new org.apache.hadoop.fs.Path(
       s"${path.stripSuffix("/")}.staging-${java.util.UUID.randomUUID()}")
     try {
-      merged.write.mode("overwrite").partitionBy(partCol).parquet(stageDir.toString)
+      // one writer task per touched bucket (explicit count — AQE would
+      // coalesce a count-less repartition to a single task that writes
+      // every bucket file sequentially; StoreManifest.routeToBuckets
+      // note). Centralized here so every swap caller (upsert rewrite,
+      // delete, compaction, BM25 shard merge, layout) gets the shape.
+      StoreManifest.routeToBuckets(merged, partCol, touched.size)
+        .write.mode("overwrite").partitionBy(partCol).parquet(stageDir.toString)
       // Swap by DIRECTORY RENAME, not by a second write (round 14 —
       // VERDICT r13 #1's last fixed cost): through r13 the staged
       // content was read back and re-written under dynamic partition
@@ -1018,12 +1026,10 @@ object Similarity {
       }
     if (bloated.isEmpty) return Seq.empty
     val ids = bloated.map(_.getName.stripPrefix(s"$partCol=").toInt).sorted
-    // one task → one file per bucket directory (AQE coalesces the
-    // hash partitions; partitionBy routes each bucket's single task
-    // into its directory)
+    // one task → one file per bucket directory: swapTouchedPartitions
+    // routes the staged write one-task-per-bucket (explicit count)
     val content = spark.read.parquet(path)
       .filter(col(partCol).isin(ids.map(Int.box): _*))
-      .repartition(col(partCol))
     swapTouchedPartitions(spark, content, path, ids, partCol)
     bloated.map(_.toString).sorted
   }

@@ -382,21 +382,24 @@ class RetrievalSpec extends AnyFunSuite {
     val srcDir = java.nio.file.Files.createTempDirectory("bm25_compact_src").toString
     d.repartition(4).write.parquet(s"$srcDir/documents.parquet")
     val base = java.nio.file.Files.createTempDirectory("bm25_compact_store").toString
-    // force the multi-file-bucket hazard the compactor exists for: with
-    // AQE coalescing on, the pinned-batch upsert plans are sized so
-    // accurately at this SF that every touched-bucket write collapses
-    // to one task — one file per bucket, nothing to compact (the
-    // production hazard is many tasks × many batches, so the fixture
-    // disables coalescing to get the many-tasks half deterministically)
-    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prev = spark.conf.getOption(coalesceKey)
-    spark.conf.set(coalesceKey, "false")
+    // force the multi-file-bucket hazard the compactor exists for. The
+    // store writes now route one-task-per-bucket with an explicit
+    // partition count (StoreManifest.routeToBuckets), so every write
+    // job leaves exactly one file per touched bucket regardless of AQE
+    // settings — the old coalescing-off trick can no longer fan a
+    // bucket across tasks. Instead, split each writer's output into
+    // many small files directly (maxRecordsPerFile), which is the
+    // production hazard's actual on-disk shape: many small files
+    // accumulated per bucket directory, identical row content.
+    val mrKey = "spark.sql.files.maxRecordsPerFile"
+    val prev = spark.conf.getOption(mrKey)
+    spark.conf.set(mrKey, "50")
     try
       graft.streaming.StreamingViews.runBm25StoreAvailableNow(
         spark, srcDir, s"$base/store", s"$base/stats", Some(1))
     finally prev match {
-      case Some(v) => spark.conf.set(coalesceKey, v)
-      case None    => spark.conf.unset(coalesceKey)
+      case Some(v) => spark.conf.set(mrKey, v)
+      case None    => spark.conf.unset(mrKey)
     }
     def maxFiles: Int = (0 until Retrieval.PostingsBuckets).map { b =>
       Option(new java.io.File(s"$base/store/bucket=$b").listFiles).toSeq.flatten
