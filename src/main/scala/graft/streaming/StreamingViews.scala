@@ -348,7 +348,8 @@ object StreamingViews {
     val stage = java.nio.file.Files.createTempDirectory("graft_del_stream").toString
     idsDf.select(col("vec_id"))
       .withColumn("chunk", pmod(col("vec_id"), lit(batches.toLong)))
-      .repartition(col("chunk"))
+      // explicit count: one task per chunk file (routeToBuckets note)
+      .repartition(batches, col("chunk"))
       .write.partitionBy("chunk").mode("overwrite").parquet(stage)
     val schema = spark.read.parquet(stage).schema
     val q = spark.readStream.schema(schema)
@@ -1066,7 +1067,10 @@ object StreamingViews {
     // filter+coalesce(1) loop pays chunkCount full write jobs — half
     // the consuming entry's wall time at sf0.1.)
     val buildDir = stageRoot.resolve("_build")
-    ev.repartition(col("arr")).write.partitionBy("arr")
+    // explicit count = chunk count: one task per arr=... directory,
+    // parallel writers (routeToBuckets note — the count-less form is
+    // AQE-coalesced to one task that writes every chunk serially)
+    ev.repartition(math.max(chunkIds.length, 1), col("arr")).write.partitionBy("arr")
       .mode("overwrite").parquet(buildDir.toString)
     ev.unpersist()
     chunkIds.zipWithIndex.foreach { case (c, i) =>
@@ -1487,7 +1491,11 @@ object StreamingViews {
     }.reduce(_ || _)
     val compacted = spark.read.parquet(outPath)
       .filter(preds)
-      .repartition(partitionCols.map(col): _*)
+      // explicit count = bloated-dir count: one task per rewritten
+      // partition dir, parallel writers (routeToBuckets note — the
+      // count-less form is AQE-coalesced to one serial task)
+      .repartition(
+        math.min(math.max(bloated.size, 1), 4096), partitionCols.map(col): _*)
     // dynamic overwrite scoped to this one write (and restored after):
     // static mode would wipe every partition the compacted frame
     // doesn't carry, and a session-level set would leak into later
@@ -1582,9 +1590,16 @@ object StreamingViews {
             sum(col(sumCols.head)).as(sumCols.head),
             sumCols.tail.map(c => sum(col(c)).as(c)): _*)
       }
+    // explicit partition count: a count-less repartition(col) is AQE-
+    // coalesced to ONE task at micro-batch sizes, which then writes
+    // every touched partition directory's file sequentially
+    // (StoreManifest.routeToBuckets note); with a count, each touched
+    // (metric, ts_part) tuple still lands in exactly one task → one
+    // file per dir per upsert, but the writers run in parallel
     val clustered =
       if (partitionCols.isEmpty) merged
-      else merged.repartition(partitionCols.map(col): _*)
+      else merged.repartition(
+        spark.sparkContext.defaultParallelism, partitionCols.map(col): _*)
     val writer = clustered.localCheckpoint(eager = true)
       .write
       .mode("overwrite")
@@ -1655,10 +1670,14 @@ object StreamingViews {
     // per upsert — so the table never grows the many-small-files shape
     // compactViews exists to repair (unclustered, the sf0.1 retained
     // view left ~32 files in EVERY (metric, day) dir and the follow-up
-    // compaction rewrote the entire table)
+    // compaction rewrote the entire table). Explicit partition count:
+    // count-less repartition(col) is AQE-coalesced to ONE task at
+    // micro-batch sizes, serializing every directory's file write
+    // (StoreManifest.routeToBuckets note)
     val clustered =
       if (partitionCols.isEmpty) merged
-      else merged.repartition(partitionCols.map(col): _*)
+      else merged.repartition(
+        spark.sparkContext.defaultParallelism, partitionCols.map(col): _*)
     // localCheckpoint cuts the plan's lineage on the files being
     // replaced — without it the overwrite would read its own output
     val writer = clustered.localCheckpoint(eager = true)
