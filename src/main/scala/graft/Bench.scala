@@ -56,6 +56,24 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // fork-free local chmod (no libhadoop on this deployment): every
+      // created file otherwise pays a forked `chmod` process — see
+      // graft.hadoop.NioLocalFileSystem. Set at build time so the very
+      // first file:// access caches the right implementation.
+      .config(
+        graft.hadoop.NioLocalFileSystem.SparkConfKey,
+        graft.hadoop.NioLocalFileSystem.className)
+      // list ≤1024-directory stores on the driver (default threshold
+      // 32): on a LOCAL filesystem a directory listing is a syscall,
+      // while the parallel-discovery Spark job ships a ~1k-entry Hadoop
+      // conf to one task per directory — two such 256-task listing jobs
+      // cost ~1.5 s per store-maintenance call at sf0.1 (profiled,
+      // optimization round 15). Deployment-specific, parameterised
+      // here: an object-store cluster (where per-dir listing is an RPC)
+      // keeps the default or lowers it — SPARK_GRAFT_LIST_THRESHOLD.
+      .config(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GeoFunctions.register(spark)

@@ -13,6 +13,14 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // fork-free local chmod — graft.hadoop.NioLocalFileSystem note
+      .config(
+        graft.hadoop.NioLocalFileSystem.SparkConfKey,
+        graft.hadoop.NioLocalFileSystem.className)
+      // driver-side listing for ≤1024-dir local stores (Bench note)
+      .config(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

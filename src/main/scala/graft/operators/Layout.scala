@@ -175,7 +175,8 @@ object Layout {
     val pr = StoreManifest.probeFused(
       spark, path, batchIds, "event_id",
       newHomes = Some(assigned.select(col("z_cell"))),
-      storeBucketCol = "z_cell")
+      storeBucketCol = "z_cell",
+      store = Some(store))
     val touched = pr.touched
     if (touched.isEmpty) return touched
     val outCols = store.columns.filterNot(_ == "z_cell").map(col) :+

@@ -324,7 +324,8 @@ object Retrieval {
     // the per-action fixed cost dominated the entry at bench SF).
     val pr = StoreManifest.probeFused(
       spark, path, batchIds, "doc_id",
-      newHomes = Some(batchRaw.select(bucketOfCol(col("token")).as("bucket"))))
+      newHomes = Some(batchRaw.select(bucketOfCol(col("token")).as("bucket"))),
+      store = Some(store))
     val touched = pr.touched
     if (touched.isEmpty) return touched
 
@@ -480,7 +481,8 @@ object Retrieval {
     // removed-doc stats read is then partition-pruned to those shards.
     // Fused probe: the mpart collect rides action 1 and the manifest
     // update reuses the parts (VERDICT r13 #1).
-    val pr = StoreManifest.probeFused(spark, path, ids, "doc_id", newHomes = None)
+    val pr = StoreManifest.probeFused(
+      spark, path, ids, "doc_id", newHomes = None, store = Some(store))
     val touched = pr.oldHomes
     if (touched.isEmpty) return touched
 

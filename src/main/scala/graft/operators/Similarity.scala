@@ -799,7 +799,8 @@ object Similarity {
     // (VERDICT r13 #1 — the per-action fixed cost dominated the entry).
     val pr = StoreManifest.probeFused(
       spark, path, batchIds, "vec_id",
-      newHomes = Some(assignedBatch.select(col("bucket"))))
+      newHomes = Some(assignedBatch.select(col("bucket"))),
+      store = Some(store))
     val touched = pr.touched
     if (touched.isEmpty) return touched
     val outCols =
@@ -900,7 +901,8 @@ object Similarity {
     // store bytes); no broadcast hint — AQE decides (r12 verdict #1).
     // Fused probe: the mpart collect rides action 1, and the manifest
     // update below reuses the parts instead of re-collecting them.
-    val pr = StoreManifest.probeFused(spark, path, ids, "vec_id", newHomes = None)
+    val pr = StoreManifest.probeFused(
+      spark, path, ids, "vec_id", newHomes = None, store = Some(store))
     val touched = pr.oldHomes
     if (touched.isEmpty) return touched
     val outCols = store.columns.filterNot(_ == "bucket").map(col) :+

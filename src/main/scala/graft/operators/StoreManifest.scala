@@ -106,7 +106,8 @@ object StoreManifest {
       batchIds: DataFrame,
       idCol: String,
       newHomes: Option[DataFrame],
-      storeBucketCol: String = "bucket"): ProbeResult = {
+      storeBucketCol: String = "bucket",
+      store: Option[DataFrame] = None): ProbeResult = {
     val mp = batchIds.select(lit(0).as("k"), mpartCol(col(idCol)).as("v"))
     val fused = newHomes match {
       case Some(nh) =>
@@ -122,7 +123,12 @@ object StoreManifest {
     val oldHomes = {
       val frame =
         if (!manifestTrusted)
-          spark.read.parquet(storePath)
+          // full-store fallback: reuse the caller's already-resolved
+          // store frame when given — a second spark.read.parquet(path)
+          // re-lists and re-infers the same relation (a whole listing
+          // job per maintenance call before round 15's threshold fix,
+          // and still a redundant footer read after it)
+          store.getOrElse(spark.read.parquet(storePath))
             .join(batchIds.select(col(idCol)), Seq(idCol))
             .select(col(storeBucketCol).cast("int").as("bucket")).distinct()
         else
@@ -197,16 +203,33 @@ object StoreManifest {
     * per directory per write job (all rows of a bucket hash to the
     * same partition). At 100 TB one-task-per-touched-bucket is also
     * the file-count bound the stores want — files/dir per write stays
-    * 1, never input-tasks × dirs. The cap bounds the reduce-side block
-    * count when a maintenance pass touches very many buckets (shuffle
-    * blocks grow with M×R — guide §2.2); under the cap a task writes
-    * a few buckets' files sequentially, still one file per directory.
+    * 1, never input-tasks × dirs.
+    *
+    * The count is CAPPED at 2× the cluster's core count (floor 16,
+    * ceiling 4096): every file-format write task deserializes the
+    * job's ~1k-entry Hadoop Configuration from the task binary, and
+    * under full-width thread concurrency that deserialization is
+    * dominated by a GLOBAL lock (each gzip'd conf string allocates an
+    * Inflater whose java.lang.ref.Cleaner registration serializes on
+    * one linked list) — profiled on this suite at ~10 ms/task alone
+    * vs ~65-77 ms/task at 32-way contention, i.e. a 256-task write
+    * spent ~30 s of task time deserializing 110 KB of conf. Capping
+    * at 2×cores keeps the cluster saturated (a task writes its few
+    * buckets' files sequentially — each bucket still lands WHOLLY in
+    * one task, so files/dir stays 1) while the fixed per-task cost
+    * stays proportional to cores, not to touched-bucket count. The
+    * cap also bounds reduce-side shuffle block growth when a pass
+    * touches very many buckets (M×R blocks — guide §2.2), and it is
+    * cores-derived, never a constant tuned to one box.
     */
   private[graft] def routeToBuckets(
       df: DataFrame,
       partCol: String,
-      buckets: Int): DataFrame =
-    df.repartition(math.min(math.max(buckets, 1), 4096), col(partCol))
+      buckets: Int): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val cap = math.min(math.max(2 * cores, 16), 4096)
+    df.repartition(math.min(math.max(buckets, 1), cap), col(partCol))
+  }
 
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -1491,11 +1491,16 @@ object StreamingViews {
     }.reduce(_ || _)
     val compacted = spark.read.parquet(outPath)
       .filter(preds)
-      // explicit count = bloated-dir count: one task per rewritten
-      // partition dir, parallel writers (routeToBuckets note — the
-      // count-less form is AQE-coalesced to one serial task)
+      // explicit count, capped at 2×cores like routeToBuckets: the
+      // count-less form is AQE-coalesced to one serial task, while one
+      // task PER dir pays the per-write-task conf-deser fixed cost
+      // bloated-count times (routeToBuckets note); under the cap each
+      // rewritten dir still lands wholly in one task → one file per dir
       .repartition(
-        math.min(math.max(bloated.size, 1), 4096), partitionCols.map(col): _*)
+        math.min(
+          math.max(bloated.size, 1),
+          math.max(2 * spark.sparkContext.defaultParallelism, 16)),
+        partitionCols.map(col): _*)
     // dynamic overwrite scoped to this one write (and restored after):
     // static mode would wipe every partition the compacted frame
     // doesn't carry, and a session-level set would leak into later

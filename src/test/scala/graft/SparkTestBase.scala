@@ -12,6 +12,14 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // fork-free local chmod — graft.hadoop.NioLocalFileSystem note
+      .config(
+        graft.hadoop.NioLocalFileSystem.SparkConfKey,
+        graft.hadoop.NioLocalFileSystem.className)
+      // driver-side listing for ≤1024-dir local stores (Bench note)
+      .config(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "1024"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
