@@ -63,6 +63,13 @@ object Bench {
       .config(
         graft.hadoop.NioLocalFileSystem.SparkConfKey,
         graft.hadoop.NioLocalFileSystem.className)
+      // ...and its FileContext twin: the streaming checkpoint layer
+      // (offset/commit logs, state-store deltas) binds file:// through
+      // fs.AbstractFileSystem.file.impl, a separate hierarchy that
+      // still forked per state file (NioLocalFileSystem scaladoc)
+      .config(
+        graft.hadoop.NioLocalFileSystem.SparkAbstractConfKey,
+        graft.hadoop.NioLocalFileSystem.abstractClassName)
       // list ≤1024-directory stores on the driver (default threshold
       // 32): on a LOCAL filesystem a directory listing is a syscall,
       // while the parallel-discovery Spark job ships a ~1k-entry Hadoop

@@ -72,4 +72,32 @@ object NioLocalFileSystem {
   val ConfKey = "fs.file.impl"
   val SparkConfKey = s"spark.hadoop.$ConfKey"
   def className: String = classOf[NioLocalFileSystem].getName
+
+  /** The FileContext twin: Structured Streaming's checkpoint layer
+    * (offset/commit logs, state-store delta and snapshot files) writes
+    * through `FileContext`, whose `file://` binding is a SEPARATE class
+    * hierarchy (`fs.AbstractFileSystem.file.impl` →
+    * `o.a.h.fs.local.LocalFs` → ChecksumFs → RawLocalFs → delegate
+    * `RawLocalFileSystem`) — so every micro-batch's state/commit file
+    * still paid the chmod fork after the FileSystem-side fix. These
+    * mirrors swap the delegate for [[NioRawLocalFileSystem]], keeping
+    * the checksum layer and semantics identical.
+    */
+  val AbstractConfKey = "fs.AbstractFileSystem.file.impl"
+  val SparkAbstractConfKey = s"spark.hadoop.$AbstractConfKey"
+  def abstractClassName: String = classOf[NioLocalFs].getName
 }
+
+/** `o.a.h.fs.local.RawLocalFs` over [[NioRawLocalFileSystem]]. */
+class NioRawLocalFs(uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.DelegateToFileSystem(
+      uri, new NioRawLocalFileSystem, conf, "file", false) {
+  override def getUriDefaultPort: Int = -1
+}
+
+/** `o.a.h.fs.local.LocalFs` (the checksummed `file://`
+  * AbstractFileSystem) over [[NioRawLocalFs]] — the (URI, Configuration)
+  * constructor Hadoop's AbstractFileSystem reflection requires.
+  */
+class NioLocalFs(uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.ChecksumFs(new NioRawLocalFs(uri, conf))

@@ -16,6 +16,13 @@ object SparkTestBase {
       .config(
         graft.hadoop.NioLocalFileSystem.SparkConfKey,
         graft.hadoop.NioLocalFileSystem.className)
+      // ...and its FileContext twin: the streaming checkpoint layer
+      // (offset/commit logs, state-store deltas) binds file:// through
+      // fs.AbstractFileSystem.file.impl, a separate hierarchy that
+      // still forked per state file (NioLocalFileSystem scaladoc)
+      .config(
+        graft.hadoop.NioLocalFileSystem.SparkAbstractConfKey,
+        graft.hadoop.NioLocalFileSystem.abstractClassName)
       // driver-side listing for ≤1024-dir local stores (Bench note)
       .config(
         "spark.sql.sources.parallelPartitionDiscovery.threshold",
