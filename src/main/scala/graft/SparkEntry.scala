@@ -181,6 +181,31 @@ object SparkEntry {
     }
   }
 
+  /** Run independent driver-side store actions CONCURRENTLY (guide
+    * §2.6 — overlap independent jobs): Spark's scheduler happily runs
+    * several jobs at once inside one application; lifecycle entries
+    * that build TWO stores (e.g. the hybrid stack's BM25 shards and
+    * IVF index) were only sequential because the entry code called
+    * the builds sequentially, leaving most cores idle through each
+    * build's fixed-cost tail. Each task targets a DIFFERENT store
+    * directory (no shared mutable state, no session-conf mutation in
+    * any of the store builders — the swap/maintenance bodies use FS
+    * markers and renames, both per-store). Failures propagate: the
+    * first task exception rethrows on the caller thread.
+    */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futs = tasks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = t()
+        }))
+      futs.foreach(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
+  }
+
   private def cachedView(s: SparkSession, dir: String, kind: String, res: String)(
       build: => DataFrame): DataFrame =
     cacheFor(s).getOrElseUpdate(
@@ -1415,8 +1440,10 @@ object SparkEntry {
       val books = pqBooks(s, d)
       val floatPath = java.nio.file.Files.createTempDirectory("graft_ivf_floats").toString
       val codePath = java.nio.file.Files.createTempDirectory("graft_pq_codes").toString
-      Similarity.ivfStoreWrite(ivfTrainedAssigned(s, d), floatPath)
-      Pq.pqStoreWrite(Pq.encodeWithBuckets(emb, books, cents), codePath)
+      // independent stores, built concurrently (inParallel note)
+      inParallel(
+        () => Similarity.ivfStoreWrite(ivfTrainedAssigned(s, d), floatPath),
+        () => Pq.pqStoreWrite(Pq.encodeWithBuckets(emb, books, cents), codePath))
       Pq.ivfPqStoredTopKFromStores(s, books, cents, 20, 4, codePath, floatPath)
     }),
     // the ingest→store loop CLOSED on the stream: encode+assign each
@@ -1719,8 +1746,11 @@ object SparkEntry {
       val bmPath = s"$root/bm25"
       val bmStats = s"$root/bm25_stats"
       val runs = s"$root/runs"
-      Similarity.ivfStoreWrite(Similarity.ivfAssignments(baseEmb), ivfPath)
-      Retrieval.bm25IndexWrite(baseDocs, bmPath, bmStats)
+      // the two stores are independent — build them concurrently
+      // (inParallel note, guide §2.6); same for the day-2 upserts below
+      inParallel(
+        () => Similarity.ivfStoreWrite(Similarity.ivfAssignments(baseEmb), ivfPath),
+        () => Retrieval.bm25IndexWrite(baseDocs, bmPath, bmStats))
       graft.operators.StoreGenerations.enable(s, ivfPath)
       graft.operators.StoreGenerations.enable(s, bmPath)
       // serving-time pin: one record for the whole stack
@@ -1729,10 +1759,12 @@ object SparkEntry {
         Map(
           ivfPath -> graft.operators.StoreGenerations.currentGen(s, ivfPath),
           bmPath -> graft.operators.StoreGenerations.currentGen(s, bmPath)))
-      // day 2: both stores move on independently
-      Similarity.ivfStoreUpsert(
-        s, Similarity.ivfAssignments(emb.filter(pmod(col("vec_id"), lit(5)) === 4)), ivfPath)
-      Retrieval.bm25IndexUpsert(s, docs.filter(col("doc_id") % 5 === 4), bmPath, bmStats)
+      // day 2: both stores move on independently (and concurrently)
+      inParallel(
+        () => Similarity.ivfStoreUpsert(
+          s, Similarity.ivfAssignments(emb.filter(pmod(col("vec_id"), lit(5)) === 4)), ivfPath),
+        () => Retrieval.bm25IndexUpsert(
+          s, docs.filter(col("doc_id") % 5 === 4), bmPath, bmStats))
       // replay run_x against the pinned generations
       val lex = Retrieval.bm25StoredTopKAsOf(
         s, baseDocs, bmPath, bmStats,
