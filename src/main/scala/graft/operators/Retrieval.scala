@@ -295,9 +295,13 @@ object Retrieval {
     val tokenized = StoreManifest.pinBatch(
       graft.sources.Tables.fanOut(docsBatch)
         .select(col("doc_id"), expr(toks).as("tk")))
-    val batchIds = StoreManifest.pinBatch(
+    // derived from the pinned tokenized frame — lazy pins (no eager
+    // count): they materialize inside the probe's first action, and a
+    // concurrent branch only re-reads the warm tokenized cache
+    // (StoreManifest.pinDerived note; two driver actions saved)
+    val batchIds = StoreManifest.pinDerived(
       tokenized.select(col("doc_id")).distinct())
-    val batchRaw = StoreManifest.pinBatch(
+    val batchRaw = StoreManifest.pinDerived(
       tokenized
         .select(col("doc_id"), size(col("tk")).as("len"), explode(col("tk")).as("token"))
         .groupBy(col("doc_id"), col("len"), col("token"))

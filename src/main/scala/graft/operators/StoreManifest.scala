@@ -183,6 +183,19 @@ object StoreManifest {
     p
   }
 
+  /** [[pinBatch]] WITHOUT the eager count — for frames DERIVED from an
+    * already-pinned parent (optimization round 15: the BM25 upsert ran
+    * three pin counts where one suffices). The cache materializes
+    * inside the first consuming action; that is safe here because
+    * concurrent branches evaluating the cache's partitions re-read the
+    * WARM parent cache, never the parent's upstream plan — the
+    * double-build hazard the eager count exists for applies only to
+    * pins whose upstream is expensive and cold. One less driver action
+    * per derived frame, at bench SF and at 100 TB alike.
+    */
+  def pinDerived(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Hash partition of an id — xxhash64 so string doc ids and long
     * vector ids route identically well.
     */
